@@ -1,0 +1,45 @@
+"""Key-stable deterministic sampling (operator B6).
+
+The reference samples with `hash(col, seed) % 100 < pct` so that
+independently sampled tables still join consistently on the key
+(ref: eda_workspace/public_eda_pipeline.py:42-43; used with pct in
+{12, 20, 30} at lines 332, 336, 418, 425, 472, 479, 487, 604, 608).
+
+Spark equivalent: `pmod(xxhash64(col, seed), 100) < pct`. Semantically (not
+bitwise) equivalent — Polars' hash != xxhash64, so *which* keys land in the
+sample differs, but the properties that matter are preserved: deterministic,
+key-stable across tables, pushdown-friendly (a plain filter under the scan),
+and proportion ~pct%.
+
+At 100 TB this is the right shape: no shuffle, no sort, evaluated inside the
+scan stage; the filter prunes rows before any join/agg sees them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SEED = 42
+
+
+def hash_sample_expr(col: str | Column, pct: float, seed: int = DEFAULT_SEED) -> Column:
+    """Boolean membership expression: xxhash64(key, seed) % 100 < pct."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.pmod(F.xxhash64(c, F.lit(seed)), F.lit(100)) < F.lit(pct)
+
+
+def hash_sample(df: DataFrame, col: str, pct: float, seed: int = DEFAULT_SEED) -> DataFrame:
+    """Key-stable ~pct% sample. pct >= 100 returns df unchanged (full data —
+    on a cluster the reference's memory-bound sampling is often unnecessary)."""
+    if pct >= 100:
+        return df
+    return df.filter(hash_sample_expr(col, pct, seed))
+
+
+def key_mod_sample(df: DataFrame, col: str, pct: int, modulus: int = 100) -> DataFrame:
+    """Sampling by modulo on the key itself (no hash). Used where a
+    cross-engine-reproducible sample is required (e.g. DuckDB oracle tests;
+    SURVEY.md §5.3 — hash functions differ across engines, key arithmetic
+    doesn't). Only appropriate for keys without modular bias."""
+    return df.filter(F.pmod(F.col(col), F.lit(modulus)) < F.lit(pct))

@@ -1,0 +1,82 @@
+"""Schema-on-read catalog: a directory of Parquet files + naming conventions.
+
+Mirrors the reference's catalog model — no declared schemas; columns are
+discovered from Parquet footers and classified by name convention
+(ref: eda_workspace/public_eda_pipeline.py:62-70 — `customer_id` join key,
+`num_feature_*` / `cat_feature_*` prefixes, `target_<family>_<idx>`).
+Spark's `spark.read.parquet(...).columns` reads footers only, so schema
+introspection stays metadata-cheap at 100 TB (operator A2 in SURVEY.md §2).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Driver-provided TPC-H-ish testdata tables (TESTDATA.md / FIXTURES.md §B).
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazy Parquet scan (operator A1). One scan per query is fine — column
+    pruning + predicate pushdown mean Catalyst reads only what the plan
+    needs; callers cache hot tables explicitly when reused across actions."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TESTDATA_TABLES
+) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+@dataclass
+class EdaColumns:
+    """Name-convention classification of an EDA-shaped table's columns
+    (ref: public_eda_pipeline.py:69-70, 52-55)."""
+
+    key: str = "customer_id"
+    num_features: list[str] = field(default_factory=list)
+    cat_features: list[str] = field(default_factory=list)
+    targets: list[str] = field(default_factory=list)
+    other: list[str] = field(default_factory=list)
+
+    @property
+    def features(self) -> list[str]:
+        return self.num_features + self.cat_features
+
+
+def classify_columns(columns: list[str], key: str = "customer_id") -> EdaColumns:
+    """Split columns into num/cat features and targets by prefix convention."""
+    out = EdaColumns(key=key)
+    for c in columns:
+        if c == key:
+            continue
+        elif c.startswith("num_feature_"):
+            out.num_features.append(c)
+        elif c.startswith("cat_feature_"):
+            out.cat_features.append(c)
+        elif c.startswith("target_"):
+            out.targets.append(c)
+        else:
+            out.other.append(c)
+    return out
+
+
+def target_family(target_name: str) -> str:
+    """`target_9_6` -> `9` (ref: public_eda_pipeline.py:52-55)."""
+    parts = target_name.split("_")
+    return parts[1] if len(parts) >= 3 else target_name
