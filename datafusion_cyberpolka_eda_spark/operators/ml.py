@@ -1,0 +1,143 @@
+"""ML-backed operators (SURVEY.md §2 family F).
+
+- F1 adversarial train/test-shift classifier: the reference trains CatBoost
+  on a hash-sampled train=0/test=1 stack and reads validation AUC
+  (ref: public_eda_pipeline.py:410-459). Spark-first: pyspark.ml
+  GBTClassifier + BinaryClassificationEvaluator; stratified split via
+  sampleBy. Exact AUC won't reproduce across GBM implementations — the
+  behavioral contract is AUC ~ 0.5 on shift-free data (ref report 0.5007).
+- F2/F3 agglomerative clustering + silhouette over a precomputed distance
+  matrix: driver-scale ops on tiny (n_targets x n_targets) matrices
+  (ref lines 183-209). sklearn/scipy are unavailable here, so both are
+  implemented in plain numpy (average linkage, standard definitions). The
+  distance matrix itself comes from the distributed moments engine.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from datafusion_cyberpolka_eda_spark.functions.sampling import hash_sample
+from datafusion_cyberpolka_eda_spark.operators.relational import union_stack
+
+
+def adversarial_shift_auc(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    feature_cols: list[str],
+    key_col: str | None = None,
+    sample_pct: float = 20,
+    seed: int = 42,
+    max_iter: int = 40,
+    max_depth: int = 6,
+    step_size: float = 0.08,
+) -> float:
+    """Train a GBT to distinguish df_a (label 0) from df_b (label 1); return
+    holdout AUC. AUC ~ 0.5 => no covariate shift between the two tables.
+
+    Scale notes: sampling happens below the union (pushdown filter); the
+    assembled vector keeps only ``feature_cols``; training data is the only
+    thing that grows with sample_pct.
+    """
+    from pyspark.ml.classification import GBTClassifier
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+    from pyspark.ml.feature import VectorAssembler
+
+    def prep(df: DataFrame) -> DataFrame:
+        if key_col is not None and sample_pct < 100:
+            df = hash_sample(df, key_col, sample_pct, seed)
+        return df.select(
+            *[F.col(c).cast("double").alias(c) for c in feature_cols]
+        ).na.fill(-1.0, feature_cols)
+
+    stacked = union_stack([prep(df_a), prep(df_b)], "label", [0, 1]).withColumn(
+        "label", F.col("label").cast("double")
+    )
+    # stratified 75/25 split (ref train_test_split stratify, lines 437-443)
+    train = stacked.stat.sampleBy("label", {0.0: 0.75, 1.0: 0.75}, seed=seed)
+    test = stacked.exceptAll(train)
+
+    assembler = VectorAssembler(inputCols=feature_cols, outputCol="features")
+    gbt = GBTClassifier(
+        labelCol="label",
+        featuresCol="features",
+        maxIter=max_iter,
+        maxDepth=max_depth,
+        stepSize=step_size,
+        seed=seed,
+    )
+    model = gbt.fit(assembler.transform(train))
+    pred = model.transform(assembler.transform(test))
+    ev = BinaryClassificationEvaluator(labelCol="label", metricName="areaUnderROC")
+    return float(ev.evaluate(pred))
+
+
+def agglomerative_average(dist: np.ndarray, k: int) -> np.ndarray:
+    """Average-linkage agglomerative clustering over a precomputed distance
+    matrix (operator F2; ref AgglomerativeClustering lines 187-194).
+    Naive O(n^3) — inputs are tiny driver-side matrices (41x41). Returns
+    integer labels 0..k-1, numbered by first-member order for determinism.
+    """
+    n = dist.shape[0]
+    clusters: dict[int, list[int]] = {i: [i] for i in range(n)}
+    d = dist.astype(float).copy()
+    np.fill_diagonal(d, np.inf)
+    active = {i: i for i in range(n)}  # cluster id -> row index in d
+    cd = {(i, j): d[i, j] for i in range(n) for j in range(i + 1, n)}
+
+    next_id = n
+    while len(clusters) > k:
+        (a, b), _ = min(cd.items(), key=lambda kv: (kv[1], kv[0]))
+        merged = clusters.pop(a) + clusters.pop(b)
+        new_dists = {}
+        for c, members in clusters.items():
+            tot = 0.0
+            for i in merged:
+                for j in members:
+                    tot += dist[i, j]
+            new_dists[c] = tot / (len(merged) * len(members))
+        cd = {
+            key: v
+            for key, v in cd.items()
+            if a not in key and b not in key
+        }
+        for c, v in new_dists.items():
+            cd[(min(c, next_id), max(c, next_id))] = v
+        clusters[next_id] = merged
+        next_id += 1
+
+    labels = np.empty(n, dtype=int)
+    ordered = sorted(clusters.values(), key=lambda ms: min(ms))
+    for lab, members in enumerate(ordered):
+        for i in members:
+            labels[i] = lab
+    return labels
+
+
+def silhouette_precomputed(dist: np.ndarray, labels: np.ndarray) -> float:
+    """Mean silhouette coefficient over a precomputed distance matrix
+    (operator F3; ref silhouette_score(metric='precomputed'), line 195).
+    Standard definition: s_i = (b_i - a_i) / max(a_i, b_i); singleton
+    clusters get s_i = 0."""
+    n = len(labels)
+    uniq = np.unique(labels)
+    if len(uniq) < 2:
+        return float("nan")
+    s = np.zeros(n)
+    for i in range(n):
+        own = labels == labels[i]
+        n_own = own.sum()
+        if n_own <= 1:
+            s[i] = 0.0
+            continue
+        a = dist[i, own].sum() / (n_own - 1)
+        b = np.inf
+        for c in uniq:
+            if c == labels[i]:
+                continue
+            mask = labels == c
+            b = min(b, dist[i, mask].mean())
+        s[i] = (b - a) / max(a, b) if max(a, b) > 0 else 0.0
+    return float(s.mean())

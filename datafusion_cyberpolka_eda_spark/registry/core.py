@@ -1,56 +1,15 @@
-"""Query registry: every implemented operator exposed as a (Spark callable,
-DuckDB oracle SQL) pair over the driver testdata (TESTDATA.md tables).
-
-Naming: `<survey-operator-id>_<description>` so the judge can line entries
-up against SURVEY.md §2's inventory.
-
-Cross-engine float determinism rules (SURVEY.md §5.3):
-- raw column passthrough and pure IEEE scalar arithmetic (+,-,*,/ on the
-  same parquet doubles) are bitwise identical across engines — no rounding;
-- money aggregations cast to DECIMAL before SUM (exact integer arithmetic in
-  both engines, associativity-proof), then cast the final scalar to double;
-- statistical outputs whose accumulation order genuinely differs (corr,
-  avg-of-many, AUC) are rounded to 6 dp on BOTH sides — engines agree to
-  ~1e-12, so 6 dp rounding yields identical doubles.
-"""
+"""Core relational queries: scans, projections, null ops, sampling, joins,
+aggregations, sorts/top-k (SURVEY.md §2 families A-D, G)."""
 
 from __future__ import annotations
-
-from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datafusion_cyberpolka_eda_spark.functions.sampling import key_mod_sample
 from datafusion_cyberpolka_eda_spark.operators import relational
+from datafusion_cyberpolka_eda_spark.registry import _dec_sum, register
 from datafusion_cyberpolka_eda_spark.sources.catalog import load_table
-
-QueryFn = Callable[[SparkSession, str], DataFrame]
-
-# name -> (spark_fn, oracle_sql | None)
-_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
-
-
-def register(name: str, oracle: str | None):
-    def deco(fn: QueryFn) -> QueryFn:
-        _REGISTRY[name] = (fn, oracle)
-        return fn
-
-    return deco
-
-
-def queries() -> dict[str, QueryFn]:
-    return {k: v[0] for k, v in _REGISTRY.items()}
-
-
-def oracle_sql() -> dict[str, str]:
-    return {k: v[1] for k, v in _REGISTRY.items() if v[1] is not None}
-
-
-def _dec_sum(col: F.Column, prec: str = "decimal(24,4)") -> F.Column:
-    """Exact associativity-proof sum of a money-like double column."""
-    return F.sum(col.cast(prec)).cast("double")
-
 
 # ---------------------------------------------------------------------------
 # A/D. Scans, counts, wide aggregation (flagship)

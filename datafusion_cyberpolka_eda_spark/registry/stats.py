@@ -1,0 +1,386 @@
+"""Statistics queries (SURVEY.md §2 family E): moments-engine correlations,
+the feature x target screen, point-biserial, rank-based AUC, exact
+quantiles, ntile deciles, whale uplift, pair lift, standardization moments,
+Fisher exact (rows-only — no SQL equivalent).
+
+Float policy: all statistical outputs are rounded to 6 dp on BOTH engines
+(cross-engine agreement is ~1e-12, so 6 dp rounding yields identical
+doubles; see registry/__init__ docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datafusion_cyberpolka_eda_spark.operators import stats as S
+from datafusion_cyberpolka_eda_spark.registry import _dec_sum, _round_cols, register
+from datafusion_cyberpolka_eda_spark.sources.catalog import load_table
+
+_LI_NUM = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _pairs(cols: list[str]) -> list[tuple[str, str]]:
+    return [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+
+
+@register(
+    "e1_corr_matrix",
+    "\nUNION ALL\n".join(
+        f"SELECT '{a}' AS x, '{b}' AS y, ROUND(corr({a}, {b}), 6) AS corr FROM lineitem"
+        for a, b in _pairs(_LI_NUM)
+    ),
+)
+def e1_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix via the single-pass distributed moments
+    engine (operator E1; ref y_df.corr() lines 140-141). The pair
+    arithmetic runs on the driver over tiny moment matrices — the pattern
+    that scales to 100 TB (distribute moments, never the pair loop)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    corr = S.corr_matrix(li, _LI_NUM)
+    rows = [(a, b, float(corr.loc[a, b])) for a, b in _pairs(_LI_NUM)]
+    df = spark.createDataFrame(rows, "x string, y string, corr double")
+    return _round_cols(df, ["corr"])
+
+
+_SCREEN_YS = {
+    "flag_a": "CAST(l_returnflag = 'A' AS INT)",
+    "flag_f": "CAST(l_linestatus = 'F' AS INT)",
+}
+
+
+@register(
+    "e5_feature_target_screen",
+    "\nUNION ALL\n".join(
+        f"SELECT '{x}' AS feature, '{yname}' AS target,"
+        f" ROUND(corr({x}, {yexpr}), 6) AS pearson_corr,"
+        f" ROUND(ABS(corr({x}, {yexpr})), 6) AS abs_corr FROM lineitem"
+        for x in _LI_NUM
+        for yname, yexpr in _SCREEN_YS.items()
+    ),
+)
+def e5_feature_target_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The wide feature x target correlation screen (operator E5; ref
+    standardized X^T Y at lines 494-533): num features vs derived binary
+    targets, one chunked moments pass, corr assembled on the driver."""
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.select(
+        *_LI_NUM,
+        (F.col("l_returnflag") == "A").cast("int").alias("flag_a"),
+        (F.col("l_linestatus") == "F").cast("int").alias("flag_f"),
+    )
+    m = S.cross_moments(df, _LI_NUM, list(_SCREEN_YS))
+    corr = S.corr_from_moments(m)
+    rows = [
+        (x, y, float(corr.loc[x, y]), abs(float(corr.loc[x, y])))
+        for x in _LI_NUM
+        for y in _SCREEN_YS
+    ]
+    df = spark.createDataFrame(
+        rows, "feature string, target string, pearson_corr double, abs_corr double"
+    )
+    return _round_cols(df, ["pearson_corr", "abs_corr"])
+
+
+@register(
+    "e6_point_biserial",
+    """
+    SELECT ROUND(corr(CAST(o_orderstatus = 'F' AS INT), o_totalprice), 6) AS r,
+           ROUND(corr(CAST(o_orderstatus = 'F' AS INT), o_totalprice)
+                 * SQRT((COUNT(*) - 2)
+                        / (1 - POW(corr(CAST(o_orderstatus = 'F' AS INT), o_totalprice), 2))),
+                 6) AS t_stat,
+           COUNT(*) AS n
+    FROM orders
+    """,
+)
+def e6_point_biserial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-biserial correlation + t statistic (operator E6; ref
+    pointbiserialr line 303 — identical to Pearson with a binary variable).
+    The p-value (pure-Python incomplete beta, stats.t_sf) is covered by
+    unit tests; r and t are oracle-checked here."""
+    o = load_table(spark, sf_dir, "orders")
+    y = (F.col("o_orderstatus") == "F").cast("int")
+    r = F.corr(y, F.col("o_totalprice"))
+    n = F.count(F.lit(1))
+    t = r * F.sqrt((n - F.lit(2)) / (1 - F.pow(r, F.lit(2))))
+    return o.agg(
+        F.round(r, 6).alias("r"), F.round(t, 6).alias("t_stat"), n.alias("n")
+    )
+
+
+@register(
+    "e7_auc_by_rank",
+    """
+    WITH d AS (
+      SELECT CAST(o_orderstatus = 'F' AS INT) AS y, o_totalprice AS s FROM orders
+    ), g AS (
+      SELECT s, CAST(SUM(y) AS DOUBLE) AS pos, CAST(SUM(1 - y) AS DOUBLE) AS neg
+      FROM d GROUP BY s
+    ), c AS (
+      SELECT pos, neg,
+             COALESCE(SUM(neg) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_neg_below
+      FROM g
+    )
+    SELECT ROUND(SUM(pos * (cum_neg_below + 0.5 * neg)) / (SUM(pos) * SUM(neg)), 6) AS auc
+    FROM c
+    """,
+)
+def e7_auc_by_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-aware Mann-Whitney ROC AUC, fully distributed (operator
+    E7; ref _safe_auc lines 33-39). Aggregates to distinct scores first so
+    the ordering window runs over compressed data, not raw rows."""
+    o = load_table(spark, sf_dir, "orders")
+    d = o.select(
+        (F.col("o_orderstatus") == "F").cast("int").alias("label"),
+        F.col("o_totalprice").alias("score"),
+    )
+    return S.auc_by_rank(d, "label", "score").select(F.round("auc", 6).alias("auc"))
+
+
+@register(
+    "e10_exact_quantiles",
+    """
+    SELECT 0.5 AS p, ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 6) AS value FROM orders
+    UNION ALL
+    SELECT 0.9, ROUND(percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice), 6) FROM orders
+    UNION ALL
+    SELECT 0.99, ROUND(percentile_cont(0.99) WITHIN GROUP (ORDER BY o_totalprice), 6) FROM orders
+    """,
+)
+def e10_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (operator E10; ref np.nanquantile
+    line 622). The 100 TB path is approxQuantile; exact matches the
+    reference and the oracle."""
+    o = load_table(spark, sf_dir, "orders")
+    probs = [0.5, 0.9, 0.99]
+    vals = S.exact_quantiles(o, "o_totalprice", probs)
+    df = spark.createDataFrame(list(zip(probs, vals)), "p double, value double")
+    return _round_cols(df, ["value"])
+
+
+@register(
+    "e11_ntile_deciles",
+    """
+    WITH d AS (
+      SELECT o_totalprice,
+             NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+      FROM orders
+    )
+    SELECT decile, COUNT(*) AS n,
+           MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
+    FROM d GROUP BY decile
+    """,
+)
+def e11_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency decile profile (operators E11/G4/D7; ref qcut +
+    decile table lines 306-318). Deterministic tiebreak on the key. For
+    100 TB use relational.quantile_buckets (cutpoint-based, no global
+    sort)."""
+    from datafusion_cyberpolka_eda_spark.operators.relational import ntile_bucket
+
+    o = load_table(spark, sf_dir, "orders")
+    d = ntile_bucket(
+        o.select("o_totalprice", "o_orderkey"),
+        "o_totalprice",
+        10,
+        bucket_col="decile",
+        tiebreak_cols=["o_orderkey"],
+    )
+    return d.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        (_dec_sum(F.col("o_totalprice"), "decimal(18,2)") / F.count(F.lit(1))).alias(
+            "avg_price"
+        ),
+    )
+
+
+@register(
+    "e12_whale_uplift",
+    """
+    WITH cut AS (
+      SELECT percentile_cont(0.99) WITHIN GROUP (ORDER BY o_totalprice) AS c FROM orders
+    ), f AS (
+      SELECT CAST(o_totalprice >= (SELECT c FROM cut) AS INT) AS top,
+             CAST(o_orderstatus = 'F' AS INT) AS y
+      FROM orders
+    )
+    SELECT SUM(CAST(top AS BIGINT)) AS top_n,
+           SUM(CAST(top * y AS BIGINT)) AS top_pos,
+           SUM(CAST(1 - top AS BIGINT)) AS rest_n,
+           SUM(CAST((1 - top) * y AS BIGINT)) AS rest_pos,
+           ROUND(CAST(SUM(top * y) AS DOUBLE) / SUM(top), 6) AS top1_rate,
+           ROUND(CAST(SUM((1 - top) * y) AS DOUBLE) / SUM(1 - top), 6) AS rest99_rate,
+           ROUND((CAST(SUM(top * y) AS DOUBLE) / SUM(top))
+                 / (CAST(SUM((1 - top) * y) AS DOUBLE) / SUM(1 - top)), 6) AS lift
+    FROM f
+    """,
+)
+def e12_whale_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1%-tail uplift contingency (operator E12; ref whale stage lines
+    617-650): p99 cut in one pass, 2x2 contingency in a second conditional
+    agg, lift arithmetic inline."""
+    o = load_table(spark, sf_dir, "orders")
+    cut = S.exact_quantiles(o, "o_totalprice", [0.99])[0]
+    top = (F.col("o_totalprice") >= F.lit(cut)).cast("int")
+    y = (F.col("o_orderstatus") == "F").cast("int")
+    d = o.select(top.alias("top"), y.alias("y"))
+    t, yv = F.col("top"), F.col("y")
+    return d.agg(
+        F.sum(t.cast("bigint")).alias("top_n"),
+        F.sum((t * yv).cast("bigint")).alias("top_pos"),
+        F.sum((1 - t).cast("bigint")).alias("rest_n"),
+        F.sum(((1 - t) * yv).cast("bigint")).alias("rest_pos"),
+        F.round(F.sum(t * yv).cast("double") / F.sum(t), 6).alias("top1_rate"),
+        F.round(F.sum((1 - t) * yv).cast("double") / F.sum(1 - t), 6).alias(
+            "rest99_rate"
+        ),
+        F.round(
+            (F.sum(t * yv).cast("double") / F.sum(t))
+            / (F.sum((1 - t) * yv).cast("double") / F.sum(1 - t)),
+            6,
+        ).alias("lift"),
+    )
+
+
+@register("e13_fisher_whale", None)  # rows-only: exact test has no SQL twin
+def e13_fisher_whale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whale screen with Fisher exact p-values (operators E12+E13; ref
+    fisher_exact line 641). Contingencies are computed distributed
+    (whale_scan); the hypergeometric tail is exact driver-side arithmetic
+    (pure Python — scipy unavailable). Rows-only driver check; the p-value
+    math is unit-tested against known values."""
+    o = load_table(spark, sf_dir, "orders")
+    d = o.select(
+        "o_totalprice",
+        (F.col("o_orderstatus") == "F").cast("int").alias("is_f"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("is_urgent"),
+    )
+    pdf = S.whale_scan(
+        d,
+        features=["o_totalprice"],
+        targets=["is_f", "is_urgent"],
+        quantile=0.99,
+        min_top=10,
+        min_rest=100,
+    )
+    df = spark.createDataFrame(pdf)
+    return _round_cols(df, ["top1_rate", "rest99_rate", "lift"], 6)
+
+
+_FLAGS = {
+    "flag_a": "CAST(l_returnflag = 'A' AS INT)",
+    "flag_f": "CAST(l_linestatus = 'F' AS INT)",
+    "flag_disc": "CAST(l_discount > 0.05 AS INT)",
+}
+
+
+@register(
+    "e2_e4_pair_lift",
+    "\nUNION ALL\n".join(
+        f"""SELECT '{a}' AS target_a, '{b}' AS target_b,
+           ROUND(corr({ea}, {eb}), 6) AS corr,
+           SUM(CAST({ea} * {eb} AS BIGINT)) AS co_count,
+           ROUND(CAST(SUM({ea} * {eb}) AS DOUBLE) / COUNT(*), 6) AS co_rate,
+           ROUND((CAST(SUM({ea}) AS DOUBLE) / COUNT(*)) * (CAST(SUM({eb}) AS DOUBLE) / COUNT(*)), 6) AS expected_rate,
+           ROUND((CAST(SUM({ea} * {eb}) AS DOUBLE) / COUNT(*))
+                 / ((CAST(SUM({ea}) AS DOUBLE) / COUNT(*)) * (CAST(SUM({eb}) AS DOUBLE) / COUNT(*))), 6) AS pair_lift
+           FROM lineitem"""
+        for (a, ea), (b, eb) in [
+            (("flag_a", _FLAGS["flag_a"]), ("flag_f", _FLAGS["flag_f"])),
+            (("flag_a", _FLAGS["flag_a"]), ("flag_disc", _FLAGS["flag_disc"])),
+            (("flag_f", _FLAGS["flag_f"]), ("flag_disc", _FLAGS["flag_disc"])),
+        ]
+    ),
+)
+def e2_e4_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary co-occurrence / lift / corr table (operators E2-E4; ref
+    gramian + pair loop lines 143-166). For 0/1 columns the moments
+    engine's sum_xy IS the co-occurrence count — one pass, pair table on
+    the driver."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.select(
+        (F.col("l_returnflag") == "A").cast("int").alias("flag_a"),
+        (F.col("l_linestatus") == "F").cast("int").alias("flag_f"),
+        (F.col("l_discount") > 0.05).cast("int").alias("flag_disc"),
+    )
+    pdf = S.pair_stats(d, ["flag_a", "flag_f", "flag_disc"])
+    pdf = pdf.rename(columns={"expected_independent_rate": "expected_rate"})
+    df = spark.createDataFrame(
+        pdf[
+            [
+                "target_a",
+                "target_b",
+                "corr",
+                "co_count",
+                "co_rate",
+                "expected_rate",
+                "pair_lift",
+            ]
+        ]
+    )
+    return _round_cols(df, ["corr", "co_rate", "expected_rate", "pair_lift"])
+
+
+@register(
+    "e15_e16_standardize_moments",
+    "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS column_name,"
+        f" ROUND(AVG({c}), 6) AS mean,"
+        f" ROUND(stddev_pop({c}), 6) AS std_pop FROM lineitem"
+        for c in _LI_NUM
+    ),
+)
+def e15_e16_standardize_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-std standardization moments (operators E15/E16; ref
+    ddof=0 standardization lines 501-508 — matches exactly, unlike Spark's
+    StandardScaler which uses sample std). Derived from the same moments
+    pass as the correlation engine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    m = S.cross_moments(li, _LI_NUM, [])
+    n = m["n"]
+    rows = []
+    for i, c in enumerate(_LI_NUM):
+        mean = float(m["sum_x"][i]) / n
+        var = float(m["sumsq_x"][i]) / n - mean * mean
+        rows.append((c, mean, max(var, 0.0) ** 0.5))
+    df = spark.createDataFrame(rows, "column_name string, mean double, std_pop double")
+    return _round_cols(df, ["mean", "std_pop"])
+
+
+@register(
+    "d3_null_rate_profile",
+    """
+    WITH src AS (
+      SELECT NULLIF(l_discount, 0.0) AS disc_nz,
+             NULLIF(l_tax, 0.0) AS tax_nz,
+             NULLIF(l_returnflag, 'N') AS flag_nn
+      FROM lineitem
+    )
+    SELECT 'disc_nz' AS column_name, ROUND(AVG(CAST(disc_nz IS NULL AS INT)), 6) AS null_rate FROM src
+    UNION ALL
+    SELECT 'tax_nz', ROUND(AVG(CAST(tax_nz IS NULL AS INT)), 6) FROM src
+    UNION ALL
+    SELECT 'flag_nn', ROUND(AVG(CAST(flag_nn IS NULL AS INT)), 6) FROM src
+    """,
+)
+def d3_null_rate_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide null-rate profile, chunked agg + melt (operator D3; ref
+    2,241-column is_null().mean() pass, lines 235-254). Nulls manufactured
+    with NULLIF since testdata is dense."""
+    from datafusion_cyberpolka_eda_spark.operators.profile import null_rates
+
+    li = load_table(spark, sf_dir, "lineitem")
+    src = li.select(
+        F.nullif(F.col("l_discount"), F.lit(0.0)).alias("disc_nz"),
+        F.nullif(F.col("l_tax"), F.lit(0.0)).alias("tax_nz"),
+        F.nullif(F.col("l_returnflag"), F.lit("N")).alias("flag_nn"),
+    )
+    nr = null_rates(src, ["disc_nz", "tax_nz", "flag_nn"])
+    return nr.select(
+        F.col("column").alias("column_name"), F.round("null_rate", 6).alias("null_rate")
+    )

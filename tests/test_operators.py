@@ -1,0 +1,181 @@
+"""Operator-level tests: moments engine vs pandas oracle, sampler
+properties, profiling, clustering bridge, adversarial shift (behavioral)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_cyberpolka_eda_spark.functions.sampling import hash_sample
+from datafusion_cyberpolka_eda_spark.operators import profile, relational
+from datafusion_cyberpolka_eda_spark.operators import stats as S
+
+
+@pytest.fixture(scope="module")
+def synth(spark):
+    rng = np.random.default_rng(42)
+    n = 5000
+    pdf = pd.DataFrame(
+        {
+            "key": np.arange(n),
+            "x1": rng.normal(10, 3, n),
+            "x2": rng.exponential(2, n),
+            "x3": rng.normal(0, 1, n),
+            "y1": (rng.random(n) < 0.3).astype(int),
+            "y2": (rng.random(n) < 0.05).astype(int),
+        }
+    )
+    # inject correlation and nulls
+    pdf["x2"] = pdf["x2"] + pdf["y1"] * 1.5
+    pdf.loc[pdf.sample(frac=0.2, random_state=1).index, "x3"] = np.nan
+    return pdf
+
+
+@pytest.fixture(scope="module")
+def sdf(spark, synth):
+    return spark.createDataFrame(synth)
+
+
+class TestMomentsEngine:
+    def test_corr_matches_pandas(self, sdf, synth):
+        cols = ["x1", "x2", "y1", "y2"]
+        ours = S.corr_matrix(sdf, cols)
+        ref = synth[cols].corr(method="pearson")
+        np.testing.assert_allclose(
+            ours.to_numpy(), ref.to_numpy(), rtol=1e-9, atol=1e-12
+        )
+
+    def test_constant_column_yields_nan(self, spark):
+        df = spark.createDataFrame(
+            pd.DataFrame({"a": [1.0, 1.0, 1.0], "b": [1.0, 2.0, 3.0]})
+        )
+        corr = S.corr_matrix(df, ["a", "b"])
+        assert np.isnan(corr.loc["a", "b"])
+        assert corr.loc["b", "b"] == pytest.approx(1.0)
+
+    def test_chunking_equivalence(self, sdf):
+        cols = ["x1", "x2", "y1"]
+        m1 = S.cross_moments(sdf, cols, cols, chunk_size=2)
+        m2 = S.cross_moments(sdf, cols, cols, chunk_size=1000)
+        np.testing.assert_allclose(m1["sum_xy"], m2["sum_xy"])
+
+    def test_mean_impute(self, sdf, synth):
+        imputed = S.mean_impute(sdf, ["x3"])
+        assert imputed.filter(F.col("x3").isNull()).count() == 0
+        got = imputed.agg(F.avg("x3")).collect()[0][0]
+        assert got == pytest.approx(synth["x3"].mean(), rel=1e-9)
+
+    def test_pair_stats_binary(self, sdf, synth):
+        pdf = S.pair_stats(sdf, ["y1", "y2"])
+        row = pdf.iloc[0]
+        co = int(((synth["y1"] == 1) & (synth["y2"] == 1)).sum())
+        assert row["co_count"] == co
+        assert row["corr"] == pytest.approx(
+            synth[["y1", "y2"]].corr().iloc[0, 1], rel=1e-9
+        )
+
+
+class TestAucByRank:
+    def test_matches_naive_pairwise(self, spark):
+        rng = np.random.default_rng(7)
+        n = 400
+        y = (rng.random(n) < 0.4).astype(int)
+        # coarse scores force heavy ties to exercise the 0.5 tie term
+        s = np.round(rng.normal(0, 1, n) + y * 0.8, 1)
+        df = spark.createDataFrame(pd.DataFrame({"y": y, "s": s}))
+        auc = S.auc_by_rank(df, "y", "s").collect()[0]["auc"]
+        pos, neg = s[y == 1], s[y == 0]
+        wins = (pos[:, None] > neg[None, :]).sum()
+        ties = (pos[:, None] == neg[None, :]).sum()
+        naive = (wins + 0.5 * ties) / (len(pos) * len(neg))
+        assert auc == pytest.approx(naive, rel=1e-12)
+
+    def test_degenerate_class_null(self, spark):
+        df = spark.createDataFrame(pd.DataFrame({"y": [1, 1, 1], "s": [1.0, 2.0, 3.0]}))
+        assert S.auc_by_rank(df, "y", "s").collect()[0]["auc"] is None
+
+
+class TestHashSampler:
+    def test_deterministic_and_key_stable(self, spark):
+        df = spark.range(0, 20000).withColumnRenamed("id", "k")
+        a = hash_sample(df, "k", 20)
+        b = hash_sample(df, "k", 20)
+        assert a.count() == b.count()
+        assert a.exceptAll(b).count() == 0
+        # key-stable: sampling a second table with the same keys aligns
+        df2 = df.withColumn("v", F.col("k") * 2)
+        joined = hash_sample(df, "k", 20).join(hash_sample(df2, "k", 20), "k")
+        assert joined.count() == a.count()
+
+    def test_proportion(self, spark):
+        df = spark.range(0, 50000).withColumnRenamed("id", "k")
+        frac = hash_sample(df, "k", 30).count() / 50000
+        assert 0.28 < frac < 0.32
+
+    def test_pct_100_identity(self, spark):
+        df = spark.range(0, 100).withColumnRenamed("id", "k")
+        assert hash_sample(df, "k", 100).count() == 100
+
+
+class TestProfile:
+    def test_null_rates(self, sdf, synth):
+        nr = {
+            r["column"]: r["null_rate"]
+            for r in profile.null_rates(sdf, ["x1", "x3"]).collect()
+        }
+        assert nr["x1"] == 0.0
+        assert nr["x3"] == pytest.approx(synth["x3"].isna().mean(), rel=1e-12)
+
+    def test_null_rates_chunked(self, sdf):
+        a = {r["column"]: r["null_rate"] for r in profile.null_rates(sdf, ["x1", "x2", "x3"], chunk_size=1).collect()}
+        b = {r["column"]: r["null_rate"] for r in profile.null_rates(sdf, ["x1", "x2", "x3"], chunk_size=100).collect()}
+        assert a == b
+
+    def test_unseen_categories(self, spark):
+        train = spark.createDataFrame(pd.DataFrame({"c": [1, 2, 3, 3]}))
+        test = spark.createDataFrame(pd.DataFrame({"c": [2, 3, 4, 5, 5]}))
+        unseen = sorted(r["c"] for r in profile.unseen_categories(train, test, "c").collect())
+        assert unseen == [4, 5]
+        rate = profile.unseen_rate_rows(train, test, "c").collect()[0]
+        assert rate["unseen_rate"] == pytest.approx(3 / 5)
+
+
+class TestRelational:
+    def test_horizontal_sum_wide(self, spark):
+        # beyond wide_threshold the array-aggregate path must agree
+        n_cols = 70
+        pdf = pd.DataFrame(
+            np.arange(50 * n_cols).reshape(50, n_cols),
+            columns=[f"c{i}" for i in range(n_cols)],
+        )
+        df = spark.createDataFrame(pdf)
+        out = df.select(
+            relational.horizontal_sum([f"c{i}" for i in range(n_cols)]).alias("s")
+        ).collect()
+        expect = pdf.sum(axis=1).tolist()
+        assert [r["s"] for r in out] == pytest.approx(expect)
+
+    def test_quantile_buckets_monotone(self, spark):
+        df = spark.range(0, 10000).select(F.col("id").cast("double").alias("v"))
+        b = relational.quantile_buckets(df, "v", n=10)
+        counts = b.groupBy("bucket").count().orderBy("bucket").collect()
+        assert len(counts) == 10
+        assert all(900 <= r["count"] <= 1100 for r in counts)
+
+
+class TestWhaleAndFisher:
+    def test_whale_scan_guards(self, spark):
+        rng = np.random.default_rng(3)
+        n = 20000
+        x = rng.lognormal(10, 1, n)
+        # target enriched in the x top tail
+        p = np.where(x > np.quantile(x, 0.99), 0.3, 0.01)
+        y = (rng.random(n) < p).astype(int)
+        df = spark.createDataFrame(pd.DataFrame({"x": x, "y": y}))
+        res = S.whale_scan(df, ["x"], ["y"], quantile=0.99, min_top=50, min_rest=1000)
+        assert len(res) == 1
+        row = res.iloc[0]
+        assert row["lift"] > 2
+        assert row["pvalue"] < 0.05
