@@ -1,0 +1,141 @@
+"""Text-analysis column expressions (north-star extension, SURVEY.md §2
+family L): tokenization, shingling, quality scoring, language-ID heuristic,
+document fingerprinting. All built from JVM-side `pyspark.sql.functions`
+(split/transform/aggregate/xxhash64) — no Python UDFs in the hot path, so
+every expression runs inside whole-stage codegen at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def tokens(col: str | Column, sep: str = " ") -> Column:
+    """Whitespace tokenization. Single-space split (matches the oracle's
+    string_split); swap sep for a regex for messier corpora."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, sep)
+
+
+def token_count(col: str | Column) -> Column:
+    return F.size(tokens(col))
+
+
+def shingles(col: str | Column, n: int = 3) -> Column:
+    """Word n-gram shingle array (distinct not applied here). Built with
+    transform over an index sequence — one array expression, no explode."""
+    t = tokens(col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0)))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(t, (i + j + 1).cast("int")) for j in range(n)]),
+    )
+
+
+def avg_word_length(col: str | Column) -> Column:
+    t = tokens(col)
+    total = F.aggregate(t, F.lit(0), lambda acc, w: acc + F.length(w))
+    return total.cast("double") / F.size(t)
+
+
+def punct_ratio(col: str | Column) -> Column:
+    """Share of punctuation characters — a quality-score component."""
+    c = F.col(col) if isinstance(col, str) else col
+    kept = F.length(F.regexp_replace(c, r"[^\.,;:!\?'\"()\[\]{}-]", ""))
+    return kept.cast("double") / F.greatest(F.length(c), F.lit(1))
+
+
+# Minimal marker-word sets for the language-ID heuristic. On real corpora
+# these would be the top character n-grams / stopwords per language.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "die", "und", "das", "ein"],
+    "fr": ["le", "la", "et", "les", "un"],
+    "es": ["el", "la", "de", "que", "los"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+
+def marker_hits(col: str | Column, markers: list[str]) -> Column:
+    """Count of marker tokens present (distinct) — a lang score."""
+    t = tokens(col)
+    m = F.array(*[F.lit(w) for w in markers])
+    return F.size(F.array_intersect(t, m))
+
+
+def lang_id(col: str | Column, marker_sets: dict[str, list[str]] | None = None) -> Column:
+    """Heuristic language ID: argmax of marker-hit scores, 'und' when no
+    marker matches. Deterministic tie-break by language code order."""
+    marker_sets = marker_sets or LANG_MARKERS
+    best = F.lit("und")
+    best_score = F.lit(0)
+    for code in sorted(marker_sets):
+        score = marker_hits(col, marker_sets[code])
+        is_better = score > best_score
+        best = F.when(is_better, F.lit(code)).otherwise(best)
+        best_score = F.when(is_better, score).otherwise(best_score)
+    return best
+
+
+def doc_fingerprint(col: str | Column) -> Column:
+    """Order-sensitive document fingerprint: polynomial rolling hash over
+    token xxhash64 values, mod the Mersenne prime 2^31-1 so intermediate
+    products stay inside signed-long range (Spark 4 runs ANSI mode — plain
+    wraparound multiplication raises ARITHMETIC_OVERFLOW). Pure JVM
+    expression; docs with identical token sequences collide."""
+    p = F.lit(2147483647).cast("long")  # 2^31 - 1
+    t = tokens(col)
+    return F.aggregate(
+        t,
+        F.lit(0).cast("long"),
+        lambda acc, w: F.pmod(acc * F.lit(31) + F.pmod(F.xxhash64(w), p), p),
+    )
+
+
+N_SIMHASH_BITS = 63  # bits 0..62 of xxhash64; bit 63 skipped so the
+# fingerprint stays in non-negative signed-long range (no unsigned type in
+# Spark SQL, and shift-by-column isn't exposed — 2^i via exact double pow)
+
+
+def simhash(col: str | Column) -> Column:
+    """63-bit SimHash over tokens: per bit, sum +1/-1 according to each
+    token's xxhash64 bit; the sign becomes the output bit. Expressed as
+    nested array aggregation — per-row, JVM-side, no shuffle."""
+    t = tokens(col)
+    zero = F.array_repeat(F.lit(0), N_SIMHASH_BITS)
+    bit_counts = F.aggregate(
+        t,
+        zero,
+        lambda acc, w: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(
+                        F.shiftright(F.xxhash64(w), i).bitwiseAND(F.lit(1)) == 1,
+                        F.lit(1),
+                    ).otherwise(F.lit(-1))
+                    for i in range(N_SIMHASH_BITS)
+                ]
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    # set-bit values: 2^i is exact as double for i <= 62, so pow+cast is a
+    # safe stand-in for shiftleft-by-column; bits are disjoint, sum == OR
+    return F.aggregate(
+        F.zip_with(
+            bit_counts,
+            F.sequence(F.lit(0), F.lit(N_SIMHASH_BITS - 1)),
+            lambda cnt, i: F.when(
+                cnt > 0, F.pow(F.lit(2.0), i.cast("double")).cast("long")
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit fingerprints (bit_count of XOR)."""
+    return F.bit_count(a.bitwiseXOR(b))

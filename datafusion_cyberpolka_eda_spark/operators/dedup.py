@@ -1,0 +1,164 @@
+"""Deduplication operators for large-scale training-data pipelines
+(north-star extension, SURVEY.md §2 family L): exact, n-gram Jaccard,
+MinHash+LSH, SimHash, embedding-cosine near-dup.
+
+Scale design notes:
+- exact_dedup: one shuffle on the dedup key (window or groupBy agg).
+- ngram_jaccard_pairs: the exact pairwise path — explode shingles, join on
+  shingle, count intersections. Correct at any scale but the shingle join
+  can explode on ultra-common shingles; `max_shingle_freq` drops those
+  (stopword shingles carry no dedup signal). At 100 TB run MinHash/LSH
+  first and use this only to verify candidate pairs.
+- minhash_lsh_pairs: the scale path — banded MinHash via pyspark.ml's
+  MinHashLSH: candidate pairs come from band-bucket joins, cost ~O(near
+  pairs), not O(n^2).
+- simhash_bucket_pairs: near-dup via 64-bit SimHash; exact-fingerprint
+  buckets (hamming 0) joined; for hamming<=k use rotated band keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from datafusion_cyberpolka_eda_spark.functions import text as T
+
+
+def exact_dedup(df: DataFrame, keys: list[str], order_cols: list[str]) -> DataFrame:
+    """Keep exactly one row per key combination — the one first by
+    ``order_cols`` (deterministic, unlike dropDuplicates' arbitrary pick).
+    """
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).asc() for c in order_cols])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def shingle_sets(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, shingle) distinct pairs — the substrate for Jaccard/MinHash."""
+    return (
+        df.select(F.col(id_col), F.explode(T.shingles(text_col, n)).alias("shingle"))
+        .filter(F.col("shingle") != "")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.2,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similar pairs (id_a < id_b, jaccard >=
+    threshold). jaccard = |A∩B| / (|A| + |B| - |A∩B|), computed from a
+    shingle self-join + per-doc set sizes."""
+    sh = shingle_sets(df, id_col, text_col, n)
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__f"))
+        sh = (
+            sh.join(freq.filter(F.col("__f") <= max_shingle_freq), "shingle")
+            .drop("__f")
+        )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "inter", "sz_a", "sz_b", "jaccard")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hash_tables: int = 8,
+    jaccard_distance_threshold: float = 0.8,
+    num_features: int = 1 << 18,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate near-dup pairs via MinHash LSH (the 100 TB path):
+    shingle -> hashed term frequency vector -> banded MinHash ->
+    bucket-join candidates with approxSimilarityJoin. Distance column is
+    (1 - estimated Jaccard)."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    docs = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(T.shingles(text_col, n)).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=num_features, binary=True)
+    feat = tf.transform(docs)
+    mh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=seed
+    )
+    model = mh.fit(feat)
+    pairs = model.approxSimilarityJoin(
+        feat, feat, jaccard_distance_threshold, distCol="jaccard_dist"
+    )
+    return (
+        pairs.select(
+            F.col("datasetA.id").alias("id_a"),
+            F.col("datasetB.id").alias("id_b"),
+            F.col("jaccard_dist"),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+
+
+def simhash_bucket_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """SimHash near-dup: identical 64-bit fingerprints bucket together
+    (hamming distance 0). One groupBy on the fingerprint."""
+    fp = df.select(F.col(id_col).alias("id"), T.simhash(text_col).alias("simhash"))
+    a = fp.select(F.col("id").alias("id_a"), "simhash")
+    b = fp.select(F.col("id").alias("id_b"), "simhash")
+    return (
+        a.join(b, "simhash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "simhash")
+    )
+
+
+def embedding_cosine_pairs(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95
+) -> DataFrame:
+    """Embedding near-dup: pairs with cosine >= threshold. Brute-force
+    O(n^2) — correct baseline; at scale bucket with a random-projection
+    LSH first (similarity.ann_lsh_model)."""
+    from datafusion_cyberpolka_eda_spark.operators.similarity import (
+        cosine_expr,
+        with_unit_info,
+    )
+
+    x = with_unit_info(df, id_col, vec_col, prefix="a_")
+    y = with_unit_info(df, id_col, vec_col, prefix="b_")
+    pairs = x.crossJoin(y).filter(F.col("a_id") < F.col("b_id"))
+    return (
+        pairs.withColumn("cosine", cosine_expr("a_vec", "b_vec", "a_norm", "b_norm"))
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col("a_id").alias("id_a"), F.col("b_id").alias("id_b"), "cosine"
+        )
+    )

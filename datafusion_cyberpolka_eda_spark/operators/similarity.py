@@ -1,0 +1,119 @@
+"""Similarity search over embedding columns (north-star extension,
+SURVEY.md §2 family L): brute-force cosine top-k as the exact baseline,
+random-projection LSH bucketing as the scale path.
+
+The dot product is a JVM-side `zip_with` + `aggregate` expression over
+`array<float>` cast to double — no Python in the scoring loop. Norms are
+computed once per side and reused.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot_expr(a: str | Column, b: str | Column) -> Column:
+    """Σ a_i * b_i in double precision, left-to-right accumulation."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(ca, cb, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_expr(v: str | Column) -> Column:
+    c = F.col(v) if isinstance(v, str) else v
+    return F.sqrt(
+        F.aggregate(
+            c, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+
+
+def cosine_expr(a: str, b: str, norm_a: str, norm_b: str) -> Column:
+    return dot_expr(a, b) / (F.col(norm_a) * F.col(norm_b))
+
+
+def with_unit_info(df: DataFrame, id_col: str, vec_col: str, prefix: str = "") -> DataFrame:
+    """Project (id, vec, norm) with a column prefix for self-joins."""
+    return df.select(
+        F.col(id_col).alias(f"{prefix}id"),
+        F.col(vec_col).alias(f"{prefix}vec"),
+        norm_expr(vec_col).alias(f"{prefix}norm"),
+    )
+
+
+def cosine_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 3,
+    round_scale: int | None = 6,
+) -> DataFrame:
+    """Exact brute-force cosine top-k: for each query vector, the k most
+    similar candidates (excluding itself). Query side is broadcast (it is
+    small by construction); the candidate scan is a single pass, so cost is
+    O(|Q| * |C| * dim) spread across executors — the correct exact baseline
+    to judge ANN recall against.
+
+    Ties broken by (rounded cosine desc, candidate id asc) so ordering is
+    reproducible across engines."""
+    q = with_unit_info(queries, id_col, vec_col, "q_")
+    c = with_unit_info(candidates, id_col, vec_col, "c_")
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn("cosine", cosine_expr("q_vec", "c_vec", "q_norm", "c_norm"))
+    )
+    order_col = (
+        F.round("cosine", round_scale) if round_scale is not None else F.col("cosine")
+    )
+    w = Window.partitionBy("q_id").orderBy(order_col.desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("candidate_id"),
+            "rank",
+            "cosine",
+        )
+    )
+
+
+def ann_lsh_model(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 4,
+    seed: int = 42,
+):
+    """Random-projection LSH over L2-normalized vectors (the ANN scale
+    path): on the unit sphere, euclidean distance is monotone in cosine
+    (d^2 = 2 - 2cos), so nearest-by-L2 == nearest-by-cosine. Returns
+    (model, transformed_df) for approxNearestNeighbors /
+    approxSimilarityJoin."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    unit = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            F.col(vec_col), lambda x: x.cast("double") / norm_expr(vec_col)
+        ).alias("unit_arr"),
+    ).withColumn("features", array_to_vector("unit_arr"))
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    )
+    model = lsh.fit(unit)
+    return model, model.transform(unit)

@@ -1,0 +1,99 @@
+"""Event-table queries: JSON scalar extraction (SURVEY.md §2 family I
+extension — the reference uses no JSON; the driver's events.props is a JSON
+string), event-time tumbling windows and sessionization (family J,
+north-star extension), including a true Structured Streaming variant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_cyberpolka_eda_spark.registry import _dec_sum, register
+from datafusion_cyberpolka_eda_spark.sources.catalog import load_table
+from datafusion_cyberpolka_eda_spark.streaming.events import (
+    session_stats,
+    stream_tumbling_window_agg,
+    tumbling_window_agg,
+)
+
+
+@register(
+    "i1_json_extract",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def i1_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction from a string column (family I; north-star —
+    `F.get_json_object` stays JVM-side, no UDF)."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+_TUMBLING_ORACLE = """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+"""
+
+
+@register("j1_tumbling_window", _TUMBLING_ORACLE)
+def j1_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-aligned tumbling event-time window aggregation (family J).
+    F.window('1 day') boundaries coincide with date_trunc('day') — the
+    oracle checks that alignment. Output as strings (session-TZ-proof)."""
+    e = load_table(spark, sf_dir, "events")
+    return tumbling_window_agg(e, window="1 day")
+
+
+@register("j2_streaming_tumbling_window", _TUMBLING_ORACLE)
+def j2_streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME tumbling aggregation executed through Structured Streaming
+    (readStream -> windowed agg -> complete-mode memory sink, drained
+    synchronously). Must hash-match the batch oracle — streaming and batch
+    share one logical plan."""
+    import os
+
+    return stream_tumbling_window_agg(
+        spark, os.path.join(sf_dir, "events.parquet"), window="1 day"
+    )
+
+
+@register(
+    "j3_sessionize",
+    """
+    WITH l AS (
+      SELECT user_id,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+                  OR LAG(epoch_us(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    )
+    SELECT user_id,
+           CAST(SUM(new_sess) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM l GROUP BY user_id
+    """,
+)
+def j3_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity gap) via lag + running
+    sum, partitioned by user (family J; the batch analog of
+    session_window). One shuffle on user_id; no global ordering."""
+    e = load_table(spark, sf_dir, "events")
+    return session_stats(e, gap_seconds=1800)

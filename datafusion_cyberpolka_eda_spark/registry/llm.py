@@ -1,0 +1,261 @@
+"""LLM-data-pipeline queries (north-star extension, SURVEY.md §2 family L):
+deduplication (exact / n-gram Jaccard / MinHash-LSH / SimHash / embedding
+cosine), similarity search (brute-force top-k baseline + LSH ANN), text
+analysis (token stats, marker hits, language ID, fingerprints), and
+multimodal binary-column plumbing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_cyberpolka_eda_spark.functions import text as T
+from datafusion_cyberpolka_eda_spark.operators import dedup as D
+from datafusion_cyberpolka_eda_spark.operators import similarity as SIM
+from datafusion_cyberpolka_eda_spark.registry import _round_cols, register
+from datafusion_cyberpolka_eda_spark.sources.catalog import load_table
+
+
+@register(
+    "l1_dedup_exact",
+    """
+    WITH kept AS (
+      SELECT * FROM (
+        SELECT lang, text,
+               ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM documents
+      ) t WHERE rn = 1
+    )
+    SELECT lang, COUNT(*) AS n_unique_docs FROM kept GROUP BY lang
+    """,
+)
+def l1_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact text deduplication keeping the lowest doc_id per text —
+    deterministic representative choice (dropDuplicates picks an arbitrary
+    row, which doesn't reproduce across engines). One shuffle on the text
+    key; at 100 TB dedup on xxhash64(text) instead to shrink shuffle keys."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = D.exact_dedup(docs, keys=["text"], order_cols=["doc_id"])
+    return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_unique_docs"))
+
+
+@register(
+    "l2_ngram_jaccard_pairs",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM t, LATERAL (SELECT unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i) s
+      WHERE w[i+2] IS NOT NULL
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, inter,
+           sa.c AS sz_a, sb.c AS sz_b,
+           ROUND(CAST(inter AS DOUBLE) / (sa.c + sb.c - inter), 6) AS jaccard
+    FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+    WHERE CAST(inter AS DOUBLE) / (sa.c + sb.c - inter) >= 0.2
+    """,
+)
+def l2_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-duplicate pairs (jaccard >= 0.2):
+    shingle explode -> self-join on shingle -> intersection counts -> set
+    arithmetic. The exact counterpart that MinHash/LSH approximates."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
+    return _round_cols(pairs, ["jaccard"])
+
+
+@register("l3_minhash_lsh_pairs", None)  # hash family differs per engine
+def l3_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH candidate pairs (the 100 TB dedup path): banded MinHash
+    over hashed shingle features, bucket-join candidates. Rows-only (the
+    MinHash family is engine-specific); cross-validated against the exact
+    Jaccard pairs in tests/test_llm_ops.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, jaccard_distance_threshold=0.8
+    )
+    return _round_cols(
+        pairs.select("id_a", "id_b", "jaccard_dist"), ["jaccard_dist"]
+    )
+
+
+@register("l4_simhash_fingerprints", None)  # xxhash64 has no DuckDB twin
+def l4_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprints + identical-fingerprint bucket pairs.
+    Pure JVM expressions (xxhash64 + array aggregation); deterministic
+    across runs, so the driver's rows-only stability check is meaningful."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        T.simhash("text").alias("simhash"),
+        T.doc_fingerprint("text").alias("rolling_fp"),
+    )
+    return fp
+
+
+@register(
+    "l5_text_stats",
+    """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars,
+           ROUND(CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*), 6) AS avg_tokens,
+           ROUND(AVG(CAST(LENGTH(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                     / len(string_split(text, ' '))), 6) AS avg_word_len
+    FROM documents GROUP BY lang
+    """,
+)
+def l5_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-analysis profile per language: token counts and word lengths
+    from JVM-side split arithmetic (quality-scoring components)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ntok = T.token_count("text")
+    word_len = (F.length("text") - (ntok - 1)).cast("double") / ntok
+    out = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum(ntok).cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+        F.avg(word_len).alias("avg_word_len"),
+    )
+    return _round_cols(out, ["avg_tokens", "avg_word_len"])
+
+
+@register(
+    "l6_marker_hits",
+    """
+    SELECT lang,
+           SUM(CAST(len(list_intersect(string_split(text, ' '),
+                                       ['the','and','of','to','a'])) > 0 AS BIGINT)) AS docs_with_en_markers,
+           SUM(CAST(len(list_intersect(string_split(text, ' '),
+                                       ['the','and','of','to','a'])) AS BIGINT)) AS total_distinct_marker_hits
+    FROM documents GROUP BY lang
+    """,
+)
+def l6_marker_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token scan — the building block of the language-ID heuristic
+    (distinct marker words present per doc, aggregated per labeled lang)."""
+    docs = load_table(spark, sf_dir, "documents")
+    hits = T.marker_hits("text", T.LANG_MARKERS["en"])
+    return docs.groupBy("lang").agg(
+        F.sum((hits > 0).cast("bigint")).alias("docs_with_en_markers"),
+        F.sum(hits.cast("bigint")).alias("total_distinct_marker_hits"),
+    )
+
+
+@register("l6b_lang_id_confusion", None)  # argmax heuristic, kept rows-only
+def l6b_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic confusion counts (labeled lang x predicted).
+    The testdata vocabulary is language-agnostic word soup, so accuracy is
+    meaningless here — the operator mechanics (argmax of marker scores,
+    deterministic tiebreak) are what's exercised."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", T.lang_id("text").alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_COSINE_TOPK_ORACLE = """
+    WITH q AS (SELECT vec_id qid, embedding qe FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id cid, embedding ce FROM embeddings),
+    pairs AS (
+      SELECT qid, cid,
+        (SELECT SUM(CAST(a AS DOUBLE)*CAST(b AS DOUBLE)) FROM (SELECT UNNEST(qe) a, UNNEST(ce) b) z) dot,
+        (SELECT SUM(CAST(a AS DOUBLE)*CAST(a AS DOUBLE)) FROM (SELECT UNNEST(qe) a) z) qq,
+        (SELECT SUM(CAST(b AS DOUBLE)*CAST(b AS DOUBLE)) FROM (SELECT UNNEST(ce) b) z) cc
+      FROM q, c WHERE qid != cid
+    ),
+    scored AS (
+      SELECT qid AS query_id, cid AS candidate_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY ROUND(dot/(SQRT(qq)*SQRT(cc)), 6) DESC, cid ASC) AS BIGINT) AS rank,
+             ROUND(dot/(SQRT(qq)*SQRT(cc)), 6) AS cosine
+      FROM pairs
+    )
+    SELECT query_id, candidate_id, rank, cosine FROM scored WHERE rank <= 3
+"""
+
+
+@register("l7_cosine_topk", _COSINE_TOPK_ORACLE)
+def l7_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k similarity search (exact ANN baseline):
+    broadcast query side, one candidate scan, JVM-side zip_with dot
+    product in double precision. Ties broken on (rounded cosine, id)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = SIM.cosine_topk(
+        emb.filter(F.col("vec_id") < 5),
+        emb,
+        id_col="vec_id",
+        vec_col="embedding",
+        k=3,
+    )
+    return _round_cols(out.withColumn("rank", F.col("rank").cast("bigint")), ["cosine"])
+
+
+@register("l8_ann_lsh_neighbors", None)  # LSH projections are engine-specific
+def l8_ann_lsh_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbors via random-projection LSH over
+    L2-normalized embeddings (the similarity-search scale path). Recall vs
+    the exact l7 baseline is asserted in tests/test_llm_ops.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    model, transformed = SIM.ann_lsh_model(emb, "vec_id", "embedding")
+    query = transformed.filter(F.col("id") == 0).head()
+    nn = model.approxNearestNeighbors(transformed, query["features"], 6)
+    out = (
+        nn.filter(F.col("id") != 0)
+        .select(F.col("id").alias("neighbor_id"), F.col("distCol").alias("l2_dist"))
+    )
+    return _round_cols(out, ["l2_dist"])
+
+
+@register(
+    "l10_embedding_neardup",
+    """
+    WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0),
+    pairs AS (
+      SELECT a.vec_id id_a, b.vec_id id_b,
+        (SELECT SUM(CAST(x AS DOUBLE)*CAST(y AS DOUBLE)) FROM (SELECT UNNEST(a.embedding) x, UNNEST(b.embedding) y) z) dot,
+        (SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) FROM (SELECT UNNEST(a.embedding) x) z) aa,
+        (SELECT SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)) FROM (SELECT UNNEST(b.embedding) y) z) bb
+      FROM v a, v b WHERE a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, ROUND(dot/(SQRT(aa)*SQRT(bb)), 6) AS cosine
+    FROM pairs WHERE dot/(SQRT(aa)*SQRT(bb)) >= 0.25
+    """,
+)
+def l10_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold 0.25 on a key-mod
+    subset) — the brute-force verifier for embedding dedup. At 100 TB the
+    candidate set comes from LSH buckets, this exact check confirms."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
+    pairs = D.embedding_cosine_pairs(emb, "vec_id", "embedding", threshold=0.25)
+    return _round_cols(pairs, ["cosine"])
+
+
+@register("l9_multimodal_features", None)  # sha256 stub features, rows-only
+def l9_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column plumbing: payload bytes + typed metadata
+    struct -> Arrow-batched mapInPandas feature extraction (decode step is
+    a deterministic stub; codecs aren't in this container). Returns a
+    per-modality rollup of the extracted features."""
+    from datafusion_cyberpolka_eda_spark.operators.multimodal import (
+        documents_as_assets,
+        extract_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = extract_features(documents_as_assets(docs))
+    return feats.groupBy("modality").agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.sum("byte_len").alias("total_bytes"),
+        F.countDistinct("checksum").alias("n_distinct_payloads"),
+        F.round(F.avg(F.element_at("feature_head", 1)), 6).alias("avg_feat0"),
+    )

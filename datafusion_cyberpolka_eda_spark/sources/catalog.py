@@ -14,6 +14,7 @@ import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 # Driver-provided TPC-H-ish testdata tables (TESTDATA.md / FIXTURES.md §B).
 TESTDATA_TABLES = (
@@ -33,8 +34,22 @@ TESTDATA_TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy Parquet scan (operator A1). One scan per query is fine — column
     pruning + predicate pushdown mean Catalyst reads only what the plan
-    needs; callers cache hot tables explicitly when reused across actions."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    needs; callers cache hot tables explicitly when reused across actions.
+
+    The events table stores TIMESTAMP(NANOS), which Spark's parquet reader
+    rejects; we read nanos as long (runtime-settable session conf) and
+    rebuild a micros-precision timestamp with exact integer division (the
+    data is micro-resolution, so truncation is lossless — and matches
+    DuckDB's epoch_us semantics).
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(path)
 
 
 def load_tables(

@@ -1,0 +1,115 @@
+"""Event-stream operators (SURVEY.md §2 family J — north-star extension;
+the reference has no streaming, ref: PUBLIC_EDA_REPORT.md:12 'streaming' is
+Polars' out-of-core batch engine).
+
+Batch and Structured Streaming variants of the same logical windowed
+aggregations, plus gap-based sessionization. Batch variants are
+oracle-checkable; the streaming variant runs the identical plan through
+readStream -> memory sink and must produce the same rows (asserted in
+tests).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def tumbling_window_agg(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "1 day",
+) -> DataFrame:
+    """Tumbling event-time window counts/sums. Window boundaries are
+    epoch-aligned (Spark F.window semantics == date_trunc for day/hour
+    granularities), emitted as strings to stay session-TZ-proof."""
+    return (
+        events.groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            key_col,
+            "n",
+            "total_value",
+        )
+    )
+
+
+def stream_tumbling_window_agg(
+    spark: SparkSession,
+    parquet_path: str,
+    window: str = "1 day",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Same aggregation through Structured Streaming: readStream over the
+    parquet file(s), complete-mode memory sink, drained synchronously.
+    Demonstrates the streaming path locally; on a cluster the source would
+    be Kafka/files-arriving and the sink a real table."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(parquet_path).schema
+    # the file stream source requires a directory; stage a symlink dir
+    if os.path.isfile(parquet_path):
+        stage = tempfile.mkdtemp(prefix="stream_src_")
+        os.symlink(parquet_path, os.path.join(stage, os.path.basename(parquet_path)))
+        source_dir = stage
+    else:
+        source_dir = parquet_path
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = tumbling_window_agg(stream, key_col=key_col, window=window)
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+def sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the time since
+    the user's previous event exceeds ``gap_seconds``. lag + running-sum
+    windows partitioned by user — shuffles once on user, no global sort.
+    Returns one row per event with a per-user session_id (1-based)."""
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc(), F.col(tiebreak_col).asc())
+    micros = F.unix_micros(F.col(ts_col))
+    prev = F.lag(micros).over(w)
+    new_sess = (
+        F.when(prev.isNull() | ((micros - prev) > gap_seconds * 1_000_000), 1)
+        .otherwise(0)
+    )
+    running = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    return events.withColumn("__new", new_sess).withColumn(
+        "session_id", F.sum("__new").over(running)
+    ).drop("__new")
+
+
+def session_stats(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Per-user session summary: session count, events, span."""
+    s = sessionize(events, gap_seconds=gap_seconds)
+    return s.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
