@@ -23,14 +23,22 @@ def token_count(col: str | Column) -> Column:
 
 
 def shingles(col: str | Column, n: int = 3) -> Column:
-    """Word n-gram shingle array (distinct not applied here). Built with
-    transform over an index sequence — one array expression, no explode."""
+    """Word n-gram shingle array (distinct not applied here), built by
+    zipping n shifted slices of the token array.
+
+    Deliberately avoids indexing (`element_at(tokens, i)` inside a
+    transform): Catalyst inlines the `split` into every element access, so
+    the text would be re-split O(tokens * n) times per row — a measured
+    ~10x slowdown. With slices, `split` appears O(n) times per row.
+    Documents with fewer than n tokens yield an empty array."""
     t = tokens(col)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0)))
-    return F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", *[F.element_at(t, (i + j + 1).cast("int")) for j in range(n)]),
-    )
+    length = F.greatest(F.size(t) - (n - 1), F.lit(0))
+    acc = F.slice(t, 1, length)
+    for j in range(1, n):
+        acc = F.zip_with(
+            acc, F.slice(t, j + 1, length), lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    return acc
 
 
 def avg_word_length(col: str | Column) -> Column:

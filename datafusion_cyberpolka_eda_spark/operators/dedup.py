@@ -39,12 +39,17 @@ def exact_dedup(df: DataFrame, keys: list[str], order_cols: list[str]) -> DataFr
 def shingle_sets(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
-    """(id, shingle) distinct pairs — the substrate for Jaccard/MinHash."""
-    return (
-        df.select(F.col(id_col), F.explode(T.shingles(text_col, n)).alias("shingle"))
-        .filter(F.col("shingle") != "")
-        .distinct()
-    )
+    """(id, shingle) distinct pairs. Set semantics are established *inside
+    the row* (array_distinct before explode) so no global distinct shuffle
+    is needed.
+
+    Deliberately does NOT emit the set size next to the explode: any
+    scalar of the shingle array placed beside explode() gets re-inlined by
+    CollapseProject and recomputed per exploded row — a measured ~20x
+    regression. Sizes come from a cheap post-explode groupBy instead
+    (see ngram_jaccard_pairs)."""
+    sh_arr = F.array_distinct(F.filter(T.shingles(text_col, n), lambda s: s != ""))
+    return df.select(F.col(id_col), F.explode(sh_arr).alias("shingle"))
 
 
 def ngram_jaccard_pairs(
@@ -56,26 +61,32 @@ def ngram_jaccard_pairs(
     max_shingle_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similar pairs (id_a < id_b, jaccard >=
-    threshold). jaccard = |A∩B| / (|A| + |B| - |A∩B|), computed from a
-    shingle self-join + per-doc set sizes."""
-    sh = shingle_sets(df, id_col, text_col, n)
+    threshold). jaccard = |A∩B| / (|A| + |B| - |A∩B|).
+
+    Shuffle budget: the shingle expression evaluates once per doc (explode
+    without sibling scalars — see shingle_sets); the self-join key is the
+    8-byte xxhash64 of the shingle, not the string (shuffle volume ~= ids
+    + hashes); per-doc set sizes are a map-side-combined groupBy whose tiny
+    result broadcasts back onto the pair table (no extra shuffle).
+    Collisions in the 64-bit shingle space are negligible (and symmetric
+    across both join sides)."""
+    sh = shingle_sets(df, id_col, text_col, n).select(
+        F.col(id_col), F.xxhash64("shingle").alias("sh")
+    )
     if max_shingle_freq is not None:
-        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__f"))
-        sh = (
-            sh.join(freq.filter(F.col("__f") <= max_shingle_freq), "shingle")
-            .drop("__f")
-        )
+        freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__f"))
+        sh = sh.join(freq.filter(F.col("__f") <= max_shingle_freq), "sh").drop("__f")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    a = sh.select(F.col(id_col).alias("id_a"), "sh")
+    b = sh.select(F.col(id_col).alias("id_b"), "sh")
     inter = (
-        a.join(b, "shingle")
+        a.join(b, "sh")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    sa = F.broadcast(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")))
+    sb = F.broadcast(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")))
     return (
         inter.join(sa, "id_a")
         .join(sb, "id_b")

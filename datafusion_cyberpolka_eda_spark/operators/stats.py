@@ -54,31 +54,35 @@ def cross_moments(
     xs = list(xs)
     ys = list(ys)
     all_cols = list(dict.fromkeys(xs + ys))
+    pairs = [(x, y) for x in xs for y in ys]
 
-    base_aggs = [F.count(F.lit(1)).alias("__n")]
+    # one flat list of aggregate expressions — base moments first, then the
+    # cross products — chunked globally, so small problems (e.g. a 4x4 corr
+    # matrix) run as a SINGLE distributed pass, and wide screens split into
+    # ceil(total/chunk_size) passes sharing the same scan.
+    exprs: list = [F.count(F.lit(1)).alias("__n")]
     for c in all_cols:
-        base_aggs.append(F.sum(F.col(c).cast("double")).alias(f"s_{c}"))
-        base_aggs.append(
-            F.sum((F.col(c).cast("double") * F.col(c).cast("double"))).alias(f"q_{c}")
+        d = F.col(c).cast("double")
+        exprs.append(F.sum(d).alias(f"s_{c}"))
+        exprs.append(F.sum(d * d).alias(f"q_{c}"))
+    for i, (x, y) in enumerate(pairs):
+        exprs.append(
+            F.sum(F.col(x).cast("double") * F.col(y).cast("double")).alias(f"xy_{i}")
         )
-    row = df.agg(*base_aggs).collect()[0].asDict()
+
+    row: dict = {}
+    for batch in _chunks(exprs, max(chunk_size, 1)):
+        row.update(df.agg(*batch).collect()[0].asDict())
+
     n = row["__n"]
     sum_ = {c: float(row[f"s_{c}"]) for c in all_cols}
     sumsq = {c: float(row[f"q_{c}"]) for c in all_cols}
-
-    pairs = [(x, y) for x in xs for y in ys]
     sum_xy = np.zeros((len(xs), len(ys)))
     xi = {x: i for i, x in enumerate(xs)}
     yi = {y: j for j, y in enumerate(ys)}
-    for batch in _chunks(pairs, chunk_size):
-        aggs = [
-            F.sum(F.col(x).cast("double") * F.col(y).cast("double")).alias(f"{i}")
-            for i, (x, y) in enumerate(batch)
-        ]
-        r = df.agg(*aggs).collect()[0]
-        for i, (x, y) in enumerate(batch):
-            v = r[i]
-            sum_xy[xi[x], yi[y]] = float(v) if v is not None else float("nan")
+    for i, (x, y) in enumerate(pairs):
+        v = row[f"xy_{i}"]
+        sum_xy[xi[x], yi[y]] = float(v) if v is not None else float("nan")
 
     return {
         "n": n,

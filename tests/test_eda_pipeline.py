@@ -1,0 +1,256 @@
+"""End-to-end EDA pipeline test on the synthetic fixture (FIXTURES.md §A):
+artifact schema contract (headers of all 29 tables, locked against the
+reference's public_tables/), exact-tier value checks vs pandas oracles, and
+behavioral properties of the statistical stages."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from datafusion_cyberpolka_eda_spark.pipeline.eda import EdaConfig, run_pipeline
+from datafusion_cyberpolka_eda_spark.pipeline.fixtures import generate_eda_fixture
+
+# header contract per artifact (FIXTURES.md §A5; reference public_tables/)
+EXPECTED_HEADERS = {
+    "target_stats.csv": ["target", "family", "positive_count", "positive_rate"],
+    "target_family_stats.csv": ["family", "n_targets", "mean_rate", "min_rate", "max_rate"],
+    "opened_targets_distribution.csv": ["opened_targets", "count", "share"],
+    "target_pair_stats.csv": [
+        "target_a", "target_b", "corr", "co_count", "co_rate",
+        "expected_independent_rate", "pair_lift",
+    ],
+    "top_positive_target_pairs.csv": None,  # same as pair_stats
+    "top_negative_target_pairs.csv": None,
+    "top_cooccurrence_lift_pairs.csv": None,
+    "target_10_1_profile.csv": ["other_target", "correlation", "abs_correlation"],
+    "target_cluster_quality.csv": [
+        "k", "silhouette_precomputed", "largest_cluster_share",
+        "min_cluster_size", "max_cluster_size",
+    ],
+    "target_clusters_k4.csv": ["target", "cluster_k4", "family"],
+    "target_cluster_summary.csv": [
+        "cluster_k4", "n_targets", "avg_abs_corr_inside", "dominant_family",
+        "dominant_family_share", "targets",
+    ],
+    "extra_missingness_summary.csv": ["feature", "null_rate", "source", "feature_type"],
+    "feature_missingness_summary.csv": ["feature", "null_rate", "source", "feature_type"],
+    "top10_missing_features.csv": ["feature", "null_rate", "source", "feature_type"],
+    "extra_missingness_bands.csv": ["band", "count"],
+    "filled_extra_count_deciles.csv": [
+        "decile", "n", "avg_filled", "min_filled", "max_filled", "target_rate",
+    ],
+    "missing_indicator_auc_popular_targets.csv": [
+        "target", "feature", "auc_single_feature", "auc_effective",
+        "null_rate", "missing_rate_indicator",
+    ],
+    "categorical_cardinality.csv": ["feature", "train_nunique", "test_nunique"],
+    "categorical_unseen_categories.csv": [
+        "feature", "unseen_unique_categories", "unseen_rate_test_rows",
+    ],
+    "feature_target_linear_corr.csv": [
+        "target", "feature", "pearson_corr", "abs_corr", "feature_type",
+        "source", "null_rate",
+    ],
+    "target_top10_features_linear.csv": None,
+    "golden_linear_top5_selected_targets.csv": None,
+    "target_top10_feature_mix.csv": [
+        "target", "mean_abs_corr_top10", "n_cat_top10", "n_num_top10",
+        "n_main_top10", "n_extra_top10",
+    ],
+    "feature_universality_top10.csv": [
+        "feature", "n_targets_top10", "mean_abs_corr_when_top10",
+        "max_abs_corr_when_top10",
+    ],
+    "feature_signal_summary.csv": [
+        "feature", "max_abs_corr", "mean_abs_corr", "n_targets_abs_corr_gt_005",
+        "n_targets_abs_corr_gt_010", "source", "feature_type", "null_rate",
+    ],
+    "whale_signals.csv": ["target", "feature", "top1_rate", "rest99_rate", "lift", "pvalue"],
+    "whale_feature_candidates.csv": [
+        "feature", "n_rare_targets", "median_lift", "max_lift", "min_pvalue",
+    ],
+    "whale_top3_per_target.csv": ["target", "feature", "top1_rate", "rest99_rate", "lift", "pvalue"],
+}
+
+SUMMARY_KEYS = [
+    "rows_train", "rows_test", "n_targets", "n_features_main", "n_features_extra",
+    "targets_lt_1pct", "targets_lt_01pct", "targets_lt_50", "min_positive_count",
+    "target_10_1_negative_share", "target_10_1_mean_corr", "filled_extra_count_auc",
+    "filled_extra_count_pointbiserial", "adversarial_auc_main_features",
+    "cat_features_with_unseen_in_test", "max_unseen_rate_test_rows",
+    "clear_4_target_clusters", "k4_silhouette", "k4_largest_cluster_share",
+    "significant_whale_pairs", "n_features_screened_linear", "screen_sample_rows",
+]
+
+
+@pytest.fixture(scope="module")
+def pipeline_run(spark, tmp_path_factory):
+    data_dir = str(tmp_path_factory.mktemp("eda_data"))
+    out_dir = str(tmp_path_factory.mktemp("eda_out"))
+    generate_eda_fixture(data_dir, n_train=20000, n_test=6000, seed=42)
+    cfg = EdaConfig(
+        whale_sample_pct=100,  # 20k rows: 12% would break the top>=50 guard
+        min_co_count_lift=20,  # ref's 100 is tuned to 750k rows
+        adv_max_iter=15,  # keep the GBT cheap in tests
+    )
+    summary = run_pipeline(spark, data_dir, out_dir, cfg)
+    return data_dir, out_dir, summary
+
+
+class TestArtifactContract:
+    def test_all_artifacts_exist_with_headers(self, pipeline_run):
+        _, out_dir, _ = pipeline_run
+        tdir = os.path.join(out_dir, "public_tables")
+        pair_header = EXPECTED_HEADERS["target_pair_stats.csv"]
+        linear_header = EXPECTED_HEADERS["feature_target_linear_corr.csv"]
+        fallbacks = {
+            "top_positive_target_pairs.csv": pair_header,
+            "top_negative_target_pairs.csv": pair_header,
+            "top_cooccurrence_lift_pairs.csv": pair_header,
+            "target_top10_features_linear.csv": linear_header,
+            "golden_linear_top5_selected_targets.csv": linear_header,
+        }
+        for fname, header in EXPECTED_HEADERS.items():
+            path = os.path.join(tdir, fname)
+            assert os.path.exists(path), f"missing artifact {fname}"
+            got = list(pd.read_csv(path).columns)
+            want = header or fallbacks[fname]
+            assert got == want, f"{fname}: header {got} != {want}"
+        # corr matrix: index column + one column per target
+        cm = pd.read_csv(os.path.join(tdir, "target_correlation_matrix.csv"), index_col=0)
+        assert list(cm.index) == list(cm.columns)
+        assert os.path.exists(os.path.join(out_dir, "EDA_REPORT.md"))
+
+    def test_summary_keys(self, pipeline_run):
+        _, out_dir, summary = pipeline_run
+        with open(os.path.join(out_dir, "public_tables", "summary.json")) as fh:
+            on_disk = json.load(fh)
+        assert list(on_disk.keys()) == SUMMARY_KEYS
+        assert on_disk == {k: summary[k] for k in on_disk}
+
+
+class TestExactTier:
+    """Full-data stats must match a pandas oracle exactly (SURVEY.md §5.3)."""
+
+    def test_target_stats_exact(self, pipeline_run):
+        data_dir, out_dir, _ = pipeline_run
+        got = pd.read_csv(os.path.join(out_dir, "public_tables", "target_stats.csv"))
+        ref = pd.read_parquet(os.path.join(data_dir, "train_target.parquet"))
+        for _, row in got.iterrows():
+            assert row["positive_count"] == int(ref[row["target"]].sum())
+            assert row["positive_rate"] == pytest.approx(
+                ref[row["target"]].mean(), rel=1e-12
+            )
+
+    def test_null_rates_exact(self, pipeline_run):
+        data_dir, out_dir, _ = pipeline_run
+        got = pd.read_csv(
+            os.path.join(out_dir, "public_tables", "extra_missingness_summary.csv")
+        )
+        ref = pd.read_parquet(os.path.join(data_dir, "train_extra_features.parquet"))
+        for _, row in got.iterrows():
+            assert row["null_rate"] == pytest.approx(
+                ref[row["feature"]].isna().mean(), abs=1e-15
+            )
+
+    def test_corr_matrix_vs_pandas(self, pipeline_run):
+        data_dir, out_dir, _ = pipeline_run
+        got = pd.read_csv(
+            os.path.join(out_dir, "public_tables", "target_correlation_matrix.csv"),
+            index_col=0,
+        )
+        ref = (
+            pd.read_parquet(os.path.join(data_dir, "train_target.parquet"))
+            .drop(columns=["customer_id"])
+            .corr(method="pearson")
+        )
+        np.testing.assert_allclose(
+            got.to_numpy(), ref.loc[got.index, got.columns].to_numpy(), rtol=1e-9, atol=1e-9
+        )
+
+    def test_opened_distribution_sums_to_n(self, pipeline_run):
+        _, out_dir, summary = pipeline_run
+        dist = pd.read_csv(
+            os.path.join(out_dir, "public_tables", "opened_targets_distribution.csv")
+        )
+        assert dist["count"].sum() == summary["rows_train"]
+        assert dist["share"].sum() == pytest.approx(1.0, rel=1e-12)
+
+    def test_cardinality_and_unseen_vs_pandas(self, pipeline_run):
+        data_dir, out_dir, _ = pipeline_run
+        train = pd.read_parquet(os.path.join(data_dir, "train_main_features.parquet"))
+        test = pd.read_parquet(os.path.join(data_dir, "test_main_features.parquet"))
+        card = pd.read_csv(
+            os.path.join(out_dir, "public_tables", "categorical_cardinality.csv")
+        )
+        for _, row in card.iterrows():
+            assert row["train_nunique"] == train[row["feature"]].nunique()
+            assert row["test_nunique"] == test[row["feature"]].nunique()
+        unseen = pd.read_csv(
+            os.path.join(out_dir, "public_tables", "categorical_unseen_categories.csv")
+        )
+        for _, row in unseen.iterrows():
+            tr = set(train[row["feature"]].dropna())
+            te = test[row["feature"]].dropna()
+            assert row["unseen_unique_categories"] == len(set(te) - tr)
+            assert row["unseen_rate_test_rows"] == pytest.approx(
+                float(np.mean([v not in tr for v in te])), abs=1e-12
+            )
+
+
+class TestBehavioral:
+    def test_antagonist_pattern(self, pipeline_run):
+        _, _, summary = pipeline_run
+        # target_10_1 never co-occurs -> negatively correlated with ALL others
+        assert summary["target_10_1_negative_share"] == 1.0
+        assert summary["target_10_1_mean_corr"] < 0
+
+    def test_pair_lift_structure(self, pipeline_run):
+        _, out_dir, _ = pipeline_run
+        pairs = pd.read_csv(os.path.join(out_dir, "public_tables", "target_pair_stats.csv"))
+        strong = pairs[
+            (pairs["target_a"] == "target_5_1") & (pairs["target_b"] == "target_5_2")
+        ]
+        assert len(strong) == 1
+        assert strong.iloc[0]["pair_lift"] > 5
+        assert strong.iloc[0]["corr"] > 0.2
+        anti = pairs[(pairs["target_a"] == cfg_anti()) | (pairs["target_b"] == cfg_anti())]
+        assert (anti["co_count"] == 0).all()
+
+    def test_filled_count_signal(self, pipeline_run):
+        _, _, summary = pipeline_run
+        assert summary["filled_extra_count_auc"] > 0.55
+        assert summary["filled_extra_count_pointbiserial"] > 0.05
+
+    def test_adversarial_no_shift(self, pipeline_run):
+        _, _, summary = pipeline_run
+        assert 0.40 <= summary["adversarial_auc_main_features"] <= 0.62
+
+    def test_unseen_categories_detected(self, pipeline_run):
+        _, _, summary = pipeline_run
+        assert summary["cat_features_with_unseen_in_test"] == 2
+        assert 0 < summary["max_unseen_rate_test_rows"] < 0.01
+
+    def test_whale_signals_found(self, pipeline_run):
+        _, out_dir, summary = pipeline_run
+        assert summary["significant_whale_pairs"] > 0
+        sig = pd.read_csv(os.path.join(out_dir, "public_tables", "whale_signals.csv"))
+        # the fixture enriches target_3_2 in num_feature_1's top tail
+        hit = sig[(sig["target"] == "target_3_2") & (sig["feature"] == "num_feature_1")]
+        assert len(hit) == 1
+        assert hit.iloc[0]["lift"] >= 2
+        assert hit.iloc[0]["pvalue"] < 0.05
+
+    def test_rare_targets_guarded(self, pipeline_run):
+        _, _, summary = pipeline_run
+        assert summary["targets_lt_50"] == 0
+        assert summary["min_positive_count"] >= 50
+
+
+def cfg_anti() -> str:
+    return "target_10_1"
