@@ -22,6 +22,13 @@ def token_count(col: str | Column) -> Column:
     return F.size(tokens(col))
 
 
+def regex_token_count(col: str | Column, pattern: str = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]") -> Column:
+    """BPE-ish token count: word pieces plus standalone punctuation — the
+    cheap stand-in for a real tokenizer when budgeting training tokens."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(pattern), F.lit(0)))
+
+
 def shingles(col: str | Column, n: int = 3) -> Column:
     """Word n-gram shingle array (distinct not applied here), built by
     zipping n shifted slices of the token array.

@@ -107,7 +107,7 @@ def minhash_lsh_pairs(
     n: int = 3,
     num_hash_tables: int = 8,
     jaccard_distance_threshold: float = 0.8,
-    num_features: int = 1 << 18,
+    num_features: int = 1 << 14,
     seed: int = 42,
 ) -> DataFrame:
     """Approximate near-dup pairs via MinHash LSH (the 100 TB path):
@@ -121,7 +121,9 @@ def minhash_lsh_pairs(
         F.array_distinct(T.shingles(text_col, n)).alias("sh"),
     ).filter(F.size("sh") > 0)
     tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=num_features, binary=True)
-    feat = tf.transform(docs)
+    # approxSimilarityJoin(feat, feat) evaluates its input twice — cache the
+    # featurized side so shingling+hashing runs once (measured ~2x)
+    feat = tf.transform(docs).persist()
     mh = MinHashLSH(
         inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=seed
     )

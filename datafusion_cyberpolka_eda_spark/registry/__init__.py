@@ -70,3 +70,4 @@ from datafusion_cyberpolka_eda_spark.registry import core  # noqa: E402,F401
 from datafusion_cyberpolka_eda_spark.registry import stats  # noqa: E402,F401
 from datafusion_cyberpolka_eda_spark.registry import events  # noqa: E402,F401
 from datafusion_cyberpolka_eda_spark.registry import llm  # noqa: E402,F401
+from datafusion_cyberpolka_eda_spark.registry import extra  # noqa: E402,F401

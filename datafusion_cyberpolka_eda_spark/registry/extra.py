@@ -1,0 +1,195 @@
+"""Additional operator coverage: set operations (SURVEY.md §2 family H),
+isin filters (B12), rollup/grouping-set aggregation, pivot, text quality
+scoring and the oracle-checked language-ID argmax."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_cyberpolka_eda_spark.functions import text as T
+from datafusion_cyberpolka_eda_spark.registry import _dec_sum, _round_cols, register
+from datafusion_cyberpolka_eda_spark.sources.catalog import load_table
+
+
+@register(
+    "h1_intersect",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def h1_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set intersection (family H): nations present among both customers
+    and suppliers. Distinct semantics on both engines."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@register(
+    "h2_except_all",
+    """
+    SELECT o_orderpriority AS prio FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT ALL
+    SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'P'
+    """,
+)
+def h2_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset difference (EXCEPT ALL — bag semantics, preserves
+    multiplicity)."""
+    o = load_table(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_orderpriority").alias("prio"))
+    p = o.filter(F.col("o_orderstatus") == "P").select(F.col("o_orderpriority").alias("prio"))
+    return f.exceptAll(p)
+
+
+@register(
+    "b12_isin_filter",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM customer
+    WHERE c_nationkey IN (1, 3, 5, 7)
+    GROUP BY c_mktsegment
+    """,
+)
+def b12_isin_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """isin membership filter (operator B12; ref line 590). Pushed to the
+    parquet scan as an In filter."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.filter(F.col("c_nationkey").isin(1, 3, 5, 7))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dec_sum(F.col("c_acctbal"), "decimal(18,2)").alias("total_bal"),
+        )
+    )
+
+
+@register(
+    "d14_rollup",
+    """
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def d14_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup aggregation (status -> status+priority -> grand
+    total) — beyond the reference's flat aggs; one pass with grouping
+    sets. NULL group markers normalized to 'ALL' for hash comparison."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dec_sum(F.col("o_totalprice"), "decimal(18,2)").alias("total"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n",
+            "total",
+        )
+    )
+
+
+@register(
+    "g5_pivot",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_O,
+           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def g5_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide reshape) with explicit pivot values — compiles to the
+    same conditional-aggregate plan as the oracle's CASE WHEN form."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"))
+    )
+    return p.select(
+        "l_returnflag", F.col("O").alias("qty_O"), F.col("F").alias("qty_F")
+    )
+
+
+@register(
+    "l5b_quality_scores",
+    """
+    SELECT source,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(CAST(LENGTH(text) - LENGTH(REPLACE(REPLACE(text, '.', ''), ',', '')) AS DOUBLE)
+                     / GREATEST(LENGTH(text), 1)), 6) AS avg_punct_ratio,
+           ROUND(AVG(CAST(LENGTH(text) AS DOUBLE) / len(string_split(text, ' '))), 6) AS avg_chars_per_token,
+           SUM(CAST(len(string_split(text, ' ')) >= 20 AS BIGINT)) AS n_docs_ge_20_tokens,
+           SUM(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]'))) AS total_bpeish_tokens
+    FROM documents GROUP BY source
+    """,
+)
+def l5b_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality-score components per source: punctuation ratio,
+    chars-per-token, length threshold counts — the filters a training-data
+    pipeline applies before ingestion."""
+    docs = load_table(spark, sf_dir, "documents")
+    ntok = T.token_count("text")
+    punct = (
+        F.length("text")
+        - F.length(F.replace(F.replace(F.col("text"), F.lit("."), F.lit("")), F.lit(","), F.lit("")))
+    ).cast("double") / F.greatest(F.length("text"), F.lit(1))
+    out = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(punct).alias("avg_punct_ratio"),
+        F.avg(F.length("text").cast("double") / ntok).alias("avg_chars_per_token"),
+        F.sum((ntok >= 20).cast("bigint")).alias("n_docs_ge_20_tokens"),
+        F.sum(T.regex_token_count("text", r"[A-Za-z0-9]+|[^A-Za-z0-9 ]").cast("bigint")).alias(
+            "total_bpeish_tokens"
+        ),
+    )
+    return _round_cols(out, ["avg_punct_ratio", "avg_chars_per_token"])
+
+
+def _lang_id_oracle() -> str:
+    score = {
+        code: (
+            "len(list_intersect(string_split(text, ' '), ["
+            + ", ".join(f"'{w}'" for w in T.LANG_MARKERS[code])
+            + "]))"
+        )
+        for code in sorted(T.LANG_MARKERS)
+    }
+    g = "GREATEST(" + ", ".join(score.values()) + ")"
+    cases = " ".join(
+        f"WHEN {score[code]} = __g THEN '{code}'" for code in sorted(T.LANG_MARKERS)
+    )
+    return f"""
+    WITH scored AS (
+      SELECT lang, {g} AS __g, text FROM documents
+    )
+    SELECT lang,
+           CASE WHEN __g = 0 THEN 'und' {cases} END AS predicted,
+           COUNT(*) AS n
+    FROM scored GROUP BY 1, 2
+    """
+
+
+@register("l6c_lang_id_argmax", _lang_id_oracle())
+def l6c_lang_id_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic, oracle-checked: argmax of per-language marker
+    scores with alphabetical tiebreak ('und' when nothing matches) — the
+    Spark argmax fold and the SQL GREATEST/CASE chain must agree exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", T.lang_id("text").alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
