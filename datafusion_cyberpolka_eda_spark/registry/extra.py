@@ -193,3 +193,67 @@ def l6c_lang_id_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "predicted")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "j4_asof_join",
+    """
+    SELECT p.event_id,
+           p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           c.value AS click_value_asof,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts_asof
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def j4_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (an operator Spark lacks natively): for each
+    purchase, the user's latest at-or-before click. Implemented as
+    union + ordered window (operators/asof.py) — one shuffle on user_id,
+    no range explosion; DuckDB's native ASOF JOIN is the oracle."""
+    from datafusion_cyberpolka_eda_spark.operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    out = asof_join(purchases, clicks, on=["user_id"], ts_col="ts", payload_cols=["value"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.col("value_asof").alias("click_value_asof"),
+        F.date_format("ts_asof", "yyyy-MM-dd HH:mm:ss").alias("click_ts_asof"),
+    )
+
+
+@register(
+    "j5_range_join",
+    """
+    SELECT p.event_id, p.user_id,
+           CAST(COUNT(c.ts) FILTER (WHERE c.ts > p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR) AS BIGINT) AS n_in_window
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') c
+      ON p.user_id = c.user_id
+    GROUP BY p.event_id, p.user_id
+    """,
+)
+def j5_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (key equality + time interval): views within 1h after
+    each purchase. Equi-join + conditional count; the bucketized variant
+    for non-selective keys is documented in operators/asof.py."""
+    from datafusion_cyberpolka_eda_spark.operators.asof import range_join_count
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = e.filter(F.col("event_type") == "view").select("user_id", "ts")
+    out = range_join_count(
+        purchases, views, on=["user_id"], left_ts="ts", right_ts="ts",
+        window_seconds=3600,
+    )
+    return out.select("event_id", "user_id", "n_in_window")
