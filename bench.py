@@ -34,6 +34,9 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 4)
+        # drop caches/broadcasts between queries: 59 queries in one JVM
+        # otherwise accumulate blocks and GC pauses pollute later timings
+        spark.catalog.clearCache()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {

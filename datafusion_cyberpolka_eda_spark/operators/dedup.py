@@ -131,7 +131,7 @@ def minhash_lsh_pairs(
     pairs = model.approxSimilarityJoin(
         feat, feat, jaccard_distance_threshold, distCol="jaccard_dist"
     )
-    return (
+    out = (
         pairs.select(
             F.col("datasetA.id").alias("id_a"),
             F.col("datasetB.id").alias("id_b"),
@@ -139,6 +139,11 @@ def minhash_lsh_pairs(
         )
         .filter(F.col("id_a") < F.col("id_b"))
     )
+    # materialize the (small) pair set and release the featurized cache —
+    # leaking persists across many queries GC-thrashes long sessions
+    out = out.localCheckpoint(eager=True)
+    feat.unpersist()
+    return out
 
 
 def simhash_bucket_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -117,3 +117,61 @@ def ann_lsh_model(
     )
     model = lsh.fit(unit)
     return model, model.transform(unit)
+
+
+def ann_ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id: int,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style ANN (the other classic scale path besides LSH): partition
+    the corpus into KMeans cells over unit vectors, then search only the
+    ``n_probe`` cells whose centroids are nearest the query. Recall/cost
+    trade-off is explicit: n_probe/n_centroids of the corpus is scanned.
+
+    The probe selection happens on the driver over the tiny centroid
+    matrix; candidate scoring is a JVM-side dot product against the query
+    vector inlined as literals (unit vectors: cosine == dot)."""
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    unit = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            F.col(vec_col), lambda x: x.cast("double") / norm_expr(vec_col)
+        ).alias("unit_arr"),
+    ).withColumn("features", array_to_vector("unit_arr"))
+    km = KMeans(k=n_centroids, seed=seed, featuresCol="features", predictionCol="cell")
+    model = km.fit(unit)
+    assigned = model.transform(unit).persist()
+
+    qrow = assigned.filter(F.col("id") == query_id).head()
+    qvec = np.array(qrow["unit_arr"])
+    centers = np.array(model.clusterCenters())
+    probe_cells = [
+        int(i)
+        for i in np.argsort(((centers - qvec) ** 2).sum(axis=1))[:n_probe]
+    ]
+
+    qlit = F.array(*[F.lit(float(x)) for x in qvec])
+    score = F.aggregate(
+        F.zip_with(F.col("unit_arr"), qlit, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    out = (
+        assigned.filter(F.col("cell").isin(probe_cells) & (F.col("id") != query_id))
+        .withColumn("cosine", score)
+        .orderBy(F.desc("cosine"), F.asc("id"))
+        .select(F.col("id").alias("neighbor_id"), "cosine", "cell")
+        .limit(k)
+        .localCheckpoint(eager=True)
+    )
+    assigned.unpersist()
+    return out

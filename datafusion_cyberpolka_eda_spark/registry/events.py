@@ -97,3 +97,27 @@ def j3_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     session_window). One shuffle on user_id; no global ordering."""
     e = load_table(spark, sf_dir, "events")
     return session_stats(e, gap_seconds=1800)
+
+
+@register(
+    "j6_stateful_stream_rollup",
+    """
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def j6_stateful_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per-user
+    running (count, total) held in explicit group state, drained through a
+    memory sink — and it must equal the batch SQL aggregate, which is the
+    oracle. State keeps money as integer cents for order-proof exactness."""
+    import os as _os
+
+    from datafusion_cyberpolka_eda_spark.streaming.events import (
+        stream_stateful_user_rollup,
+    )
+
+    return stream_stateful_user_rollup(
+        spark, _os.path.join(sf_dir, "events.parquet")
+    )

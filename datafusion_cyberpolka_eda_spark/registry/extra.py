@@ -257,3 +257,84 @@ def j5_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         window_seconds=3600,
     )
     return out.select("event_id", "user_id", "n_in_window")
+
+
+@register(
+    "d15_cube",
+    """
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def d15_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation (all grouping-set combinations in one pass)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dec_sum(F.col("l_quantity"), "decimal(18,2)").alias("sum_qty"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+@register(
+    "c5_left_join",
+    """
+    SELECT c.c_custkey,
+           c.c_mktsegment,
+           CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(COALESCE(o.o_totalprice, 0.0) AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+    FROM customer c
+    LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_mktsegment
+    """,
+)
+def c5_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving unmatched rows (operator C5; ref metadata
+    merge at lines 573-582) — customers without orders appear with zero
+    counts."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            _dec_sum(F.coalesce(F.col("o_totalprice"), F.lit(0.0)), "decimal(18,2)").alias(
+                "total_spent"
+            ),
+        )
+    )
+
+
+@register(
+    "d12_group_median",
+    """
+    SELECT o_orderpriority,
+           ROUND(median(o_totalprice), 6) AS median_price,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           MAX(o_totalprice) AS max_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def d12_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-by with exact median + nunique (operators D10-D12; ref whale
+    candidate rollup lines 656-665 uses median lift). Both engines
+    interpolate the even-count median; rounded to 6 dp."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.median("o_totalprice"), 6).alias("median_price"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.max("o_totalprice").alias("max_price"),
+    )

@@ -259,3 +259,15 @@ def l9_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("checksum").alias("n_distinct_payloads"),
         F.round(F.avg(F.element_at("feature_head", 1)), 6).alias("avg_feat0"),
     )
+
+
+@register("l8b_ann_ivf_neighbors", None)  # KMeans cells are engine-specific
+def l8b_ann_ivf_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN (scale path #2): KMeans cells over unit vectors,
+    probe the nearest n_probe cells, exact dot product inside. Recall vs
+    the exact top-k is asserted in tests/test_llm_ops.py."""
+    from datafusion_cyberpolka_eda_spark.operators.similarity import ann_ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = ann_ivf_topk(emb, "vec_id", "embedding", query_id=0, k=5)
+    return _round_cols(out, ["cosine"])

@@ -46,6 +46,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # reclaim shuffle/broadcast state promptly in long many-query
+        # sessions (default 30min lets dead blocks pile up locally)
+        .config("spark.cleaner.periodicGC.interval", "45s")
     )
     if extra_conf:
         for k, v in extra_conf.items():

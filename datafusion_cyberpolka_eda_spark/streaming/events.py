@@ -113,3 +113,65 @@ def session_stats(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
         F.countDistinct("session_id").alias("n_sessions"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+def stream_stateful_user_rollup(spark: SparkSession, parquet_path: str) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    maintains (event_count, total_value_cents) per user in explicit group
+    state across micro-batches. Money accumulates as integer cents inside
+    the state so the result is exact regardless of accumulation order
+    (floats in state would drift per-batch).
+
+    Locally the parquet source drains in one batch; on a cluster this is
+    the shape for continuous per-key aggregates with timeouts/eviction.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(parquet_path).schema
+    if os.path.isfile(parquet_path):
+        stage = tempfile.mkdtemp(prefix="stream_state_src_")
+        os.symlink(parquet_path, os.path.join(stage, os.path.basename(parquet_path)))
+        source = stage
+    else:
+        source = parquet_path
+    # each shuffle partition gets its own state store + python worker;
+    # clamp for the local one-batch drain (restored after the query)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    stream = spark.readStream.schema(schema).parquet(source)
+
+    def update(key, pdfs, state):
+        count, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            count += len(pdf)
+            cents += int((pdf["value"] * 100).round().astype("int64").sum())
+        state.update((count, cents))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [count],
+                "total_value": [cents / 100.0],
+            }
+        )
+
+    out = (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id long, n_events long, total_value double",
+            stateStructType="count long, cents long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    name = f"stateful_out_{uuid.uuid4().hex[:8]}"
+    q = out.writeStream.outputMode("update").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name)

@@ -170,3 +170,21 @@ class TestMultimodal:
         feats = extract_features(documents_as_assets(docs.limit(1)), real_codecs=True)
         with pytest.raises(Exception):
             feats.collect()
+
+
+class TestIvfAnn:
+    def test_ivf_recall_vs_exact(self, emb):
+        from datafusion_cyberpolka_eda_spark.operators.similarity import ann_ivf_topk
+
+        exact = {
+            r["candidate_id"]
+            for r in SIM.cosine_topk(
+                emb.filter(F.col("vec_id") == 0), emb, "vec_id", "embedding", k=5
+            ).collect()
+        }
+        ivf = {
+            r["neighbor_id"]
+            for r in ann_ivf_topk(emb, "vec_id", "embedding", query_id=0, k=5).collect()
+        }
+        # probing 4/16 cells: require >= 2/5 overlap with the exact answer
+        assert len(exact & ivf) >= 2

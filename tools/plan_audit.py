@@ -1,0 +1,80 @@
+"""Physical-plan audit: prints the scan/pushdown/join/codegen facts for the
+headline queries so plan regressions are visible in review.
+
+Usage: python tools/plan_audit.py [sf_dir]
+
+Checks (exit non-zero on violation):
+- flagship scans carry PushedFilters + pruned ReadSchema
+- dimension joins are BroadcastHashJoin (no shuffle of the fact side)
+- global top-k plans as TakeOrderedAndProject (no full sort)
+- no CartesianProduct anywhere except the deliberate broadcast
+  nested-loop in brute-force similarity scoring
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from datafusion_cyberpolka_eda_spark import get_spark
+    from datafusion_cyberpolka_eda_spark.registry import queries
+
+    spark = get_spark(app_name="plan_audit")
+    qs = queries()
+    failures: list[str] = []
+
+    def check(name: str, *, contains: list[str] = (), absent: list[str] = ()):
+        p = plan_of(qs[name](spark, sf_dir))
+        for s in contains:
+            if s not in p:
+                failures.append(f"{name}: expected '{s}' in plan")
+        for s in absent:
+            if s in p:
+                failures.append(f"{name}: unexpected '{s}' in plan")
+        print(f"[{'OK' if not failures else '??'}] {name}")
+
+    check(
+        "d2_wide_agg_pricing",
+        contains=["PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual"],
+        absent=["CartesianProduct"],
+    )
+    check(
+        "b1_b2_project_cast_filter",
+        contains=["EqualTo(l_returnflag,A)", "LessThan(l_quantity,10.0)"],
+    )
+    check(
+        "c1_join_revenue_by_region",
+        contains=["BroadcastHashJoin"],
+        absent=["SortMergeJoin", "CartesianProduct"],
+    )
+    check("g1_g2_topk_global", contains=["TakeOrderedAndProject"], absent=["Exchange"])
+    check("e7_auc_by_rank", absent=["CartesianProduct"])
+    check("j3_sessionize", absent=["CartesianProduct"])
+    # brute-force similarity deliberately broadcasts the tiny query side
+    check("l7_cosine_topk", contains=["BroadcastNestedLoopJoin"])
+
+    if failures:
+        print("\nPLAN AUDIT FAILURES:")
+        for f in failures:
+            print(" -", f)
+        return 1
+    print("\nplan audit: all checks passed")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
