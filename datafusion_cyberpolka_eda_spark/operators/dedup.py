@@ -73,6 +73,9 @@ def ngram_jaccard_pairs(
     sh = shingle_sets(df, id_col, text_col, n).select(
         F.col(id_col), F.xxhash64("shingle").alias("sh")
     )
+    # materialize once: both self-join sides would otherwise re-run the
+    # shingle explode (the expensive part); the hashed rows are tiny
+    sh = sh.localCheckpoint(eager=True)
     if max_shingle_freq is not None:
         freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__f"))
         sh = sh.join(freq.filter(F.col("__f") <= max_shingle_freq), "sh").drop("__f")
