@@ -183,3 +183,80 @@ def embedding_cosine_pairs(
             F.col("a_id").alias("id_a"), F.col("b_id").alias("id_b"), "cosine"
         )
     )
+
+
+def minhash_banded_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    est_threshold: float = 0.5,
+) -> DataFrame:
+    """Banded MinHash near-dup pairs built entirely from xxhash64
+    expressions — no pyspark.ml, fully deterministic, every stage
+    whole-row JVM arithmetic.
+
+    Plan shape (the 100 TB path):
+      explode shingles -> ONE groupBy(id) computing all `num_hashes`
+      min-hash components as map-side-combined min aggregates ->
+      band keys from polynomial-mod folds of signature slices ->
+      explode (band_idx, key) -> self-join on the band bucket ->
+      distinct candidate pairs -> signature-agreement Jaccard estimate.
+
+    Shuffles: signature groupBy (1), band self-join (1), candidate
+    distinct (1). Candidate volume tracks bucket collisions ~ true-pair
+    density, not O(n^2). est_jaccard = share of equal signature
+    components (standard unbiased MinHash estimator).
+    """
+    sh = shingle_sets(df, id_col, text_col, n).select(
+        F.col(id_col).alias("id"), F.xxhash64("shingle").alias("h")
+    )
+    # num_hashes independent permutations: re-hash the shingle hash with
+    # the permutation index; min over the doc's shingles per permutation
+    sig = sh.groupBy("id").agg(
+        *[
+            F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"s{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    sig = sig.select(
+        "id", F.array(*[f"s{i}" for i in range(num_hashes)]).alias("sig")
+    ).localCheckpoint(eager=True)
+
+    rows_per_band = num_hashes // bands
+    p = F.lit(2147483647).cast("long")  # Mersenne 2^31-1; ANSI-safe folds
+    band_keys = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.aggregate(
+            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+            F.lit(0).cast("long"),
+            lambda acc, x: F.pmod(acc * F.lit(31) + F.pmod(x, p), p),
+        ),
+    )
+    banded = sig.select(
+        "id", F.posexplode(band_keys).alias("band_idx", "band_key")
+    )
+    a = banded.select(F.col("id").alias("id_a"), "band_idx", "band_key")
+    b = banded.select(F.col("id").alias("id_b"), "band_idx", "band_key")
+    cand = (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ).cast("double") / F.lit(num_hashes)
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= est_threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )

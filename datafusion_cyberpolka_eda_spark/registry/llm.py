@@ -271,3 +271,17 @@ def l8b_ann_ivf_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     out = ann_ivf_topk(emb, "vec_id", "embedding", query_id=0, k=5)
     return _round_cols(out, ["cosine"])
+
+
+@register("l3b_minhash_banded", None)  # xxhash64 family, no DuckDB twin
+def l3b_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash near-dup pairs from pure xxhash64 expressions (no
+    pyspark.ml): map-side-combined min-hash signatures, polynomial-fold
+    band buckets, signature-agreement Jaccard estimate. Deterministic
+    across runs/engines with fixed seeds; validated against exact n-gram
+    Jaccard in tests/test_llm_ops.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_banded_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=64, bands=16, est_threshold=0.45
+    )
+    return _round_cols(pairs, ["est_jaccard"])

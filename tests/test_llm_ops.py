@@ -188,3 +188,31 @@ class TestIvfAnn:
         }
         # probing 4/16 cells: require >= 2/5 overlap with the exact answer
         assert len(exact & ivf) >= 2
+
+
+class TestBandedMinhash:
+    def test_recall_and_estimate_vs_exact(self, docs):
+        exact = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in D.ngram_jaccard_pairs(
+                docs, "doc_id", "text", n=3, threshold=0.6
+            ).collect()
+        }
+        assert exact
+        banded = {
+            (r["id_a"], r["id_b"]): r["est_jaccard"]
+            for r in D.minhash_banded_pairs(
+                docs, "doc_id", "text", n=3, est_threshold=0.4
+            ).collect()
+        }
+        missed = set(exact) - set(banded)
+        assert not missed, f"banded minhash missed high-sim pairs: {missed}"
+        # estimator quality: |est - exact| < 0.25 on recovered pairs
+        for pair, j in exact.items():
+            assert abs(banded[pair] - j) < 0.25, (pair, j, banded[pair])
+
+    def test_deterministic_across_runs(self, docs):
+        run = lambda: sorted(
+            map(tuple, D.minhash_banded_pairs(docs, "doc_id", "text").collect())
+        )
+        assert run() == run()
