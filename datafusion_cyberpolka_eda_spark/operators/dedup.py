@@ -260,3 +260,48 @@ def minhash_banded_pairs(
         .filter(F.col("est_jaccard") >= est_threshold)
         .select("id_a", "id_b", "est_jaccard")
     )
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs within a hamming-distance budget, found
+    without O(n^2) comparisons: split the 63-bit fingerprint into
+    ``max_hamming + 1`` bands — by pigeonhole, any pair within
+    ``max_hamming`` differing bits agrees exactly on at least one band —
+    equi-join on (band_idx, band_bits), then verify candidates with
+    bit_count(xor). Shuffles: band join + candidate distinct."""
+    from datafusion_cyberpolka_eda_spark.functions.text import N_SIMHASH_BITS, simhash
+
+    n_bands = max_hamming + 1
+    base = N_SIMHASH_BITS // n_bands
+    widths = [base + (1 if i < N_SIMHASH_BITS % n_bands else 0) for i in range(n_bands)]
+    offsets = [sum(widths[:i]) for i in range(n_bands)]
+
+    fp = df.select(F.col(id_col).alias("id"), simhash(text_col).alias("fp"))
+    fp = fp.localCheckpoint(eager=True)  # reused by both join sides + verify
+    band_cols = [
+        F.shiftright(F.col("fp"), offsets[i]).bitwiseAND(F.lit((1 << widths[i]) - 1)).alias(f"b{i}")
+        for i in range(n_bands)
+    ]
+    banded = fp.select("id", F.posexplode(F.array(*band_cols)).alias("band_idx", "bits"))
+    a = banded.select(F.col("id").alias("id_a"), "band_idx", "bits")
+    b = banded.select(F.col("id").alias("id_b"), "band_idx", "bits")
+    cand = (
+        a.join(b, ["band_idx", "bits"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    fa = fp.select(F.col("id").alias("id_a"), F.col("fp").alias("fp_a"))
+    fb = fp.select(F.col("id").alias("id_b"), F.col("fp").alias("fp_b"))
+    return (
+        cand.join(fa, "id_a")
+        .join(fb, "id_b")
+        .withColumn("hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

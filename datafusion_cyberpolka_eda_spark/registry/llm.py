@@ -285,3 +285,11 @@ def l3b_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", n=3, num_hashes=64, bands=16, est_threshold=0.45
     )
     return _round_cols(pairs, ["est_jaccard"])
+
+
+@register("l4b_simhash_near_pairs", None)  # xxhash64-based, no DuckDB twin
+def l4b_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming <= 6) via pigeonhole band join —
+    sub-quadratic candidate generation, exact hamming verification."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_near_pairs(docs, "doc_id", "text", max_hamming=6)

@@ -216,3 +216,48 @@ class TestBandedMinhash:
             map(tuple, D.minhash_banded_pairs(docs, "doc_id", "text").collect())
         )
         assert run() == run()
+
+
+class TestSimhashNearPairs:
+    def test_finds_planted_near_duplicate(self, spark):
+        import pandas as pd
+
+        base = "the quick brown fox jumps over the lazy dog again and again today"
+        pdf = pd.DataFrame(
+            {
+                "id": [1, 2, 3],
+                "text": [
+                    base,
+                    base.replace("today", "tomorrow"),  # one-token edit
+                    "completely different words about spark query engines here",
+                ],
+            }
+        )
+        df = spark.createDataFrame(pdf)
+        pairs = D.simhash_near_pairs(df, "id", "text", max_hamming=16).collect()
+        found = {(r["id_a"], r["id_b"]) for r in pairs}
+        assert (1, 2) in found
+        assert (1, 3) not in found and (2, 3) not in found
+
+    def test_no_band_false_negatives(self, docs):
+        """Every pair the banded path reports must verify, and candidates
+        within budget found by brute force must all be reported."""
+        sample = docs.limit(120)
+        banded = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in D.simhash_near_pairs(sample, "doc_id", "text", max_hamming=20).collect()
+        }
+        from datafusion_cyberpolka_eda_spark.functions.text import simhash
+
+        import itertools
+
+        fps = {
+            r["doc_id"]: r["fp"]
+            for r in sample.select("doc_id", simhash("text").alias("fp")).collect()
+        }
+        brute = {
+            (a, b): bin(fps[a] ^ fps[b]).count("1")
+            for a, b in itertools.combinations(sorted(fps), 2)
+            if bin(fps[a] ^ fps[b]).count("1") <= 20
+        }
+        assert banded == brute
