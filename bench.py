@@ -28,6 +28,12 @@ def main() -> None:
     qs = queries()
     # warm-up: JVM/codegen/parquet-footer caches
     qs["d2_wide_agg_pricing"](spark, sf_dir).collect()
+    # ...and the Python worker pool (one worker per core spins up on the
+    # first pandas-UDF stage; that daemon startup is session machinery,
+    # not query cost — steady-state is what we measure)
+    spark.range(1000).repartition(32).mapInPandas(
+        lambda it: it, schema="id long"
+    ).collect()
 
     timings: dict[str, float] = {}
     for name, fn in qs.items():

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from datafusion_cyberpolka_eda_spark.functions import text as T
+from datafusion_cyberpolka_eda_spark.sources.catalog import spread
 
 
 def exact_dedup(df: DataFrame, keys: list[str], order_cols: list[str]) -> DataFrame:
@@ -49,7 +50,7 @@ def shingle_sets(
     regression. Sizes come from a cheap post-explode groupBy instead
     (see ngram_jaccard_pairs)."""
     sh_arr = F.array_distinct(F.filter(T.shingles(text_col, n), lambda s: s != ""))
-    return df.select(F.col(id_col), F.explode(sh_arr).alias("shingle"))
+    return spread(df).select(F.col(id_col), F.explode(sh_arr).alias("shingle"))
 
 
 def ngram_jaccard_pairs(
@@ -119,7 +120,7 @@ def minhash_lsh_pairs(
     (1 - estimated Jaccard)."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    docs = df.select(
+    docs = spread(df).select(
         F.col(id_col).alias("id"),
         F.array_distinct(T.shingles(text_col, n)).alias("sh"),
     ).filter(F.size("sh") > 0)
@@ -152,7 +153,7 @@ def minhash_lsh_pairs(
 def simhash_bucket_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """SimHash near-dup: identical 64-bit fingerprints bucket together
     (hamming distance 0). One groupBy on the fingerprint."""
-    fp = df.select(F.col(id_col).alias("id"), T.simhash(text_col).alias("simhash"))
+    fp = spread(df).select(F.col(id_col).alias("id"), T.simhash(text_col).alias("simhash"))
     a = fp.select(F.col("id").alias("id_a"), "simhash")
     b = fp.select(F.col("id").alias("id_b"), "simhash")
     return (
@@ -173,6 +174,7 @@ def embedding_cosine_pairs(
         with_unit_info,
     )
 
+    df = spread(df)
     x = with_unit_info(df, id_col, vec_col, prefix="a_")
     y = with_unit_info(df, id_col, vec_col, prefix="b_")
     pairs = x.crossJoin(y).filter(F.col("a_id") < F.col("b_id"))
@@ -272,8 +274,14 @@ def simhash_near_pairs(
     without O(n^2) comparisons: split the 63-bit fingerprint into
     ``max_hamming + 1`` bands — by pigeonhole, any pair within
     ``max_hamming`` differing bits agrees exactly on at least one band —
-    equi-join on (band_idx, band_bits), then verify candidates with
-    bit_count(xor). Shuffles: band join + candidate distinct."""
+    equi-join on (band_idx, band_bits) carrying the full fingerprint on
+    both sides, verify with bit_count(xor) inside the join stage (before
+    any distinct), then dedup only the surviving near-pairs. Verifying
+    pre-distinct matters: correlated fingerprint bits can make narrow
+    bands collide on a large fraction of all pairs, and deduping millions
+    of false candidates costs far more than the map-side xor filter.
+    Shuffles: band join + distinct over true near-pairs only. Skewed
+    band buckets (one bucket ≫ others) are AQE skew-join territory."""
     from datafusion_cyberpolka_eda_spark.functions.text import N_SIMHASH_BITS, simhash
 
     n_bands = max_hamming + 1
@@ -281,27 +289,20 @@ def simhash_near_pairs(
     widths = [base + (1 if i < N_SIMHASH_BITS % n_bands else 0) for i in range(n_bands)]
     offsets = [sum(widths[:i]) for i in range(n_bands)]
 
-    fp = df.select(F.col(id_col).alias("id"), simhash(text_col).alias("fp"))
-    fp = fp.localCheckpoint(eager=True)  # reused by both join sides + verify
+    fp = spread(df).select(F.col(id_col).alias("id"), simhash(text_col).alias("fp"))
+    fp = fp.localCheckpoint(eager=True)  # computed once, reused by both join sides
     band_cols = [
         F.shiftright(F.col("fp"), offsets[i]).bitwiseAND(F.lit((1 << widths[i]) - 1)).alias(f"b{i}")
         for i in range(n_bands)
     ]
-    banded = fp.select("id", F.posexplode(F.array(*band_cols)).alias("band_idx", "bits"))
-    a = banded.select(F.col("id").alias("id_a"), "band_idx", "bits")
-    b = banded.select(F.col("id").alias("id_b"), "band_idx", "bits")
-    cand = (
+    banded = fp.select("id", "fp", F.posexplode(F.array(*band_cols)).alias("band_idx", "bits"))
+    a = banded.select(F.col("id").alias("id_a"), F.col("fp").alias("fp_a"), "band_idx", "bits")
+    b = banded.select(F.col("id").alias("id_b"), F.col("fp").alias("fp_b"), "band_idx", "bits")
+    return (
         a.join(b, ["band_idx", "bits"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    fa = fp.select(F.col("id").alias("id_a"), F.col("fp").alias("fp_a"))
-    fb = fp.select(F.col("id").alias("id_b"), F.col("fp").alias("fp_b"))
-    return (
-        cand.join(fa, "id_a")
-        .join(fb, "id_b")
         .withColumn("hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .distinct()
     )

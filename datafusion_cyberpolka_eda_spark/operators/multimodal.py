@@ -73,7 +73,14 @@ def _fake_decode_features(payload: bytes, dim: int = 8) -> list[float]:
 def extract_features(assets: DataFrame, real_codecs: bool = False) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads via
     mapInPandas: per-partition batch iterator, vectorized pandas in/out.
-    ``real_codecs=True`` is the production path — unavailable here."""
+    ``real_codecs=True`` is the production path — unavailable here.
+
+    The input is spread across partitions first: mapInPandas parallelism
+    == input partitions, and a one-split local file would otherwise run
+    the whole extraction through a single Python worker."""
+    from datafusion_cyberpolka_eda_spark.sources.catalog import spread
+
+    assets = spread(assets)
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

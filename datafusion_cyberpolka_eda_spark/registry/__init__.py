@@ -71,3 +71,4 @@ from datafusion_cyberpolka_eda_spark.registry import stats  # noqa: E402,F401
 from datafusion_cyberpolka_eda_spark.registry import events  # noqa: E402,F401
 from datafusion_cyberpolka_eda_spark.registry import llm  # noqa: E402,F401
 from datafusion_cyberpolka_eda_spark.registry import extra  # noqa: E402,F401
+from datafusion_cyberpolka_eda_spark.registry import formats  # noqa: E402,F401

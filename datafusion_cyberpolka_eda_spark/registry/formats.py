@@ -1,0 +1,89 @@
+"""CSV / JSON source+sink round-trips (SURVEY.md §2 family A extension).
+
+The reference's only file format is Parquet in, CSV out
+(ref: eda_workspace/public_eda_pipeline.py:29-30 scan_parquet; CSV sinks at
+lines 104-669). A complete engine needs the CSV/JSON *source* direction
+too, so each query here writes a table out through the format under test
+and reads it back with an explicit schema before aggregating — the oracle
+runs the same aggregation on the original parquet, so any round-trip
+corruption (quoting, nulls, type coercion, float formatting) breaks the
+hash match.
+
+Sinks write distributed (one file per partition) under the repo-local
+scratch dir — the same layout a real cluster job would produce on object
+storage; no coalesce(1) anywhere.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_cyberpolka_eda_spark.registry import _dec_sum, register
+from datafusion_cyberpolka_eda_spark.sources.catalog import load_table
+
+_SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".scratch")
+
+
+def _scratch_path(sf_dir: str, name: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(_SCRATCH, f"{tag}_{name}")
+
+
+@register(
+    "a5_csv_roundtrip",
+    """
+    SELECT r.r_name AS region,
+           CAST(COUNT(*) AS BIGINT) AS n_nations,
+           MIN(n.n_name) AS first_nation
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def a5_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + source (operator A5 + the missing source direction):
+    write nation as headered CSV, read it back with the original schema
+    (quoted commas and all), broadcast-join region, aggregate. The oracle
+    aggregates the parquet originals, so the round-trip must be lossless."""
+    nation = load_table(spark, sf_dir, "nation")
+    path = _scratch_path(sf_dir, "csv_nation")
+    nation.write.mode("overwrite").option("header", True).csv(path)
+    back = spark.read.schema(nation.schema).option("header", True).csv(path)
+    region = load_table(spark, sf_dir, "region")
+    return (
+        back.join(F.broadcast(region), back.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.min("n_name").alias("first_nation"),
+        )
+    )
+
+
+@register(
+    "a6_json_roundtrip",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def a6_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + source: filter orders, write as JSON, read back
+    with an explicit schema, aggregate with exact decimal sums. Doubles
+    survive the text round-trip because Spark prints them shortest-exact
+    (Jackson) and reparses bitwise-equal; timestamps are deliberately
+    excluded — default JSON timestamp format truncates micros to millis."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    slim = orders.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    path = _scratch_path(sf_dir, "json_orders")
+    slim.write.mode("overwrite").json(path)
+    back = spark.read.schema(slim.schema).json(path)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _dec_sum(F.col("o_totalprice"), "decimal(18,2)").alias("total_price"),
+    )

@@ -14,7 +14,7 @@ from datafusion_cyberpolka_eda_spark.functions import text as T
 from datafusion_cyberpolka_eda_spark.operators import dedup as D
 from datafusion_cyberpolka_eda_spark.operators import similarity as SIM
 from datafusion_cyberpolka_eda_spark.registry import _round_cols, register
-from datafusion_cyberpolka_eda_spark.sources.catalog import load_table
+from datafusion_cyberpolka_eda_spark.sources.catalog import load_table, spread
 
 
 @register(
@@ -91,7 +91,7 @@ def l4_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash fingerprints + identical-fingerprint bucket pairs.
     Pure JVM expressions (xxhash64 + array aggregation); deterministic
     across runs, so the driver's rows-only stability check is meaningful."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     fp = docs.select(
         "doc_id",
         T.simhash("text").alias("simhash"),

@@ -61,6 +61,27 @@ def load_tables(
     return {n: load_table(spark, sf_dir, n) for n in names}
 
 
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition a narrow input so per-row-expensive
+    expressions (simhash, shingling, vector math) use every core.
+
+    Parquet parallelism comes from file splits: a table small enough to be
+    one split arrives as ONE partition, which serializes the whole operator
+    on a single thread no matter how many executors exist (measured: warm
+    simhash over sf0.1 documents took 5.6 s on 1 partition, sub-second
+    spread over 32). At real scale inputs arrive with thousands of splits
+    and this is a no-op; the guard keeps it from *reducing* parallelism or
+    adding a shuffle where one isn't needed.
+    """
+    spark = df.sparkSession
+    target = min_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 @dataclass
 class EdaColumns:
     """Name-convention classification of an EDA-shaped table's columns
