@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 
 from datafusion_cyberpolka_eda_spark.functions import text as T
 from datafusion_cyberpolka_eda_spark.registry import _dec_sum, _round_cols, register
-from datafusion_cyberpolka_eda_spark.sources.catalog import load_table
+from datafusion_cyberpolka_eda_spark.sources.catalog import load_table, spread
 
 
 @register(
@@ -140,7 +140,7 @@ def l5b_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text quality-score components per source: punctuation ratio,
     chars-per-token, length threshold counts — the filters a training-data
     pipeline applies before ingestion."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     ntok = T.token_count("text")
     punct = (
         F.length("text")
@@ -187,7 +187,7 @@ def l6c_lang_id_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic, oracle-checked: argmax of per-language marker
     scores with alphabetical tiebreak ('und' when nothing matches) — the
     Spark argmax fold and the SQL GREATEST/CASE chain must agree exactly."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return (
         docs.select("lang", T.lang_id("text").alias("predicted"))
         .groupBy("lang", "predicted")

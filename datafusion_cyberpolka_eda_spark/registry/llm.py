@@ -115,7 +115,7 @@ def l4_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 def l5_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-analysis profile per language: token counts and word lengths
     from JVM-side split arithmetic (quality-scoring components)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     ntok = T.token_count("text")
     word_len = (F.length("text") - (ntok - 1)).cast("double") / ntok
     out = docs.groupBy("lang").agg(
@@ -141,7 +141,7 @@ def l5_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def l6_marker_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-token scan — the building block of the language-ID heuristic
     (distinct marker words present per doc, aggregated per labeled lang)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     hits = T.marker_hits("text", T.LANG_MARKERS["en"])
     return docs.groupBy("lang").agg(
         F.sum((hits > 0).cast("bigint")).alias("docs_with_en_markers"),
@@ -155,7 +155,7 @@ def l6b_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     The testdata vocabulary is language-agnostic word soup, so accuracy is
     meaningless here — the operator mechanics (argmax of marker scores,
     deterministic tiebreak) are what's exercised."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return (
         docs.select("lang", T.lang_id("text").alias("predicted"))
         .groupBy("lang", "predicted")
