@@ -84,6 +84,60 @@ def distinct_counts(df: DataFrame, cols: list[str], exact: bool = True) -> DataF
     return agg.selectExpr(f"stack({len(cols)}, {stack_args}) as (column, n_distinct)")
 
 
+def stacked_values(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Long-form (feature, value) rows for all ``cols`` in one pass via
+    stack(); nulls dropped per-feature (mirrors per-column drop_nulls).
+    Values are cast to string — injective for the integer-coded
+    categoricals this profiles, so distinct counts are unchanged."""
+    stack_args = ", ".join(f"'{c}', cast(`{c}` as string)" for c in cols)
+    return df.selectExpr(
+        f"stack({len(cols)}, {stack_args}) as (feature, value)"
+    ).filter(F.col("value").isNotNull())
+
+
+def cardinality_unseen_profile(
+    train: DataFrame, test: DataFrame, cols: list[str]
+) -> DataFrame:
+    """Per-feature cardinality + unseen-category stats for ALL columns in
+    a constant number of distributed passes (operators D8 + C6 batched;
+    ref: public_eda_pipeline.py:369-405 loops Python sets per feature).
+
+    Returns (feature, train_nunique, test_nunique, unseen_unique_categories,
+    unseen_rate_test_rows). A per-feature loop costs 4 full-table jobs per
+    column — O(features) scans; stacking makes it: two distinct passes
+    (map-side-combined, shuffle = distinct pairs only), one anti-join of
+    those small distinct sets, and one left join of stacked test rows
+    against the train set for the row-weighted rate. Scale-invariant in
+    the number of profiled columns."""
+    tr = stacked_values(train, cols).distinct().localCheckpoint(eager=True)
+    te = stacked_values(test, cols).distinct().localCheckpoint(eager=True)
+    tr_card = tr.groupBy("feature").agg(F.count(F.lit(1)).alias("train_nunique"))
+    te_card = te.groupBy("feature").agg(F.count(F.lit(1)).alias("test_nunique"))
+    unseen = (
+        te.join(tr, ["feature", "value"], "left_anti")
+        .groupBy("feature")
+        .agg(F.count(F.lit(1)).alias("unseen_unique_categories"))
+    )
+    rate = (
+        stacked_values(test, cols)
+        .join(tr.withColumn("__seen", F.lit(1)), ["feature", "value"], "left")
+        .groupBy("feature")
+        .agg(
+            F.avg(F.col("__seen").isNull().cast("double")).alias(
+                "unseen_rate_test_rows"
+            )
+        )
+    )
+    out = (
+        tr_card.join(te_card, "feature", "full")
+        .join(unseen, "feature", "full")
+        .join(rate, "feature", "full")
+        .na.fill({"train_nunique": 0, "test_nunique": 0, "unseen_unique_categories": 0})
+        .na.fill({"unseen_rate_test_rows": 0.0})
+    )
+    return out
+
+
 def unseen_categories(train: DataFrame, test: DataFrame, col: str) -> DataFrame:
     """Distinct values of ``col`` present in test but absent from train
     (operator C6; ref: public_eda_pipeline.py:383-397 does this with Python

@@ -125,6 +125,33 @@ def corr_matrix(df: DataFrame, cols: list[str], chunk_size: int = 1500) -> pd.Da
     return corr_from_moments(m)
 
 
+def corr_matrix_assembled(
+    df: DataFrame, xs: list[str], ys: list[str]
+) -> pd.DataFrame:
+    """Pearson corr of the xs x ys block via ONE `Correlation.corr` pass
+    over an assembled vector (operator E5 route (b), SURVEY.md §2) —
+    BLAS-backed co-moment accumulation inside the JVM instead of thousands
+    of individual codegen'd sum expressions. For wide screens (hundreds of
+    features x dozens of targets) the expression-count cost of the chunked
+    moments path dominates its runtime (measured: 519-ish-wide screen
+    62s -> seconds); this path is O(d^2) FLOPs per row in tight loops and
+    one treeAggregate. Inputs must be null-free (mean_impute first, as the
+    reference does; ref: public_eda_pipeline.py:496-511). Constant columns
+    yield NaN, matching corr_from_moments' guard. Pearson r is
+    ddof-invariant, so this equals the population-std route exactly."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.stat import Correlation
+
+    cols = list(dict.fromkeys(list(xs) + list(ys)))
+    assembled = VectorAssembler(inputCols=cols, outputCol="__v").transform(
+        df.select(*[F.col(c).cast("double").alias(c) for c in cols])
+    )
+    mat = Correlation.corr(assembled, "__v", "pearson").head()[0].toArray()
+    idx = {c: i for i, c in enumerate(cols)}
+    block = mat[np.ix_([idx[x] for x in xs], [idx[y] for y in ys])]
+    return pd.DataFrame(block, index=list(xs), columns=list(ys))
+
+
 def mean_impute(df: DataFrame, cols: list[str], chunk_size: int = 1500) -> DataFrame:
     """NaN/null -> column mean (operator E15; ref lines 496-499). One
     distributed pass for the means, then a coalesce projection (no shuffle).

@@ -22,6 +22,7 @@ from __future__ import annotations
 import json
 import math
 import os
+import time
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -82,6 +83,17 @@ def run_pipeline(
     def save(df: pd.DataFrame, name: str, index: bool = False) -> None:
         df.to_csv(os.path.join(tables_dir, name), index=index)
 
+    # per-stage wall clock, returned (not written into summary.json — its
+    # key set is a locked artifact contract) for perf tracking
+    stage_seconds: dict[str, float] = {}
+    _t_last = time.perf_counter()
+
+    def tick(stage: str) -> None:
+        nonlocal _t_last
+        now = time.perf_counter()
+        stage_seconds[stage] = round(now - _t_last, 3)
+        _t_last = now
+
     id_col = "customer_id"
     train_main = spark.read.parquet(os.path.join(data_dir, "train_main_features.parquet")).cache()
     test_main = spark.read.parquet(os.path.join(data_dir, "test_main_features.parquet")).cache()
@@ -125,6 +137,7 @@ def run_pipeline(
     )
     save(family_df, "target_family_stats.csv")
 
+    tick("inventory_targets")
     # ---- opened-targets histogram (ref 126-135): horizontal sum, no
     # driver row data ----
     opened = train_target.select(
@@ -139,6 +152,7 @@ def run_pipeline(
     sum_dist["share"] = sum_dist["count"] / n_train
     save(sum_dist, "opened_targets_distribution.csv")
 
+    tick("opened_histogram")
     # ---- target dependencies (ref 140-181): ONE moments pass gives the
     # corr matrix AND co-occurrence counts AND prevalences ----
     m = S.cross_moments(train_target, target_cols, target_cols)
@@ -188,6 +202,7 @@ def run_pipeline(
     ).sort_values("abs_correlation", ascending=False)
     save(anti_profile, "target_10_1_profile.csv")
 
+    tick("target_dependencies")
     # ---- clustering on |corr| distance (ref 183-230): driver-scale ----
     dist = 1.0 - np.abs(corr.to_numpy(dtype=float))
     np.fill_diagonal(dist, 0.0)
@@ -244,6 +259,7 @@ def run_pipeline(
     )
     save(cluster_summary_df, "target_cluster_summary.csv")
 
+    tick("clustering")
     # ---- missingness (ref 235-280): chunked wide null-rate aggs ----
     extra_miss = P.null_rates(train_extra, extra_features).toPandas()
     extra_miss_df = (
@@ -280,6 +296,7 @@ def run_pipeline(
     )
     save(miss_bands, "extra_missingness_bands.csv")
 
+    tick("missingness")
     # ---- filled-count as activity signal (ref 283-318): stays
     # distributed end-to-end (the reference pulls 750k rows to pandas;
     # Spark computes AUC/deciles/point-biserial without materializing) ----
@@ -330,6 +347,7 @@ def run_pipeline(
     fill_dec_df["decile"] = fill_dec_df["decile"] - 1
     save(fill_dec_df, "filled_extra_count_deciles.csv")
 
+    tick("filled_count")
     # ---- missing-indicator AUC screen (ref 321-364): closed-form AUC for
     # a binary score — AUC = 0.5 + (P(ind|pos) - P(ind|neg))/2 — so the
     # whole screen is ONE chunked conditional-agg pass, no per-pair jobs ----
@@ -417,44 +435,63 @@ def run_pipeline(
     )
     save(miss_auc_df, "missing_indicator_auc_popular_targets.csv")
 
-    # ---- cardinality + unseen categories (ref 369-405): exact distinct
-    # counts and a distributed anti-join instead of Python sets ----
-    card_rows, unseen_rows = [], []
-    for c in cat_main:
-        tr_uni = train_main.select(c).na.drop().agg(F.countDistinct(c)).collect()[0][0]
-        te_uni = test_main.select(c).na.drop().agg(F.countDistinct(c)).collect()[0][0]
-        unseen_unique = P.unseen_categories(train_main, test_main, c).count()
-        ur = P.unseen_rate_rows(train_main, test_main, c).collect()[0]
-        card_rows.append(
-            {"feature": c, "train_nunique": int(tr_uni), "test_nunique": int(te_uni)}
-        )
-        unseen_rows.append(
-            {
-                "feature": c,
-                "unseen_unique_categories": int(unseen_unique),
-                "unseen_rate_test_rows": float(ur["unseen_rate"]),
-            }
-        )
-    card_df = pd.DataFrame(card_rows).sort_values("train_nunique", ascending=False)
-    unseen_df = pd.DataFrame(unseen_rows).sort_values(
+    tick("indicator_auc")
+    # ---- cardinality + unseen categories (ref 369-405): ALL features in
+    # a constant number of stacked passes (a per-feature loop costs 4
+    # full-table jobs per column) ----
+    prof = (
+        P.cardinality_unseen_profile(train_main, test_main, cat_main)
+        .toPandas()
+        .set_index("feature")
+        .reindex(cat_main)
+        .fillna({"train_nunique": 0, "test_nunique": 0,
+                 "unseen_unique_categories": 0, "unseen_rate_test_rows": 0.0})
+        .reset_index()
+    )
+    card_df = prof[["feature", "train_nunique", "test_nunique"]].astype(
+        {"train_nunique": int, "test_nunique": int}
+    ).sort_values("train_nunique", ascending=False)
+    unseen_df = prof[
+        ["feature", "unseen_unique_categories", "unseen_rate_test_rows"]
+    ].astype({"unseen_unique_categories": int}).sort_values(
         "unseen_rate_test_rows", ascending=False
     )
     save(card_df, "categorical_cardinality.csv")
     save(unseen_df, "categorical_unseen_categories.csv")
 
+    tick("cardinality_unseen")
     # ---- adversarial shift (ref 410-459): pyspark.ml GBT ----
-    adv_auc = ML.adversarial_shift_auc(
-        train_main,
-        test_main,
-        feature_cols=main_features,
-        key_col=id_col,
-        sample_pct=cfg.adv_sample_pct,
-        seed=cfg.seed,
-        max_iter=cfg.adv_max_iter,
-        max_depth=cfg.adv_max_depth,
-        step_size=cfg.adv_step_size,
-    )
+    # Boosting is inherently sequential (depth x iterations distributed
+    # passes, most cores idle between barriers), and it shares no inputs
+    # with the screen/whale stages below — so it runs in a concurrent job
+    # thread (Spark's scheduler handles multi-threaded job submission)
+    # while the main thread keeps the cluster busy. Results are identical:
+    # same seeded fit, just overlapped wall-clock.
+    import threading
 
+    adv_result: dict = {}
+
+    def _fit_adversarial() -> None:
+        try:
+            adv_result["auc"] = ML.adversarial_shift_auc(
+                train_main,
+                test_main,
+                feature_cols=main_features,
+                key_col=id_col,
+                sample_pct=cfg.adv_sample_pct,
+                seed=cfg.seed,
+                max_iter=cfg.adv_max_iter,
+                max_depth=cfg.adv_max_depth,
+                step_size=cfg.adv_step_size,
+            )
+        except BaseException as exc:  # surfaced on join below
+            adv_result["error"] = exc
+
+    _adv_t0 = time.perf_counter()
+    adv_thread = threading.Thread(target=_fit_adversarial, name="adversarial-gbt")
+    adv_thread.start()
+
+    tick("adversarial_launch")
     # ---- wide linear screen (ref 463-594): sampled 3-way join, mean
     # impute, ONE chunked moments pass for the feature x target corr ----
     extra_dense = (
@@ -493,8 +530,9 @@ def run_pipeline(
     )
     n_screen = screen.count()
     screen_imp = S.mean_impute(screen, feat_screen)
-    sm = S.cross_moments(screen_imp, feat_screen, target_cols)
-    corr_mat = S.corr_from_moments(sm)
+    # one assembled-vector Correlation pass instead of thousands of chunked
+    # sum expressions — same values (ddof cancels), ~10x on wide screens
+    corr_mat = S.corr_matrix_assembled(screen_imp, feat_screen, target_cols)
 
     miss_rate_map = dict(zip(miss_all_df["feature"], miss_all_df["null_rate"]))
     type_map = {
@@ -587,6 +625,7 @@ def run_pipeline(
     )
     save(selected_top5, "golden_linear_top5_selected_targets.csv")
 
+    tick("linear_screen")
     # ---- whale screen (ref 598-669): distributed contingencies + exact
     # Fisher tail on the driver ----
     rare_targets = target_df[target_df["positive_rate"] < cfg.rare_rate_threshold][
@@ -650,6 +689,13 @@ def run_pipeline(
     )
     save(whale_top_per_target, "whale_top3_per_target.csv")
 
+    tick("whale")
+    adv_thread.join()
+    if "error" in adv_result:
+        raise adv_result["error"]
+    adv_auc = float(adv_result["auc"])
+    stage_seconds["adversarial_gbt_wall"] = round(time.perf_counter() - _adv_t0, 3)
+    tick("adversarial_join_wait")
     # ---- summary + report (ref 674-905) ----
     n_lt_1 = int((target_df["positive_rate"] < 0.01).sum())
     n_lt_01 = int((target_df["positive_rate"] < 0.001).sum())
@@ -768,6 +814,9 @@ All tables in `public_tables/`; summary scalars in `public_tables/summary.json`.
     with open(os.path.join(out_dir, "EDA_REPORT.md"), "w") as fh:
         fh.write(report)
 
+    tick("summary_report")
     for df in (train_main, test_main, train_extra, train_target, fill_df, screen):
         df.unpersist()
+    summary = dict(summary)
+    summary["stage_seconds"] = stage_seconds
     return summary

@@ -61,6 +61,28 @@ class TestMomentsEngine:
         m2 = S.cross_moments(sdf, cols, cols, chunk_size=1000)
         np.testing.assert_allclose(m1["sum_xy"], m2["sum_xy"])
 
+    def test_assembled_corr_matches_moments_route(self, sdf, synth):
+        """The one-pass Correlation.corr screen must agree with the
+        chunked-moments route, including the xs x ys block slicing and
+        the constant-column NaN guard."""
+        xs, ys = ["x1", "x2", "x3"], ["y1", "y2"]
+        imputed = S.mean_impute(sdf, ["x3"])
+        via_moments = S.corr_from_moments(S.cross_moments(imputed, xs, ys))
+        via_assembled = S.corr_matrix_assembled(imputed, xs, ys)
+        assert list(via_assembled.index) == xs
+        assert list(via_assembled.columns) == ys
+        np.testing.assert_allclose(
+            via_assembled.to_numpy(), via_moments.to_numpy(), rtol=1e-9, atol=1e-12
+        )
+
+    def test_assembled_corr_constant_column_nan(self, spark):
+        df = spark.createDataFrame(
+            pd.DataFrame({"a": [1.0, 1.0, 1.0], "b": [1.0, 2.0, 3.0]})
+        )
+        corr = S.corr_matrix_assembled(df, ["a", "b"], ["b"])
+        assert np.isnan(corr.loc["a", "b"])
+        assert corr.loc["b", "b"] == pytest.approx(1.0)
+
     def test_mean_impute(self, sdf, synth):
         imputed = S.mean_impute(sdf, ["x3"])
         assert imputed.filter(F.col("x3").isNull()).count() == 0
@@ -140,6 +162,39 @@ class TestProfile:
         assert unseen == [4, 5]
         rate = profile.unseen_rate_rows(train, test, "c").collect()[0]
         assert rate["unseen_rate"] == pytest.approx(3 / 5)
+
+    def test_cardinality_unseen_profile_matches_per_column(self, spark):
+        """The stacked constant-pass profile must agree with the
+        per-column operators on every stat, including null handling."""
+        train = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "a": [1, 2, 3, 3, None],
+                    "b": [10, 10, None, 20, 30],
+                }
+            )
+        )
+        test = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "a": [2, 3, 4, 5, 5, None],
+                    "b": [10, 40, 40, None, None, 30],
+                }
+            )
+        )
+        prof = {
+            r["feature"]: r
+            for r in profile.cardinality_unseen_profile(train, test, ["a", "b"]).collect()
+        }
+        for c in ["a", "b"]:
+            tr_uni = train.select(c).na.drop().distinct().count()
+            te_uni = test.select(c).na.drop().distinct().count()
+            unseen = profile.unseen_categories(train, test, c).count()
+            rate = profile.unseen_rate_rows(train, test, c).collect()[0]["unseen_rate"]
+            assert prof[c]["train_nunique"] == tr_uni, c
+            assert prof[c]["test_nunique"] == te_uni, c
+            assert prof[c]["unseen_unique_categories"] == unseen, c
+            assert prof[c]["unseen_rate_test_rows"] == pytest.approx(rate), c
 
 
 class TestRelational:
