@@ -282,7 +282,18 @@ def whale_scan(
     625-636.
     """
     if exact:
-        cut = {f: exact_quantiles(df, f, [quantile])[0] for f in features}
+        # ALL cutoffs in one agg pass — a per-feature exact_quantiles loop
+        # costs one full-table job per feature (O(features) scans)
+        row = df.agg(
+            *[
+                F.expr(f"percentile({f}, {quantile})").alias(f"q_{i}")
+                for i, f in enumerate(features)
+            ]
+        ).collect()[0]
+        cut = {
+            f: (float(row[f"q_{i}"]) if row[f"q_{i}"] is not None else float("nan"))
+            for i, f in enumerate(features)
+        }
     else:
         qs = df.approxQuantile(features, [quantile], 0.0001)
         cut = {f: q[0] for f, q in zip(features, qs)}
