@@ -138,6 +138,36 @@ def run_pipeline(
     save(family_df, "target_family_stats.csv")
 
     tick("inventory_targets")
+    # ---- adversarial shift (ref 410-459): pyspark.ml GBT ----
+    # Boosting is inherently sequential (depth x iterations distributed
+    # passes, most cores idle between barriers), and it shares no inputs
+    # with the screen/whale stages below — so it runs in a concurrent job
+    # thread (Spark's scheduler handles multi-threaded job submission)
+    # while the main thread keeps the cluster busy. Results are identical:
+    # same seeded fit, just overlapped wall-clock.
+    import threading
+
+    adv_result: dict = {}
+
+    def _fit_adversarial() -> None:
+        try:
+            adv_result["auc"] = ML.adversarial_shift_auc(
+                train_main,
+                test_main,
+                feature_cols=main_features,
+                key_col=id_col,
+                sample_pct=cfg.adv_sample_pct,
+                seed=cfg.seed,
+                max_iter=cfg.adv_max_iter,
+                max_depth=cfg.adv_max_depth,
+                step_size=cfg.adv_step_size,
+            )
+        except BaseException as exc:  # surfaced on join below
+            adv_result["error"] = exc
+
+    _adv_t0 = time.perf_counter()
+    adv_thread = threading.Thread(target=_fit_adversarial, name="adversarial-gbt")
+    adv_thread.start()
     # ---- opened-targets histogram (ref 126-135): horizontal sum, no
     # driver row data ----
     opened = train_target.select(
@@ -460,36 +490,6 @@ def run_pipeline(
     save(unseen_df, "categorical_unseen_categories.csv")
 
     tick("cardinality_unseen")
-    # ---- adversarial shift (ref 410-459): pyspark.ml GBT ----
-    # Boosting is inherently sequential (depth x iterations distributed
-    # passes, most cores idle between barriers), and it shares no inputs
-    # with the screen/whale stages below — so it runs in a concurrent job
-    # thread (Spark's scheduler handles multi-threaded job submission)
-    # while the main thread keeps the cluster busy. Results are identical:
-    # same seeded fit, just overlapped wall-clock.
-    import threading
-
-    adv_result: dict = {}
-
-    def _fit_adversarial() -> None:
-        try:
-            adv_result["auc"] = ML.adversarial_shift_auc(
-                train_main,
-                test_main,
-                feature_cols=main_features,
-                key_col=id_col,
-                sample_pct=cfg.adv_sample_pct,
-                seed=cfg.seed,
-                max_iter=cfg.adv_max_iter,
-                max_depth=cfg.adv_max_depth,
-                step_size=cfg.adv_step_size,
-            )
-        except BaseException as exc:  # surfaced on join below
-            adv_result["error"] = exc
-
-    _adv_t0 = time.perf_counter()
-    adv_thread = threading.Thread(target=_fit_adversarial, name="adversarial-gbt")
-    adv_thread.start()
 
     tick("adversarial_launch")
     # ---- wide linear screen (ref 463-594): sampled 3-way join, mean
