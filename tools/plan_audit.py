@@ -67,6 +67,27 @@ def main() -> int:
     # brute-force similarity deliberately broadcasts the tiny query side
     check("l7_cosine_topk", contains=["BroadcastNestedLoopJoin"])
 
+    # partitioned sink: the filter must prune directories (PartitionFilters),
+    # not rely on data-column pushdown
+    check(
+        "a7_partitioned_pruning",
+        contains=["PartitionFilters: [isnotnull(o_orderpriority"],
+    )
+    # bucketed co-located join: the ONLY exchange in the whole plan is the
+    # post-join aggregation; the join itself reads both bucketed tables
+    # pre-partitioned on the key (no shuffle, no broadcast)
+    p = plan_of(qs["c8_bucketed_colocated_join"](spark, sf_dir))
+    # count tree nodes ("Exchange (N)"), not detail headers ("(N) Exchange")
+    n_exch = p.count("Exchange (")
+    if "SortMergeJoin" not in p:
+        failures.append("c8_bucketed_colocated_join: expected SortMergeJoin")
+    if n_exch != 1:
+        failures.append(
+            f"c8_bucketed_colocated_join: expected exactly 1 Exchange "
+            f"(post-agg), found {n_exch}"
+        )
+    print(f"[{'OK' if not failures else '??'}] c8_bucketed_colocated_join")
+
     if failures:
         print("\nPLAN AUDIT FAILURES:")
         for f in failures:
