@@ -306,3 +306,50 @@ def simhash_near_pairs(
         .select("id_a", "id_b", "hamming")
         .distinct()
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components of an undirected similarity graph via HashMin
+    label propagation: every node repeatedly adopts the smallest component
+    id among itself and its neighbors until a fixpoint. Returns
+    (id, component) with component = min node id in the component.
+
+    This is the canonicalization step of near-duplicate dedup: pair output
+    from jaccard/MinHash/SimHash says *which docs collide*; components say
+    *which single doc to keep per duplicate cluster*.
+
+    Scale design: each round is one join + one groupBy-min on the label
+    table — all shuffles on the node id key, no driver-side graph. Rounds
+    needed = component diameter, and near-dup clusters are shallow (a hub
+    duplicate connects its variants), so 2-4 rounds in practice.
+    Convergence is detected with a single exact aggregate (sum of labels,
+    strictly decreasing until fixpoint — integer-exact, no tolerance).
+    Lineage is cut with localCheckpoint per round; at cluster scale use
+    checkpoint() to HDFS/object storage instead.
+    """
+    sym = edges.select(F.col(src).alias("id"), F.col(dst).alias("nbr")).union(
+        edges.select(F.col(dst).alias("id"), F.col(src).alias("nbr"))
+    )
+    sym = sym.localCheckpoint(eager=True)
+    labels = sym.groupBy("id").agg(F.least(F.min("nbr"), F.col("id")).alias("comp"))
+    labels = labels.localCheckpoint(eager=True)
+    prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
+    for _ in range(max_iter):
+        # neighbor labels -> adopt the minimum of (own label, neighbor labels)
+        msgs = sym.join(labels, "id").select(
+            F.col("nbr").alias("id"), F.col("comp")
+        )
+        new_labels = (
+            labels.union(msgs).groupBy("id").agg(F.min("comp").alias("comp"))
+        ).localCheckpoint(eager=True)
+        new_sum = new_labels.agg(F.sum("comp")).collect()[0][0]
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels

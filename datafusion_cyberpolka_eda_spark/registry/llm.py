@@ -293,3 +293,60 @@ def l4b_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub-quadratic candidate generation, exact hamming verification."""
     docs = load_table(spark, sf_dir, "documents")
     return D.simhash_near_pairs(docs, "doc_id", "text", max_hamming=6)
+
+
+@register(
+    "l11_neardup_components",
+    """
+    WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM t, LATERAL (SELECT unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i) s
+      WHERE w[i+2] IS NOT NULL
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+      WHERE CAST(inter AS DOUBLE) / (sa.c + sb.c - inter) >= 0.5
+    ),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(id, r) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, r.r FROM reach r JOIN edges e ON e.a = r.id
+    ),
+    comp AS (SELECT id AS doc_id, MIN(r) AS canonical_id FROM reach GROUP BY id)
+    SELECT c.doc_id, c.canonical_id, cs.cluster_size
+    FROM comp c
+    JOIN (SELECT canonical_id, COUNT(*) AS cluster_size
+          FROM comp GROUP BY canonical_id) cs USING (canonical_id)
+    """,
+)
+def l11_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate cluster canonicalization — the step that turns pair
+    output into an actual deduped corpus: exact 3-gram Jaccard pairs at
+    >= 0.5 form a similarity graph; HashMin label propagation
+    (dedup.connected_components, iterative joins, no driver-side graph)
+    resolves transitive clusters; every member maps to the cluster's min
+    doc_id as its canonical representative. The DuckDB oracle recomputes
+    the same closure with a recursive CTE, so the iterative Spark
+    algorithm is hash-checked end-to-end, not rows-only."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    comps = D.connected_components(pairs, "id_a", "id_b")
+    sizes = comps.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        comps.select(F.col("id").alias("doc_id"), F.col("comp").alias("canonical_id"))
+        .join(
+            F.broadcast(sizes.withColumnRenamed("comp", "canonical_id")),
+            "canonical_id",
+        )
+        .select("doc_id", "canonical_id", "cluster_size")
+    )

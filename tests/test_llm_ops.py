@@ -261,3 +261,42 @@ class TestSimhashNearPairs:
             if bin(fps[a] ^ fps[b]).count("1") <= 20
         }
         assert banded == brute
+
+
+class TestConnectedComponents:
+    def test_chain_and_clique_components(self, spark):
+        """A 6-node chain (diameter 5 — forces several HashMin rounds), a
+        triangle, and an isolated pair must resolve to min-id components."""
+        import pandas as pd
+
+        edges = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    # chain 10-11-12-13-14-15, triangle 20-21-22, pair 30-31
+                    "id_a": [10, 11, 12, 13, 14, 20, 21, 20, 30],
+                    "id_b": [11, 12, 13, 14, 15, 21, 22, 22, 31],
+                }
+            )
+        )
+        comps = {
+            r["id"]: r["comp"]
+            for r in D.connected_components(edges, "id_a", "id_b").collect()
+        }
+        assert comps == {
+            10: 10, 11: 10, 12: 10, 13: 10, 14: 10, 15: 10,
+            20: 20, 21: 20, 22: 20,
+            30: 30, 31: 30,
+        }
+
+    def test_edge_order_invariance(self, spark):
+        """Reversed/duplicated edges change nothing (undirected semantics)."""
+        import pandas as pd
+
+        edges = spark.createDataFrame(
+            pd.DataFrame({"id_a": [5, 2, 2, 1], "id_b": [2, 5, 1, 2]})
+        )
+        comps = {
+            r["id"]: r["comp"]
+            for r in D.connected_components(edges, "id_a", "id_b").collect()
+        }
+        assert comps == {1: 1, 2: 1, 5: 1}
