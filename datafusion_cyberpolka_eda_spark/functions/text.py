@@ -113,16 +113,24 @@ N_SIMHASH_BITS = 63  # bits 0..62 of xxhash64; bit 63 skipped so the
 # Spark SQL, and shift-by-column isn't exposed — 2^i via exact double pow)
 
 
-def simhash(col: str | Column) -> Column:
+def simhash(col: str | Column, hash_fn=None, n_bits: int | None = None) -> Column:
     """63-bit SimHash over tokens: per bit, sum +1/-1 according to each
     token's xxhash64 bit; the sign becomes the output bit. Expressed as
-    nested array aggregation — per-row, JVM-side, no shuffle."""
+    nested array aggregation — per-row, JVM-side, no shuffle.
+
+    `hash_fn`/`n_bits` swap the token hash family — e.g. the portable
+    60-bit md5 hash (functions/hashing.md5_hash64) whose fingerprints the
+    DuckDB oracle recomputes bit-for-bit."""
+    if hash_fn is None:
+        hash_fn = F.xxhash64
+    if n_bits is None:
+        n_bits = N_SIMHASH_BITS
     t = tokens(col)
-    zero = F.array_repeat(F.lit(0), N_SIMHASH_BITS)
+    zero = F.array_repeat(F.lit(0), n_bits)
     # hash each token ONCE into a lambda variable; referencing `h` inside
     # the per-bit whens is a variable read — writing xxhash64(w) there
     # would re-inline the hash 63 times per token (measured ~4x slowdown)
-    hashes = F.transform(t, lambda w: F.xxhash64(w))
+    hashes = F.transform(t, lambda w: hash_fn(w))
     bit_counts = F.aggregate(
         hashes,
         zero,
@@ -133,7 +141,7 @@ def simhash(col: str | Column) -> Column:
                     F.when(
                         F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
                     ).otherwise(F.lit(-1))
-                    for i in range(N_SIMHASH_BITS)
+                    for i in range(n_bits)
                 ]
             ),
             lambda a, b: a + b,
@@ -144,7 +152,7 @@ def simhash(col: str | Column) -> Column:
     return F.aggregate(
         F.zip_with(
             bit_counts,
-            F.sequence(F.lit(0), F.lit(N_SIMHASH_BITS - 1)),
+            F.sequence(F.lit(0), F.lit(n_bits - 1)),
             lambda cnt, i: F.when(
                 cnt > 0, F.pow(F.lit(2.0), i.cast("double")).cast("long")
             ).otherwise(F.lit(0).cast("long")),

@@ -264,6 +264,145 @@ def minhash_banded_pairs(
     )
 
 
+def minhash_banded_pairs_portable(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    est_threshold: float = 0.45,
+) -> DataFrame:
+    """Banded MinHash near-dup pairs with the *portable* hash family
+    (functions/hashing.py): md5-derived 60-bit shingle hashes reduced mod
+    2^31-1, then `num_hashes` universal-hash permutations
+    h_i(x) = (a_i*x + b_i) mod P — every value identical in DuckDB, so the
+    whole algorithm (signatures, band buckets, candidate pairs, agreement
+    estimate) is oracle-checked end-to-end, not just stable across runs.
+
+    Same plan shape and shuffle budget as minhash_banded_pairs (ONE
+    signature groupBy with map-side-combined mins, band self-join,
+    candidate distinct); band keys are comma-joined signature slices —
+    at 100 TB hash the key string (band keys here stay short: r values
+    < 2^31 per band). The xxhash64 variant remains the production path
+    (md5 costs ~5-10x more per shingle); this one trades hash speed for
+    cross-engine verifiability."""
+    from datafusion_cyberpolka_eda_spark.functions.hashing import (
+        MERSENNE31,
+        md5_hash64,
+        perm_constants,
+        perm_hash,
+    )
+
+    consts = perm_constants(num_hashes)
+    sh = shingle_sets(df, id_col, text_col, n).select(
+        F.col(id_col).alias("id"),
+        F.pmod(md5_hash64("shingle"), F.lit(MERSENNE31).cast("long")).alias("h"),
+    )
+    sig = sh.groupBy("id").agg(
+        *[
+            F.min(perm_hash(F.col("h"), a, b)).alias(f"s{i}")
+            for i, (a, b) in enumerate(consts)
+        ]
+    )
+    rows_per_band = num_hashes // bands
+    band_keys = [
+        F.concat_ws(
+            ",",
+            *[
+                F.col(f"s{i}").cast("string")
+                for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+            ],
+        )
+        for b in range(bands)
+    ]
+    sig = sig.select(
+        "id",
+        F.array(*[f"s{i}" for i in range(num_hashes)]).alias("sig"),
+        F.array(*band_keys).alias("band_keys"),
+    ).localCheckpoint(eager=True)
+
+    banded = sig.select("id", F.posexplode("band_keys").alias("band_idx", "band_key"))
+    a = banded.select(F.col("id").alias("id_a"), "band_idx", "band_key")
+    b = banded.select(F.col("id").alias("id_b"), "band_idx", "band_key")
+    cand = (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sigs = sig.select("id", "sig")
+    sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ).cast("double") / F.lit(num_hashes)
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= est_threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def minhash_banded_portable_oracle(
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    est_threshold: float = 0.45,
+) -> str:
+    """DuckDB SQL recomputing minhash_banded_pairs_portable exactly on the
+    `documents` view (same hash constants via perm_constants)."""
+    from datafusion_cyberpolka_eda_spark.functions.hashing import (
+        MERSENNE31,
+        md5_hash64_sql,
+        perm_constants,
+    )
+
+    consts = perm_constants(num_hashes)
+    perm_rows = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(consts))
+    rows_per_band = num_hashes // bands
+    grams = " || ' ' || ".join(f"w[i+{j}]" for j in range(n))
+    return f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, {grams} AS shingle
+      FROM t, LATERAL (SELECT unnest(generate_series(1, greatest(len(w) - {n - 1}, 1))) AS i) s
+      WHERE w[i+{n - 1}] IS NOT NULL AND {grams} != ''
+    ),
+    h AS (SELECT doc_id, {md5_hash64_sql('shingle')} % {MERSENNE31} AS h FROM sh),
+    perms(i, pa, pb) AS (VALUES {perm_rows}),
+    sig AS (
+      SELECT doc_id, i, MIN((pa * h + pb) % {MERSENNE31}) AS s
+      FROM h CROSS JOIN perms GROUP BY doc_id, i
+    ),
+    bands AS (
+      SELECT doc_id, i // {rows_per_band} AS band_idx,
+             string_agg(s::VARCHAR, ',' ORDER BY i) AS band_key
+      FROM sig GROUP BY doc_id, i // {rows_per_band}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    est AS (
+      SELECT c.id_a, c.id_b,
+             SUM(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) / {num_hashes}.0 AS est_jaccard
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.id_a
+      JOIN sig sb ON sb.doc_id = c.id_b AND sb.i = sa.i
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, ROUND(est_jaccard, 6) AS est_jaccard
+    FROM est WHERE est_jaccard >= {est_threshold}
+    """
+
+
 def simhash_near_pairs(
     df: DataFrame,
     id_col: str,

@@ -100,6 +100,36 @@ def j3_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "j8_watermark_append",
+    """
+    WITH wm AS (SELECT MAX(ts) - INTERVAL 1 HOUR AS w FROM events)
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= (SELECT w FROM wm)
+    GROUP BY 1, 2
+    """,
+)
+def j8_watermark_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark + append-mode emission (the late-data lifecycle, family
+    J): only windows the final watermark (max ts - 1 h) has closed reach
+    the sink; the still-open last day stays in state. The oracle pins that
+    exact closed-window set — so the watermark semantics themselves are
+    hash-checked, not just the aggregation."""
+    import os
+
+    from datafusion_cyberpolka_eda_spark.streaming.events import (
+        stream_windowed_append_with_watermark,
+    )
+
+    return stream_windowed_append_with_watermark(
+        spark, os.path.join(sf_dir, "events.parquet"), window="1 day", delay="1 hour"
+    )
+
+
+@register(
     "j6_stateful_stream_rollup",
     """
     SELECT user_id, COUNT(*) AS n_events,

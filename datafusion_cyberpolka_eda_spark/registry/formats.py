@@ -63,6 +63,36 @@ def a5_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a8_orc_roundtrip",
+    """
+    SELECT l_returnflag,
+           strftime(l_shipdate, '%Y-%m') AS ship_month,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+)
+def a8_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source (the third columnar format after Parquet; common
+    in Hive-era lakes a migrating user still reads). Timestamps included
+    deliberately — ORC stores them natively, so the micros survive where
+    JSON would truncate. Oracle aggregates the parquet originals."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_returnflag", "l_shipdate"
+    )
+    path = _scratch_path(sf_dir, "orc_lineitem")
+    li.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy(
+        "l_returnflag", F.date_format("l_shipdate", "yyyy-MM").alias("ship_month")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        _dec_sum(F.col("l_extendedprice"), "decimal(18,2)").alias("total_price"),
+    )
+
+
+@register(
     "a6_json_roundtrip",
     """
     SELECT o_orderpriority,

@@ -240,12 +240,35 @@ def l10_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_cols(pairs, ["cosine"])
 
 
-@register("l9_multimodal_features", None)  # sha256 stub features, rows-only
+_MULTIMODAL_ORACLE = """
+    WITH f AS (
+      SELECT doc_id,
+             strlen(text) AS byte_len,
+             substr(sha256(text), 1, 16) AS checksum,
+             ('0x' || substr(sha256(text), 1, 8))::BIGINT / 4294967296.0 AS feat0
+      FROM documents
+    )
+    SELECT 'text' AS modality,
+           COUNT(*) AS n_assets,
+           CAST(SUM(byte_len) AS BIGINT) AS total_bytes,
+           CAST(COUNT(DISTINCT checksum) AS BIGINT) AS n_distinct_payloads,
+           ROUND(AVG(feat0), 6) AS avg_feat0
+    FROM f
+"""
+
+
+@register("l9_multimodal_features", _MULTIMODAL_ORACLE)
 def l9_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary-column plumbing: payload bytes + typed metadata
     struct -> Arrow-batched mapInPandas feature extraction (decode step is
     a deterministic stub; codecs aren't in this container). Returns a
-    per-modality rollup of the extracted features."""
+    per-modality rollup of the extracted features.
+
+    Oracle-checked: the stub featurizer is sha256-based, and DuckDB's
+    sha256 over the same UTF-8 text reproduces byte lengths, checksums,
+    and the leading feature value exactly — so the mapInPandas plumbing
+    (batch iteration, binary payload transport, schema) is verified
+    end-to-end against SQL, not just for stability."""
     from datafusion_cyberpolka_eda_spark.operators.multimodal import (
         documents_as_assets,
         extract_features,
@@ -285,6 +308,54 @@ def l3b_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", n=3, num_hashes=64, bands=16, est_threshold=0.45
     )
     return _round_cols(pairs, ["est_jaccard"])
+
+
+from datafusion_cyberpolka_eda_spark.operators.dedup import (
+    minhash_banded_portable_oracle,
+)
+
+
+@register("l3c_minhash_banded_portable", minhash_banded_portable_oracle())
+def l3c_minhash_banded_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash dedup with the portable md5 + universal-hash family
+    (functions/hashing.py): the DuckDB oracle recomputes the identical
+    signatures, band buckets, candidate pairs, and agreement estimates, so
+    the approximate algorithm itself is hash-checked end-to-end — the
+    strongest correctness statement available for an LSH operator. The
+    xxhash64 twin (l3b) stays the production path."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_banded_pairs_portable(
+        docs, "doc_id", "text", n=3, num_hashes=32, bands=8, est_threshold=0.45
+    )
+    return _round_cols(pairs, ["est_jaccard"])
+
+
+_SIMHASH_PORTABLE_ORACLE = """
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
+    h AS (SELECT doc_id, ('0x' || substr(md5(tk), 1, 15))::BIGINT AS h FROM tok),
+    bits AS (
+      SELECT doc_id, j, SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS cnt
+      FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS j) b
+      GROUP BY doc_id, j
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN cnt > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+    FROM bits GROUP BY doc_id
+"""
+
+
+@register("l4c_simhash_portable", _SIMHASH_PORTABLE_ORACLE)
+def l4c_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash fingerprints with the portable md5 token hash — the
+    DuckDB oracle rebuilds every fingerprint bit-for-bit (per-bit +1/-1
+    vote sums over the same 60-bit token hashes). Verifies the SimHash
+    fold itself; the xxhash64 twin (l4) stays the production path."""
+    from datafusion_cyberpolka_eda_spark.functions.hashing import md5_hash64
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id", T.simhash("text", hash_fn=md5_hash64, n_bits=60).alias("simhash")
+    )
 
 
 @register("l4b_simhash_near_pairs", None)  # xxhash64-based, no DuckDB twin

@@ -272,6 +272,76 @@ def e13_fisher_whale(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_cols(df, ["top1_rate", "rest99_rate", "lift"], 6)
 
 
+_FISHER_GROUPED_ORACLE = """
+    WITH cut AS (
+      SELECT percentile_cont(0.99) WITHIN GROUP (ORDER BY o_totalprice) AS c FROM orders
+    ),
+    f AS (
+      SELECT o_orderpriority AS prio,
+             CAST(o_totalprice >= (SELECT c FROM cut) AS INT) AS top,
+             CAST(o_orderstatus = 'F' AS INT) AS y
+      FROM orders
+    ),
+    ct AS (
+      SELECT prio,
+             SUM(top * y)::BIGINT AS a, SUM(top * (1 - y))::BIGINT AS b,
+             SUM((1 - top) * y)::BIGINT AS c, SUM((1 - top) * (1 - y))::BIGINT AS d
+      FROM f GROUP BY prio
+    ),
+    ks AS (
+      SELECT unnest(generate_series(0, (SELECT MAX(LEAST(a + b, a + c)) FROM ct))) AS k
+    ),
+    terms AS (
+      SELECT ct.prio, ks.k,
+             (lgamma(a+b+1) - lgamma(k+1) - lgamma(a+b-k+1))
+           + (lgamma(c+d+1) - lgamma(a+c-k+1) - lgamma(c+d-(a+c-k)+1))
+           - (lgamma(a+b+c+d+1) - lgamma(a+c+1) - lgamma(b+d+1)) AS lt
+      FROM ct JOIN ks ON ks.k BETWEEN ct.a AND LEAST(ct.a + ct.b, ct.a + ct.c)
+      WHERE ct.a + ct.c - ks.k <= ct.c + ct.d
+    )
+    SELECT ct.prio, a, b, c, d,
+           ROUND(LEAST((SELECT SUM(exp(lt)) FROM terms t WHERE t.prio = ct.prio), 1.0), 6) AS fisher_p
+    FROM ct
+"""
+
+
+@register("e13b_fisher_exact_grouped", _FISHER_GROUPED_ORACLE)
+def e13b_fisher_exact_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher exact test, oracle-checked (operator E13): per-priority 2x2
+    contingency (global p99 price tail x status) computed distributed, the
+    one-sided hypergeometric tail computed driver-side with log-gamma
+    arithmetic. The DuckDB oracle recomputes the same tail via lgamma +
+    generate_series — both engines call the same libm lgamma and sum terms
+    in ascending-k order, so the 6-dp-rounded p-values match exactly. This
+    removes the 'exact test has no SQL twin' gap of e13 (which remains the
+    full whale-scan path)."""
+    o = load_table(spark, sf_dir, "orders")
+    cut = S.exact_quantiles(o, "o_totalprice", [0.99])[0]
+    top = (F.col("o_totalprice") >= F.lit(cut)).cast("long")
+    y = (F.col("o_orderstatus") == "F").cast("long")
+    t, yv = F.col("top"), F.col("y")
+    ct = (
+        o.select(F.col("o_orderpriority").alias("prio"), top.alias("top"), y.alias("y"))
+        .groupBy("prio")
+        .agg(
+            F.sum(t * yv).alias("a"),
+            F.sum(t * (1 - yv)).alias("b"),
+            F.sum((1 - t) * yv).alias("c"),
+            F.sum((1 - t) * (1 - yv)).alias("d"),
+        )
+    )
+    rows = ct.collect()
+    out = spark.createDataFrame(
+        [
+            (r["prio"], r["a"], r["b"], r["c"], r["d"],
+             S.fisher_exact_greater(r["a"], r["b"], r["c"], r["d"]))
+            for r in rows
+        ],
+        "prio string, a bigint, b bigint, c bigint, d bigint, fisher_p double",
+    )
+    return _round_cols(out, ["fisher_p"])
+
+
 _FLAGS = {
     "flag_a": "CAST(l_returnflag = 'A' AS INT)",
     "flag_f": "CAST(l_linestatus = 'F' AS INT)",

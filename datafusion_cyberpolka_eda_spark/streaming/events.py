@@ -80,6 +80,46 @@ def stream_tumbling_window_agg(
     return spark.table(name)
 
 
+def stream_windowed_append_with_watermark(
+    spark: SparkSession,
+    parquet_path: str,
+    window: str = "1 day",
+    delay: str = "1 hour",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Watermarked windowed aggregation in APPEND mode — the late-data
+    lifecycle: a window is emitted only once, when the watermark
+    (max event time - delay) passes its end; still-open windows are held
+    in state and never appear in the sink. After the single data batch the
+    engine runs a no-data batch (noDataMicroBatches, on by default) that
+    flushes every window closed by the final watermark — so with file
+    input the emitted set is exactly the windows whose end <= max(ts) -
+    delay, which is what the batch oracle pins. On a cluster this is the
+    shape for continuous window emission with bounded state; rows later
+    than the watermark are dropped instead of reopening emitted windows."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(parquet_path).schema
+    if os.path.isfile(parquet_path):
+        stage = tempfile.mkdtemp(prefix="stream_wm_src_")
+        os.symlink(parquet_path, os.path.join(stage, os.path.basename(parquet_path)))
+        source_dir = stage
+    else:
+        source_dir = parquet_path
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = tumbling_window_agg(
+        stream.withWatermark("ts", delay), key_col=key_col, window=window
+    )
+    name = f"stream_wm_{uuid.uuid4().hex[:8]}"
+    q = agg.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 def sessionize(
     events: DataFrame,
     user_col: str = "user_id",

@@ -300,3 +300,84 @@ class TestConnectedComponents:
             for r in D.connected_components(edges, "id_a", "id_b").collect()
         }
         assert comps == {1: 1, 2: 1, 5: 1}
+
+
+class TestPortableHashFamily:
+    """The portable md5/universal-hash family (functions/hashing.py) must
+    agree with an independent pure-Python mirror — the same property the
+    DuckDB oracle checks cross-engine, pinned here at the function level."""
+
+    def test_md5_hash64_matches_python(self, spark):
+        import hashlib
+
+        from datafusion_cyberpolka_eda_spark.functions.hashing import md5_hash64
+
+        words = ["", "a", "hello world", "日本語", "x" * 500]
+        df = spark.createDataFrame([(w,) for w in words], "w string")
+        got = {r["w"]: r["h"] for r in df.select("w", md5_hash64("w").alias("h")).collect()}
+        for w in words:
+            expect = int(hashlib.md5(w.encode("utf-8")).hexdigest()[:15], 16)
+            assert got[w] == expect, w
+
+    def test_perm_constants_deterministic_and_bounded(self):
+        from datafusion_cyberpolka_eda_spark.functions.hashing import (
+            MERSENNE31,
+            perm_constants,
+        )
+
+        c1, c2 = perm_constants(32), perm_constants(32)
+        assert c1 == c2
+        assert len(set(c1)) == 32
+        for a, b in c1:
+            assert 1 <= a < MERSENNE31 and 0 <= b < MERSENNE31
+
+    def test_portable_minhash_recall_vs_exact(self, docs):
+        exact = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in D.ngram_jaccard_pairs(
+                docs, "doc_id", "text", n=3, threshold=0.6
+            ).collect()
+        }
+        assert exact
+        banded = {
+            (r["id_a"], r["id_b"]): r["est_jaccard"]
+            for r in D.minhash_banded_pairs_portable(
+                docs, "doc_id", "text", n=3, est_threshold=0.3
+            ).collect()
+        }
+        missed = set(exact) - set(banded)
+        assert not missed, f"portable minhash missed high-sim pairs: {missed}"
+        for pair, j in exact.items():
+            # 32 hashes -> coarser estimator than the 64-hash xxhash64 twin
+            assert abs(banded[pair] - j) < 0.35, (pair, j, banded[pair])
+
+    def test_portable_simhash_matches_python(self, spark):
+        import hashlib
+
+        from datafusion_cyberpolka_eda_spark.functions.hashing import md5_hash64
+        from datafusion_cyberpolka_eda_spark.functions.text import simhash
+
+        def py_simhash(text: str, n_bits: int = 60) -> int:
+            toks = text.split(" ")
+            out = 0
+            for j in range(n_bits):
+                c = sum(
+                    1
+                    if (int(hashlib.md5(t.encode()).hexdigest()[:15], 16) >> j) & 1
+                    else -1
+                    for t in toks
+                )
+                if c > 0:
+                    out |= 1 << j
+            return out
+
+        texts = ["one two three four", "a b a b a", "solo"]
+        df = spark.createDataFrame([(t,) for t in texts], "t string")
+        got = {
+            r["t"]: r["sh"]
+            for r in df.select(
+                "t", simhash("t", hash_fn=md5_hash64, n_bits=60).alias("sh")
+            ).collect()
+        }
+        for t in texts:
+            assert got[t] == py_simhash(t), t
