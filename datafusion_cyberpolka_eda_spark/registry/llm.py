@@ -7,7 +7,7 @@ multimodal binary-column plumbing.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datafusion_cyberpolka_eda_spark.functions import text as T
@@ -364,6 +364,127 @@ def l4b_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub-quadratic candidate generation, exact hamming verification."""
     docs = load_table(spark, sf_dir, "documents")
     return D.simhash_near_pairs(docs, "doc_id", "text", max_hamming=6)
+
+
+@register(
+    "l12_vocab_topk",
+    """
+    WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+    c AS (
+      SELECT word, COUNT(*) AS tf, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM w WHERE word != '' GROUP BY word
+    )
+    SELECT word, tf, df FROM c ORDER BY tf DESC, word LIMIT 50
+    """,
+)
+def l12_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building — global term and document frequencies, top-50
+    by count (tokenizer-training / stopword-mining step). Word counts are
+    the canonical skewed aggregation; partial (map-side) aggregation
+    absorbs the skew for counts, and the top-k is TakeOrderedAndProject
+    (per-partition heaps), never a global sort. Deterministic tiebreak
+    (count desc, word asc) on both engines."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    w = docs.select("doc_id", F.explode(T.tokens("text")).alias("word")).filter(
+        F.col("word") != ""
+    )
+    return (
+        w.groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.desc("tf"), F.asc("word"))
+        .limit(50)
+    )
+
+
+@register(
+    "l13_tfidf_topk",
+    """
+    WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+    tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w WHERE word != '' GROUP BY doc_id, word),
+    df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.word,
+             ROUND(tf.tf * ln(CAST((SELECT n FROM n) AS DOUBLE) / df.df), 6) AS tfidf
+      FROM tf JOIN df USING (word)
+    ),
+    ranked AS (
+      SELECT doc_id, word, tfidf,
+             CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+               ORDER BY tfidf DESC, word ASC) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT doc_id, word, tfidf, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def l13_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: per-doc term frequencies, document
+    frequencies, idf = ln(N/df), top-3 terms per doc via a partitioned
+    window. Two shuffles (doc-term agg, term df) + one broadcast of the
+    tiny df table back onto the term rows; rank ties broken by word for
+    determinism. The per-(doc,word) groupBy carries hashed-string keys
+    only — at 100 TB swap the word for xxhash64(word) and re-attach
+    strings to the final top-k rows."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    n_docs = docs.count()
+    w = docs.select("doc_id", F.explode(T.tokens("text")).alias("word")).filter(
+        F.col("word") != ""
+    )
+    tf = w.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(df), "word").select(
+        "doc_id",
+        "word",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w_rank = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("word"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank).cast("bigint"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "word", "tfidf", "rank")
+    )
+
+
+@register(
+    "l14_label_centroid_norms",
+    """
+    WITH pos AS (SELECT unnest(generate_series(1, 64)) AS i),
+    comp AS (
+      SELECT label, i, AVG(CAST(embedding[i] AS DOUBLE)) AS c
+      FROM embeddings CROSS JOIN pos GROUP BY label, i
+    )
+    SELECT label,
+           CAST((SELECT COUNT(*) FROM embeddings e WHERE e.label = comp.label) AS BIGINT) AS n_vectors,
+           ROUND(sqrt(SUM(c * c)), 6) AS centroid_norm
+    FROM comp GROUP BY label
+    """,
+)
+def l14_label_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (the k-means/IVF building block):
+    elementwise mean via posexplode + (label, position) aggregation, then
+    the centroid L2 norm. One shuffle of (label, dim) pairs — state
+    O(labels x dim), independent of row count; the same shape computes
+    IVF cell centroids at 100 TB. Norm rounded (order-sensitive float
+    sum); component means are exact-count averages."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = (
+        emb.select("label", F.posexplode("embedding").alias("i", "v"))
+        .groupBy("label", "i")
+        .agg(F.avg(F.col("v").cast("double")).alias("c"))
+    )
+    counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vectors"))
+    out = (
+        comp.groupBy("label")
+        .agg(F.round(F.sqrt(F.sum(F.col("c") * F.col("c"))), 6).alias("centroid_norm"))
+        .join(F.broadcast(counts), "label")
+        .select("label", "n_vectors", "centroid_norm")
+    )
+    return out
 
 
 @register(

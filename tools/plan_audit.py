@@ -67,6 +67,12 @@ def main() -> int:
     # brute-force similarity deliberately broadcasts the tiny query side
     check("l7_cosine_topk", contains=["BroadcastNestedLoopJoin"])
 
+    # vocabulary top-k: per-partition heaps + driver merge, no global sort
+    check("l12_vocab_topk", contains=["TakeOrderedAndProject"])
+    # tf-idf: the tiny document-frequency table broadcasts back onto the
+    # term rows (no third shuffle)
+    check("l13_tfidf_topk", contains=["BroadcastHashJoin"], absent=["CartesianProduct"])
+
     # partitioned sink: the filter must prune directories (PartitionFilters),
     # not rely on data-column pushdown
     check(
