@@ -74,3 +74,4 @@ from datafusion_cyberpolka_eda_spark.registry import extra  # noqa: E402,F401
 from datafusion_cyberpolka_eda_spark.registry import formats  # noqa: E402,F401
 from datafusion_cyberpolka_eda_spark.registry import scale  # noqa: E402,F401
 from datafusion_cyberpolka_eda_spark.registry import analytic  # noqa: E402,F401
+from datafusion_cyberpolka_eda_spark.registry import udf  # noqa: E402,F401

@@ -1,0 +1,122 @@
+"""Python UDF/UDTF surface (SURVEY.md §2 family K). The reference defines
+no UDFs (everything is built-in expressions + driver Python) and so does
+this engine's hot path — but a complete engine exposes the full Python
+extension surface, so each flavor is implemented once, oracle-checked,
+and labeled with its cost model:
+
+- UDTF (table function, row -> rows): lateral-joined generator — Python
+  row-at-a-time; use for genuinely tabular expansion logic that built-in
+  explode/inline can't express.
+- pandas UDF (scalar, Arrow-batched): the acceptable Python scalar path —
+  vectorized in/out, ~10-100x the row-wise UDF.
+- row-wise Python UDF: the slow path, kept ONLY as surface coverage; the
+  docstring is the warning label.
+
+Every query here is also expressible with built-in functions (that's what
+the DuckDB oracle proves) — which is exactly the point: the UDF surface
+is verified against the declarative twin, and the declarative form is
+what production code should use.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_cyberpolka_eda_spark.registry import register
+from datafusion_cyberpolka_eda_spark.sources.catalog import load_table, spread
+
+
+@register(
+    "k1_python_udtf",
+    """
+    WITH w AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_tokens,
+           CAST(COUNT(DISTINCT token) AS BIGINT) AS n_distinct_tokens
+    FROM w WHERE token != '' GROUP BY lang
+    """,
+)
+def k1_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 table function): a tokenizer generator
+    lateral-joined against documents, rolled up per language. Python
+    row-at-a-time — fine for low-volume expansion, wrong for the 100 TB
+    hot path (the built-in explode twin is the oracle and the production
+    form). Parallelism = input partitions (spread() first)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token string")
+    class Tokenize:
+        def eval(self, text: str):
+            for t in (text or "").split(" "):
+                if t:
+                    yield (t,)
+
+    spark.udtf.register("tokenize_udtf", Tokenize)
+    spread(load_table(spark, sf_dir, "documents")).createOrReplaceTempView(
+        "k1_documents"
+    )
+    return spark.sql(
+        """
+        SELECT d.lang,
+               COUNT(*) AS n_tokens,
+               COUNT(DISTINCT t.token) AS n_distinct_tokens
+        FROM k1_documents d, LATERAL tokenize_udtf(d.text) t
+        GROUP BY d.lang
+        """
+    )
+
+
+@register(
+    "k2_pandas_udf_scalar",
+    """
+    SELECT source,
+           CAST(SUM(strlen(text)) AS BIGINT) AS total_utf8_bytes,
+           CAST(MAX(strlen(text)) AS BIGINT) AS max_utf8_bytes
+    FROM documents GROUP BY source
+    """,
+)
+def k2_pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas UDF (Arrow-batched, vectorized): UTF-8 byte length
+    per document, aggregated per source. The Arrow transfer + pandas
+    vectorization makes this the acceptable Python scalar path; the
+    oracle's strlen() is the built-in twin that the production plan
+    should (and elsewhere does) use."""
+
+    @F.pandas_udf("long")
+    def utf8_len(s: pd.Series) -> pd.Series:
+        return s.str.encode("utf-8").str.len().astype("int64")
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return docs.groupBy("source").agg(
+        F.sum(utf8_len("text")).alias("total_utf8_bytes"),
+        F.max(utf8_len("text")).alias("max_utf8_bytes"),
+    )
+
+
+@register(
+    "k3_python_udf_rowwise",
+    """
+    SELECT lang,
+           CAST(SUM(len(regexp_extract_all(text, '[aeiou]'))) AS BIGINT) AS total_vowels
+    FROM documents GROUP BY lang
+    """,
+)
+def k3_python_udf_rowwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF — THE SLOW PATH (one Python call per row,
+    pickled row transfer, no vectorization; ~10-100x slower than the
+    pandas UDF and ~infinitely slower than the regexp built-in the oracle
+    uses). Exists as surface coverage with this warning label; never put
+    this shape on a 100 TB hot path."""
+
+    @F.udf("long")
+    def vowel_count(s: str) -> int:
+        return sum(1 for ch in (s or "") if ch in "aeiou")
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return docs.groupBy("lang").agg(
+        F.sum(vowel_count("text")).alias("total_vowels")
+    )
