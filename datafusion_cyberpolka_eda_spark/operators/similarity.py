@@ -188,3 +188,153 @@ def ann_ivf_topk(
     )
     assigned.unpersist()
     return out
+
+
+def ann_ivf_fixed_topk_multi(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: list[int],
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 8,
+) -> DataFrame:
+    """IVF ANN with a FIXED coarse quantizer: centroids are the unit
+    vectors of the first ``n_centroids`` ids, cell assignment is a pure
+    argmax-of-dot expression, probe selection a driver-side argsort —
+    every step deterministic arithmetic, independent of partitioning,
+    session config, or engine (unlike a KMeans fit, whose init sampling
+    depends on partition layout). Quality is a notch below trained
+    centroids; determinism is what the oracle-checked recall gate needs,
+    and at 100 TB a fixed/externally-trained quantizer is standard anyway
+    (you train the quantizer once offline, not per index build).
+    Returns (query_id, neighbor_id, cosine, rank)."""
+    import numpy as np
+    from pyspark.sql import Window
+
+    unit = spread(df).select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            F.col(vec_col), lambda x: x.cast("double") / norm_expr(vec_col)
+        ).alias("unit_arr"),
+    )
+    cent_rows = sorted(
+        unit.filter(F.col("id") < n_centroids).collect(), key=lambda r: r["id"]
+    )
+    centers = np.array([r["unit_arr"] for r in cent_rows])
+
+    def dot_lit(vec):
+        arr = F.array(*[F.lit(float(x)) for x in vec])
+        return F.aggregate(
+            F.zip_with(F.col("unit_arr"), arr, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    dots = F.array(*[dot_lit(c) for c in centers])
+    # first-max tiebreak: array_position returns the first occurrence
+    assigned = unit.withColumn(
+        "cell", (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+    ).localCheckpoint(eager=True)
+
+    qrows = assigned.filter(F.col("id").isin(list(query_ids))).collect()
+    probe_rows = []
+    for qr in qrows:
+        qvec = np.array(qr["unit_arr"])
+        cells = [int(i) for i in np.argsort(-(centers @ qvec), kind="stable")[:n_probe]]
+        probe_rows.append((qr["id"], [float(x) for x in qvec], cells))
+    probes = F.broadcast(
+        assigned.sparkSession.createDataFrame(
+            probe_rows, "query_id bigint, q_arr array<double>, probe_cells array<int>"
+        )
+    )
+    score = F.aggregate(
+        F.zip_with(F.col("unit_arr"), F.col("q_arr"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("id"))
+    return (
+        assigned.join(
+            probes,
+            F.array_contains(F.col("probe_cells"), F.col("cell"))
+            & (F.col("id") != F.col("query_id")),
+        )
+        .withColumn("cosine", score)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("id").alias("neighbor_id"), "cosine", "rank")
+    )
+
+
+def ann_ivf_topk_multi(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: list[int],
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF ANN for a batch of queries over ONE index build (the realistic
+    serving shape — ann_ivf_topk refits KMeans per query, fine for a
+    single lookup, wasteful for a batch). Probe-cell selection stays a
+    driver-side argsort over the tiny centroid matrix per query; scoring
+    is one pass: broadcast the (query vector, probe cells) table, join on
+    cell membership, dot-product via zip_with, per-query top-k window.
+    Returns (query_id, neighbor_id, cosine, rank)."""
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import Window
+
+    unit = spread(df).select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            F.col(vec_col), lambda x: x.cast("double") / norm_expr(vec_col)
+        ).alias("unit_arr"),
+    ).withColumn("features", array_to_vector("unit_arr"))
+    km = KMeans(
+        k=n_centroids,
+        seed=seed,
+        initMode="random",
+        maxIter=10,
+        featuresCol="features",
+        predictionCol="cell",
+    )
+    model = km.fit(unit)
+    assigned = model.transform(unit).select("id", "unit_arr", "cell").persist()
+    centers = np.array(model.clusterCenters())
+
+    qrows = assigned.filter(F.col("id").isin(list(query_ids))).collect()
+    probe_rows = []
+    for qr in qrows:
+        qvec = np.array(qr["unit_arr"])
+        cells = [int(i) for i in np.argsort(((centers - qvec) ** 2).sum(axis=1))[:n_probe]]
+        probe_rows.append((qr["id"], [float(x) for x in qvec], cells))
+    probes = F.broadcast(
+        assigned.sparkSession.createDataFrame(
+            probe_rows, "query_id bigint, q_arr array<double>, probe_cells array<int>"
+        )
+    )
+    score = F.aggregate(
+        F.zip_with(F.col("unit_arr"), F.col("q_arr"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("id"))
+    out = (
+        assigned.join(
+            probes,
+            F.array_contains(F.col("probe_cells"), F.col("cell"))
+            & (F.col("id") != F.col("query_id")),
+        )
+        .withColumn("cosine", score)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("id").alias("neighbor_id"), "cosine", "rank")
+        .localCheckpoint(eager=True)
+    )
+    assigned.unpersist()
+    return out

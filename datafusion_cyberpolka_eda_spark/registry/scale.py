@@ -166,3 +166,131 @@ def c9_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pq").cast("double").alias("sum_qty"),
         F.sum("pp").cast("double").alias("sum_price"),
     )
+
+
+@register(
+    "c10_bloom_join_prefilter",
+    """
+    WITH cut AS (
+      SELECT percentile_cont(0.99) WITHIN GROUP (ORDER BY o_totalprice) AS c FROM orders
+    ),
+    w AS (SELECT o_orderkey FROM orders WHERE o_totalprice >= (SELECT c FROM cut))
+    SELECT CAST(COUNT(*) AS BIGINT) AS true_semi_count,
+           TRUE AS bloom_keeps_all_matches,
+           TRUE AS bloom_fp_rate_below_5pct
+    FROM lineitem l JOIN w ON l.l_orderkey = w.o_orderkey
+    """,
+)
+def c10_bloom_join_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join pre-filtering — the 100 TB shuffle-reduction
+    technique: build a Bloom filter over a selective dimension side (the
+    top-1%-price "whale" orders), embed it as a literal bit array in the
+    probe expression, filter the fact table BEFORE any shuffle, then run
+    the real join on the survivors. Built entirely from expressions
+    (xxhash64 K-way hashing, bit_or word aggregation — PySpark 4 removed
+    df.stat.bloomFilter): the build is one map-side-combined agg over the
+    keys, the probe is whole-stage-codegen bit tests, and bit-OR is
+    order-independent so the result is partition-deterministic. The
+    oracle pins the exact semi-join count plus two contracts: no false
+    negatives (guaranteed by construction, asserted anyway) and observed
+    false-positive rate under 5% (sized 16 bits/key, K=5 -> ~0.1%
+    theoretical). Catalyst's runtime row-level filtering does this
+    automatically where it can see through; the explicit form covers
+    sources and custom operators it can't."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cut = orders.agg(F.expr("percentile(o_totalprice, 0.99)")).collect()[0][0]
+    whales = orders.filter(F.col("o_totalprice") >= F.lit(cut)).select("o_orderkey")
+    n_keys = whales.count()
+    n_words = max((16 * n_keys + 63) // 64, 2)
+    m_bits = 64 * n_words
+    n_hash = 5
+
+    hashes = [
+        F.pmod(F.xxhash64("o_orderkey", F.lit(j)), F.lit(m_bits)) for j in range(n_hash)
+    ]
+    words = (
+        whales.select(F.explode(F.array(*hashes)).alias("idx"))
+        .selectExpr(
+            "CAST(idx DIV 64 AS INT) AS word",
+            "shiftleft(CAST(1 AS BIGINT), CAST(idx % 64 AS INT)) AS mask",
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(mask) AS mask"))
+    )
+    wm = {r["word"]: r["mask"] for r in words.collect()}
+    bloom_lit = F.array(*[F.lit(int(wm.get(w, 0))).cast("long") for w in range(n_words)])
+
+    pre = li.select("l_orderkey").withColumn("__bf", bloom_lit)
+    for j in range(n_hash):
+        pre = pre.withColumn(
+            f"__i{j}", F.pmod(F.xxhash64("l_orderkey", F.lit(j)), F.lit(m_bits))
+        )
+    probe = " AND ".join(
+        f"((element_at(__bf, CAST(__i{j} DIV 64 AS INT) + 1) "
+        f">> CAST(__i{j} % 64 AS INT)) & 1) = 1"
+        for j in range(n_hash)
+    )
+    survivors = pre.filter(F.expr(probe)).select("l_orderkey")
+    survivors = survivors.localCheckpoint(eager=True)
+
+    true_count = li.join(F.broadcast(whales), li.l_orderkey == whales.o_orderkey).count()
+    pre_count = survivors.count()
+    distinct_pre = survivors.distinct().count()
+    distinct_true = (
+        li.join(F.broadcast(whales), li.l_orderkey == whales.o_orderkey, "left_semi")
+        .select("l_orderkey")
+        .distinct()
+        .count()
+    )
+    # fp rate = false positives / probed NON-members (the textbook fpp
+    # definition) — dividing by survivors would make the metric collapse
+    # whenever the member set is small relative to the key universe
+    distinct_universe = li.select("l_orderkey").distinct().count()
+    non_members = max(distinct_universe - distinct_true, 1)
+    fp_rate = (distinct_pre - distinct_true) / non_members
+    return spark.createDataFrame(
+        [(true_count, pre_count >= true_count, fp_rate < 0.05)],
+        "true_semi_count bigint, bloom_keeps_all_matches boolean, "
+        "bloom_fp_rate_below_5pct boolean",
+    )
+
+
+@register(
+    "e10b_approx_quantile_bound",
+    """
+    WITH q AS (
+      SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS p50,
+             percentile_cont(0.99) WITHIN GROUP (ORDER BY o_totalprice) AS p99
+      FROM orders
+    )
+    SELECT ROUND(p50, 6) AS exact_p50, ROUND(p99, 6) AS exact_p99,
+           TRUE AS approx_within_rank_eps
+    FROM q
+    """,
+)
+def e10b_approx_quantile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB quantile path (operator E10's scale variant):
+    approxQuantile (Greenwald-Khanna, bounded memory, single pass) next
+    to the exact percentile, asserting the estimate's RANK error is
+    within the requested epsilon (0.005): the approx p-quantile must lie
+    between the exact (p-eps)- and (p+eps)-quantiles. The oracle pins the
+    exact values and the bound booleans. Exact percentile needs a full
+    sort/collect per group — GK is what survives at scale."""
+    o = load_table(spark, sf_dir, "orders")
+    eps = 0.005
+    exact = o.agg(
+        F.expr("percentile(o_totalprice, array(0.495, 0.5, 0.505, 0.985, 0.99, 0.995))").alias("q")
+    ).collect()[0]["q"]
+    p50_lo, p50, p50_hi, p99_lo, p99, p99_hi = [float(x) for x in exact]
+    a50, a99 = o.approxQuantile("o_totalprice", [0.5, 0.99], eps)
+    ok = (p50_lo <= a50 <= p50_hi) and (p99_lo <= a99 <= p99_hi)
+    out = spark.createDataFrame(
+        [(p50, p99, ok)],
+        "exact_p50 double, exact_p99 double, approx_within_rank_eps boolean",
+    )
+    return out.select(
+        F.round("exact_p50", 6).alias("exact_p50"),
+        F.round("exact_p99", 6).alias("exact_p99"),
+        "approx_within_rank_eps",
+    )
