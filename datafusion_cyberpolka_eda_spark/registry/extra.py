@@ -338,3 +338,87 @@ def d12_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o_custkey").alias("n_customers"),
         F.max("o_totalprice").alias("max_price"),
     )
+
+
+@register(
+    "c11_merge_upsert",
+    """
+    WITH updates AS (
+      SELECT c_custkey AS key, c_acctbal + 100.0 AS new_bal FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT c_custkey + 1000000, 50.0 FROM customer WHERE c_custkey % 97 = 0
+    ),
+    merged AS (
+      SELECT COALESCE(u.key, c.c_custkey) AS key,
+             COALESCE(c.c_mktsegment, 'NEW') AS segment,
+             COALESCE(u.new_bal, c.c_acctbal) AS bal
+      FROM customer c FULL OUTER JOIN updates u ON c.c_custkey = u.key
+    )
+    SELECT segment, COUNT(*) AS n,
+           CAST(SUM(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM merged GROUP BY segment
+    """,
+)
+def c11_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-1 merge/upsert over plain parquet (no MERGE INTO without a v2
+    catalog): snapshot FULL OUTER JOIN updates on the key, COALESCE picks
+    updated values, unmatched update rows become inserts. One shuffle on
+    the key; at 100 TB bucket both sides on the key (c8) so the nightly
+    merge never reshuffles the snapshot. Update arithmetic is the same
+    IEEE add on both engines; sums go through DECIMAL."""
+    c = load_table(spark, sf_dir, "customer")
+    updates = (
+        c.filter(F.col("c_custkey") % 10 == 0)
+        .select(F.col("c_custkey").alias("key"), (F.col("c_acctbal") + 100.0).alias("new_bal"))
+        .unionByName(
+            c.filter(F.col("c_custkey") % 97 == 0).select(
+                (F.col("c_custkey") + 1000000).alias("key"), F.lit(50.0).alias("new_bal")
+            )
+        )
+    )
+    merged = (
+        c.join(updates, c.c_custkey == updates.key, "full_outer")
+        .select(
+            F.coalesce(updates.key, c.c_custkey).alias("key"),
+            F.coalesce(c.c_mktsegment, F.lit("NEW")).alias("segment"),
+            F.coalesce(updates.new_bal, c.c_acctbal).alias("bal"),
+        )
+    )
+    return merged.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n"),
+        _dec_sum(F.col("bal"), "decimal(18,2)").alias("total_bal"),
+    )
+
+
+@register(
+    "l15_fuzzy_name_pairs",
+    """
+    WITH p AS (SELECT p_partkey, p_name FROM part WHERE p_partkey < 300)
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+    FROM p a JOIN p b ON a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+)
+def l15_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching (entity-resolution primitive): near-identical
+    part names within edit distance 3, via the built-in JVM levenshtein.
+    Brute-force pairs on a keyed slice here; at 100 TB generate candidates
+    first (SimHash/MinHash buckets, l3/l4) and reserve edit distance for
+    in-bucket verification — levenshtein is O(len^2) per pair and must
+    never meet an unbucketed cross join."""
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 300)
+        .select("p_partkey", "p_name")
+    )
+    a = p.select(F.col("p_partkey").alias("id_a"), F.col("p_name").alias("name_a"))
+    b = p.select(F.col("p_partkey").alias("id_b"), F.col("p_name").alias("name_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("edit_dist") <= 3)
+        .select("id_a", "id_b", "name_a", "name_b", "edit_dist")
+    )
