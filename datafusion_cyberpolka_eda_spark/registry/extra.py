@@ -422,3 +422,91 @@ def l15_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_dist") <= 3)
         .select("id_a", "id_b", "name_a", "name_b", "edit_dist")
     )
+
+
+def _pagerank_oracle(iters: int = 10, d: float = 0.85) -> str:
+    """Unrolled-CTE PageRank: DuckDB's recursive CTEs can't aggregate in
+    the recursive part, so fixed iterations unroll to a chained CTE list
+    — same fixed-point arithmetic as the Spark loop."""
+    base = """
+    WITH e AS (
+      SELECT s.s_nationkey AS src, c.c_nationkey AS dst, CAST(COUNT(*) AS DOUBLE) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2
+    ),
+    ow AS (SELECT src, SUM(w) AS ow FROM e GROUP BY src),
+    en AS (SELECT e.src, e.dst, e.w / ow.ow AS wn FROM e JOIN ow ON e.src = ow.src),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nation),
+    r0 AS (SELECT n_nationkey AS id, 1.0 / (SELECT n FROM nn) AS r FROM nation)"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f"""
+    r{i} AS (
+      SELECT nt.n_nationkey AS id,
+             0.15 / (SELECT n FROM nn)
+             + {d} * COALESCE(SUM(p.r * en.wn), 0.0) AS r
+      FROM nation nt
+      LEFT JOIN en ON en.dst = nt.n_nationkey
+      LEFT JOIN r{i - 1} p ON p.id = en.src
+      GROUP BY nt.n_nationkey
+    )""")
+    return (
+        base + "," + ",".join(steps)
+        + f"\n    SELECT id AS nationkey, ROUND(r, 6) AS pagerank FROM r{iters}"
+    )
+
+
+@register("p1_pagerank_trade_graph", _pagerank_oracle())
+def p1_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative graph analytics (no graph ops exist in the reference —
+    engine-completeness extension alongside l11's connected components):
+    weighted PageRank over the supplier-nation -> customer-nation trade
+    graph (edge weight = lineitem count), damping 0.85, 10 fixed
+    iterations. Spark side is the scale shape — ranks as a DataFrame,
+    one join + groupBy per superstep, lineage cut per iteration (exactly
+    how PageRank runs on billions of edges); the graph build is the
+    expensive part (three fact-dimension joins) and runs once. The
+    DuckDB oracle unrolls the same ten supersteps as chained CTEs, so
+    the iterative computation is hash-checked end-to-end."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+
+    e = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    ow = e.groupBy("src").agg(F.sum("w").alias("ow"))
+    en = (
+        e.join(ow, "src")
+        .select("src", "dst", (F.col("w") / F.col("ow")).alias("wn"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = nation.select(F.col("n_nationkey").alias("id"))
+    n = nodes.count()
+    ranks = nodes.select("id", F.lit(1.0 / n).alias("r")).localCheckpoint(eager=True)
+    for _ in range(10):
+        contrib = (
+            en.join(ranks, en.src == ranks.id)
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") * F.col("wn")).alias("c"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.id == contrib.dst, "left")
+            .select(
+                "id",
+                (F.lit(0.15 / n) + 0.85 * F.coalesce(F.col("c"), F.lit(0.0))).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(F.col("id").alias("nationkey"), F.round("r", 6).alias("pagerank"))
