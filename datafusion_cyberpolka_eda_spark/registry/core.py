@@ -106,7 +106,7 @@ def b1_b2_project_cast_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_returnflag,
            COUNT(*) AS n,
-           SUM(CAST(NULLIF(l_discount, 0.0) IS NULL AS BIGINT)) AS n_zero_disc,
+           CAST(SUM(CAST(NULLIF(l_discount, 0.0) IS NULL AS BIGINT)) AS BIGINT) AS n_zero_disc,
            CAST(SUM(CAST(COALESCE(NULLIF(l_discount, 0.0), -1.0) AS DECIMAL(10,2))) AS DOUBLE) AS filled_sum
     FROM lineitem
     GROUP BY l_returnflag
@@ -405,10 +405,10 @@ def d5_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "d6_band_counts",
     """
-    SELECT SUM(CAST(o_totalprice > 400000 AS BIGINT)) AS gt_400k,
-           SUM(CAST(o_totalprice > 200000 AND o_totalprice <= 400000 AS BIGINT)) AS b_200_400k,
-           SUM(CAST(o_totalprice > 100000 AND o_totalprice <= 200000 AS BIGINT)) AS b_100_200k,
-           SUM(CAST(o_totalprice <= 100000 AS BIGINT)) AS le_100k
+    SELECT CAST(SUM(CAST(o_totalprice > 400000 AS BIGINT)) AS BIGINT) AS gt_400k,
+           CAST(SUM(CAST(o_totalprice > 200000 AND o_totalprice <= 400000 AS BIGINT)) AS BIGINT) AS b_200_400k,
+           CAST(SUM(CAST(o_totalprice > 100000 AND o_totalprice <= 200000 AS BIGINT)) AS BIGINT) AS b_100_200k,
+           CAST(SUM(CAST(o_totalprice <= 100000 AS BIGINT)) AS BIGINT) AS le_100k
     FROM orders
     """,
 )

@@ -131,8 +131,8 @@ def g5_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(AVG(CAST(LENGTH(text) - LENGTH(REPLACE(REPLACE(text, '.', ''), ',', '')) AS DOUBLE)
                      / GREATEST(LENGTH(text), 1)), 6) AS avg_punct_ratio,
            ROUND(AVG(CAST(LENGTH(text) AS DOUBLE) / len(string_split(text, ' '))), 6) AS avg_chars_per_token,
-           SUM(CAST(len(string_split(text, ' ')) >= 20 AS BIGINT)) AS n_docs_ge_20_tokens,
-           SUM(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]'))) AS total_bpeish_tokens
+           CAST(SUM(CAST(len(string_split(text, ' ')) >= 20 AS BIGINT)) AS BIGINT) AS n_docs_ge_20_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]'))) AS BIGINT) AS total_bpeish_tokens
     FROM documents GROUP BY source
     """,
 )

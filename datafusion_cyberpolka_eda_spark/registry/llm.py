@@ -105,7 +105,7 @@ def l4_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            ROUND(CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*), 6) AS avg_tokens,
            ROUND(AVG(CAST(LENGTH(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
                      / len(string_split(text, ' '))), 6) AS avg_word_len
@@ -131,10 +131,10 @@ def l5_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "l6_marker_hits",
     """
     SELECT lang,
-           SUM(CAST(len(list_intersect(string_split(text, ' '),
-                                       ['the','and','of','to','a'])) > 0 AS BIGINT)) AS docs_with_en_markers,
-           SUM(CAST(len(list_intersect(string_split(text, ' '),
-                                       ['the','and','of','to','a'])) AS BIGINT)) AS total_distinct_marker_hits
+           CAST(SUM(CAST(len(list_intersect(string_split(text, ' '),
+                                       ['the','and','of','to','a'])) > 0 AS BIGINT)) AS BIGINT) AS docs_with_en_markers,
+           CAST(SUM(CAST(len(list_intersect(string_split(text, ' '),
+                                       ['the','and','of','to','a'])) AS BIGINT)) AS BIGINT) AS total_distinct_marker_hits
     FROM documents GROUP BY lang
     """,
 )

@@ -189,6 +189,7 @@ def e11_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket_col="decile",
         tiebreak_cols=["o_orderkey"],
     )
+    d = d.withColumn("decile", F.col("decile").cast("bigint"))
     return d.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n"),
         F.min("o_totalprice").alias("min_price"),
@@ -209,10 +210,10 @@ def e11_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(o_orderstatus = 'F' AS INT) AS y
       FROM orders
     )
-    SELECT SUM(CAST(top AS BIGINT)) AS top_n,
-           SUM(CAST(top * y AS BIGINT)) AS top_pos,
-           SUM(CAST(1 - top AS BIGINT)) AS rest_n,
-           SUM(CAST((1 - top) * y AS BIGINT)) AS rest_pos,
+    SELECT CAST(SUM(top) AS BIGINT) AS top_n,
+           CAST(SUM(top * y) AS BIGINT) AS top_pos,
+           CAST(SUM(1 - top) AS BIGINT) AS rest_n,
+           CAST(SUM((1 - top) * y) AS BIGINT) AS rest_pos,
            ROUND(CAST(SUM(top * y) AS DOUBLE) / SUM(top), 6) AS top1_rate,
            ROUND(CAST(SUM((1 - top) * y) AS DOUBLE) / SUM(1 - top), 6) AS rest99_rate,
            ROUND((CAST(SUM(top * y) AS DOUBLE) / SUM(top))
@@ -354,7 +355,7 @@ _FLAGS = {
     "\nUNION ALL\n".join(
         f"""SELECT '{a}' AS target_a, '{b}' AS target_b,
            ROUND(corr({ea}, {eb}), 6) AS corr,
-           SUM(CAST({ea} * {eb} AS BIGINT)) AS co_count,
+           CAST(SUM({ea} * {eb}) AS BIGINT) AS co_count,
            ROUND(CAST(SUM({ea} * {eb}) AS DOUBLE) / COUNT(*), 6) AS co_rate,
            ROUND((CAST(SUM({ea}) AS DOUBLE) / COUNT(*)) * (CAST(SUM({eb}) AS DOUBLE) / COUNT(*)), 6) AS expected_rate,
            ROUND((CAST(SUM({ea} * {eb}) AS DOUBLE) / COUNT(*))

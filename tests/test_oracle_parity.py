@@ -33,6 +33,15 @@ def _assert_equal(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str):
     assert list(s.columns) == list(o.columns), (
         f"{name}: column mismatch {list(s.columns)} vs {list(o.columns)}"
     )
+    # The driver's value-hash is typed: DuckDB HUGEINT surfacing as float64
+    # where Spark yields int64 fails the hash even when values are equal
+    # (round-1 root cause of 7 hash_match failures). Hold dtypes identical.
+    dtype_diff = {
+        c: (str(s[c].dtype), str(o[c].dtype))
+        for c in s.columns
+        if s[c].dtype != o[c].dtype
+    }
+    assert not dtype_diff, f"{name}: dtype mismatch spark-vs-oracle {dtype_diff}"
     assert len(s) == len(o), f"{name}: row count {len(s)} vs {len(o)}"
     for c in s.columns:
         sv, ov = s[c].tolist(), o[c].tolist()
