@@ -18,7 +18,7 @@ Scale design notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from datafusion_cyberpolka_eda_spark.functions import text as T
@@ -184,6 +184,94 @@ def embedding_cosine_pairs(
         .select(
             F.col("a_id").alias("id_a"), F.col("b_id").alias("id_b"), "cosine"
         )
+    )
+
+
+def embedding_neardup_bucketed(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Embedding near-dup at scale: bucket candidates with a FIXED coarse
+    quantizer, exact-cosine-verify inside buckets. No all-pairs join
+    anywhere — the plan is equi-joins only (audited: no CartesianProduct).
+
+    Plan shape (the 100 TB path):
+      unit-normalize (norm hoisted, one aggregate per row) ->
+      dot against the n_centroids fixed centroids (unit vectors of the
+      n_centroids smallest ids — deterministic arithmetic, the offline-
+      trained-quantizer stand-in) -> multi-probe: explode each vector to
+      its top-``n_probe`` cells (first-max tiebreak = lowest centroid
+      index) -> self-join on cell -> distinct candidate pairs ->
+      join unit vectors back -> exact cosine (== dot on unit vectors)
+      >= threshold.
+
+    Shuffles: cell self-join (1), candidate distinct (1), two id-equi
+    verify joins. Candidate volume ~ sum of cell sizes squared over
+    cells, not O(n^2); precision is exact (every emitted pair passes the
+    true cosine threshold) and recall rises with n_probe — measured vs
+    the brute-force twin at threshold 0.25: probe 2 -> 0.67-0.71,
+    probe 3 -> 0.90-0.92, probe 4 -> 0.99 (sf0.001/sf0.01; asserted in
+    tests/test_llm_ops.py). The brute-force embedding_cosine_pairs stays
+    as the recall oracle only."""
+    from datafusion_cyberpolka_eda_spark.operators.similarity import (
+        dot_expr,
+        unit_vec_df,
+    )
+
+    unit = unit_vec_df(spread(df), id_col, vec_col)
+    cent_rows = sorted(
+        unit.orderBy("id").limit(n_centroids).collect(), key=lambda r: r["id"]
+    )
+
+    def dot_lit(vec) -> Column:
+        arr = F.array(*[F.lit(float(x)) for x in vec])
+        return F.aggregate(
+            F.zip_with(F.col("unit_arr"), arr, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    scored = unit.withColumn(
+        "cdots", F.array(*[dot_lit(r["unit_arr"]) for r in cent_rows])
+    ).localCheckpoint(eager=True)  # cut the 8x dot lineage before reuse
+    # peel off the top-n_probe cells: argmax, mask with -2 (< any cosine),
+    # repeat — array_position's first-occurrence is the lowest-index tiebreak
+    def mask_at(cell_col: str) -> Column:
+        return F.transform(
+            "cdots",
+            lambda x, i: F.when(i == F.col(cell_col), F.lit(-2.0)).otherwise(x),
+        )
+
+    cells = scored
+    picked = []
+    for j in range(n_probe):
+        cells = cells.withColumn(
+            f"c{j}",
+            (F.array_position("cdots", F.array_max("cdots")) - 1).cast("int"),
+        ).withColumn("cdots", mask_at(f"c{j}"))
+        picked.append(f"c{j}")
+    cells = cells.select(
+        "id", F.explode(F.array(*[F.col(c) for c in picked])).alias("cell")
+    )
+    cand = (
+        cells.alias("a")
+        .join(cells.alias("b"), "cell")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    ua = scored.select(F.col("id").alias("id_a"), F.col("unit_arr").alias("arr_a"))
+    ub = scored.select(F.col("id").alias("id_b"), F.col("unit_arr").alias("arr_b"))
+    return (
+        cand.join(ua, "id_a")
+        .join(ub, "id_b")
+        .withColumn("cosine", dot_expr("arr_a", "arr_b"))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
     )
 
 

