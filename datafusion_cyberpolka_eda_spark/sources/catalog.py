@@ -36,11 +36,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     pruning + predicate pushdown mean Catalyst reads only what the plan
     needs; callers cache hot tables explicitly when reused across actions.
 
-    The events table stores TIMESTAMP(NANOS), which Spark's parquet reader
-    rejects; we read nanos as long (runtime-settable session conf) and
-    rebuild a micros-precision timestamp with exact integer division (the
-    data is micro-resolution, so truncation is lossless — and matches
-    DuckDB's epoch_us semantics).
+    The events table's `ts` physical type varies by data generation
+    (TIMESTAMP(NANOS) → long under nanosAsLong, or tz-less micros → Spark
+    TIMESTAMP_NTZ); `normalize_event_ts` rebuilds a plain UTC TIMESTAMP
+    either way so every downstream operator (unix_micros, window,
+    watermark) sees one well-known type that matches DuckDB's naive-epoch
+    semantics.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
@@ -48,11 +49,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # event-time queries emit date_format strings; pin UTC so results
         # match the (UTC-naive) oracle even under a non-UTC driver session
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-        df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
+        return normalize_event_ts(spark.read.parquet(path))
     return spark.read.parquet(path)
+
+
+def normalize_event_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Coerce the events timestamp to plain TIMESTAMP (UTC session):
+    - nanos-as-long (legacy TIMESTAMP(NANOS) files): exact integer div to
+      micros — data is micro-resolution, truncation is lossless;
+    - TIMESTAMP_NTZ (tz-less parquet micros): cast under the pinned UTC
+      session timezone, i.e. naive wall-clock == UTC instant, exactly how
+      DuckDB treats the same file."""
+    dt = dict(df.dtypes).get(ts_col)
+    if dt == "bigint":
+        return df.withColumn(ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000")))
+    if dt == "timestamp_ntz":
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
 
 
 def load_tables(

@@ -18,6 +18,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from datafusion_cyberpolka_eda_spark.sources.catalog import normalize_event_ts
+
 
 def tumbling_window_agg(
     events: DataFrame,
@@ -54,6 +56,7 @@ def stream_tumbling_window_agg(
     Demonstrates the streaming path locally; on a cluster the source would
     be Kafka/files-arriving and the sink a real table."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     schema = spark.read.parquet(parquet_path).schema
     # the file stream source requires a directory; stage a symlink dir
     if os.path.isfile(parquet_path):
@@ -62,9 +65,7 @@ def stream_tumbling_window_agg(
         source_dir = stage
     else:
         source_dir = parquet_path
-    stream = spark.readStream.schema(schema).parquet(source_dir)
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = normalize_event_ts(spark.readStream.schema(schema).parquet(source_dir))
     agg = tumbling_window_agg(stream, key_col=key_col, window=window)
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
     q = (
@@ -98,6 +99,7 @@ def stream_windowed_append_with_watermark(
     shape for continuous window emission with bounded state; rows later
     than the watermark are dropped instead of reopening emitted windows."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     schema = spark.read.parquet(parquet_path).schema
     if os.path.isfile(parquet_path):
         stage = tempfile.mkdtemp(prefix="stream_wm_src_")
@@ -105,9 +107,7 @@ def stream_windowed_append_with_watermark(
         source_dir = stage
     else:
         source_dir = parquet_path
-    stream = spark.readStream.schema(schema).parquet(source_dir)
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = normalize_event_ts(spark.readStream.schema(schema).parquet(source_dir))
     agg = tumbling_window_agg(
         stream.withWatermark("ts", delay), key_col=key_col, window=window
     )
@@ -181,7 +181,7 @@ def stream_stateful_user_rollup(spark: SparkSession, parquet_path: str) -> DataF
     # clamp for the local one-batch drain (restored after the query)
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
-    stream = spark.readStream.schema(schema).parquet(source)
+    stream = normalize_event_ts(spark.readStream.schema(schema).parquet(source))
 
     def update(key, pdfs, state):
         count, cents = state.get if state.exists else (0, 0)
