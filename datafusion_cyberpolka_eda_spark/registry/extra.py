@@ -443,11 +443,16 @@ def _pagerank_oracle(iters: int = 10, d: float = 0.85) -> str:
     r0 AS (SELECT n_nationkey AS id, 1.0 / (SELECT n FROM nn) AS r FROM nation)"""
     steps = []
     for i in range(1, iters + 1):
+        # SUM(... ORDER BY src): pin the float accumulation order so both
+        # engines add contributions in identical sequence — bit-identical
+        # ranks every superstep, making the final ROUND(r, 6) hash compare
+        # immune to summation-order drift (the Spark side folds a
+        # src-sorted array the same way)
         steps.append(f"""
     r{i} AS (
       SELECT nt.n_nationkey AS id,
              0.15 / (SELECT n FROM nn)
-             + {d} * COALESCE(SUM(p.r * en.wn), 0.0) AS r
+             + {d} * COALESCE(SUM(p.r * en.wn ORDER BY en.src), 0.0) AS r
       FROM nation nt
       LEFT JOIN en ON en.dst = nt.n_nationkey
       LEFT JOIN r{i - 1} p ON p.id = en.src
@@ -487,26 +492,49 @@ def p1_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("double").alias("w"))
     )
     ow = e.groupBy("src").agg(F.sum("w").alias("ow"))
+    # the collapsed graph is O(nations^2) rows — collapse to ONE partition
+    # before the supersteps so each iteration is single-task instead of
+    # shuffling 25 rows across 32 partitions (this is the driver-matrix
+    # boundary pattern: distribute the build, keep the tiny iterate local)
     en = (
         e.join(ow, "src")
         .select("src", "dst", (F.col("w") / F.col("ow")).alias("wn"))
+        .repartition(1)
         .localCheckpoint(eager=True)
     )
-    nodes = nation.select(F.col("n_nationkey").alias("id"))
+    nodes = nation.select(F.col("n_nationkey").alias("id")).coalesce(1)
     n = nodes.count()
     ranks = nodes.select("id", F.lit(1.0 / n).alias("r")).localCheckpoint(eager=True)
-    for _ in range(10):
+    for it in range(10):
+        # fold contributions in src order (array_sort on the struct sorts
+        # by src first): float addition order is pinned, so ranks are
+        # bit-identical to the oracle's SUM(... ORDER BY src) — rounding
+        # at the end can never disagree between engines
         contrib = (
             en.join(ranks, en.src == ranks.id)
             .groupBy("dst")
-            .agg(F.sum(F.col("r") * F.col("wn")).alias("c"))
-        )
-        ranks = (
-            nodes.join(contrib, nodes.id == contrib.dst, "left")
-            .select(
-                "id",
-                (F.lit(0.15 / n) + 0.85 * F.coalesce(F.col("c"), F.lit(0.0))).alias("r"),
+            .agg(
+                F.aggregate(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("src").alias("s"),
+                                (F.col("r") * F.col("wn")).alias("v"),
+                            )
+                        )
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["v"],
+                ).alias("c")
             )
-            .localCheckpoint(eager=True)
         )
+        ranks = nodes.join(contrib, nodes.id == contrib.dst, "left").select(
+            "id",
+            (F.lit(0.15 / n) + 0.85 * F.coalesce(F.col("c"), F.lit(0.0))).alias("r"),
+        )
+        # cut lineage every 3rd superstep, not every one: each eager
+        # checkpoint is a scheduled job (~0.3 s floor locally); a 3-deep
+        # superstep lineage is still tiny while 10 jobs become 4
+        if it % 3 == 2:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select(F.col("id").alias("nationkey"), F.round("r", 6).alias("pagerank"))

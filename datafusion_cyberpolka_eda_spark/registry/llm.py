@@ -149,18 +149,54 @@ def l6_marker_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("l6b_lang_id_confusion", None)  # argmax heuristic, kept rows-only
+def _lang_confusion_oracle() -> str:
+    """DuckDB twin of the lang_id argmax + confusion-share rollup, built
+    from the same LANG_MARKERS source of truth as the Spark expression
+    (first code in sorted order attaining the max score wins; 'und' when
+    no marker matches — exactly lang_id's strict-greater fold)."""
+    score = {
+        code: (
+            "len(list_intersect(string_split(text, ' '), ["
+            + ", ".join(f"'{w}'" for w in T.LANG_MARKERS[code])
+            + "]))"
+        )
+        for code in sorted(T.LANG_MARKERS)
+    }
+    g = "GREATEST(" + ", ".join(score.values()) + ")"
+    cases = " ".join(
+        f"WHEN {score[code]} = __g THEN '{code}'" for code in sorted(T.LANG_MARKERS)
+    )
+    return f"""
+    WITH scored AS (SELECT lang, {g} AS __g, text FROM documents),
+    cells AS (
+      SELECT lang,
+             CASE WHEN __g = 0 THEN 'und' {cases} END AS predicted,
+             COUNT(*) AS n
+      FROM scored GROUP BY 1, 2
+    )
+    SELECT lang, predicted, n,
+           ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY lang), 6)
+             AS share_of_lang
+    FROM cells
+    """
+
+
+@register("l6b_lang_id_confusion", _lang_confusion_oracle())
 def l6b_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID heuristic confusion counts (labeled lang x predicted).
+    """Language-ID heuristic confusion matrix (labeled lang x predicted)
+    with each cell's share of its labeled language — window-over-groupBy.
     The testdata vocabulary is language-agnostic word soup, so accuracy is
     meaningless here — the operator mechanics (argmax of marker scores,
-    deterministic tiebreak) are what's exercised."""
+    deterministic tiebreak, partition-relative shares) are what's
+    exercised and hash-checked."""
     docs = spread(load_table(spark, sf_dir, "documents"))
-    return (
+    cells = (
         docs.select("lang", T.lang_id("text").alias("predicted"))
         .groupBy("lang", "predicted")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    share = F.col("n").cast("double") / F.sum("n").over(Window.partitionBy("lang"))
+    return _round_cols(cells.withColumn("share_of_lang", share), ["share_of_lang"])
 
 
 _COSINE_TOPK_ORACLE = """
