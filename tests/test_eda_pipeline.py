@@ -181,6 +181,131 @@ class TestExactTier:
         assert dist["count"].sum() == summary["rows_train"]
         assert dist["share"].sum() == pytest.approx(1.0, rel=1e-12)
 
+    def test_pair_stats_vs_pandas(self, pipeline_run):
+        """Pair lift/co-occurrence (ref public_eda_pipeline.py:147-173):
+        every value in target_pair_stats.csv reproduced from a pandas
+        oracle on the same fixture — full-data-deterministic tier."""
+        data_dir, out_dir, summary = pipeline_run
+        got = pd.read_csv(os.path.join(out_dir, "public_tables", "target_pair_stats.csv"))
+        y = pd.read_parquet(os.path.join(data_dir, "train_target.parquet")).drop(
+            columns=["customer_id"]
+        )
+        n = len(y)
+        corr = y.corr(method="pearson")
+        assert len(got) == y.shape[1] * (y.shape[1] - 1) // 2
+        for _, row in got.iterrows():
+            a, b = row["target_a"], row["target_b"]
+            co = int((y[a] * y[b]).sum())
+            pa, pb = y[a].mean(), y[b].mean()
+            assert row["co_count"] == co
+            assert row["co_rate"] == pytest.approx(co / n, rel=1e-12)
+            assert row["expected_independent_rate"] == pytest.approx(pa * pb, rel=1e-12)
+            assert row["pair_lift"] == pytest.approx((co / n) / (pa * pb), rel=1e-9)
+            assert row["corr"] == pytest.approx(corr.loc[a, b], rel=1e-9, abs=1e-9)
+
+    def test_missingness_bands_vs_pandas(self, pipeline_run):
+        """Missingness band counts (ref public_eda_pipeline.py:269-280)
+        reproduced exactly from pandas null rates on the fixture."""
+        data_dir, out_dir, _ = pipeline_run
+        got = pd.read_csv(
+            os.path.join(out_dir, "public_tables", "extra_missingness_bands.csv")
+        )
+        ref = pd.read_parquet(os.path.join(data_dir, "train_extra_features.parquet"))
+        r = ref.drop(columns=["customer_id"]).isna().mean()
+        want = {
+            ">99%": int((r > 0.99).sum()),
+            ">95%": int((r > 0.95).sum()),
+            ">90%": int((r > 0.90).sum()),
+            "50-90%": int(((r > 0.50) & (r <= 0.90)).sum()),
+            "10-50%": int(((r > 0.10) & (r <= 0.50)).sum()),
+            "<=10%": int((r <= 0.10).sum()),
+        }
+        assert dict(zip(got["band"], got["count"])) == want
+
+    def test_opened_distribution_vs_pandas(self, pipeline_run):
+        """Opened-target histogram (ref public_eda_pipeline.py:126-135):
+        exact per-value counts and shares, not just totals."""
+        data_dir, out_dir, summary = pipeline_run
+        got = pd.read_csv(
+            os.path.join(out_dir, "public_tables", "opened_targets_distribution.csv")
+        )
+        y = pd.read_parquet(os.path.join(data_dir, "train_target.parquet")).drop(
+            columns=["customer_id"]
+        )
+        want = y.sum(axis=1).value_counts().sort_index()
+        assert list(got["opened_targets"]) == list(want.index)
+        assert list(got["count"]) == list(want.values)
+        for _, row in got.iterrows():
+            assert row["share"] == pytest.approx(
+                row["count"] / summary["rows_train"], rel=1e-12
+            )
+
+    def test_family_stats_vs_pandas(self, pipeline_run):
+        """Family rollup (ref public_eda_pipeline.py:106-116): group
+        count/mean/min/max of positive rates reproduced exactly."""
+        data_dir, out_dir, summary = pipeline_run
+        got = pd.read_csv(
+            os.path.join(out_dir, "public_tables", "target_family_stats.csv"),
+            dtype={"family": str},
+        )
+        y = pd.read_parquet(os.path.join(data_dir, "train_target.parquet")).drop(
+            columns=["customer_id"]
+        )
+        rates = y.mean()
+        fam = pd.DataFrame(
+            {
+                "family": [t.split("_")[1] for t in rates.index],
+                "rate": rates.values,
+            }
+        ).groupby("family")["rate"]
+        for _, row in got.iterrows():
+            f = str(row["family"])
+            assert row["n_targets"] == fam.count()[f]
+            assert row["mean_rate"] == pytest.approx(fam.mean()[f], rel=1e-12)
+            assert row["min_rate"] == pytest.approx(fam.min()[f], rel=1e-12)
+            assert row["max_rate"] == pytest.approx(fam.max()[f], rel=1e-12)
+
+    def test_antagonist_profile_vs_pandas(self, pipeline_run):
+        """Per-target correlation profile artifact equals the pandas corr
+        row for the antagonist target, sorted by |corr| desc."""
+        data_dir, out_dir, _ = pipeline_run
+        got = pd.read_csv(
+            os.path.join(out_dir, "public_tables", "target_10_1_profile.csv")
+        )
+        y = pd.read_parquet(os.path.join(data_dir, "train_target.parquet")).drop(
+            columns=["customer_id"]
+        )
+        ref = y.corr(method="pearson")[cfg_anti()].drop(cfg_anti())
+        assert set(got["other_target"]) == set(ref.index)
+        assert list(got["abs_correlation"]) == sorted(
+            got["abs_correlation"], reverse=True
+        )
+        for _, row in got.iterrows():
+            assert row["correlation"] == pytest.approx(
+                ref[row["other_target"]], rel=1e-9, abs=1e-9
+            )
+            assert row["abs_correlation"] == pytest.approx(
+                abs(ref[row["other_target"]]), rel=1e-9, abs=1e-9
+            )
+
+    def test_feature_missingness_summary_vs_pandas(self, pipeline_run):
+        """Combined main+extra missingness table: exact null rates and
+        source/type labels for every feature (ref 249-264)."""
+        data_dir, out_dir, _ = pipeline_run
+        got = pd.read_csv(
+            os.path.join(out_dir, "public_tables", "feature_missingness_summary.csv")
+        )
+        main = pd.read_parquet(os.path.join(data_dir, "train_main_features.parquet"))
+        extra = pd.read_parquet(os.path.join(data_dir, "train_extra_features.parquet"))
+        assert len(got) == (main.shape[1] - 1) + (extra.shape[1] - 1)
+        for _, row in got.iterrows():
+            src = main if row["source"] == "main" else extra
+            assert row["null_rate"] == pytest.approx(
+                src[row["feature"]].isna().mean(), abs=1e-15
+            )
+            want_type = "cat" if row["feature"].startswith("cat_feature_") else "num"
+            assert row["feature_type"] == want_type
+
     def test_cardinality_and_unseen_vs_pandas(self, pipeline_run):
         data_dir, out_dir, _ = pipeline_run
         train = pd.read_parquet(os.path.join(data_dir, "train_main_features.parquet"))
