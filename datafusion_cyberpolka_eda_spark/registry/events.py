@@ -130,6 +130,28 @@ def j8_watermark_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "j9_stream_dedup_watermark",
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+def j9_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication with watermark-bounded state
+    (dropDuplicatesWithinWatermark) — the streaming twin of batch exact
+    dedup (l1): emits each (user_id, event_type) key once, evicts key
+    state as the watermark advances. With the file source drained in one
+    pass the emitted key set must equal batch DISTINCT, which is the
+    oracle."""
+    import os as _os
+
+    from datafusion_cyberpolka_eda_spark.streaming.events import (
+        stream_dedup_within_watermark,
+    )
+
+    return stream_dedup_within_watermark(
+        spark, _os.path.join(sf_dir, "events.parquet"), delay="1 hour"
+    )
+
+
+@register(
     "j6_stateful_stream_rollup",
     """
     SELECT user_id, COUNT(*) AS n_events,

@@ -199,6 +199,59 @@ def l6b_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_cols(cells.withColumn("share_of_lang", share), ["share_of_lang"])
 
 
+@register(
+    "l16_embedding_quantize_int8",
+    """
+    WITH e AS (
+      SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS v FROM embeddings
+    ),
+    s AS (SELECT vec_id, MAX(ABS(v)) AS amax FROM e GROUP BY vec_id),
+    q AS (
+      SELECT e.vec_id, e.v,
+             CAST(ROUND(e.v * 127.0 / s.amax) AS BIGINT) AS qv,
+             127.0 / s.amax AS scale
+      FROM e JOIN s USING (vec_id) WHERE s.amax > 0
+    )
+    SELECT vec_id,
+           CAST(SUM(qv) AS BIGINT) AS q_sum,
+           CAST(SUM(ABS(qv)) AS BIGINT) AS q_l1,
+           CAST(MAX(ABS(qv)) AS BIGINT) AS q_max,
+           ROUND(MAX(ABS(v - qv / scale)), 9) AS max_abs_err
+    FROM q GROUP BY vec_id
+    """,
+)
+def l16_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of embeddings (vector-search
+    memory/bandwidth staple: 4x smaller vectors, ~127-level resolution):
+    per vector, scale = 127/max|v|, q_i = round(v_i * scale). Pure per-row
+    JVM array expressions — a linear map with no shuffle, embarrassingly
+    parallel at any scale. Emits integer checksums of the quantized code
+    (exact) plus the max dequantization error, all replayed bit-for-bit
+    by the DuckDB oracle (max/integer sums are order-free, so no float
+    accumulation ambiguity exists)."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    vd = F.transform("embedding", lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(vd, F.abs))
+    rows = (
+        emb.select("vec_id", vd.alias("v"), amax.alias("amax"))
+        .filter(F.col("amax") > 0)
+        .withColumn("scale", F.lit(127.0) / F.col("amax"))
+    )
+    qv = F.transform(
+        "v", lambda x: F.round(x * F.lit(127.0) / F.col("amax")).cast("bigint")
+    )
+    rows = rows.withColumn("qv", qv)
+    err = F.zip_with("v", "qv", lambda a, b: F.abs(a - b / F.col("scale")))
+    lsum = lambda c: F.aggregate(c, F.lit(0).cast("bigint"), lambda acc, x: acc + x)  # noqa: E731
+    return rows.select(
+        "vec_id",
+        lsum(F.col("qv")).alias("q_sum"),
+        lsum(F.transform("qv", F.abs)).alias("q_l1"),
+        F.array_max(F.transform("qv", F.abs)).alias("q_max"),
+        F.round(F.array_max(err), 9).alias("max_abs_err"),
+    )
+
+
 _COSINE_TOPK_ORACLE = """
     WITH q AS (SELECT vec_id qid, embedding qe FROM embeddings WHERE vec_id < 5),
     c AS (SELECT vec_id cid, embedding ce FROM embeddings),

@@ -155,6 +155,47 @@ def session_stats(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
     )
 
 
+def stream_dedup_within_watermark(
+    spark: SparkSession,
+    parquet_path: str,
+    keys: list[str] | None = None,
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact deduplication with bounded state
+    (dropDuplicatesWithinWatermark): the first event per key is emitted,
+    later duplicates arriving within the watermark window are dropped, and
+    key state is evicted once the watermark passes it — O(keys in window)
+    state instead of O(all keys ever), which is what makes streaming dedup
+    viable on an unbounded firehose (the streaming member of the dedup
+    family, next to batch l1). Only key columns are emitted: which
+    physical row 'first' is depends on partition arrival order, so
+    emitting the keys keeps the operator deterministic and lets the batch
+    DISTINCT oracle hash-check it."""
+    keys = keys or ["user_id", "event_type"]
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(parquet_path).schema
+    if os.path.isfile(parquet_path):
+        stage = tempfile.mkdtemp(prefix="stream_dedup_src_")
+        os.symlink(parquet_path, os.path.join(stage, os.path.basename(parquet_path)))
+        source = stage
+    else:
+        source = parquet_path
+    stream = normalize_event_ts(spark.readStream.schema(schema).parquet(source))
+    dedup = (
+        stream.withWatermark("ts", delay)
+        .dropDuplicatesWithinWatermark(keys)
+        .select(*keys)
+    )
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = dedup.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 def stream_stateful_user_rollup(spark: SparkSession, parquet_path: str) -> DataFrame:
     """Custom stateful streaming operator via applyInPandasWithState:
     maintains (event_count, total_value_cents) per user in explicit group
