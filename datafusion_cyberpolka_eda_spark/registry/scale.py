@@ -169,6 +169,59 @@ def c9_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "c12_salted_skew_join",
+    """
+    WITH dim AS (
+      SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS prio_total
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MAX(d.prio_total) AS prio_total,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders o JOIN dim d ON o.o_orderpriority = d.o_orderpriority
+    GROUP BY o.o_orderpriority
+    """,
+)
+def c12_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted JOIN for hot keys — the join-side twin of c9's salted agg.
+
+    The fact side joins a per-priority rollup on o_orderpriority: 5
+    distinct values, so a shuffled join hashes the entire fact table onto
+    5 reducers. Salting: replicate the dim side across 64 salt values
+    (explode — viable whenever the hot-key side is replicable), give each
+    fact row a deterministic salt from its row identity, and join on
+    (key, salt) — 5*64 balanced partitions instead of 5 hot ones. Decimal
+    sums make the salted plan's result bit-identical to the direct join,
+    which is the oracle, proving the rewrite semantics-preserving.
+
+    At real scale: AQE's skew-join splitting automates this for sort-merge
+    joins it can observe, and a truly small dim should broadcast instead;
+    explicit salting remains the tool when the dim exceeds broadcast
+    thresholds but hot keys would still serialize reducers (classic:
+    joining a power-law fact to a mid-size entity table)."""
+    n_salt = 64
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    dim = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("prio_total")
+    )
+    dim_salted = dim.withColumn(
+        "salt", F.explode(F.array(*[F.lit(s) for s in range(n_salt)]))
+    )
+    fact_salted = orders.withColumn(
+        "salt", F.pmod(F.xxhash64("o_orderkey", F.lit(11)), F.lit(n_salt)).cast("int")
+    )
+    joined = fact_salted.join(dim_salted, ["o_orderpriority", "salt"])
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.max("prio_total").alias("prio_total"),
+        _dec_sum(F.col("o_totalprice"), "decimal(18,2)").alias("sum_price"),
+    )
+
+
+@register(
     "c10_bloom_join_prefilter",
     """
     WITH cut AS (
