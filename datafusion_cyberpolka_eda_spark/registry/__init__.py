@@ -16,8 +16,10 @@ Cross-engine float determinism rules (SURVEY.md §5.3):
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -50,6 +52,48 @@ def oracle_sql() -> dict[str, str]:
 def _dec_sum(col: F.Column, prec: str = "decimal(24,4)") -> F.Column:
     """Exact associativity-proof sum of a money-like double column."""
     return F.sum(col.cast(prec)).cast("double")
+
+
+def small_df(spark: SparkSession, rows: list[tuple], schema: str) -> DataFrame:
+    """Tiny driver-assembled result table as a SQL VALUES literal.
+
+    `createDataFrame` ships rows through the Python→JVM RDD serialization
+    path: ~0.3 s warm and ~2 s on first use per session — pure overhead
+    for the dozens-of-rows tables the stats engine assembles on the driver
+    (pair loops, moment summaries, contingencies). A VALUES clause parses
+    JVM-side in ~0.06 s. Literals are emitted with round-trip precision
+    (Python float repr), so values are bit-identical to the RDD path.
+
+    `schema` is the same "name type, ..." string createDataFrame takes
+    (primitive types only — no parens/decimals)."""
+    assert "(" not in schema, "small_df handles primitive types only"
+    fields = [tuple(p.strip().rsplit(" ", 1)) for p in schema.split(",")]
+    if not rows:
+        return spark.createDataFrame([], schema)
+
+    def lit(v) -> str:
+        if v is None:
+            return "NULL"
+        if isinstance(v, (bool, np.bool_)):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, (float, np.floating)):
+            v = float(v)
+            if math.isnan(v):
+                return "CAST('NaN' AS DOUBLE)"
+            if math.isinf(v):
+                return f"CAST('{'-' if v < 0 else ''}Infinity' AS DOUBLE)"
+            return repr(v)  # shortest round-trip double literal
+        if isinstance(v, (int, np.integer)):
+            return str(int(v))
+        s = str(v).replace("\\", "\\\\").replace("'", "\\'")
+        return f"'{s}'"
+
+    values = ",".join("(" + ",".join(lit(v) for v in row) + ")" for row in rows)
+    anon = ",".join(f"c{i}" for i in range(len(fields)))
+    cols = ",".join(
+        f"CAST(c{i} AS {t}) AS {n}" for i, (n, t) in enumerate(fields)
+    )
+    return spark.sql(f"SELECT {cols} FROM (VALUES {values}) AS t({anon})")
 
 
 def _round_cols(df: DataFrame, cols: list[str], scale: int = 6) -> DataFrame:

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from datafusion_cyberpolka_eda_spark.registry import _dec_sum, _round_cols, register
+from datafusion_cyberpolka_eda_spark.registry import _dec_sum, _round_cols, register, small_df
 from datafusion_cyberpolka_eda_spark.sources.catalog import load_table
 
 
@@ -262,6 +262,6 @@ def d8b_approx_distinct_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for c in cols
     ]
-    return spark.createDataFrame(
-        rows, "column_name string, exact_distinct bigint, hll_within_5pct boolean"
+    return small_df(
+        spark, rows, "column_name string, exact_distinct bigint, hll_within_5pct boolean"
     )

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from datafusion_cyberpolka_eda_spark.functions import text as T
 from datafusion_cyberpolka_eda_spark.operators import dedup as D
 from datafusion_cyberpolka_eda_spark.operators import similarity as SIM
-from datafusion_cyberpolka_eda_spark.registry import _round_cols, register
+from datafusion_cyberpolka_eda_spark.registry import _round_cols, register, small_df
 from datafusion_cyberpolka_eda_spark.sources.catalog import load_table, spread
 
 
@@ -446,7 +446,7 @@ def l8c_ann_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         (qid, len(got.get(qid, set()) & exact_sets[qid]) / len(exact_sets[qid]) >= 0.6)
         for qid in sorted(exact_sets)
     ]
-    return spark.createDataFrame(rows, "query_id bigint, recall_ge_60pct boolean")
+    return small_df(spark, rows, "query_id bigint, recall_ge_60pct boolean")
 
 
 @register("l3b_minhash_banded", None)  # xxhash64 family, no DuckDB twin

@@ -23,7 +23,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from datafusion_cyberpolka_eda_spark.registry import _dec_sum, register
+from datafusion_cyberpolka_eda_spark.registry import _dec_sum, register, small_df
 from datafusion_cyberpolka_eda_spark.sources.catalog import load_table
 
 _SCRATCH = os.path.join(
@@ -319,7 +319,8 @@ def c10_bloom_join_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # whenever the member set is small relative to the key universe
     non_members = max(int(r["d_all"]) - int(r["d_true"]), 1)
     fp_rate = (int(r["d_pre"]) - int(r["d_true"])) / non_members
-    return spark.createDataFrame(
+    return small_df(
+        spark,
         [(int(r["true_rows"]), int(r["missed_rows"] or 0) == 0, fp_rate < 0.05)],
         "true_semi_count bigint, bloom_keeps_all_matches boolean, "
         "bloom_fp_rate_below_5pct boolean",
@@ -355,7 +356,8 @@ def e10b_approx_quantile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     p50_lo, p50, p50_hi, p99_lo, p99, p99_hi = [float(x) for x in exact]
     a50, a99 = o.approxQuantile("o_totalprice", [0.5, 0.99], eps)
     ok = (p50_lo <= a50 <= p50_hi) and (p99_lo <= a99 <= p99_hi)
-    out = spark.createDataFrame(
+    out = small_df(
+        spark,
         [(p50, p99, ok)],
         "exact_p50 double, exact_p99 double, approx_within_rank_eps boolean",
     )

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datafusion_cyberpolka_eda_spark.operators import stats as S
-from datafusion_cyberpolka_eda_spark.registry import _dec_sum, _round_cols, register
+from datafusion_cyberpolka_eda_spark.registry import _dec_sum, _round_cols, register, small_df
 from datafusion_cyberpolka_eda_spark.sources.catalog import load_table
 
 _LI_NUM = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
@@ -39,7 +39,7 @@ def e1_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     corr = S.corr_matrix(li, _LI_NUM)
     rows = [(a, b, float(corr.loc[a, b])) for a, b in _pairs(_LI_NUM)]
-    df = spark.createDataFrame(rows, "x string, y string, corr double")
+    df = small_df(spark, rows, "x string, y string, corr double")
     return _round_cols(df, ["corr"])
 
 
@@ -76,8 +76,8 @@ def e5_feature_target_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         for x in _LI_NUM
         for y in _SCREEN_YS
     ]
-    df = spark.createDataFrame(
-        rows, "feature string, target string, pearson_corr double, abs_corr double"
+    df = small_df(
+        spark, rows, "feature string, target string, pearson_corr double, abs_corr double"
     )
     return _round_cols(df, ["pearson_corr", "abs_corr"])
 
@@ -156,7 +156,7 @@ def e10_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     probs = [0.5, 0.9, 0.99]
     vals = S.exact_quantiles(o, "o_totalprice", probs)
-    df = spark.createDataFrame(list(zip(probs, vals)), "p double, value double")
+    df = small_df(spark, list(zip(probs, vals)), "p double, value double")
     return _round_cols(df, ["value"])
 
 
@@ -269,7 +269,13 @@ def e13_fisher_whale(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_top=10,
         min_rest=100,
     )
-    df = spark.createDataFrame(pdf)
+    df = small_df(
+        spark,
+        list(pdf.itertuples(index=False, name=None)),
+        "feature string, target string, top_n bigint, top_pos bigint,"
+        " rest_n bigint, rest_pos bigint, top1_rate double,"
+        " rest99_rate double, lift double, pvalue double",
+    )
     return _round_cols(df, ["top1_rate", "rest99_rate", "lift"], 6)
 
 
@@ -332,7 +338,8 @@ def e13b_fisher_exact_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     rows = ct.collect()
-    out = spark.createDataFrame(
+    out = small_df(
+        spark,
         [
             (r["prio"], r["a"], r["b"], r["c"], r["d"],
              S.fisher_exact_greater(r["a"], r["b"], r["c"], r["d"]))
@@ -381,18 +388,23 @@ def e2_e4_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pdf = S.pair_stats(d, ["flag_a", "flag_f", "flag_disc"])
     pdf = pdf.rename(columns={"expected_independent_rate": "expected_rate"})
-    df = spark.createDataFrame(
-        pdf[
-            [
-                "target_a",
-                "target_b",
-                "corr",
-                "co_count",
-                "co_rate",
-                "expected_rate",
-                "pair_lift",
-            ]
-        ]
+    df = small_df(
+        spark,
+        list(
+            pdf[
+                [
+                    "target_a",
+                    "target_b",
+                    "corr",
+                    "co_count",
+                    "co_rate",
+                    "expected_rate",
+                    "pair_lift",
+                ]
+            ].itertuples(index=False, name=None)
+        ),
+        "target_a string, target_b string, corr double, co_count bigint,"
+        " co_rate double, expected_rate double, pair_lift double",
     )
     return _round_cols(df, ["corr", "co_rate", "expected_rate", "pair_lift"])
 
@@ -419,7 +431,7 @@ def e15_e16_standardize_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         mean = float(m["sum_x"][i]) / n
         var = float(m["sumsq_x"][i]) / n - mean * mean
         rows.append((c, mean, max(var, 0.0) ** 0.5))
-    df = spark.createDataFrame(rows, "column_name string, mean double, std_pop double")
+    df = small_df(spark, rows, "column_name string, mean double, std_pop double")
     return _round_cols(df, ["mean", "std_pop"])
 
 
