@@ -357,6 +357,66 @@ def c7_union_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "c13_order_revenue_topk",
+    """
+    SELECT l.l_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(24,4))) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l.l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def c13_order_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic shipping-priority analytics pipeline (TPC-H Q3 shape):
+    selective dim filter -> broadcast customer into orders -> fact join ->
+    decimal revenue agg -> top-10. Composes C1/C3 joins, D2 decimal sums
+    and G2 top-k in one plan: filters push to all three scans, the
+    customer side broadcasts, the limit plans as TakeOrderedAndProject
+    (no global sort). Revenue rounds through DECIMAL(24,4) exactly as d2
+    does, so the hash compare is float-drift-proof; ties break on
+    l_orderkey."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp_ntz")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # broadcast ONLY the dim side: orders stays shuffled (it's a fact
+    # table at scale); the orders-lineitem join is AQE's choice (SMJ at
+    # 100 TB, auto-BHJ when the filtered orders side shrinks enough)
+    filtered_orders = o.join(F.broadcast(c), c.c_custkey == o.o_custkey)
+    return (
+        li.join(filtered_orders, li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            _dec_sum(rev, "decimal(24,4)").alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "revenue",
+            "n_lines",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
 # ---------------------------------------------------------------------------
 # D. Aggregations
 # ---------------------------------------------------------------------------

@@ -200,6 +200,50 @@ def l6b_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "l17_normalized_text_dedup",
+    """
+    WITH norm AS (
+      SELECT source,
+             TRIM(regexp_replace(regexp_replace(LOWER(text), '[^a-z0-9 ]', '', 'g'),
+                                 ' +', ' ', 'g')) AS ntext
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT ntext) AS BIGINT) AS n_unique_normalized,
+           CAST(COUNT(*) - COUNT(DISTINCT ntext) AS BIGINT) AS n_collapsed
+    FROM norm GROUP BY source
+    """,
+)
+def l17_normalized_text_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-then-dedup (the preprocessing step real corpus dedup
+    runs BEFORE exact/MinHash passes: lowercase, strip non-alphanumerics,
+    collapse whitespace — so trivial formatting variants collapse to one
+    representative). Counts docs collapsed per source. All JVM regexp
+    expressions; the normalized key would feed l1's keep-lowest-id dedup
+    at 100 TB (hash the normalized text to shrink shuffle keys)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    ntext = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    return (
+        docs.select("source", ntext.alias("ntext"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("ntext").alias("n_unique_normalized"),
+            (F.count(F.lit(1)) - F.countDistinct("ntext"))
+            .cast("bigint")
+            .alias("n_collapsed"),
+        )
+    )
+
+
+@register(
     "l16_embedding_quantize_int8",
     """
     WITH e AS (

@@ -98,6 +98,52 @@ def k2_pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "k4_arrow_batch_map",
+    """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(n_chars >= 200 AS BIGINT)) AS BIGINT) AS n_long_docs,
+           CAST(SUM(n_chars % 97) AS BIGINT) AS checksum_mod97
+    FROM documents GROUP BY source
+    """,
+)
+def k4_arrow_batch_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow (pyarrow RecordBatch in/out — zero pandas conversion):
+    the lowest-overhead Python batch surface, the shape for Python logic
+    over columnar payloads (tokenizers, codecs) where even the pandas
+    crossing costs. Computes per-doc flags/checksums with pyarrow compute
+    kernels, then aggregates with built-ins; the oracle replays the
+    arithmetic declaratively. Partition-parallel, no shuffle in the map."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def flags(batches):
+        for b in batches:
+            n = b.column("n_chars")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("source"),
+                    pc.cast(pc.greater_equal(n, 200), pa.int64()),
+                    pc.cast(
+                        pc.subtract(
+                            n, pc.multiply(pc.divide(n, 97), 97)
+                        ),  # integer n % 97 via pyarrow integer div
+                        pa.int64(),
+                    ),
+                ],
+                ["source", "is_long", "mod97"],
+            )
+
+    docs = spread(load_table(spark, sf_dir, "documents")).select("source", "n_chars")
+    mapped = docs.mapInArrow(flags, "source string, is_long long, mod97 long")
+    return mapped.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("is_long").cast("bigint").alias("n_long_docs"),
+        F.sum("mod97").cast("bigint").alias("checksum_mod97"),
+    )
+
+
+@register(
     "k3_python_udf_rowwise",
     """
     SELECT lang,
