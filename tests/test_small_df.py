@@ -1,0 +1,70 @@
+"""Unit tests for registry.small_df — the VALUES-literal constructor every
+driver-assembled result table now goes through. Round-trip fidelity here
+is what keeps the oracle value-hash comparisons honest."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from datafusion_cyberpolka_eda_spark.registry import small_df
+
+SCHEMA = "name string, x double, k bigint, ok boolean"
+
+
+def test_round_trip_exact_doubles(spark):
+    vals = [0.1, 1 / 3, 1e-17, -2.5, 123456789.987654321, 5.0]
+    rows = [(f"r{i}", v, i, True) for i, v in enumerate(vals)]
+    got = {r["name"]: r for r in small_df(spark, rows, SCHEMA).collect()}
+    for i, v in enumerate(vals):
+        assert got[f"r{i}"]["x"] == v  # bit-identical, not approx
+        assert got[f"r{i}"]["k"] == i
+
+
+def test_nan_inf_null(spark):
+    rows = [
+        ("nan", float("nan"), 1, True),
+        ("pinf", float("inf"), 2, False),
+        ("ninf", float("-inf"), 3, True),
+        ("null", None, None, None),
+    ]
+    got = {r["name"]: r for r in small_df(spark, rows, SCHEMA).collect()}
+    assert math.isnan(got["nan"]["x"])
+    assert got["pinf"]["x"] == float("inf")
+    assert got["ninf"]["x"] == float("-inf")
+    assert got["null"]["x"] is None
+    assert got["null"]["k"] is None
+    assert got["null"]["ok"] is None
+
+
+def test_string_escaping(spark):
+    tricky = ["it's", 'quo"te', "back\\slash", "co,mma", "pa(ren)", "%s"]
+    rows = [(s, 0.0, i, True) for i, s in enumerate(tricky)]
+    names = {r["name"] for r in small_df(spark, rows, SCHEMA).collect()}
+    assert names == set(tricky)
+
+
+def test_numpy_scalars(spark):
+    rows = [("np", np.float64(0.25), np.int64(7), np.bool_(True))]
+    r = small_df(spark, rows, SCHEMA).collect()[0]
+    assert r["x"] == 0.25 and r["k"] == 7 and r["ok"] is True
+
+
+def test_empty_rows_falls_back(spark):
+    df = small_df(spark, [], SCHEMA)
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == ["name", "x", "k", "ok"]
+
+
+def test_schema_types_enforced(spark):
+    df = small_df(spark, [("a", 1.5, 2, False)], SCHEMA)
+    assert [str(f.dataType) for f in df.schema.fields] == [
+        "StringType()", "DoubleType()", "LongType()", "BooleanType()",
+    ]
+
+
+def test_parenthesized_types_rejected(spark):
+    with pytest.raises(AssertionError):
+        small_df(spark, [(1,)], "d decimal(18,2)")

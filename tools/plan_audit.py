@@ -79,6 +79,19 @@ def main() -> int:
     # term rows (no third shuffle)
     check("l13_tfidf_topk", contains=["BroadcastHashJoin"], absent=["CartesianProduct"])
 
+    # Q3-shape pipeline: customer dim broadcasts, top-10 is a TakeOrdered
+    # (per-partition heaps, no global sort), filters reach all three scans
+    check(
+        "c13_order_revenue_topk",
+        contains=[
+            "BroadcastHashJoin",
+            "TakeOrderedAndProject",
+            "EqualTo(c_mktsegment,BUILDING)",
+            "GreaterThan(l_shipdate,1998-01-01",
+        ],
+        absent=["CartesianProduct"],
+    )
+
     # partitioned sink: the filter must prune directories (PartitionFilters),
     # not rely on data-column pushdown
     check(
