@@ -391,6 +391,70 @@ def c11_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "c14_scd2_history",
+    """
+    WITH updates AS (
+      SELECT s_suppkey AS key, s_acctbal + 250.0 AS new_bal
+      FROM supplier WHERE s_suppkey % 7 = 0
+    ),
+    history AS (
+      SELECT s.s_suppkey AS key, s.s_nationkey AS nationkey,
+             s.s_acctbal AS bal, 1 AS version,
+             (u.key IS NULL) AS is_current
+      FROM supplier s LEFT JOIN updates u ON s.s_suppkey = u.key
+      UNION ALL
+      SELECT u.key, s.s_nationkey, u.new_bal, 2 AS version, TRUE
+      FROM updates u JOIN supplier s ON s.s_suppkey = u.key
+    )
+    SELECT nationkey, version, is_current,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM history GROUP BY nationkey, version, is_current
+    """,
+)
+def c14_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 history tracking — the history-preserving twin of c11's
+    SCD-1 overwrite: an update batch CLOSES the matched current rows
+    (is_current=false, their version stays) and APPENDS new current
+    versions, so every past value stays queryable ("as of version N").
+    Left join marks closed rows, union appends the new versions; one
+    shuffle on the key, append-only writes — the layout that works on
+    immutable object storage at 100 TB (no in-place mutation). Versions
+    are explicit integers, not wall-clock, so the whole history is
+    deterministic and the oracle replays it exactly."""
+    s = load_table(spark, sf_dir, "supplier")
+    updates = s.filter(F.col("s_suppkey") % 7 == 0).select(
+        F.col("s_suppkey").alias("key"),
+        (F.col("s_acctbal") + 250.0).alias("new_bal"),
+    )
+    closed = (
+        s.join(updates, s.s_suppkey == updates.key, "left")
+        .select(
+            F.col("s_suppkey").alias("key"),
+            F.col("s_nationkey").alias("nationkey"),
+            F.col("s_acctbal").alias("bal"),
+            F.lit(1).alias("version"),
+            F.col("key").isNull().alias("is_current"),
+        )
+    )
+    appended = (
+        updates.join(s, s.s_suppkey == updates.key)
+        .select(
+            "key",
+            F.col("s_nationkey").alias("nationkey"),
+            F.col("new_bal").alias("bal"),
+            F.lit(2).alias("version"),
+            F.lit(True).alias("is_current"),
+        )
+    )
+    history = closed.unionByName(appended)
+    return history.groupBy("nationkey", "version", "is_current").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        _dec_sum(F.col("bal"), "decimal(18,2)").alias("total_bal"),
+    )
+
+
+@register(
     "l15_fuzzy_name_pairs",
     """
     WITH p AS (SELECT p_partkey, p_name FROM part WHERE p_partkey < 300)

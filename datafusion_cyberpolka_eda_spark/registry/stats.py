@@ -435,6 +435,50 @@ def e15_e16_standardize_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_cols(df, ["mean", "std_pop"])
 
 
+def _profile_oracle() -> str:
+    parts = []
+    for c in _LI_NUM:
+        d = f"CAST({c} AS DOUBLE)"
+        parts.append(
+            f"SELECT '{c}' AS column_name, COUNT({c}) AS n,"
+            f" CAST(SUM(CAST({c} IS NULL AS BIGINT)) AS BIGINT) AS n_nulls,"
+            f" ROUND(AVG({d}), 6) AS mean,"
+            f" ROUND(stddev_pop({d}), 6) AS std_pop,"
+            f" MIN({d}) AS min_val, MAX({d}) AS max_val FROM lineitem"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+@register("d16_numeric_profile", _profile_oracle())
+def d16_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.summary()/describe analog as one exact pass: count, null count,
+    mean, population std, min, max for every numeric column — the first
+    query an EDA run fires at a new table. One chunkable agg (state is
+    O(columns), never O(rows)) then a JVM-side stack() unpivot to the
+    long (column, stats) shape; no per-column jobs, no driver row data."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _LI_NUM:
+        d = F.col(c).cast("double")
+        aggs += [
+            F.count(F.col(c)).alias(f"cnt_{c}"),
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"nul_{c}"),
+            F.round(F.avg(d), 6).alias(f"avg_{c}"),
+            F.round(F.stddev_pop(d), 6).alias(f"std_{c}"),
+            F.min(d).alias(f"min_{c}"),
+            F.max(d).alias(f"max_{c}"),
+        ]
+    wide = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', cnt_{c}, nul_{c}, avg_{c}, std_{c}, min_{c}, max_{c}"
+        for c in _LI_NUM
+    )
+    return wide.selectExpr(
+        f"stack({len(_LI_NUM)}, {stack_args})"
+        " AS (column_name, n, n_nulls, mean, std_pop, min_val, max_val)"
+    )
+
+
 @register(
     "d3_null_rate_profile",
     """
