@@ -117,3 +117,64 @@ def a6_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         _dec_sum(F.col("o_totalprice"), "decimal(18,2)").alias("total_price"),
     )
+
+
+@register(
+    "a9_python_datasource",
+    """
+    WITH src AS (
+      SELECT i AS id,
+             (i * i) % 1000003 AS sq,
+             'g' || CAST(i % 7 AS VARCHAR) AS grp
+      FROM generate_series(0, 9999) s(i)
+    )
+    SELECT grp,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(sq) AS BIGINT) AS sum_sq,
+           CAST(MAX(id) AS BIGINT) AS max_id
+    FROM src GROUP BY grp
+    """,
+)
+def a9_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom connector via the Spark 4 Python DataSource API: a
+    deterministic generator source with REAL partition planning — the
+    reader declares 4 InputPartitions, each produced independently on an
+    executor (the same contract a custom REST/queue/tensor-store
+    connector implements; Arrow-batched rows, no driver materialization).
+    The oracle replays the generator arithmetic with generate_series, so
+    partitioning must not duplicate or drop a single row."""
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    N, PARTS = 10_000, 4
+
+    class DetRangeReader(DataSourceReader):
+        def partitions(self):
+            step = N // PARTS
+            return [
+                InputPartition((p * step, N if p == PARTS - 1 else (p + 1) * step))
+                for p in range(PARTS)
+            ]
+
+        def read(self, partition):
+            start, end = partition.value
+            for i in range(start, end):
+                yield (i, (i * i) % 1000003, f"g{i % 7}")
+
+    class DetRangeSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "detrange"
+
+        def schema(self):
+            return "id bigint, sq bigint, grp string"
+
+        def reader(self, schema):
+            return DetRangeReader()
+
+    spark.dataSource.register(DetRangeSource)
+    src = spark.read.format("detrange").load()
+    return src.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("sq").cast("bigint").alias("sum_sq"),
+        F.max("id").cast("bigint").alias("max_id"),
+    )

@@ -234,3 +234,31 @@ class TestWhaleAndFisher:
         row = res.iloc[0]
         assert row["lift"] > 2
         assert row["pvalue"] < 0.05
+
+
+def test_transform_with_state_env_gate(spark):
+    """transformWithStateInPandas needs google.protobuf (absent in this
+    container): the operator must fail fast with NotImplementedError at
+    the gate, not crash mid-query in the TWS driver worker. Where
+    protobuf IS available the same call must run and match the batch
+    aggregate."""
+    import pytest as _pytest
+
+    from datafusion_cyberpolka_eda_spark.streaming.events import (
+        stream_transform_with_state_rollup,
+    )
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        has_protobuf = True
+    except ImportError:
+        has_protobuf = False
+
+    path = "/root/testdata/sf0.001/events.parquet"
+    if not has_protobuf:
+        with _pytest.raises(NotImplementedError):
+            stream_transform_with_state_rollup(spark, path)
+    else:
+        got = stream_transform_with_state_rollup(spark, path)
+        batch = spark.read.parquet(path).groupBy("user_id").count()
+        assert got.count() == batch.count()
