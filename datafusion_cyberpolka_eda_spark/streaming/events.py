@@ -291,8 +291,10 @@ def stream_transform_with_state_rollup(
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(_provider_key, None)
     spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
+        _provider_key,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
     schema = spark.read.parquet(parquet_path).schema
@@ -340,4 +342,8 @@ def stream_transform_with_state_rollup(
     finally:
         q.stop()
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        if prev_provider is None:
+            spark.conf.unset(_provider_key)
+        else:
+            spark.conf.set(_provider_key, prev_provider)
     return spark.table(name)

@@ -66,5 +66,19 @@ def test_schema_types_enforced(spark):
 
 
 def test_parenthesized_types_rejected(spark):
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError):
         small_df(spark, [(1,)], "d decimal(18,2)")
+
+
+def test_bad_identifiers_rejected(spark):
+    with pytest.raises(ValueError):
+        small_df(spark, [(1,)], "bad-name bigint")
+    with pytest.raises(ValueError):
+        small_df(spark, [(1,)], "x bigint; drop")
+
+
+def test_negative_zero_keeps_sign_bit(spark):
+    rows = [("nz", -0.0, 1, True), ("pz", 0.0, 2, True)]
+    got = {r["name"]: r for r in small_df(spark, rows, SCHEMA).collect()}
+    assert math.copysign(1.0, got["nz"]["x"]) < 0  # -0.0, not +0.0
+    assert math.copysign(1.0, got["pz"]["x"]) > 0

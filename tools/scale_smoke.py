@@ -104,6 +104,12 @@ def build_scaled(spark, src_dir: str, out_dir: str, factor: int) -> None:
         rotated = F.concat(
             F.slice("embedding", rot + 1, dim - rot), F.slice("embedding", 1, rot)
         )
+        if k > 0 and rot == 0:
+            # rotation alone is the identity when k is a multiple of dim —
+            # flip the sign so no replica duplicates the original vectors
+            # (which would inflate near-pair counts and break the
+            # linear-growth measurement)
+            rotated = F.transform(rotated, lambda x: -x)
         emb_parts.append(
             embs.select(
                 (F.col("vec_id") + F.lit(off)).alias("vec_id"),
