@@ -203,16 +203,35 @@ def pair_stats(df: DataFrame, cols: list[str]) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def auc_by_rank(df: DataFrame, label_col: str, score_col: str) -> DataFrame:
+def auc_by_rank(
+    df: DataFrame, label_col: str, score_col: str, num_buckets: int = 256
+) -> DataFrame:
     """Exact Mann-Whitney ROC AUC with average-rank tie handling (operator
     E7; ref `_safe_auc`, public_eda_pipeline.py:33-39).
 
-    Scale design: instead of ranking raw rows (global sort over all data),
-    first reduce to one row per *distinct score* with positive/negative
-    counts (a hash aggregation), then run the cumulative window over that
-    far smaller table. AUC = [sum_s pos_s * (cum_neg_below_s + 0.5*neg_s)]
-    / (P*N). Degenerate single-class input yields NULL (the reference's
-    guard).
+    Scale design — two-pass partitioned prefix sum, no unpartitioned
+    window anywhere:
+
+    1. Reduce to one row per *distinct score* with positive/negative
+       counts (a hash aggregation).
+    2. Range-bucket the distinct scores into `num_buckets` equal-width
+       bins of [min, max] (min/max arrive via a broadcast one-row join —
+       no driver action, the plan stays lazy). Nulls sort first →
+       bucket -1; NaN sorts last in Spark → bucket `num_buckets`.
+    3. Cumulative negatives *within* each bucket: a window PARTITIONED BY
+       bucket (each partition holds ~1/num_buckets of the distinct
+       scores; a continuous score at 100× data no longer collapses onto
+       one task).
+    4. Cross-bucket offsets: per-bucket totals (≤ num_buckets+2 rows) get
+       their exclusive prefix sum via a broadcast triangular self-join —
+       O(num_buckets²) work on a constant-size table, window-free.
+    5. cum_neg_below = offset[bucket] + within-bucket cumulative.
+
+    Exactness: pos/neg are integral-valued doubles, and integer sums in
+    IEEE doubles are associativity-exact below 2^53, so the split
+    accumulation is bit-identical to the old single-window plan.
+    AUC = [sum_s pos_s * (cum_neg_below_s + 0.5*neg_s)] / (P*N).
+    Degenerate single-class input yields NULL (the reference's guard).
 
     Returns a 1-row DataFrame: auc double.
     """
@@ -224,9 +243,51 @@ def auc_by_rank(df: DataFrame, label_col: str, score_col: str) -> DataFrame:
         .groupBy("s")
         .agg(F.sum("y").alias("pos"), F.sum(1 - F.col("y")).alias("neg"))
     )
-    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
-    g = g.withColumn("cum_neg_below", F.coalesce(F.sum("neg").over(w), F.lit(0.0)))
-    return g.agg(
+    rng = g.where(F.col("s").isNotNull() & ~F.isnan("s")).agg(
+        F.min("s").alias("_lo"), F.max("s").alias("_hi")
+    )
+    width = (F.col("_hi") - F.col("_lo")) / num_buckets
+    gb = (
+        g.join(F.broadcast(rng))
+        .withColumn(
+            "bucket",
+            F.when(F.col("s").isNull(), F.lit(-1))
+            .when(F.isnan("s"), F.lit(num_buckets))
+            .when(F.col("_hi") == F.col("_lo"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.lit(num_buckets - 1),
+                    F.floor((F.col("s") - F.col("_lo")) / width).cast("int"),
+                )
+            ),
+        )
+        .drop("_lo", "_hi")
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    gb = gb.withColumn(
+        "cum_in_bucket", F.coalesce(F.sum("neg").over(w), F.lit(0.0))
+    )
+    totals = gb.groupBy("bucket").agg(F.sum("neg").alias("_bneg"))
+    offsets = (
+        totals.alias("a")
+        .join(
+            F.broadcast(totals.select(
+                F.col("bucket").alias("_b2"), F.col("_bneg").alias("_bneg2")
+            )),
+            F.col("_b2") < F.col("bucket"),
+            "left",
+        )
+        .groupBy("bucket")
+        .agg(F.coalesce(F.sum("_bneg2"), F.lit(0.0)).alias("_offset"))
+    )
+    gb = gb.join(F.broadcast(offsets), "bucket", "left").withColumn(
+        "cum_neg_below", F.coalesce("_offset", F.lit(0.0)) + F.col("cum_in_bucket")
+    )
+    return gb.agg(
         F.when(
             (F.sum("pos") > 0) & (F.sum("neg") > 0),
             F.sum(F.col("pos") * (F.col("cum_neg_below") + 0.5 * F.col("neg")))

@@ -118,6 +118,48 @@ class TestAucByRank:
         df = spark.createDataFrame(pd.DataFrame({"y": [1, 1, 1], "s": [1.0, 2.0, 3.0]}))
         assert S.auc_by_rank(df, "y", "s").collect()[0]["auc"] is None
 
+    def test_continuous_scores_exact(self, spark):
+        # all-distinct (continuous) scores: exercises the bucketed two-pass
+        # prefix sum across many buckets, exact against the naive pairwise
+        rng = np.random.default_rng(11)
+        n = 3000
+        y = (rng.random(n) < 0.35).astype(int)
+        s = rng.normal(0, 1, n) + y * 0.5  # continuous, ~no ties
+        assert len(np.unique(s)) == n
+        df = spark.createDataFrame(pd.DataFrame({"y": y, "s": s}))
+        auc = S.auc_by_rank(df, "y", "s", num_buckets=64).collect()[0]["auc"]
+        pos, neg = s[y == 1], s[y == 0]
+        wins = (pos[:, None] > neg[None, :]).sum()
+        ties = (pos[:, None] == neg[None, :]).sum()
+        naive = (wins + 0.5 * ties) / (len(pos) * len(neg))
+        assert auc == pytest.approx(naive, rel=1e-12)
+
+    def test_single_bucket_matches_many(self, spark):
+        # num_buckets=1 degenerates to the old single-partition plan;
+        # results must be bit-identical across bucket counts
+        rng = np.random.default_rng(13)
+        y = (rng.random(500) < 0.5).astype(int)
+        s = np.round(rng.normal(0, 1, 500), 2)
+        df = spark.createDataFrame(pd.DataFrame({"y": y, "s": s}))
+        a1 = S.auc_by_rank(df, "y", "s", num_buckets=1).collect()[0]["auc"]
+        a256 = S.auc_by_rank(df, "y", "s", num_buckets=256).collect()[0]["auc"]
+        assert a1 == a256
+
+    def test_constant_score_half(self, spark):
+        df = spark.createDataFrame(
+            pd.DataFrame({"y": [0, 1, 0, 1], "s": [2.0, 2.0, 2.0, 2.0]})
+        )
+        assert S.auc_by_rank(df, "y", "s").collect()[0]["auc"] == 0.5
+
+    def test_no_unpartitioned_window_in_plan(self, spark):
+        df = spark.range(0, 1000).select(
+            (F.col("id") % 2).alias("y"), (F.rand(5)).alias("s")
+        )
+        plan = S.auc_by_rank(df, "y", "s")._jdf.queryExecution().executedPlan().toString()
+        for line in plan.splitlines():
+            if "Window" in line and "windowspecdefinition" in line:
+                assert "bucket" in line, f"unpartitioned window: {line}"
+
 
 class TestHashSampler:
     def test_deterministic_and_key_stable(self, spark):

@@ -63,6 +63,14 @@ def main() -> int:
     )
     check("g1_g2_topk_global", contains=["TakeOrderedAndProject"], absent=["Exchange"])
     check("e7_auc_by_rank", absent=["CartesianProduct"])
+    # e7's cumulative sums must all run under PARTITIONED windows (the
+    # round-2 scale-killer was a global Window.orderBy that collapses a
+    # continuous-score table onto one task)
+    p = plan_of(qs["e7_auc_by_rank"](spark, sf_dir))
+    for line in p.splitlines():
+        if "windowspecdefinition" in line and "bucket" not in line:
+            failures.append(f"e7_auc_by_rank: unpartitioned window: {line.strip()}")
+    print(f"[{'OK' if not failures else '??'}] e7_auc_by_rank window partitioning")
     check("j3_sessionize", absent=["CartesianProduct"])
     # brute-force similarity deliberately broadcasts the tiny query side
     check("l7_cosine_topk", contains=["BroadcastNestedLoopJoin"])
