@@ -237,19 +237,28 @@ def c12_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def c10_bloom_join_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter join pre-filtering — the 100 TB shuffle-reduction
     technique: build a Bloom filter over a selective dimension side (the
-    top-1%-price "whale" orders), embed it as a literal bit array in the
-    probe expression, filter the fact table BEFORE any shuffle, then run
-    the real join on the survivors. Built entirely from expressions
-    (xxhash64 K-way hashing, bit_or word aggregation — PySpark 4 removed
-    df.stat.bloomFilter): the build is one map-side-combined agg over the
-    keys, the probe is whole-stage-codegen bit tests, and bit-OR is
-    order-independent so the result is partition-deterministic. The
-    oracle pins the exact semi-join count plus two contracts: no false
-    negatives (guaranteed by construction, asserted anyway) and observed
-    false-positive rate under 5% (sized 16 bits/key, K=5 -> ~0.1%
-    theoretical). Catalyst's runtime row-level filtering does this
+    top-1%-price "whale" orders), ship it to the fact side as a ONE-ROW
+    BROADCAST RELATION, filter the fact table BEFORE any shuffle, then
+    run the real join on the survivors. Built entirely from public
+    expressions (xxhash64 K-way hashing, bit_or word aggregation,
+    map_from_entries densification — `bloom_filter_agg`/`might_contain`
+    are internal-only in this build and not SQL-resolvable, and PySpark 4
+    removed df.stat.bloomFilter): the build is one map-side-combined agg
+    over the keys, the densified word array never touches the driver
+    (round 2 collected it and inlined a literal array — a 20-200 MB
+    expression-tree literal at 10^7-10^8 keys; now it rides Spark's
+    torrent broadcast like any dim table), and the probe is whole-stage-
+    codegen bit tests against the joined array column. bit-OR is
+    order-independent so the result is partition-deterministic. The only
+    driver scalars are the percentile cutoff and the key COUNT for
+    sizing (two 8-byte values — the documented driver-matrix boundary).
+    The oracle pins the exact semi-join count plus two contracts: no
+    false negatives (guaranteed by construction, asserted anyway) and
+    observed false-positive rate under 5% (sized 16 bits/key, K=5 ->
+    ~0.1% theoretical). Catalyst's runtime row-level filtering does this
     automatically where it can see through; the explicit form covers
-    sources and custom operators it can't."""
+    sources and custom operators it can't. Sizing at 1e8 keys: SCALE.md
+    "Bloom sketch sizing"."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     cut = orders.agg(F.expr("percentile(o_totalprice, 0.99)")).collect()[0][0]
@@ -271,10 +280,19 @@ def c10_bloom_join_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.expr("bit_or(mask) AS mask"))
     )
-    wm = {r["word"]: r["mask"] for r in words.collect()}
-    bloom_lit = F.array(*[F.lit(int(wm.get(w, 0))).cast("long") for w in range(n_words)])
+    # densify sparse (word, mask) pairs into one array<long> row JVM-side
+    bf_row = words.agg(
+        F.map_from_entries(F.collect_list(F.struct("word", "mask"))).alias("_wm")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(int(n_words - 1))),
+            lambda w: F.coalesce(
+                F.element_at(F.col("_wm"), w), F.lit(0).cast("long")
+            ),
+        ).alias("__bf")
+    )
 
-    keys = li.select("l_orderkey").withColumn("__bf", bloom_lit)
+    keys = li.select("l_orderkey").join(F.broadcast(bf_row))
     for j in range(n_hash):
         keys = keys.withColumn(
             f"__i{j}", F.pmod(F.xxhash64("l_orderkey", F.lit(j)), F.lit(m_bits))
