@@ -274,6 +274,102 @@ def ann_ivf_fixed_topk_multi(
     )
 
 
+def ann_lsh_fixed_topk_multi(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: list[int],
+    k: int = 5,
+    n_planes: int = 16,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Sign-projection LSH ANN with a FIXED, data-derived hyperplane set —
+    the engine-portable sibling of the trained BRP-LSH path (l8): the
+    hyperplanes are the unit vectors of the ``n_planes`` smallest ids
+    (like l8c's fixed quantizer and l10's fixed centroids), signature
+    bit_j = [dot(v, h_j) >= 0], and the ``n_planes`` bits split into
+    ``n_bands`` band keys. Candidates are rows sharing ANY band key with
+    a query (banding trades precision for recall exactly as in banded
+    MinHash/SimHash); exact cosine verifies inside buckets.
+
+    Every step is deterministic arithmetic over the data itself — no RNG,
+    no partition-order dependence — so a SQL engine can replay signatures,
+    candidate sets, and scores end-to-end (the l8d DuckDB oracle does).
+
+    Scale shape: signature computation is one map-side pass (n_planes
+    broadcast-literal dot products per row), candidate generation is a
+    band-key equi-join against the broadcast query side (no crossJoin),
+    scoring touches only bucket collisions. Returns
+    (query_id, neighbor_id, cosine, rank), rank <= k."""
+    if n_planes % n_bands != 0:
+        raise ValueError("n_planes must divide evenly into n_bands")
+    width = n_planes // n_bands
+    unit = unit_vec_df(df, id_col, vec_col)
+    plane_rows = sorted(
+        unit.orderBy("id").limit(n_planes).collect(), key=lambda r: r["id"]
+    )
+
+    def dot_lit(vec):
+        arr = F.array(*[F.lit(float(x)) for x in vec])
+        return F.aggregate(
+            F.zip_with(F.col("unit_arr"), arr, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    bits = F.array(
+        *[(dot_lit(r["unit_arr"]) >= 0).cast("int") for r in plane_rows]
+    )
+    band_keys = F.array(
+        *[
+            sum(
+                F.element_at(F.col("_bits"), b * width + j + 1) * (1 << j)
+                for j in range(width)
+            )
+            for b in range(n_bands)
+        ]
+    )
+    sig = (
+        unit.withColumn("_bits", bits)
+        .withColumn("bands", band_keys)
+        .drop("_bits")
+        .localCheckpoint(eager=True)  # signatures feed both join sides
+    )
+    exploded = sig.select(
+        "id", F.posexplode("bands").alias("band", "bkey")
+    )
+    qside = exploded.filter(F.col("id").isin(list(query_ids))).select(
+        F.col("id").alias("query_id"), "band", "bkey"
+    )
+    cand = (
+        exploded.join(F.broadcast(qside), ["band", "bkey"])
+        .filter(F.col("id") != F.col("query_id"))
+        .select("query_id", "id")
+        .distinct()
+    )
+    qvecs = F.broadcast(
+        sig.filter(F.col("id").isin(list(query_ids))).select(
+            F.col("id").alias("query_id"), F.col("unit_arr").alias("q_arr")
+        )
+    )
+    score = F.aggregate(
+        F.zip_with(F.col("unit_arr"), F.col("q_arr"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round("cosine", 6).desc(), F.asc("id")
+    )
+    return (
+        cand.join(sig.select("id", "unit_arr"), "id")
+        .join(qvecs, "query_id")
+        .withColumn("cosine", score)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("id").alias("neighbor_id"), "cosine", "rank")
+    )
+
+
 def ann_ivf_topk_multi(
     df: DataFrame,
     id_col: str,

@@ -493,6 +493,60 @@ def l8c_ann_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     return small_df(spark, rows, "query_id bigint, recall_ge_60pct boolean")
 
 
+@register(
+    "l8d_ann_lsh_portable",
+    """
+    WITH v AS (SELECT vec_id, embedding FROM embeddings),
+    e AS (SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS val,
+                 generate_subscripts(embedding, 1) AS i FROM v),
+    n AS (SELECT vec_id, SQRT(SUM(val * val)) AS nrm FROM e GROUP BY vec_id),
+    u AS (SELECT e.vec_id, e.i, e.val / n.nrm AS uval FROM e JOIN n USING (vec_id)),
+    p AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS pid, vec_id AS pvid
+          FROM (SELECT vec_id FROM v ORDER BY vec_id LIMIT 16)),
+    pvec AS (SELECT p.pid, u.i, u.uval AS pval FROM p JOIN u ON u.vec_id = p.pvid),
+    dots AS (SELECT u.vec_id, pv.pid, SUM(u.uval * pv.pval) AS d
+             FROM u JOIN pvec pv USING (i) GROUP BY u.vec_id, pv.pid),
+    bands AS (SELECT vec_id, pid // 4 AS band,
+                     CAST(SUM(CASE WHEN d >= 0 THEN 1 ELSE 0 END
+                              * (1 << (pid % 4))) AS INTEGER) AS bkey
+              FROM dots GROUP BY vec_id, pid // 4),
+    qb AS (SELECT vec_id AS query_id, band, bkey FROM bands WHERE vec_id < 5),
+    cand AS (SELECT DISTINCT qb.query_id, b.vec_id AS cid
+             FROM qb JOIN bands b USING (band, bkey) WHERE b.vec_id != qb.query_id),
+    scored AS (SELECT cand.query_id, cand.cid,
+                      SUM(uq.uval * uc.uval) AS cosine
+               FROM cand
+               JOIN u uq ON uq.vec_id = cand.query_id
+               JOIN u uc ON uc.vec_id = cand.cid AND uc.i = uq.i
+               GROUP BY cand.query_id, cand.cid),
+    ranked AS (SELECT query_id, cid AS neighbor_id, ROUND(cosine, 6) AS cosine,
+                      ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY ROUND(cosine, 6) DESC, cid ASC) AS rank
+               FROM scored)
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def l8d_ann_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-projection LSH ANN with fixed data-derived hyperplanes — the
+    DuckDB-replayable twin for the trained-LSH path (l8, rows-only by
+    contract since BRP-LSH projections are engine-specific RNG). The
+    16 hyperplanes are the unit vectors of the 16 smallest vec_ids, split
+    into 4 four-bit band keys; candidates share >= 1 band with a query,
+    exact cosine verifies. The oracle recomputes normalization, plane
+    dots, sign bits, band keys, candidate distinct, scoring, and ranking
+    end-to-end in SQL — every approximate ANN family (MinHash l3c,
+    SimHash l4c, IVF l8c, sign-LSH l8d) now has a hard value-hash check.
+    Ref parity: similarity search is a north-star extension
+    (SURVEY.md §2 L; no reference counterpart file)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = SIM.ann_lsh_fixed_topk_multi(
+        emb, "vec_id", "embedding", query_ids=[0, 1, 2, 3, 4],
+        k=5, n_planes=16, n_bands=4,
+    )
+    return _round_cols(out.withColumn("rank", F.col("rank").cast("bigint")), ["cosine"])
+
+
 @register("l3b_minhash_banded", None)  # xxhash64 family, no DuckDB twin
 def l3b_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded MinHash near-dup pairs from pure xxhash64 expressions (no

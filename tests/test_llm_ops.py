@@ -210,6 +210,41 @@ class TestIvfAnn:
         assert len(exact & ivf) >= 2
 
 
+class TestFixedLshAnn:
+    def test_lsh_recall_vs_exact(self, emb):
+        exact = {
+            r["candidate_id"]
+            for r in SIM.cosine_topk(
+                emb.filter(F.col("vec_id") == 0), emb, "vec_id", "embedding", k=5
+            ).collect()
+        }
+        lsh = {
+            r["neighbor_id"]
+            for r in SIM.ann_lsh_fixed_topk_multi(
+                emb, "vec_id", "embedding", query_ids=[0], k=5
+            ).collect()
+        }
+        # 4 bands of 4 bits: near neighbors collide on >= 1 band with
+        # high probability; require >= 2/5 overlap with the exact answer
+        assert len(exact & lsh) >= 2
+
+    def test_lsh_deterministic_across_runs(self, emb):
+        a = SIM.ann_lsh_fixed_topk_multi(
+            emb, "vec_id", "embedding", query_ids=[0, 1], k=3
+        ).collect()
+        b = SIM.ann_lsh_fixed_topk_multi(
+            emb.repartition(7), "vec_id", "embedding", query_ids=[0, 1], k=3
+        ).collect()
+        key = lambda rows: sorted((r["query_id"], r["rank"], r["neighbor_id"]) for r in rows)
+        assert key(a) == key(b)
+
+    def test_bad_band_split_rejected(self, emb):
+        with pytest.raises(ValueError):
+            SIM.ann_lsh_fixed_topk_multi(
+                emb, "vec_id", "embedding", query_ids=[0], n_planes=16, n_bands=5
+            )
+
+
 class TestBandedMinhash:
     def test_recall_and_estimate_vs_exact(self, docs):
         exact = {
