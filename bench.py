@@ -4,8 +4,11 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
 Each query is timed end-to-end (plan build + execution + materialization
-via collect; results are aggregate/top-k sized by design). A JVM warm-up
-query runs first and is not counted.
+via collect; results are aggregate/top-k sized by design), run
+$SPARK_GRAFT_BENCH_REPS times warm (default 3) with the MEDIAN reported —
+BASELINE.md documents ~25% single-run JVM noise, which the median
+suppresses; per-run raw timings and the summed max-min spread land in
+BENCH_DETAIL.json. A JVM warm-up query runs first and is not counted.
 
 Two caveats discovered in round 1 drive the output shape:
 
@@ -30,7 +33,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-STDOUT_BUDGET = 1900  # driver keeps ~2000 chars of tail; stay under it
+STDOUT_BUDGET = 1800  # driver keeps ~2000 chars of tail; stay well under it
 
 
 def main() -> None:
@@ -59,19 +62,31 @@ def main() -> None:
         floors.append(time.perf_counter() - t0)
     floor = sorted(floors)[len(floors) // 2]
 
+    # Median-of-N warm runs per query: BASELINE.md documents ~25% single-
+    # run JVM noise with disjoint slow-tail sets across runs; the median
+    # suppresses it. Reps configurable for quick local iteration.
+    reps = max(int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")), 1)
+    runs: dict[str, list[float]] = {}
     timings: dict[str, float] = {}
     for name, fn in qs.items():
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        # drop caches/broadcasts between queries: 90+ queries in one JVM
-        # otherwise accumulate blocks and GC pauses pollute later timings
-        spark.catalog.clearCache()
+        rts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            rts.append(round(time.perf_counter() - t0, 4))
+            # drop caches/broadcasts between runs: 100+ queries in one JVM
+            # otherwise accumulate blocks and GC pauses pollute later timings
+            spark.catalog.clearCache()
+        runs[name] = rts
+        timings[name] = sorted(rts)[len(rts) // 2]
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "", 1).isdigit() else sf
     total = round(sum(timings.values()), 4)
     net = round(max(total - floor * len(timings), 0.0), 4)
+    spread = round(
+        sum(max(r) - min(r) for r in runs.values()), 4
+    )  # summed per-query max-min across the N runs
 
     detail = {
         "metric": "total_query_wall_seconds",
@@ -80,7 +95,10 @@ def main() -> None:
         "floor_sec": round(floor, 4),
         "net_value": net,
         "n_queries": len(timings),
+        "reps": reps,
+        "run_spread_sec": spread,
         "queries": timings,
+        "queries_runs": runs,
         "queries_net": {
             k: round(max(v - floor, 0.0), 4) for k, v in timings.items()
         },
@@ -100,6 +118,8 @@ def main() -> None:
         "floor_sec": round(floor, 3),
         "net_value": net,
         "n_queries": len(timings),
+        "reps": reps,
+        "run_spread_sec": round(spread, 2),
         "detail": "BENCH_DETAIL.json",
         "queries": {},
         "sf": sf_val,
