@@ -328,6 +328,176 @@ class TestExactTier:
             )
 
 
+class TestDerivedArtifactsExact:
+    """Exact-value checks for every derived artifact (SURVEY §5.3 full-data-
+    deterministic tier): each is recomputed from its SIBLING artifacts with
+    the reference's own pandas recipe (ref public_eda_pipeline.py:196-230,
+    269-280, 500-620) and must match what the pipeline saved. CSV float
+    round-trip is exact (shortest-repr), so tolerances are representation-
+    level only."""
+
+    @staticmethod
+    def _tbl(out_dir, name):
+        return pd.read_csv(os.path.join(out_dir, "public_tables", name))
+
+    @staticmethod
+    def _eq(got, want):
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True),
+            want.reset_index(drop=True),
+            rtol=1e-12,
+            atol=0,
+        )
+
+    def test_pair_slices_exact(self, pipeline_run):
+        _, out_dir, _ = pipeline_run
+        pair_df = self._tbl(out_dir, "target_pair_stats.csv")
+        self._eq(
+            self._tbl(out_dir, "top_positive_target_pairs.csv"),
+            pair_df.sort_values("corr", ascending=False).head(30),
+        )
+        self._eq(
+            self._tbl(out_dir, "top_negative_target_pairs.csv"),
+            pair_df.sort_values("corr", ascending=True).head(30),
+        )
+        self._eq(
+            self._tbl(out_dir, "top_cooccurrence_lift_pairs.csv"),
+            pair_df[pair_df["co_count"] >= 20]  # cfg.min_co_count_lift
+            .sort_values("pair_lift", ascending=False)
+            .head(30),
+        )
+
+    def test_cluster_summary_exact(self, pipeline_run):
+        _, out_dir, _ = pipeline_run
+        corr = pd.read_csv(
+            os.path.join(out_dir, "public_tables", "target_correlation_matrix.csv"),
+            index_col=0,
+        )
+        assign = self._tbl(out_dir, "target_clusters_k4.csv")
+        rows = []
+        for cl_id, g in assign.groupby("cluster_k4"):
+            ts = g["target"].tolist()
+            if len(ts) > 1:
+                sub = corr.loc[ts, ts].to_numpy(dtype=float)
+                iu = np.triu_indices(len(ts), k=1)
+                avg_abs = float(np.abs(sub[iu]).mean())
+            else:
+                avg_abs = np.nan
+            fam_mode = g["family"].value_counts(normalize=True)
+            rows.append(
+                {
+                    "cluster_k4": int(cl_id),
+                    "n_targets": len(ts),
+                    "avg_abs_corr_inside": avg_abs,
+                    # family round-trips through CSV as its parsed dtype;
+                    # keep it so both sides compare in the same type
+                    "dominant_family": fam_mode.index[0],
+                    "dominant_family_share": float(fam_mode.iloc[0]),
+                    "targets": ", ".join(sorted(ts)),
+                }
+            )
+        want = pd.DataFrame(rows).sort_values("n_targets", ascending=False)
+        self._eq(self._tbl(out_dir, "target_cluster_summary.csv"), want)
+
+    def test_top10_missing_exact(self, pipeline_run):
+        _, out_dir, _ = pipeline_run
+        extra = self._tbl(out_dir, "extra_missingness_summary.csv")
+        self._eq(self._tbl(out_dir, "top10_missing_features.csv"), extra.head(10))
+
+    def test_linear_screen_slices_exact(self, pipeline_run):
+        _, out_dir, _ = pipeline_run
+        linear = self._tbl(out_dir, "feature_target_linear_corr.csv")
+        top10 = linear.groupby("target", as_index=False).head(10)
+        self._eq(self._tbl(out_dir, "target_top10_features_linear.csv"), top10)
+
+        mix_rows = []
+        for t, g in top10.groupby("target"):
+            mix_rows.append(
+                {
+                    "target": t,
+                    "mean_abs_corr_top10": float(g["abs_corr"].mean()),
+                    "n_cat_top10": int((g["feature_type"] == "cat").sum()),
+                    "n_num_top10": int((g["feature_type"] == "num").sum()),
+                    "n_main_top10": int((g["source"] == "main").sum()),
+                    "n_extra_top10": int((g["source"] == "extra").sum()),
+                }
+            )
+        want_mix = pd.DataFrame(mix_rows).sort_values(
+            "mean_abs_corr_top10", ascending=False
+        )
+        self._eq(self._tbl(out_dir, "target_top10_feature_mix.csv"), want_mix)
+
+        want_uni = (
+            top10.groupby("feature", as_index=False)
+            .agg(
+                n_targets_top10=("target", "nunique"),
+                mean_abs_corr_when_top10=("abs_corr", "mean"),
+                max_abs_corr_when_top10=("abs_corr", "max"),
+            )
+            .sort_values(
+                ["n_targets_top10", "mean_abs_corr_when_top10"],
+                ascending=[False, False],
+            )
+        )
+        self._eq(self._tbl(out_dir, "feature_universality_top10.csv"), want_uni)
+
+    def test_feature_signal_summary_aggregates_exact(self, pipeline_run):
+        _, out_dir, _ = pipeline_run
+        linear = self._tbl(out_dir, "feature_target_linear_corr.csv")
+        got = self._tbl(out_dir, "feature_signal_summary.csv")
+        want = (
+            linear.groupby("feature", as_index=False)
+            .agg(
+                max_abs_corr=("abs_corr", "max"),
+                mean_abs_corr=("abs_corr", "mean"),
+                n_targets_abs_corr_gt_005=("abs_corr", lambda s: int((s > 0.05).sum())),
+                n_targets_abs_corr_gt_010=("abs_corr", lambda s: int((s > 0.10).sum())),
+            )
+            .sort_values(["max_abs_corr", "mean_abs_corr"], ascending=[False, False])
+        )
+        self._eq(
+            got[["feature", "max_abs_corr", "mean_abs_corr",
+                 "n_targets_abs_corr_gt_005", "n_targets_abs_corr_gt_010"]],
+            want,
+        )
+        # metadata columns agree row-by-row with the per-pair table
+        meta = linear.drop_duplicates("feature").set_index("feature")
+        for _, row in got.iterrows():
+            assert row["source"] == meta.loc[row["feature"], "source"]
+            assert row["feature_type"] == meta.loc[row["feature"], "feature_type"]
+
+    def test_golden_top5_exact(self, pipeline_run):
+        _, out_dir, _ = pipeline_run
+        from datafusion_cyberpolka_eda_spark.pipeline.eda import EdaConfig
+
+        linear = self._tbl(out_dir, "feature_target_linear_corr.csv")
+        sel = [t for t in EdaConfig().selected_targets if t in set(linear["target"])]
+        want = (
+            linear[linear["target"].isin(sel)].groupby("target", as_index=False).head(5)
+        )
+        self._eq(self._tbl(out_dir, "golden_linear_top5_selected_targets.csv"), want)
+
+    def test_whale_slices_exact(self, pipeline_run):
+        _, out_dir, _ = pipeline_run
+        sig = self._tbl(out_dir, "whale_signals.csv")
+        assert len(sig)  # the fixture plants whale signal; slices non-trivial
+        want_cand = (
+            sig.groupby("feature", as_index=False)
+            .agg(
+                n_rare_targets=("target", "nunique"),
+                median_lift=("lift", "median"),
+                max_lift=("lift", "max"),
+                min_pvalue=("pvalue", "min"),
+            )
+            .sort_values(["n_rare_targets", "median_lift"], ascending=[False, False])
+        )
+        self._eq(self._tbl(out_dir, "whale_feature_candidates.csv"), want_cand)
+        self._eq(
+            self._tbl(out_dir, "whale_top3_per_target.csv"),
+            sig.groupby("target", as_index=False).head(3),
+        )
+
+
 class TestBehavioral:
     def test_antagonist_pattern(self, pipeline_run):
         _, _, summary = pipeline_run
