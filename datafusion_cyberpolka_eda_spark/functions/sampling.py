@@ -43,3 +43,32 @@ def key_mod_sample(df: DataFrame, col: str, pct: int, modulus: int = 100) -> Dat
     SURVEY.md §5.3 — hash functions differ across engines, key arithmetic
     doesn't). Only appropriate for keys without modular bias."""
     return df.filter(F.pmod(F.col(col), F.lit(modulus)) < F.lit(pct))
+
+
+def stratified_key_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float,
+    seed: int = DEFAULT_SEED,
+    portable: bool = False,
+) -> DataFrame:
+    """Per-stratum key-stable sampling — the language/source rebalancing
+    move of a training-data pipeline (downsample the dominant stratum,
+    keep the rest): each row passes iff hash(key) % 100 < rate(stratum).
+
+    Same scale shape as hash_sample: a pure map-side filter under the
+    scan, no shuffle, key-stable so independently sampled tables still
+    join. ``portable=True`` uses key-mod arithmetic instead of xxhash64
+    (cross-engine reproducible, for oracle checks; hash is the production
+    default — key-mod inherits any modular bias in the key)."""
+    rate = F.lit(float(default_rate))
+    for value, r in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == value, F.lit(float(r))).otherwise(rate)
+    bucket = (
+        F.pmod(F.col(key_col), F.lit(100))
+        if portable
+        else F.pmod(F.xxhash64(F.col(key_col), F.lit(seed)), F.lit(100))
+    )
+    return df.filter(bucket < rate)

@@ -157,11 +157,23 @@ _SWEPT_PRIOR_ROUNDS = frozenset({
 })
 
 
+# Fresh entries that yield the sweep window to longer-waiting ones (new
+# this round, or the labeled slow-path demo); they sort after the other
+# never-swept oracle entries and get sweep priority next round.
+_SWEEP_LATER = (
+    "k3_python_udf_rowwise",
+    "a10_sharded_export",
+    "b15_stratified_sample",
+    "l18_token_histogram",
+)
+
+
 def _sweep_rotate() -> None:
     """Stable-reorder _REGISTRY: never-swept oracle entries, then never-swept
     rows-only entries, then previously-swept names (pytest-guarded)."""
-    fresh_oracle = {k: v for k, v in _REGISTRY.items()
-                    if k not in _SWEPT_PRIOR_ROUNDS and v[1] is not None}
+    fresh_oracle = {k: v for k, v in sorted(
+        _REGISTRY.items(), key=lambda kv: (kv[0] in _SWEEP_LATER,),
+    ) if k not in _SWEPT_PRIOR_ROUNDS and v[1] is not None}
     fresh_rows = {k: v for k, v in sorted(
         _REGISTRY.items(),
         key=lambda kv: (kv[0] not in ('l3b_minhash_banded', 'l4b_simhash_near_pairs'),),

@@ -547,6 +547,58 @@ def l8d_ann_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_cols(out.withColumn("rank", F.col("rank").cast("bigint")), ["cosine"])
 
 
+@register(
+    "l18_token_histogram",
+    """
+    WITH t AS (
+      SELECT lang, len(string_split(text, ' ')) AS n_tokens FROM documents
+    ),
+    banded AS (
+      SELECT lang,
+             CASE WHEN n_tokens <= 64 THEN '00-64'
+                  WHEN n_tokens <= 256 THEN '065-256'
+                  WHEN n_tokens <= 1024 THEN '0257-1024'
+                  ELSE '1025+' END AS token_band,
+             n_tokens
+      FROM t
+    )
+    SELECT lang, token_band,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY n_tokens), 6) AS p50_tokens,
+           ROUND(percentile_cont(0.95) WITHIN GROUP (ORDER BY n_tokens), 6) AS p95_tokens
+    FROM banded GROUP BY lang, token_band
+    """,
+)
+def l18_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count budgeting histogram — the first question a training-data
+    pipeline asks of a corpus: how many tokens, distributed how, per
+    language? Whitespace token counts (the oracle-proven l5 expression)
+    band into the length buckets a packing/truncation policy cares about,
+    with exact p50/p95 per (lang, band). One groupBy shuffle over
+    (lang, band) — the token counting itself is map-side JVM expressions;
+    at 100 TB this is a single pass with a tiny aggregate state.
+    Ref parity: text analysis is a north-star extension (SURVEY.md §2 L)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    ntok = T.token_count("text")
+    banded = docs.select(
+        "lang",
+        ntok.alias("n_tokens"),
+        F.when(ntok <= 64, "00-64")
+        .when(ntok <= 256, "065-256")
+        .when(ntok <= 1024, "0257-1024")
+        .otherwise("1025+")
+        .alias("token_band"),
+    )
+    out = banded.groupBy("lang", "token_band").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.expr("percentile(n_tokens, 0.5)").alias("p50_tokens"),
+        F.expr("percentile(n_tokens, 0.95)").alias("p95_tokens"),
+    )
+    return _round_cols(out, ["p50_tokens", "p95_tokens"])
+
+
 @register("l3b_minhash_banded", None)  # xxhash64 family, no DuckDB twin
 def l3b_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded MinHash near-dup pairs from pure xxhash64 expressions (no

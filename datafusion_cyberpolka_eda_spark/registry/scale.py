@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datafusion_cyberpolka_eda_spark.registry import _dec_sum, register, small_df
@@ -343,6 +343,119 @@ def c10_bloom_join_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "true_semi_count bigint, bloom_keeps_all_matches boolean, "
         "bloom_fp_rate_below_5pct boolean",
     )
+
+
+@register(
+    "a10_sharded_export",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT)
+             AS content_checksum,
+           TRUE AS files_respect_cap,
+           TRUE AS shard_ranges_disjoint
+    FROM documents
+    """,
+)
+def a10_sharded_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard export — the sink side of a training-data pipeline:
+    range-shard the corpus on doc_id (repartitionByRange + in-partition
+    sort), cap rows per output file (maxRecordsPerFile), so consumers get
+    bounded, globally ordered, binary-searchable shards. Verified on
+    read-back: (1) content survives bit-exact — count, char sum, and an
+    md5-prefix checksum DuckDB recomputes from the source table; (2) no
+    file exceeds the cap; (3) per-file doc_id ranges are pairwise
+    disjoint (the property that makes range access O(1) files). At 100 TB
+    this is one range-shuffle write; the layout checks run over the
+    per-FILE stats table (thousands of rows), not row data."""
+    docs = load_table(spark, sf_dir, "documents")
+    path = os.path.join(_SCRATCH, f"{_tag(sf_dir)}_doc_shards")
+    cap = 500
+    (
+        docs.repartitionByRange(8, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", cap)
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    content = back.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum(
+            F.conv(F.substring(F.md5(F.col("text").cast("binary")), 1, 8), 16, 10)
+            .cast("bigint")
+        ).cast("bigint").alias("content_checksum"),
+    )
+    # per-file layout stats: tiny table (n_files rows); the ordering window
+    # over it is bounded by file count, not data size
+    fstats = back.groupBy(F.input_file_name().alias("f")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("doc_id").alias("lo"),
+        F.max("doc_id").alias("hi"),
+    )
+    w = Window.orderBy("lo")
+    layout = fstats.withColumn("prev_hi", F.lag("hi").over(w)).agg(
+        F.max("n_rows").alias("max_rows"),
+        F.min(
+            F.when(F.col("prev_hi").isNull(), True).otherwise(
+                F.col("prev_hi") < F.col("lo")
+            ).cast("int")
+        ).alias("disjoint"),
+    )
+    return content.join(F.broadcast(layout)).select(
+        "n_docs",
+        "total_chars",
+        "content_checksum",
+        (F.col("max_rows") <= cap).alias("files_respect_cap"),
+        (F.col("disjoint") == 1).alias("shard_ranges_disjoint"),
+    )
+
+
+@register(
+    "b15_stratified_sample",
+    """
+    WITH s AS (
+      SELECT lang,
+             CASE WHEN lang = 'en' THEN 10 ELSE 30 END AS quota,
+             doc_id % 100 AS bucket
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN bucket < quota THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+           ROUND(CAST(SUM(CASE WHEN bucket < quota THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS sample_rate
+    FROM s GROUP BY lang
+    """,
+)
+def b15_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified per-language quota sampling (training-data rebalancing:
+    downsample the dominant language, keep the rest). The sampler is a
+    pure map-side filter under the scan — no shuffle, key-stable so
+    independently sampled tables still join (functions/sampling.
+    stratified_key_sample). The portable key-mod variant is used here so
+    DuckDB replays membership exactly; production uses the xxhash64
+    bucket (same plan shape). Output compares per-stratum totals vs
+    sampled counts."""
+    from datafusion_cyberpolka_eda_spark.functions.sampling import (
+        stratified_key_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sampled = stratified_key_sample(
+        docs, "doc_id", "lang", rates={"en": 10}, default_rate=30, portable=True
+    ).groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled"))
+    totals = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    out = totals.join(sampled, "lang", "left").select(
+        "lang",
+        "n_total",
+        F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+        F.round(
+            F.coalesce("n_sampled", F.lit(0)).cast("double") / F.col("n_total"), 6
+        ).alias("sample_rate"),
+    )
+    return out
 
 
 @register(

@@ -183,6 +183,56 @@ class TestHashSampler:
         assert hash_sample(df, "k", 100).count() == 100
 
 
+class TestStratifiedSample:
+    @staticmethod
+    def _df(spark):
+        return spark.range(0, 30000).select(
+            F.col("id").alias("k"),
+            F.when(F.col("id") % 3 == 0, "en").otherwise("de").alias("lang"),
+        )
+
+    def test_per_stratum_rates(self, spark):
+        from datafusion_cyberpolka_eda_spark.functions.sampling import (
+            stratified_key_sample,
+        )
+
+        s = stratified_key_sample(
+            self._df(spark), "k", "lang", rates={"en": 10}, default_rate=50
+        )
+        rates = {
+            r["lang"]: r["n"]
+            for r in s.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        assert 0.08 < rates["en"] / 10000 < 0.12
+        assert 0.47 < rates["de"] / 20000 < 0.53
+
+    def test_key_stable_and_deterministic(self, spark):
+        from datafusion_cyberpolka_eda_spark.functions.sampling import (
+            stratified_key_sample,
+        )
+
+        df = self._df(spark)
+        a = stratified_key_sample(df, "k", "lang", rates={"en": 10}, default_rate=50)
+        b = stratified_key_sample(df, "k", "lang", rates={"en": 10}, default_rate=50)
+        assert a.exceptAll(b).count() == 0 and a.count() == b.count()
+
+    def test_portable_matches_key_mod(self, spark):
+        from datafusion_cyberpolka_eda_spark.functions.sampling import (
+            stratified_key_sample,
+        )
+
+        got = stratified_key_sample(
+            self._df(spark), "k", "lang", rates={"en": 10}, default_rate=50,
+            portable=True,
+        )
+        want = self._df(spark).filter(
+            F.pmod("k", F.lit(100))
+            < F.when(F.col("lang") == "en", 10).otherwise(50)
+        )
+        assert got.exceptAll(want).count() == 0
+        assert got.count() == want.count()
+
+
 class TestProfile:
     def test_null_rates(self, sdf, synth):
         nr = {
