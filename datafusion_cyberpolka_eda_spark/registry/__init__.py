@@ -165,6 +165,7 @@ _SWEEP_LATER = (
     "a10_sharded_export",
     "b15_stratified_sample",
     "l18_token_histogram",
+    "l19_sequence_packing",
 )
 
 

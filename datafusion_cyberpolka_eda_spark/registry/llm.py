@@ -599,6 +599,51 @@ def l18_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_cols(out, ["p50_tokens", "p95_tokens"])
 
 
+@register(
+    "l19_sequence_packing",
+    """
+    WITH RECURSIVE d AS (
+      SELECT doc_id % 8 AS shard, doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    pack AS (
+      SELECT shard, rn, n_tokens, CAST(0 AS BIGINT) AS bin_id, n_tokens AS run
+      FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.shard, d.rn, d.n_tokens,
+             CASE WHEN p.run + d.n_tokens > 256 THEN p.bin_id + 1
+                  ELSE p.bin_id END,
+             CASE WHEN p.run + d.n_tokens > 256 THEN d.n_tokens
+                  ELSE p.run + d.n_tokens END
+      FROM pack p JOIN d ON d.shard = p.shard AND d.rn = p.rn + 1
+    )
+    SELECT CAST(shard AS BIGINT) AS shard, bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           (SUM(n_tokens) <= 256 OR COUNT(*) = 1) AS within_cap
+    FROM pack GROUP BY shard, bin_id
+    """,
+)
+def l19_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing into 256-token training bins, sharded by
+    doc_id % 8 (operators/packing.pack_greedy_by_shard): the step between
+    dedup/filtering and tokenized shards in a training-data pipeline.
+    Packing is sequential per shard and shard-parallel across executors;
+    the DuckDB oracle replays the exact greedy recurrence with a
+    recursive CTE, so bin boundaries — not just totals — are value-hash
+    checked. Token counts use the oracle-proven l5 whitespace expression."""
+    from datafusion_cyberpolka_eda_spark.operators.packing import (
+        pack_greedy_by_shard,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", T.token_count("text").alias("n_tokens")
+    )
+    return pack_greedy_by_shard(docs, "doc_id", "n_tokens", cap=256, n_shards=8)
+
+
 @register("l3b_minhash_banded", None)  # xxhash64 family, no DuckDB twin
 def l3b_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded MinHash near-dup pairs from pure xxhash64 expressions (no

@@ -245,6 +245,38 @@ class TestFixedLshAnn:
             )
 
 
+class TestSequencePacking:
+    def test_greedy_semantics(self, spark):
+        from datafusion_cyberpolka_eda_spark.operators.packing import (
+            pack_greedy_by_shard,
+        )
+
+        # one shard (n_shards=1): sizes 100,100,100 -> bins [0,0],[1];
+        # oversized 999 sits alone; following 50 starts a fresh bin
+        rows = [(0, 100), (1, 100), (2, 100), (3, 999), (4, 50)]
+        df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+        out = pack_greedy_by_shard(df, "doc_id", "n_tokens", cap=256, n_shards=1)
+        got = {r["bin_id"]: (r["n_docs"], r["total_tokens"], r["within_cap"])
+               for r in out.collect()}
+        assert got == {0: (2, 200, True), 1: (1, 100, True),
+                       2: (1, 999, True), 3: (1, 50, True)}
+
+    def test_cap_respected_and_deterministic(self, spark, docs):
+        from datafusion_cyberpolka_eda_spark.operators.packing import (
+            pack_greedy_by_shard,
+        )
+        from datafusion_cyberpolka_eda_spark.functions import text as T
+
+        d = docs.select("doc_id", T.token_count("text").alias("n_tokens"))
+        a = pack_greedy_by_shard(d, "doc_id", "n_tokens", cap=256).collect()
+        b = pack_greedy_by_shard(
+            d.repartition(13), "doc_id", "n_tokens", cap=256
+        ).collect()
+        assert all(r["within_cap"] for r in a)
+        key = lambda rows: sorted((r["shard"], r["bin_id"], r["n_docs"], r["total_tokens"]) for r in rows)
+        assert key(a) == key(b)
+
+
 class TestBandedMinhash:
     def test_recall_and_estimate_vs_exact(self, docs):
         exact = {
