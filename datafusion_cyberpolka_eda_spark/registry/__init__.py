@@ -166,6 +166,7 @@ _SWEEP_LATER = (
     "b15_stratified_sample",
     "l18_token_histogram",
     "l19_sequence_packing",
+    "b16_group_reservoir",
 )
 
 

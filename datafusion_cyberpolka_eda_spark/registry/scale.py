@@ -459,6 +459,45 @@ def b15_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "b16_group_reservoir",
+    """
+    WITH h AS (
+      SELECT lang, doc_id, n_chars,
+             (doc_id * 2654435761) % 4294967296 AS hkey
+      FROM documents
+    )
+    SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS n_chars
+    FROM (SELECT lang, doc_id, n_chars,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                                    ORDER BY hkey, doc_id) AS rk
+          FROM h)
+    WHERE rk <= 20
+    """,
+)
+def b16_group_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k-per-group deterministic sampling — the fixed-budget cousin
+    of stratified rate sampling (b15): keep exactly 20 docs per language,
+    chosen by rank of a Knuth multiplicative hash of the key. Same
+    guarantees as a seeded reservoir (uniform-ish, stable under
+    reordering, reproducible across engines — the hash is plain integer
+    arithmetic both engines replay bitwise) but expressible as one
+    grouped top-k: a single shuffle on the group key, per-partition heaps
+    via row_number, no RNG state. Production note: for very hot groups,
+    pre-filter `hkey < threshold` (a map-side cut keeping ~2k candidates)
+    before the window — same answer, bounded sort."""
+    from datafusion_cyberpolka_eda_spark.operators.relational import grouped_topk
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", "doc_id", "n_chars",
+        F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(4294967296)).alias("hkey"),
+    )
+    out = grouped_topk(
+        docs, ["lang"], "hkey", k=20, ascending=True, tiebreak_cols=["doc_id"]
+    )
+    return out.select("lang", "doc_id", F.col("n_chars").cast("bigint").alias("n_chars"))
+
+
+@register(
     "e10b_approx_quantile_bound",
     """
     WITH q AS (
