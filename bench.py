@@ -52,6 +52,16 @@ def main() -> None:
     spark.range(1000).repartition(32).mapInPandas(
         lambda it: it, schema="id long"
     ).collect()
+    # ...and pyspark.ml (first KMeans fit in a session pays ~10 s of JVM
+    # class-loading/breeze init — session machinery, not query cost)
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import functions as F
+
+    tiny = spark.range(64).select(
+        array_to_vector(F.array(F.col("id").cast("double"))).alias("features")
+    )
+    KMeans(k=2, seed=1, maxIter=1, featuresCol="features").fit(tiny)
 
     # Per-job scheduling floor: median of 7 empty two-stage jobs (shuffle
     # included, mirroring the cheapest real query shape).
