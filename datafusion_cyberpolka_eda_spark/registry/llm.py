@@ -638,7 +638,10 @@ def l19_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         pack_greedy_by_shard,
     )
 
-    docs = spread(load_table(spark, sf_dir, "documents")).select(
+    # no spread(): the shard hashpartitioning exchange right after the scan
+    # already fans the work out — a round-robin repartition before it would
+    # be a second, pure-overhead shuffle (plan-audited to 1 Exchange)
+    docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", T.token_count("text").alias("n_tokens")
     )
     return pack_greedy_by_shard(docs, "doc_id", "n_tokens", cap=256, n_shards=8)

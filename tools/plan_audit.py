@@ -100,6 +100,23 @@ def main() -> int:
         absent=["CartesianProduct"],
     )
 
+    # per-group reservoir: one shuffle on the group key, heap-ranked
+    check(
+        "b16_group_reservoir",
+        absent=["CartesianProduct", "BroadcastNestedLoopJoin"],
+    )
+    # sequence packing: exactly one Exchange (the shard groupBy) feeding
+    # the Arrow-batched pandas group map — no hidden second shuffle
+    p = plan_of(qs["l19_sequence_packing"](spark, sf_dir))
+    if "FlatMapGroupsInPandas" not in p:
+        failures.append("l19_sequence_packing: expected FlatMapGroupsInPandas")
+    n_exch = p.count("Exchange (")
+    if n_exch != 1:
+        failures.append(
+            f"l19_sequence_packing: expected exactly 1 Exchange, found {n_exch}"
+        )
+    print(f"[{'OK' if not failures else '??'}] l19_sequence_packing")
+
     # partitioned sink: the filter must prune directories (PartitionFilters),
     # not rely on data-column pushdown
     check(
