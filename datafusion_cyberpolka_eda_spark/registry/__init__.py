@@ -167,6 +167,7 @@ _SWEEP_LATER = (
     "l18_token_histogram",
     "l19_sequence_packing",
     "b16_group_reservoir",
+    "j10_stream_static_join",
 )
 
 

@@ -130,6 +130,42 @@ def j8_watermark_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "j10_stream_static_join",
+    """
+    SELECT strftime(date_trunc('day', e.ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           c.c_mktsegment,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def j10_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join (the canonical streaming-ETL shape):
+    the event stream joins the broadcast customer dimension per
+    micro-batch, then aggregates event-time day windows per market
+    segment. The file stream drains in one pass, so the emitted windows
+    must equal the batch join+groupBy — the oracle. Streaming twin of the
+    batch dimension joins (c1); no state beyond the windowed agg."""
+    import os as _os
+
+    from datafusion_cyberpolka_eda_spark.streaming.events import (
+        stream_static_enrich_agg,
+    )
+
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return stream_static_enrich_agg(
+        spark,
+        _os.path.join(sf_dir, "events.parquet"),
+        dim,
+        stream_key="user_id",
+        dim_key="c_custkey",
+        seg_col="c_mktsegment",
+        window="1 day",
+    )
+
+
+@register(
     "j9_stream_dedup_watermark",
     "SELECT DISTINCT user_id, event_type FROM events",
 )

@@ -120,6 +120,67 @@ def stream_windowed_append_with_watermark(
     return spark.table(name)
 
 
+def stream_static_enrich_agg(
+    spark: SparkSession,
+    parquet_path: str,
+    dim: DataFrame,
+    stream_key: str,
+    dim_key: str,
+    seg_col: str,
+    window: str = "1 day",
+) -> DataFrame:
+    """Stream-static enrichment join — the canonical streaming-ETL shape:
+    a micro-batch stream joins a STATIC dimension (broadcast per batch;
+    Spark re-plans the static side each micro-batch, so a slowly-refreshed
+    dim table is picked up on restart), then aggregates into event-time
+    windows per dimension attribute. No watermark needed for the join
+    itself (static side holds no state); the windowed agg runs
+    complete-mode here, matching j2's drain-synchronously test protocol.
+    At scale: the dim broadcast is per-executor, the stream never
+    shuffles before the join, and the post-join agg shuffles only
+    (window x segment) aggregate state."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(parquet_path).schema
+    if os.path.isfile(parquet_path):
+        stage = tempfile.mkdtemp(prefix="stream_enrich_src_")
+        os.symlink(parquet_path, os.path.join(stage, os.path.basename(parquet_path)))
+        source_dir = stage
+    else:
+        source_dir = parquet_path
+    stream = normalize_event_ts(spark.readStream.schema(schema).parquet(source_dir))
+    joined = stream.join(
+        F.broadcast(dim), stream[stream_key] == dim[dim_key]
+    )
+    agg = (
+        joined.groupBy(F.window("ts", window).alias("w"), seg_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            seg_col,
+            "n",
+            "total_value",
+        )
+    )
+    name = f"stream_enrich_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 def sessionize(
     events: DataFrame,
     user_col: str = "user_id",
