@@ -168,6 +168,7 @@ _SWEEP_LATER = (
     "l19_sequence_packing",
     "b16_group_reservoir",
     "j10_stream_static_join",
+    "j11_foreachbatch_sink",
 )
 
 

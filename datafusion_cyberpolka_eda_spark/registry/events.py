@@ -166,6 +166,35 @@ def j10_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "j11_foreachbatch_sink",
+    """
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def j11_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch custom-sink pattern: 4 forced micro-batches append
+    per-epoch DECIMAL partial aggregates to a parquet target; the rollup
+    of partials must equal the direct batch aggregation (the oracle) —
+    proving the incremental sink loses nothing across epochs."""
+    import os as _os
+
+    from datafusion_cyberpolka_eda_spark.streaming.events import (
+        stream_foreachbatch_incremental,
+    )
+
+    scratch = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+        ".scratch",
+        f"j11_{_os.path.basename(_os.path.normpath(sf_dir)).replace('.', '_')}",
+    )
+    return stream_foreachbatch_incremental(
+        spark, _os.path.join(sf_dir, "events.parquet"), scratch
+    )
+
+
+@register(
     "j9_stream_dedup_watermark",
     "SELECT DISTINCT user_id, event_type FROM events",
 )

@@ -328,6 +328,31 @@ class TestWhaleAndFisher:
         assert row["pvalue"] < 0.05
 
 
+def test_foreachbatch_runs_multiple_epochs(spark, tmp_path):
+    """The foreachBatch sink pattern must exercise REAL multi-epoch
+    accumulation: with the source fanned into 4 files and
+    maxFilesPerTrigger=1, the partials table must carry >= 2 distinct
+    epochs (a single-batch run would make the rollup vacuous)."""
+    from datafusion_cyberpolka_eda_spark.streaming.events import (
+        stream_foreachbatch_incremental,
+    )
+
+    scratch = str(tmp_path / "fb")
+    out = stream_foreachbatch_incremental(
+        spark, "/root/testdata/sf0.001/events.parquet", scratch
+    )
+    import os as _os
+
+    partials = spark.read.parquet(_os.path.join(scratch, "fb_partials"))
+    assert partials.select("epoch").distinct().count() >= 2
+    batch = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .groupBy("user_id")
+        .count()
+    )
+    assert out.count() == batch.count()
+
+
 def test_transform_with_state_env_gate(spark):
     """transformWithStateInPandas needs google.protobuf (absent in this
     container): the operator must fail fast with NotImplementedError at
