@@ -169,6 +169,8 @@ _SWEEP_LATER = (
     "b16_group_reservoir",
     "j10_stream_static_join",
     "j11_foreachbatch_sink",
+    "e9b_indicator_auc_closed_form",
+    "e17_upper_triangle_mean",
 )
 
 

@@ -43,6 +43,81 @@ def e1_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_cols(df, ["corr"])
 
 
+@register(
+    "e9b_indicator_auc_closed_form",
+    """
+    WITH t AS (
+      SELECT CAST(l_returnflag = 'R' AS INT) AS ind,
+             CAST(l_linestatus = 'F' AS INT) AS pos
+      FROM lineitem
+    )
+    SELECT ROUND(0.5 + (CAST(SUM(ind * pos) AS DOUBLE) / SUM(pos)
+                        - CAST(SUM(ind * (1 - pos)) AS DOUBLE)
+                          / (COUNT(*) - SUM(pos))) / 2, 6) AS auc,
+           TRUE AS matches_rank_auc
+    FROM t
+    """,
+)
+def e9b_indicator_auc_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-indicator AUC via the closed form
+    AUC = 0.5 + (P(ind|pos) - P(ind|neg)) / 2 (operator E9; ref missing-
+    indicator screen, public_eda_pipeline.py:321-364): for a 0/1 score
+    the full Mann-Whitney rank AUC collapses to one conditional-
+    probability pass — the pipeline screens 300 (feature, target) pairs
+    with ONE aggregation instead of 300 rank jobs. Cross-validated in
+    place: the same AUC is also computed through the generic rank path
+    (auc_by_rank) and the equality ships as a checked column."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_returnflag") == "R").cast("int").alias("ind"),
+        (F.col("l_linestatus") == "F").cast("int").alias("pos"),
+    )
+    r = li.agg(
+        F.sum(F.col("ind") * F.col("pos")).alias("ip"),
+        F.sum("pos").alias("p"),
+        F.sum(F.col("ind") * (1 - F.col("pos"))).alias("in_"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    closed = 0.5 + (r["ip"] / r["p"] - r["in_"] / (r["n"] - r["p"])) / 2
+    rank = S.auc_by_rank(li, "pos", "ind").collect()[0]["auc"]
+    df = small_df(
+        spark,
+        [(closed, abs(closed - rank) < 1e-12)],
+        "auc double, matches_rank_auc boolean",
+    )
+    return _round_cols(df, ["auc"])
+
+
+@register(
+    "e17_upper_triangle_mean",
+    f"""
+    WITH c AS (
+      {" UNION ALL ".join(
+        f"SELECT ABS(corr({a}, {b})) AS a FROM lineitem"
+        for a, b in _pairs(_LI_NUM)
+      )}
+    )
+    SELECT ROUND(AVG(a), 6) AS mean_abs_upper_triangle,
+           CAST({len(_pairs(_LI_NUM))} AS BIGINT) AS n_pairs
+    FROM c
+    """,
+)
+def e17_upper_triangle_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle mean |corr| — the cluster-cohesion scalar (operator
+    E17; ref cluster summary avg_abs_corr_inside,
+    public_eda_pipeline.py:196-230), computed the pipeline's way: the
+    moments engine produces the full matrix in one distributed pass, the
+    triangle mean is driver-side numpy over the tiny matrix."""
+    import numpy as np
+
+    li = load_table(spark, sf_dir, "lineitem")
+    corr = S.corr_matrix(li, _LI_NUM)
+    m = corr.to_numpy(dtype=float)
+    iu = np.triu_indices(len(_LI_NUM), k=1)
+    rows = [(float(np.abs(m[iu]).mean()), len(iu[0]))]
+    df = small_df(spark, rows, "mean_abs_upper_triangle double, n_pairs bigint")
+    return _round_cols(df, ["mean_abs_upper_triangle"])
+
+
 _SCREEN_YS = {
     "flag_a": "CAST(l_returnflag = 'A' AS INT)",
     "flag_f": "CAST(l_linestatus = 'F' AS INT)",
