@@ -171,6 +171,7 @@ _SWEEP_LATER = (
     "j11_foreachbatch_sink",
     "e9b_indicator_auc_closed_form",
     "e17_upper_triangle_mean",
+    "j12_stream_stream_join",
 )
 
 

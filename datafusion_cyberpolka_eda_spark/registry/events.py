@@ -195,6 +195,34 @@ def j11_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "j12_stream_stream_join",
+    """
+    SELECT v.user_id,
+           COUNT(*) AS n_attributed_pairs
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+    GROUP BY v.user_id
+    """,
+)
+def j12_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (attribution: purchase within 30 min
+    of a view, same user) — both sides unbounded and watermarked, the
+    time-interval condition bounding join state. Sources drain in one
+    pass so emitted pairs must equal the batch interval join (oracle)."""
+    import os as _os
+
+    from datafusion_cyberpolka_eda_spark.streaming.events import (
+        stream_stream_interval_join,
+    )
+
+    return stream_stream_interval_join(
+        spark, _os.path.join(sf_dir, "events.parquet")
+    )
+
+
+@register(
     "j9_stream_dedup_watermark",
     "SELECT DISTINCT user_id, event_type FROM events",
 )

@@ -241,6 +241,66 @@ def stream_foreachbatch_incremental(
     )
 
 
+def stream_stream_interval_join(
+    spark: SparkSession,
+    parquet_path: str,
+    left_type: str = "view",
+    right_type: str = "purchase",
+    within: str = "INTERVAL 30 MINUTES",
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream event-time interval join — the attribution shape
+    (purchase within 30 minutes of a view by the same user), and the
+    last canonical Structured Streaming surface: BOTH sides are
+    unbounded, so each must buffer state, and the join condition must
+    bound event time on both sides (equality key + time interval) so
+    watermarks can evict it. Without the interval the state grows
+    forever; with it, state per side is O(keys x delay+interval).
+
+    Matched pairs append to the sink; the file sources drain in one pass
+    so the emitted set equals the batch interval join (the j12 oracle).
+    The returned DataFrame aggregates pairs per user to keep the result
+    driver-sized."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(parquet_path).schema
+    if os.path.isfile(parquet_path):
+        stage = tempfile.mkdtemp(prefix="stream_ss_src_")
+        os.symlink(parquet_path, os.path.join(stage, os.path.basename(parquet_path)))
+        source_dir = stage
+    else:
+        source_dir = parquet_path
+
+    def side(event_type: str, prefix: str):
+        s = normalize_event_ts(
+            spark.readStream.schema(schema).parquet(source_dir)
+        ).filter(F.col("event_type") == event_type)
+        return s.select(
+            F.col("user_id").alias(f"{prefix}_user"),
+            F.col("ts").alias(f"{prefix}_ts"),
+        ).withWatermark(f"{prefix}_ts", delay)
+
+    left = side(left_type, "v")
+    right = side(right_type, "p")
+    pairs = left.join(
+        right,
+        F.expr(
+            f"v_user = p_user AND p_ts >= v_ts AND p_ts <= v_ts + {within}"
+        ),
+    )
+    name = f"stream_ss_{uuid.uuid4().hex[:8]}"
+    q = pairs.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .groupBy(F.col("v_user").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_attributed_pairs"))
+    )
+
+
 def sessionize(
     events: DataFrame,
     user_col: str = "user_id",
