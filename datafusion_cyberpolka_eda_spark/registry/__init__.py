@@ -134,13 +134,15 @@ from datafusion_cyberpolka_eda_spark.registry import analytic  # noqa: E402,F401
 from datafusion_cyberpolka_eda_spark.registry import udf  # noqa: E402,F401
 
 # Names already hard-verified by the external correctness sweep in rounds
-# 1-2 (CORRECTNESS_r02.json). The sweep covers roughly the first 50 entries
-# of queries() in registration order, so entries it has never seen are
-# rotated to the FRONT (oracle-bearing first — they yield the strongest
+# 1-3 (CORRECTNESS_r01-r03.json). The sweep covers roughly the first 50
+# entries of queries() in registration order, so entries it has never seen
+# are rotated to the FRONT (oracle-bearing first — they yield the strongest
 # value-hash signal; rows-only entries next; previously-verified names
 # last, where pytest's exact oracle-parity suite still regression-guards
-# them every run).
+# them every run — and the window's remaining slots re-check a rotating
+# tail of previously-swept names each round).
 _SWEPT_PRIOR_ROUNDS = frozenset({
+    # rounds 1-2 (CORRECTNESS_r01/r02)
     'b10_b11_prefix_conditional', 'b1_b2_project_cast_filter', 'b3_b4_null_ops', 'b6_key_stable_sample',
     'b7_b8_horizontal_sum', 'b9_string_split', 'c13_order_revenue_topk', 'c1_join_revenue_by_region',
     'c2_presampled_join', 'c6_anti_join_unseen', 'c6b_semi_join', 'c7_union_stack',
@@ -154,25 +156,27 @@ _SWEPT_PRIOR_ROUNDS = frozenset({
     'j8_watermark_append', 'j9_stream_dedup_watermark', 'l17_normalized_text_dedup', 'l1_dedup_exact',
     'l2_ngram_jaccard_pairs', 'l3_minhash_lsh_pairs', 'l4_simhash_fingerprints', 'l5_text_stats',
     'l6_marker_hits', 'l6b_lang_id_confusion',
+    # round 3 (CORRECTNESS_r03)
+    'l16_embedding_quantize_int8', 'l7_cosine_topk', 'l10_embedding_neardup', 'l9_multimodal_features',
+    'l8c_ann_recall_bound', 'l8d_ann_lsh_portable', 'l3c_minhash_banded_portable', 'l4c_simhash_portable',
+    'l12_vocab_topk', 'l13_tfidf_topk', 'l14_label_centroid_norms', 'l11_neardup_components',
+    'h1_intersect', 'h2_except_all', 'b12_isin_filter', 'd14_rollup',
+    'g5_pivot', 'l5b_quality_scores', 'l6c_lang_id_argmax', 'j4_asof_join',
+    'j5_range_join', 'd15_cube', 'c5_left_join', 'd12_group_median',
+    'c11_merge_upsert', 'c14_scd2_history', 'l15_fuzzy_name_pairs', 'p1_pagerank_trade_graph',
+    'a5_csv_roundtrip', 'a8_orc_roundtrip', 'a6_json_roundtrip', 'a9_python_datasource',
+    'a7_partitioned_pruning', 'c8_bucketed_colocated_join', 'c9_salted_skew_agg', 'c12_salted_skew_join',
+    'c10_bloom_join_prefilter', 'e10b_approx_quantile_bound', 'g6_window_frames', 'g7_lag_lead',
+    'j7_sliding_window', 'i2_datetime_functions', 'i3_array_lambda_ops', 'h3_subqueries',
+    'd8b_approx_distinct_bound', 'k1_python_udtf', 'k2_pandas_udf_scalar', 'k4_arrow_batch_map',
+    'e9b_indicator_auc_closed_form', 'e17_upper_triangle_mean',
 })
 
 
-# Fresh entries that yield the sweep window to longer-waiting ones (new
-# this round, or the labeled slow-path demo); they sort after the other
-# never-swept oracle entries and get sweep priority next round.
-_SWEEP_LATER = (
-    "k3_python_udf_rowwise",
-    "a10_sharded_export",
-    "b15_stratified_sample",
-    "l18_token_histogram",
-    "l19_sequence_packing",
-    "b16_group_reservoir",
-    "j10_stream_static_join",
-    "j11_foreachbatch_sink",
-    "e9b_indicator_auc_closed_form",
-    "e17_upper_triangle_mean",
-    "j12_stream_stream_join",
-)
+# Fresh entries that yield the sweep window to longer-waiting ones; empty
+# for round 4 — every never-swept query (j10-j12, l18, l19, a10, b15, b16,
+# k3, l3b, l4b, l8b) must lead the window this round.
+_SWEEP_LATER: tuple[str, ...] = ()
 
 
 def _sweep_rotate() -> None:
