@@ -202,6 +202,84 @@ def ann_ivf_topk(
     return out
 
 
+def ann_ivf_topk_multi(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: list[int],
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Trained-quantizer IVF ANN for MULTIPLE queries with ONE KMeans fit
+    (ann_ivf_topk refits per call — fine for a single query, 5x the fit
+    cost for a 5-query recall gate). Cell assignment is computed once and
+    cached; each query contributes a filtered branch over its n_probe
+    cells with the query vector inlined as literals, and the branches
+    union into one job. Returns (query_id, neighbor_id, cosine, rank)."""
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    unit = unit_vec_df(df, id_col, vec_col).withColumn(
+        "features", array_to_vector("unit_arr")
+    )
+    km = KMeans(
+        k=n_centroids,
+        seed=seed,
+        initMode="random",
+        maxIter=10,
+        featuresCol="features",
+        predictionCol="cell",
+    )
+    model = km.fit(unit)
+    assigned = model.transform(unit).persist()
+    centers = np.array(model.clusterCenters())
+    qrows = {
+        r["id"]: np.array(r["unit_arr"])
+        for r in assigned.filter(F.col("id").isin(list(query_ids))).collect()
+    }
+
+    branches = []
+    for qid in query_ids:
+        qvec = qrows[qid]
+        probe_cells = [
+            int(i)
+            for i in np.argsort(((centers - qvec) ** 2).sum(axis=1))[:n_probe]
+        ]
+        qlit = F.array(*[F.lit(float(x)) for x in qvec])
+        score = F.aggregate(
+            F.zip_with(F.col("unit_arr"), qlit, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        branches.append(
+            assigned.filter(
+                F.col("cell").isin(probe_cells) & (F.col("id") != qid)
+            )
+            .withColumn("cosine", score)
+            .select(
+                F.lit(qid).cast("bigint").alias("query_id"),
+                F.col("id").alias("neighbor_id"),
+                "cosine",
+            )
+        )
+    allb = branches[0]
+    for b in branches[1:]:
+        allb = allb.unionByName(b)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    out = (
+        allb.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .localCheckpoint(eager=True)
+    )
+    assigned.unpersist()
+    return out
+
+
 def ann_ivf_fixed_topk_multi(
     df: DataFrame,
     id_col: str,
@@ -317,8 +395,13 @@ def ann_lsh_fixed_topk_multi(
             lambda acc, v: acc + v,
         )
 
+    # Sign test on the ROUNDED dot: float summation order differs between
+    # engines (Spark left-fold vs SQL SUM), so a plane dot within ~1e-12 of
+    # zero could flip a band key engine-dependently. 9 dp rounding (HALF_UP
+    # in Spark = half-away-from-zero in DuckDB) makes the bit deterministic;
+    # the l8d oracle applies the same ROUND(d, 9).
     bits = F.array(
-        *[(dot_lit(r["unit_arr"]) >= 0).cast("int") for r in plane_rows]
+        *[(F.round(dot_lit(r["unit_arr"]), 9) >= 0).cast("int") for r in plane_rows]
     )
     band_keys = F.array(
         *[

@@ -243,17 +243,31 @@ def auc_by_rank(
         .groupBy("s")
         .agg(F.sum("y").alias("pos"), F.sum(1 - F.col("y")).alias("neg"))
     )
-    rng = g.where(F.col("s").isNotNull() & ~F.isnan("s")).agg(
-        F.min("s").alias("_lo"), F.max("s").alias("_hi")
-    )
+    # Range over FINITE scores only: an infinity in min/max would make
+    # `width` infinite and collapse every finite score into bucket 0 —
+    # still correct (within-bucket order holds) but single-partition.
+    # Infinities get their own sentinel buckets respecting Spark sort
+    # order (null < -inf < finite < +inf < NaN).
+    inf, ninf = F.lit(float("inf")), F.lit(float("-inf"))
+    rng = g.where(
+        F.col("s").isNotNull()
+        & ~F.isnan("s")
+        & (F.col("s") != inf)
+        & (F.col("s") != ninf)
+    ).agg(F.min("s").alias("_lo"), F.max("s").alias("_hi"))
     width = (F.col("_hi") - F.col("_lo")) / num_buckets
     gb = (
         g.join(F.broadcast(rng))
         .withColumn(
             "bucket",
-            F.when(F.col("s").isNull(), F.lit(-1))
-            .when(F.isnan("s"), F.lit(num_buckets))
-            .when(F.col("_hi") == F.col("_lo"), F.lit(0))
+            F.when(F.col("s").isNull(), F.lit(-2))
+            .when(F.isnan("s"), F.lit(num_buckets + 1))
+            .when(F.col("s") == ninf, F.lit(-1))
+            .when(F.col("s") == inf, F.lit(num_buckets))
+            .when(
+                (F.col("_hi") == F.col("_lo")) | F.col("_hi").isNull(),
+                F.lit(0),
+            )
             .otherwise(
                 F.least(
                     F.lit(num_buckets - 1),

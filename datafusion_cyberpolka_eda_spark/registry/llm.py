@@ -333,20 +333,36 @@ def l7_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_cols(out.withColumn("rank", F.col("rank").cast("bigint")), ["cosine"])
 
 
-@register("l8_ann_lsh_neighbors", None)  # LSH projections are engine-specific
+@register(
+    "l8_ann_lsh_neighbors",
+    "SELECT CAST(0 AS BIGINT) AS query_id, TRUE AS recall_at_5_ge_60pct",
+)
 def l8_ann_lsh_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate nearest neighbors via random-projection LSH over
-    L2-normalized embeddings (the similarity-search scale path). Recall vs
-    the exact l7 baseline is asserted in tests/test_llm_ops.py."""
+    """Approximate nearest neighbors via trained random-projection LSH
+    over L2-normalized embeddings (the similarity-search scale path).
+    The trained model's projections are engine-specific RNG, so the
+    neighbor rows themselves can't be value-hashed cross-engine; instead
+    the registered output is the QUALITY GATE the index must pass —
+    recall@5 vs the exact brute-force cosine top-5 (the l7 baseline)
+    >= 60% — which the oracle asserts as a constant-true row (the l8c
+    pattern). The raw neighbor lists stay covered by the recall asserts
+    in tests/test_llm_ops.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     model, transformed = SIM.ann_lsh_model(emb, "vec_id", "embedding")
     query = transformed.filter(F.col("id") == 0).head()
     nn = model.approxNearestNeighbors(transformed, query["features"], 6)
-    out = (
-        nn.filter(F.col("id") != 0)
-        .select(F.col("id").alias("neighbor_id"), F.col("distCol").alias("l2_dist"))
+    ann_ids = {r["id"] for r in nn.collect()} - {0}
+    exact = SIM.cosine_topk(
+        emb.filter(F.col("vec_id") == 0), emb, id_col="vec_id",
+        vec_col="embedding", k=5,
     )
-    return _round_cols(out, ["l2_dist"])
+    exact_ids = {r["candidate_id"] for r in exact.collect()}
+    recall = len(ann_ids & exact_ids) / len(exact_ids)
+    return small_df(
+        spark,
+        [(0, recall >= 0.6)],
+        "query_id bigint, recall_at_5_ge_60pct boolean",
+    )
 
 
 @register(
@@ -438,16 +454,44 @@ def l9_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("l8b_ann_ivf_neighbors", None)  # KMeans cells are engine-specific
+@register(
+    "l8b_ann_ivf_neighbors",
+    "SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS mean_recall_at_5_ge_60pct",
+)
 def l8b_ann_ivf_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed ANN (scale path #2): KMeans cells over unit vectors,
-    probe the nearest n_probe cells, exact dot product inside. Recall vs
-    the exact top-k is asserted in tests/test_llm_ops.py."""
-    from datafusion_cyberpolka_eda_spark.operators.similarity import ann_ivf_topk
-
+    probe the nearest n_probe cells, exact dot product inside. The
+    trained quantizer's cells are engine-specific (KMeans init samples by
+    partition layout), so like l8 the registered output is a quality
+    gate the oracle asserts as a constant-true row: MEAN recall@5 over
+    the 5 benchmark queries >= 60% vs the exact cosine top-5 (measured
+    0.80-0.88 at probe 8/16 across sf0.001-0.1; the mean over 5 queries
+    is stable where a single query sits at the 0.6 boundary). One KMeans
+    fit serves all queries (ann_ivf_topk_multi); neighbor lists stay
+    covered by tests/test_llm_ops.py."""
     emb = load_table(spark, sf_dir, "embeddings")
-    out = ann_ivf_topk(emb, "vec_id", "embedding", query_id=0, k=5)
-    return _round_cols(out, ["cosine"])
+    qids = [0, 1, 2, 3, 4]
+    ann = SIM.ann_ivf_topk_multi(
+        emb, "vec_id", "embedding", query_ids=qids, k=5, n_probe=8
+    )
+    got: dict[int, set] = {}
+    for r in ann.collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    exact = SIM.cosine_topk(
+        emb.filter(F.col("vec_id") < 5), emb, id_col="vec_id",
+        vec_col="embedding", k=5,
+    )
+    es: dict[int, set] = {}
+    for r in exact.collect():
+        es.setdefault(r["query_id"], set()).add(r["candidate_id"])
+    mean_recall = sum(
+        len(got.get(q, set()) & es[q]) / len(es[q]) for q in qids
+    ) / len(qids)
+    return small_df(
+        spark,
+        [(5, mean_recall >= 0.6)],
+        "n_queries bigint, mean_recall_at_5_ge_60pct boolean",
+    )
 
 
 @register(
@@ -507,7 +551,7 @@ def l8c_ann_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     dots AS (SELECT u.vec_id, pv.pid, SUM(u.uval * pv.pval) AS d
              FROM u JOIN pvec pv USING (i) GROUP BY u.vec_id, pv.pid),
     bands AS (SELECT vec_id, pid // 4 AS band,
-                     CAST(SUM(CASE WHEN d >= 0 THEN 1 ELSE 0 END
+                     CAST(SUM(CASE WHEN ROUND(d, 9) >= 0 THEN 1 ELSE 0 END
                               * (1 << (pid % 4))) AS INTEGER) AS bkey
               FROM dots GROUP BY vec_id, pid // 4),
     qb AS (SELECT vec_id AS query_id, band, bkey FROM bands WHERE vec_id < 5),

@@ -388,8 +388,12 @@ def a10_sharded_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint").alias("content_checksum"),
     )
     # per-file layout stats: tiny table (n_files rows); the ordering window
-    # over it is bounded by file count, not data size
-    fstats = back.groupBy(F.input_file_name().alias("f")).agg(
+    # over it is bounded by file count, not data size. The _metadata.file_path
+    # hidden column (not input_file_name(), which returns '' under
+    # DataSourceV2 readers and would collapse all files into one pseudo-file)
+    fstats = back.select("*", "_metadata.file_path").groupBy(
+        F.col("file_path").alias("f")
+    ).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.min("doc_id").alias("lo"),
         F.max("doc_id").alias("hi"),
