@@ -265,3 +265,69 @@ def d8b_approx_distinct_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     return small_df(
         spark, rows, "column_name string, exact_distinct bigint, hll_within_5pct boolean"
     )
+
+
+@register(
+    "g8_analytic_pack",
+    """
+    WITH w AS (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             PERCENT_RANK() OVER
+               (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS pr,
+             CUME_DIST() OVER
+               (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS cd,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) OVER
+               (PARTITION BY c_mktsegment) AS DOUBLE) AS seg_total,
+             ROW_NUMBER() OVER
+               (PARTITION BY c_mktsegment
+                ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer
+    )
+    SELECT c_mktsegment, c_custkey, c_acctbal,
+           ROUND(pr, 6) AS pct_rank,
+           ROUND(cd, 6) AS cume_dist,
+           ROUND(c_acctbal / seg_total, 6) AS seg_share
+    FROM w WHERE rn <= 3
+    """,
+)
+def g8_analytic_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-analytic surface (family G): percent_rank + cume_dist +
+    share-of-total over segment partitions, reported for each segment's
+    top-3 balances. The three windows share ONE partition key, so the
+    plan shuffles once on c_mktsegment and evaluates all window
+    functions in that layout. Determinism: ordering ties broken by
+    c_custkey; the share denominator sums via DECIMAL (associativity-
+    proof) so the double division is bit-identical cross-engine.
+
+    Scale note: a per-segment ordered window means one task per segment
+    ordering n/|segments| rows — fine at 5 segments x ordinary skew, but
+    for rank analytics over BILLIONS of rows per group the bucketed
+    two-pass prefix-sum shape (operators/stats.auc_by_rank) is the
+    100 TB pattern; this query pins the SQL-analytic semantics."""
+    c = load_table(spark, sf_dir, "customer")
+    wo = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    wp = Window.partitionBy("c_mktsegment")
+    wr = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        c.select("c_mktsegment", "c_custkey", "c_acctbal")
+        .withColumn("pr", F.percent_rank().over(wo))
+        .withColumn("cd", F.cume_dist().over(wo))
+        .withColumn(
+            "seg_total",
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).over(wp).cast("double"),
+        )
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "c_mktsegment",
+            "c_custkey",
+            "c_acctbal",
+            F.round("pr", 6).alias("pct_rank"),
+            F.round("cd", 6).alias("cume_dist"),
+            F.round(F.col("c_acctbal") / F.col("seg_total"), 6).alias("seg_share"),
+        )
+    )

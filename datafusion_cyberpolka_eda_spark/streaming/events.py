@@ -272,6 +272,71 @@ def stream_foreachbatch_incremental(
     )
 
 
+def stream_session_window_agg(
+    spark: SparkSession,
+    parquet_path: str,
+    gap: str = "30 minutes",
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Event-time SESSION windows in Structured Streaming
+    (F.session_window): dynamic-length windows that keep extending while
+    events for the key arrive within ``gap`` of the session's current
+    end, and close — emitting exactly once in append mode — when the
+    watermark passes last_event_ts + gap. This is the stateful-merge
+    window surface (sessions MERGE when a late event bridges two of
+    them), distinct from fixed tumbling/sliding windows (j2/j7) and from
+    batch gap-sessionization (j3, which is the lag/running-sum analog).
+
+    With the file source drained in one pass plus the trailing no-data
+    batch, the emitted set is exactly the sessions whose
+    (last_ts + gap) <= max(ts) - delay — pinned by the batch oracle.
+    State per key is one open session struct, watermark-evicted.
+
+    Session-membership boundary: an event at exactly last_ts + gap
+    starts a NEW session (session windows are half-open [start,
+    last+gap)), so the batch replay must split on diff >= gap, not
+    > gap."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(parquet_path).schema
+    if os.path.isfile(parquet_path):
+        stage = tempfile.mkdtemp(prefix="stream_sess_src_")
+        os.symlink(parquet_path, os.path.join(stage, os.path.basename(parquet_path)))
+        source_dir = stage
+    else:
+        source_dir = parquet_path
+    stream = normalize_event_ts(spark.readStream.schema(schema).parquet(source_dir))
+    agg = (
+        stream.withWatermark("ts", delay)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.col("user_id"),
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+    name = f"stream_sess_{uuid.uuid4().hex[:8]}"
+    with scoped_state_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return spark.table(name)
+
+
 def stream_stream_interval_join(
     spark: SparkSession,
     parquet_path: str,
