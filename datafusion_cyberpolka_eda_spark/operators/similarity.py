@@ -211,13 +211,17 @@ def ann_ivf_topk_multi(
     n_centroids: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    max_iter: int = 5,
 ) -> DataFrame:
     """Trained-quantizer IVF ANN for MULTIPLE queries with ONE KMeans fit
     (ann_ivf_topk refits per call — fine for a single query, 5x the fit
     cost for a 5-query recall gate). Cell assignment is computed once and
     cached; each query contributes a filtered branch over its n_probe
     cells with the query vector inlined as literals, and the branches
-    union into one job. Returns (query_id, neighbor_id, cosine, rank)."""
+    union into one job. max_iter defaults lower than ann_ivf_topk's 10:
+    recall comes from probing n_probe cells, and each Lloyd iteration is
+    a full distributed pass. Returns (query_id, neighbor_id, cosine,
+    rank)."""
     import numpy as np
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -229,7 +233,7 @@ def ann_ivf_topk_multi(
         k=n_centroids,
         seed=seed,
         initMode="random",
-        maxIter=10,
+        maxIter=max_iter,
         featuresCol="features",
         predictionCol="cell",
     )

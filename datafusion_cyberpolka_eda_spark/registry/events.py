@@ -230,7 +230,7 @@ def j12_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN LAG(epoch_us(ts)) OVER
                     (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   OR epoch_us(ts) - LAG(epoch_us(ts)) OVER
-                    (PARTITION BY user_id ORDER BY ts, event_id) >= 1800000000
+                    (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
                   THEN 1 ELSE 0 END AS new_sess
       FROM events
     ),
@@ -259,8 +259,9 @@ def j13_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     mode) — the stateful-merge window surface: sessions extend/merge
     while events arrive within the 30-min gap and emit once when the
     watermark (max ts - 1 h) closes them. The oracle replays gap
-    sessionization in batch SQL (splitting on diff >= gap — session
-    windows are half-open) and keeps exactly the closed sessions, so
+    sessionization in batch SQL (splitting on diff > gap — an event at
+    exactly last_ts + gap MERGES; the inclusive boundary is pinned by
+    TestSessionWindowBoundary) and keeps exactly the closed sessions, so
     both the session semantics AND the append-mode emission rule are
     hash-checked."""
     import os as _os

@@ -937,3 +937,108 @@ def l11_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "canonical_id", "cluster_size")
     )
+
+
+@register(
+    "l20_contamination_screen",
+    """
+    WITH d AS (
+      SELECT doc_id, lang, source,
+             string_split(lower(text), ' ') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, lang, source,
+             ('0x' || substr(md5(array_to_string(toks[i:i+4], ' ')), 1, 15))::BIGINT AS h
+      FROM d, UNNEST(range(1, greatest(len(toks) - 3, 1))) AS t(i)
+    ),
+    bench AS (SELECT DISTINCT h FROM g WHERE source IN ('src0', 'src1')),
+    tdocs AS (
+      SELECT lang, COUNT(*) AS n_docs FROM d
+      WHERE source NOT IN ('src0', 'src1') GROUP BY lang
+    ),
+    hit AS (
+      SELECT DISTINCT g.doc_id, g.lang
+      FROM g JOIN bench USING (h)
+      WHERE g.source NOT IN ('src0', 'src1')
+    ),
+    hc AS (SELECT lang, COUNT(*) AS n_contaminated FROM hit GROUP BY lang)
+    SELECT t.lang,
+           CAST(t.n_docs AS BIGINT) AS n_docs,
+           CAST(COALESCE(hc.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+           ROUND(COALESCE(hc.n_contaminated, 0) * 1.0 / t.n_docs, 6)
+             AS contamination_rate
+    FROM tdocs t LEFT JOIN hc USING (lang)
+    """,
+)
+def l20_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-decontamination screen — the training-data op that near-dup
+    dedup does NOT cover: a train document is contaminated if it shares ANY
+    exact 5-gram with the held-out benchmark corpus (sources src0/src1
+    stand in for the benchmark split). Exact n-gram containment is the
+    standard decontamination rule (as in open LM training pipelines);
+    near-dup (l3/l10) would miss a doc quoting one benchmark sentence.
+
+    Plan shape: tokenize + explode 5-grams map-side, hash each gram to a
+    portable 60-bit md5 key (functions/hashing — the DuckDB oracle
+    replays tokenization, gram hashing, containment, and per-lang rates
+    end-to-end), semi-join train grams against the DISTINCT benchmark
+    gram set, then count distinct contaminated docs per lang.
+
+    100 TB design: real benchmark suites are tiny (MBs) — their distinct
+    gram set broadcasts, so the train side never shuffles gram rows: the
+    explode, the broadcast semi-join probe, and the per-doc dedup's
+    map-side partial all happen in the scan stage; only (lang, doc)
+    survivors shuffle. Contamination screening an entire crawl is one
+    pass over the corpus."""
+    from datafusion_cyberpolka_eda_spark.functions.hashing import md5_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = 5
+    d = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.split(F.lower(F.col("text")), " ").alias("_toks"),
+    )
+    gram_expr = (
+        f"case when size(_toks) >= {n} then "
+        f"transform(sequence(1, size(_toks) - {n - 1}), "
+        f"i -> array_join(slice(_toks, i, {n}), ' ')) "
+        "else array() end"
+    )
+    g = d.select(
+        "doc_id", "lang", "source",
+        F.explode(F.expr(gram_expr)).alias("gram"),
+    ).select(
+        "doc_id", "lang", "source", md5_hash64("gram").alias("h")
+    )
+    is_bench = F.col("source").isin("src0", "src1")
+    bench = g.filter(is_bench).select("h").distinct()
+    train_hits = (
+        g.filter(~is_bench)
+        .join(F.broadcast(bench), "h", "left_semi")
+        .select("doc_id", "lang")
+        .distinct()
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    tdocs = (
+        d.filter(~is_bench)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    return (
+        tdocs.join(train_hits, "lang", "left")
+        .select(
+            "lang",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.coalesce("n_contaminated", F.lit(0)).cast("bigint").alias(
+                "n_contaminated"
+            ),
+            F.round(
+                F.coalesce("n_contaminated", F.lit(0)) * 1.0 / F.col("n_docs"),
+                6,
+            ).alias("contamination_rate"),
+        )
+    )

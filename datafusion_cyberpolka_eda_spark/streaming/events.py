@@ -260,11 +260,15 @@ def stream_foreachbatch_incremental(
             .parquet(target)
         )
 
-    q = stream.writeStream.foreachBatch(handle).start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with scoped_state_partitions(spark):
+        # foreachBatch plans batch_df per epoch with the session conf:
+        # 4 epochs x a 32-partition groupBy is shuffle-setup overhead,
+        # not work, for a bounded drain
+        q = stream.writeStream.foreachBatch(handle).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     partials = spark.read.parquet(target)
     return partials.groupBy("user_id").agg(
         F.sum("n_events").alias("n_events"),
@@ -293,9 +297,9 @@ def stream_session_window_agg(
     State per key is one open session struct, watermark-evicted.
 
     Session-membership boundary: an event at exactly last_ts + gap
-    starts a NEW session (session windows are half-open [start,
-    last+gap)), so the batch replay must split on diff >= gap, not
-    > gap."""
+    MERGES into the session (the merge test is event_ts <= session_end,
+    inclusive — pinned by TestSessionWindowBoundary), so a batch replay
+    must split on diff > gap."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     schema = spark.read.parquet(parquet_path).schema

@@ -379,3 +379,58 @@ def test_transform_with_state_env_gate(spark):
         got = stream_transform_with_state_rollup(spark, path)
         batch = spark.read.parquet(path).groupBy("user_id").count()
         assert got.count() == batch.count()
+
+
+class TestSessionWindowBoundary:
+    """Pin the session-membership boundary F.session_window uses — the
+    j13 oracle replays it in batch SQL and MUST split on diff > gap
+    (an event at exactly last_ts + gap MERGES into the session; Spark's
+    merge test is event_ts <= session_end, inclusive). Verified here
+    empirically so an engine-version change in the boundary would fail
+    this test before it silently broke the j13 oracle."""
+
+    def test_exact_gap_merges_session(self, spark):
+        from pyspark.sql import functions as F
+
+        rows = [
+            (1, "2024-01-01 00:00:00"),
+            (1, "2024-01-01 00:30:00"),  # exactly gap later -> MERGES
+            (2, "2024-01-01 00:00:00"),
+            (2, "2024-01-01 00:30:01"),  # past gap -> NEW session
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts string").select(
+            "user_id", F.col("ts").cast("timestamp").alias("ts")
+        )
+        out = (
+            df.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_sessions"))
+        )
+        got = {r["user_id"]: r["n_sessions"] for r in out.collect()}
+        assert got == {1: 1, 2: 2}
+
+
+class TestAnnIvfMulti:
+    def test_multi_matches_single_query(self, spark):
+        from datafusion_cyberpolka_eda_spark.operators.similarity import (
+            ann_ivf_topk,
+            ann_ivf_topk_multi,
+        )
+        from datafusion_cyberpolka_eda_spark.sources.catalog import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        single = {
+            (r["neighbor_id"], round(r["cosine"], 9))
+            for r in ann_ivf_topk(
+                emb, "vec_id", "embedding", query_id=3, k=5, n_probe=8
+            ).collect()
+        }
+        multi = {
+            (r["neighbor_id"], round(r["cosine"], 9))
+            for r in ann_ivf_topk_multi(
+                emb, "vec_id", "embedding", query_ids=[0, 3], k=5, n_probe=8
+            ).collect()
+            if r["query_id"] == 3
+        }
+        assert single == multi
