@@ -138,6 +138,34 @@ def main() -> int:
         )
     print(f"[{'OK' if not failures else '??'}] c8_bucketed_colocated_join")
 
+    # CMS sketch: candidate probes hash-join the BROADCAST 1024-row
+    # sketch (the one-row totals join is a deliberate broadcast NLJ, the
+    # c10 pattern); nothing may shuffle-sort or go all-pairs
+    check(
+        "d17_heavy_hitters_cms",
+        contains=["BroadcastHashJoin"],
+        absent=["CartesianProduct", "SortMergeJoin"],
+    )
+    # decontamination: the benchmark gram set must broadcast into a
+    # LeftSemi probe — a shuffled semi-join of exploded gram rows is the
+    # 100 TB scale-killer here
+    check(
+        "l20_contamination_screen",
+        contains=["BroadcastHashJoin", "LeftSemi"],
+        absent=["CartesianProduct", "SortMergeJoin"],
+    )
+    # rank-analytic pack: all three window specs + the top-k filter share
+    # ONE partitioning exchange on c_mktsegment
+    p = plan_of(qs["g8_analytic_pack"](spark, sf_dir))
+    n_exch = p.count("Exchange (")
+    if n_exch != 1:
+        failures.append(
+            f"g8_analytic_pack: expected exactly 1 Exchange, found {n_exch}"
+        )
+    if "CartesianProduct" in p:
+        failures.append("g8_analytic_pack: unexpected CartesianProduct")
+    print(f"[{'OK' if not failures else '??'}] g8_analytic_pack")
+
     if failures:
         print("\nPLAN AUDIT FAILURES:")
         for f in failures:

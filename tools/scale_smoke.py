@@ -48,6 +48,10 @@ QUERIES = [
     #   ~2% of ALL pairs are TRUE near-pairs and output is inherently ~n^2 —
     #   the strict-threshold entry below isolates the algorithm's scaling
     "l7_cosine_topk",          # exact top-k, fixed query side: linear scan
+    "l20_contamination_screen",  # broadcast semi-join decontamination:
+    #   token renaming keeps grams per-replica, so the benchmark gram set
+    #   and the contaminated-doc count both grow linearly; runtime should
+    #   track the (linear) explode+probe, never pair formation
 ]
 
 
