@@ -602,3 +602,134 @@ def p1_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         if it % 3 == 2:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks.select(F.col("id").alias("nationkey"), F.round("r", 6).alias("pagerank"))
+
+
+@register(
+    "d19_grouping_sets",
+    """
+    SELECT COALESCE(o_orderstatus, '__all__') AS status,
+           COALESCE(o_orderpriority, '__all__') AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def d19_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form completing the
+    multi-level aggregation trio (d14 ROLLUP, d15 CUBE): two independent
+    one-dimension breakdowns plus the grand total in ONE pass (Spark
+    expands the sets into a single Expand + hash-agg, not three scans).
+    Neither grouping column is nullable in the data, so the COALESCE
+    '__all__' labels are unambiguous. At 100 TB this is the idiom for
+    dashboard rollups that would otherwise re-scan per dimension."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__d19_orders")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderstatus, '__all__') AS status,
+               COALESCE(o_orderpriority, '__all__') AS priority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total_price
+        FROM __d19_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+def _l21_oracle() -> str:
+    """Funnel oracle sharing the lang-ID score construction with
+    _lang_id_oracle (same LANG_MARKERS source of truth)."""
+    score = {
+        code: (
+            "len(list_intersect(string_split(text, ' '), ["
+            + ", ".join(f"'{w}'" for w in T.LANG_MARKERS[code])
+            + "]))"
+        )
+        for code in sorted(T.LANG_MARKERS)
+    }
+    g = "GREATEST(" + ", ".join(score.values()) + ")"
+    cases = " ".join(
+        f"WHEN {score[code]} = __g THEN '{code}'" for code in sorted(T.LANG_MARKERS)
+    )
+    return f"""
+    WITH s0 AS (
+      SELECT lang, text,
+             len(string_split(text, ' ')) AS ntok,
+             CAST(LENGTH(text) AS DOUBLE) / len(string_split(text, ' '))
+               AS cpt,
+             {g} AS __g
+      FROM documents
+    ),
+    f AS (
+      SELECT lang, ntok, cpt,
+             CASE WHEN __g = 0 THEN 'und' {cases} END AS predicted
+      FROM s0
+    ),
+    staged AS (
+      SELECT lang,
+             CASE
+               WHEN ntok < 30 OR ntok > 400 THEN 'fail_length'
+               WHEN cpt < 3.0 OR cpt > 9.0 THEN 'fail_chars_per_token'
+               WHEN predicted != lang THEN 'fail_lang_id'
+               ELSE 'kept'
+             END AS stage
+      FROM f
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN stage = 'fail_length' THEN 1 ELSE 0 END) AS BIGINT) AS fail_length,
+           CAST(SUM(CASE WHEN stage = 'fail_chars_per_token' THEN 1 ELSE 0 END) AS BIGINT) AS fail_chars_per_token,
+           CAST(SUM(CASE WHEN stage = 'fail_lang_id' THEN 1 ELSE 0 END) AS BIGINT) AS fail_lang_id,
+           CAST(SUM(CASE WHEN stage = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           ROUND(SUM(CASE WHEN stage = 'kept' THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS kept_rate
+    FROM staged GROUP BY lang
+    """
+
+
+@register("l21_quality_filter_funnel", _l21_oracle())
+def l21_quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter FUNNEL — the per-stage attrition report a
+    training-data ingestion pipeline publishes: each doc is attributed to
+    the FIRST filter it fails (length band -> chars-per-token band ->
+    lang-ID agreement), survivors counted per language with the kept
+    rate. Composes the oracle-proven text primitives (token_count,
+    lang_id) into the sequential CASE the ops teams actually read; all
+    map-side expressions + one groupBy — at 100 TB the funnel costs one
+    corpus pass, and the same staged CASE is how you A/B a filter change
+    before burning a full re-ingest."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    ntok = T.token_count("text")
+    cpt = F.length("text").cast("double") / ntok
+    predicted = T.lang_id("text")
+    stage = (
+        F.when((ntok < 30) | (ntok > 400), "fail_length")
+        .when((cpt < 3.0) | (cpt > 9.0), "fail_chars_per_token")
+        .when(predicted != F.col("lang"), "fail_lang_id")
+        .otherwise("kept")
+    )
+    out = (
+        docs.select("lang", stage.alias("stage"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("stage") == "fail_length").cast("bigint")).alias(
+                "fail_length"
+            ),
+            F.sum(
+                (F.col("stage") == "fail_chars_per_token").cast("bigint")
+            ).alias("fail_chars_per_token"),
+            F.sum((F.col("stage") == "fail_lang_id").cast("bigint")).alias(
+                "fail_lang_id"
+            ),
+            F.sum((F.col("stage") == "kept").cast("bigint")).alias("n_kept"),
+            F.round(
+                F.sum((F.col("stage") == "kept").cast("int")) * 1.0
+                / F.count(F.lit(1)),
+                6,
+            ).alias("kept_rate"),
+        )
+    )
+    return out
