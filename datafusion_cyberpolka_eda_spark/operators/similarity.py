@@ -245,38 +245,45 @@ def ann_ivf_topk_multi(
         for r in assigned.filter(F.col("id").isin(list(query_ids))).collect()
     }
 
-    branches = []
-    for qid in query_ids:
-        qvec = qrows[qid]
-        probe_cells = [
-            int(i)
-            for i in np.argsort(((centers - qvec) ** 2).sum(axis=1))[:n_probe]
-        ]
-        qlit = F.array(*[F.lit(float(x)) for x in qvec])
-        score = F.aggregate(
-            F.zip_with(F.col("unit_arr"), qlit, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+    # One broadcast (query_id, qvec, probe_cells) row per query, probed in
+    # a SINGLE pass over the cached assignment: scoring is a column-column
+    # zip_with (no per-query literal expression trees — a 5-branch union
+    # of 64-literal folds compiled a huge codegen unit and re-scanned the
+    # corpus per query; measured 3-12 s vs ~1 s for this shape). This is
+    # also the batch-query shape that scales: N queries probe in one scan.
+    qdata = [
+        (
+            int(qid),
+            [float(x) for x in qrows[qid]],
+            [
+                int(i)
+                for i in np.argsort(
+                    ((centers - qrows[qid]) ** 2).sum(axis=1)
+                )[:n_probe]
+            ],
         )
-        branches.append(
-            assigned.filter(
-                F.col("cell").isin(probe_cells) & (F.col("id") != qid)
-            )
-            .withColumn("cosine", score)
-            .select(
-                F.lit(qid).cast("bigint").alias("query_id"),
-                F.col("id").alias("neighbor_id"),
-                "cosine",
-            )
-        )
-    allb = branches[0]
-    for b in branches[1:]:
-        allb = allb.unionByName(b)
+        for qid in query_ids
+    ]
+    qdf = assigned.sparkSession.createDataFrame(
+        qdata, "query_id bigint, qvec array<double>, probe_cells array<int>"
+    )
+    score = F.aggregate(
+        F.zip_with(F.col("unit_arr"), F.col("qvec"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
     )
     out = (
-        allb.withColumn("rank", F.row_number().over(w))
+        assigned.join(
+            F.broadcast(qdf),
+            F.expr("array_contains(probe_cells, cell)")
+            & (F.col("id") != F.col("query_id")),
+        )
+        .withColumn("cosine", score)
+        .select("query_id", F.col("id").alias("neighbor_id"), "cosine")
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .localCheckpoint(eager=True)
     )
