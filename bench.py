@@ -98,7 +98,9 @@ def main() -> None:
     reps = max(int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")), 1)
     runs: dict[str, list[float]] = {}
     timings: dict[str, float] = {}
-    for name, fn in qs.items():
+    import gc
+
+    for qi, (name, fn) in enumerate(qs.items()):
         rts = []
         for _ in range(reps):
             t0 = time.perf_counter()
@@ -107,6 +109,14 @@ def main() -> None:
             # drop caches/broadcasts between runs: 100+ queries in one JVM
             # otherwise accumulate blocks and GC pauses pollute later timings
             spark.catalog.clearCache()
+        # localCheckpoint blocks and broadcasts are freed by ContextCleaner
+        # only after the Python-side refs die — collect them promptly, and
+        # periodically force a JVM old-gen sweep, or ~350 executions in one
+        # JVM accumulate enough block/codegen pressure to skew the tail
+        # (observed: identical code totals drifting 93 -> 136 s per run)
+        gc.collect()
+        if qi % 20 == 19:
+            spark.sparkContext._jvm.System.gc()
         runs[name] = rts
         # true median (statistics.median averages the middle pair for even
         # rep counts; sorted()[n//2] would report the slower middle run)
