@@ -586,3 +586,67 @@ def d3_null_rate_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nr.select(
         F.col("column").alias("column_name"), F.round("null_rate", 6).alias("null_rate")
     )
+
+
+@register(
+    "e18_chi2_independence",
+    """
+    WITH o AS (
+      SELECT event_type, CAST(value > 50.0 AS INT) AS hi, COUNT(*) AS obs
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT o.event_type, o.hi, o.obs,
+             SUM(o.obs) OVER (PARTITION BY o.event_type) AS row_total,
+             SUM(o.obs) OVER (PARTITION BY o.hi) AS col_total,
+             SUM(o.obs) OVER () AS n
+      FROM o
+    ),
+    cells AS (
+      SELECT (obs - row_total * col_total / CAST(n AS DOUBLE))
+             * (obs - row_total * col_total / CAST(n AS DOUBLE))
+             / (row_total * col_total / CAST(n AS DOUBLE)) AS contrib,
+             row_total, col_total, n
+      FROM m
+    )
+    SELECT ROUND(SUM(contrib), 6) AS chi2_statistic,
+           CAST(4 AS BIGINT) AS dof,
+           SUM(contrib) > 9.487729036781154 AS reject_independence_5pct
+    FROM cells
+    """,
+)
+def e18_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence screen (family E extension): event_type
+    (5 categories) vs a fixed high-value indicator. The large-count
+    complement to the Fisher exact family (e13, exact but factorial-cost
+    — chi-square is what screens millions of contingency cells at scale):
+    one groupBy builds the observed table, expected counts come from the
+    margins, statistic = sum (O-E)^2/E, decision at the dof=4 / 5%
+    critical value (9.48773) so no p-value machinery is needed in either
+    engine. Counts are exact integers and both engines evaluate the same
+    double formula, so the rounded statistic and the decision boolean
+    hash-match. At 100 TB: the observed table is |categories| x 2 rows
+    after one map-side-combined shuffle; everything after is
+    constant-size."""
+    e = load_table(spark, sf_dir, "events")
+    obs = (
+        e.select("event_type", (F.col("value") > 50.0).cast("int").alias("hi"))
+        .groupBy("event_type", "hi")
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    wr = Window.partitionBy("event_type")
+    wc = Window.partitionBy("hi")
+    wn = Window.partitionBy()
+    m = (
+        obs.withColumn("row_total", F.sum("obs").over(wr))
+        .withColumn("col_total", F.sum("obs").over(wc))
+        .withColumn("n", F.sum("obs").over(wn))
+    )
+    exp = F.col("row_total") * F.col("col_total") / F.col("n").cast("double")
+    contrib = (F.col("obs") - exp) * (F.col("obs") - exp) / exp
+    crit_5pct_dof4 = 9.487729036781154
+    return m.select(contrib.alias("contrib")).agg(
+        F.round(F.sum("contrib"), 6).alias("chi2_statistic"),
+        F.lit(4).cast("bigint").alias("dof"),
+        (F.sum("contrib") > crit_5pct_dof4).alias("reject_independence_5pct"),
+    )
