@@ -462,73 +462,3 @@ def ann_lsh_fixed_topk_multi(
         .filter(F.col("rank") <= k)
         .select("query_id", F.col("id").alias("neighbor_id"), "cosine", "rank")
     )
-
-
-def ann_ivf_topk_multi(
-    df: DataFrame,
-    id_col: str,
-    vec_col: str,
-    query_ids: list[int],
-    k: int = 5,
-    n_centroids: int = 16,
-    n_probe: int = 4,
-    seed: int = 42,
-) -> DataFrame:
-    """IVF ANN for a batch of queries over ONE index build (the realistic
-    serving shape — ann_ivf_topk refits KMeans per query, fine for a
-    single lookup, wasteful for a batch). Probe-cell selection stays a
-    driver-side argsort over the tiny centroid matrix per query; scoring
-    is one pass: broadcast the (query vector, probe cells) table, join on
-    cell membership, dot-product via zip_with, per-query top-k window.
-    Returns (query_id, neighbor_id, cosine, rank)."""
-    import numpy as np
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-    from pyspark.sql import Window
-
-    unit = unit_vec_df(df, id_col, vec_col).withColumn(
-        "features", array_to_vector("unit_arr")
-    )
-    km = KMeans(
-        k=n_centroids,
-        seed=seed,
-        initMode="random",
-        maxIter=10,
-        featuresCol="features",
-        predictionCol="cell",
-    )
-    model = km.fit(unit)
-    assigned = model.transform(unit).select("id", "unit_arr", "cell").persist()
-    centers = np.array(model.clusterCenters())
-
-    qrows = assigned.filter(F.col("id").isin(list(query_ids))).collect()
-    probe_rows = []
-    for qr in qrows:
-        qvec = np.array(qr["unit_arr"])
-        cells = [int(i) for i in np.argsort(((centers - qvec) ** 2).sum(axis=1))[:n_probe]]
-        probe_rows.append((qr["id"], [float(x) for x in qvec], cells))
-    probes = F.broadcast(
-        assigned.sparkSession.createDataFrame(
-            probe_rows, "query_id bigint, q_arr array<double>, probe_cells array<int>"
-        )
-    )
-    score = F.aggregate(
-        F.zip_with(F.col("unit_arr"), F.col("q_arr"), lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("id"))
-    out = (
-        assigned.join(
-            probes,
-            F.array_contains(F.col("probe_cells"), F.col("cell"))
-            & (F.col("id") != F.col("query_id")),
-        )
-        .withColumn("cosine", score)
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", F.col("id").alias("neighbor_id"), "cosine", "rank")
-        .localCheckpoint(eager=True)
-    )
-    assigned.unpersist()
-    return out

@@ -429,7 +429,8 @@ class TestAnnIvfMulti:
         multi = {
             (r["neighbor_id"], round(r["cosine"], 9))
             for r in ann_ivf_topk_multi(
-                emb, "vec_id", "embedding", query_ids=[0, 3], k=5, n_probe=8
+                emb, "vec_id", "embedding", query_ids=[0, 3], k=5, n_probe=8,
+                max_iter=10,
             ).collect()
             if r["query_id"] == 3
         }
