@@ -435,3 +435,36 @@ class TestAnnIvfMulti:
             if r["query_id"] == 3
         }
         assert single == multi
+
+
+class TestTimeseriesGapFill:
+    def test_locf_and_linear_interp(self, spark):
+        from datafusion_cyberpolka_eda_spark.operators.timeseries import (
+            gap_fill,
+            resample_grid,
+        )
+
+        rows = [
+            # key 1: anchors at 00:xx (avg 10.0) and 03:xx (avg 40.0);
+            # hours 01 and 02 are gaps -> interp 20.0 / 30.0, locf 10.0
+            (1, "2024-01-01 00:10:00", 8.0),
+            (1, "2024-01-01 00:50:00", 12.0),
+            (1, "2024-01-01 03:30:00", 40.0),
+            # key 2: single observation -> 1-row grid, no gaps
+            (2, "2024-01-01 05:00:00", 7.0),
+        ]
+        df = spark.createDataFrame(rows, "k bigint, ts string, value double").select(
+            "k", F.to_timestamp("ts").alias("ts"), "value"
+        )
+        out = gap_fill(resample_grid(df, "k", "ts", "value")).orderBy("key", "bucket")
+        got = [
+            (r["key"], r["bucket"].hour, r["v"], r["v_locf"], r["v_interp"])
+            for r in out.collect()
+        ]
+        assert got == [
+            (1, 0, 10.0, 10.0, 10.0),
+            (1, 1, None, 10.0, 20.0),
+            (1, 2, None, 10.0, 30.0),
+            (1, 3, 40.0, 40.0, 40.0),
+            (2, 5, 7.0, 7.0, 7.0),
+        ]
