@@ -72,3 +72,37 @@ def stratified_key_sample(
         else F.pmod(F.xxhash64(F.col(key_col), F.lit(seed)), F.lit(100))
     )
     return df.filter(bucket < rate)
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    portable: bool = True,
+    seed: int = DEFAULT_SEED,
+) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis A-ES):
+    draw a deterministic uniform u per key, race with exponential key
+    -ln(u)/w, keep the k smallest. P(selected) is proportional-to-size
+    without replacement; the race key is map-side arithmetic under the
+    scan and the top-k is a TakeOrdered reduction — no full sort.
+
+    ``portable=True`` derives u from the md5 hash (cross-engine
+    reproducible, the oracle path); ``portable=False`` uses xxhash64
+    (production: ~5-10x faster per row). Returns (key, race) rows."""
+    from datafusion_cyberpolka_eda_spark.functions.hashing import md5_hash64
+
+    key = F.col(key_col).cast("string")
+    h = (
+        md5_hash64(key)
+        if portable
+        else F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(2**60))
+    )
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(2**60))
+    race = -F.log(u) / F.col(weight_col)
+    return (
+        df.select(F.col(key_col), race.alias("race"))
+        .orderBy("race", key_col)
+        .limit(k)
+    )

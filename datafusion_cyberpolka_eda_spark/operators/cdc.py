@@ -1,0 +1,66 @@
+"""Change-data-capture apply: compact a multi-version change feed
+(latest-wins per key) and merge it into a snapshot with full
+insert / update / delete semantics.
+
+Extends the C family (joins/merge — SURVEY.md §2-C; c11 is SCD-1 upsert,
+c14 is SCD-2 history): this is the lakehouse MERGE shape that also
+handles deletes and out-of-order duplicate change records, i.e. what a
+Debezium/stream-ingest compaction job runs at every sync point.
+
+Scale design (100 TB): compaction is one key-partitioned window over the
+feed (the feed is the small side — a day of changes, not the snapshot);
+the apply is a single full-outer shuffle join keyed on the primary key.
+Snapshot-side partitioning by key (bucketing) makes the join co-located,
+and the op filter drops deleted keys before any downstream agg sees
+them. No driver materialization, no iteration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def cdc_compact(changes: DataFrame, key: str, seq: str) -> DataFrame:
+    """Latest-wins compaction: keep only the highest-``seq`` change per
+    key (ties broken by op descending for determinism — feeds should
+    never emit two ops at one seq, but the operator must not be
+    order-dependent if they do)."""
+    w = Window.partitionBy(key).orderBy(F.desc(seq), F.desc("op"))
+    return (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def cdc_apply(
+    base: DataFrame,
+    latest: DataFrame,
+    key: str,
+    payload_cols: list[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a compacted change feed to a snapshot:
+
+    - op 'D' removes the key;
+    - op 'I'/'U' takes the change's payload (insert if the key is new);
+    - keys without a change keep the snapshot payload.
+
+    Returns (key, *payload_cols).
+    """
+    lat = latest.select(
+        F.col(key).alias("_ck"),
+        F.col(op_col).alias("_op"),
+        *[F.col(c).alias(f"_c_{c}") for c in payload_cols],
+    )
+    joined = base.join(lat, base[key] == lat["_ck"], "full_outer")
+    return joined.filter(
+        F.coalesce(F.col("_op"), F.lit("K")) != F.lit("D")
+    ).select(
+        F.coalesce(base[key], F.col("_ck")).alias(key),
+        *[
+            F.coalesce(F.col(f"_c_{c}"), base[c]).alias(c)
+            for c in payload_cols
+        ],
+    )

@@ -733,3 +733,89 @@ def l21_quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+@register(
+    "c15_cdc_apply",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey % 100 < 90
+    ), ch AS (
+      SELECT o_orderkey AS k, 'D' AS op, 1 AS seq,
+             CAST(NULL AS DOUBLE) AS price, CAST(NULL AS VARCHAR) AS status
+      FROM orders WHERE o_orderkey % 100 < 10
+      UNION ALL
+      SELECT o_orderkey, 'U', 1, o_totalprice + 50.0, o_orderstatus
+      FROM orders WHERE o_orderkey % 100 BETWEEN 10 AND 29
+      UNION ALL
+      SELECT o_orderkey, 'U', 2, o_totalprice + 100.0, o_orderstatus
+      FROM orders WHERE o_orderkey % 100 BETWEEN 10 AND 29
+      UNION ALL
+      SELECT o_orderkey, 'I', 1, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 100 >= 90
+    ), latest AS (
+      SELECT k, op, price, status FROM ch
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC, op DESC) = 1
+    ), final AS (
+      SELECT COALESCE(l.price, b.o_totalprice) AS price,
+             COALESCE(l.status, b.o_orderstatus) AS status
+      FROM base b FULL OUTER JOIN latest l ON b.o_orderkey = l.k
+      WHERE COALESCE(l.op, 'K') <> 'D'
+    )
+    SELECT status AS o_orderstatus, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM final GROUP BY 1
+    """,
+)
+def c15_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC merge-apply (operators/cdc.py; completes the C-family merge trio
+    with c11 SCD-1 and c14 SCD-2): a synthetic multi-version change feed —
+    deletes for keys %100<10, two update versions (latest wins) for
+    %100 in [10,30), inserts for %100>=90 against a 90% base snapshot —
+    is compacted by a key-window and applied with one full-outer join.
+    The oracle replays feed, compaction (QUALIFY) and apply; money totals
+    go through DECIMAL sums."""
+    from datafusion_cyberpolka_eda_spark.operators.cdc import cdc_apply, cdc_compact
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    m = F.pmod("o_orderkey", F.lit(100))
+    base = o.filter(m < 90)
+    price, status = F.col("o_totalprice"), F.col("o_orderstatus")
+    ch = (
+        o.filter(m < 10).select(
+            F.col("o_orderkey").alias("k"), F.lit("D").alias("op"),
+            F.lit(1).alias("seq"),
+            F.lit(None).cast("double").alias("price"),
+            F.lit(None).cast("string").alias("status"),
+        )
+        .unionByName(o.filter((m >= 10) & (m < 30)).select(
+            F.col("o_orderkey").alias("k"), F.lit("U").alias("op"),
+            F.lit(1).alias("seq"), (price + 50.0).alias("price"),
+            status.alias("status"),
+        ))
+        .unionByName(o.filter((m >= 10) & (m < 30)).select(
+            F.col("o_orderkey").alias("k"), F.lit("U").alias("op"),
+            F.lit(2).alias("seq"), (price + 100.0).alias("price"),
+            status.alias("status"),
+        ))
+        .unionByName(o.filter(m >= 90).select(
+            F.col("o_orderkey").alias("k"), F.lit("I").alias("op"),
+            F.lit(1).alias("seq"), price.alias("price"),
+            status.alias("status"),
+        ))
+    )
+    applied = cdc_apply(
+        base.withColumnRenamed("o_orderkey", "k")
+            .withColumnRenamed("o_totalprice", "price")
+            .withColumnRenamed("o_orderstatus", "status"),
+        cdc_compact(ch, "k", "seq"),
+        "k",
+        ["price", "status"],
+    )
+    return applied.groupBy(F.col("status").alias("o_orderstatus")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        _dec_sum(F.col("price"), "decimal(18,2)").alias("total_price"),
+    )

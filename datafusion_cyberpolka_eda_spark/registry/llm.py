@@ -1042,3 +1042,65 @@ def l20_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("contamination_rate"),
         )
     )
+
+
+@register(
+    "l22_mixture_sampling",
+    """
+    WITH d AS (
+      SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM documents
+    ), w AS (
+      SELECT source, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             CAST(FLOOR((CASE source WHEN 'src0' THEN 0.35
+                                     WHEN 'src1' THEN 0.25
+                                     ELSE 0.05 END) * 50000) AS BIGINT) AS budget
+      FROM d
+    )
+    SELECT source,
+           MIN(budget) AS budget_tokens,
+           COUNT(*) AS n_docs_total,
+           COUNT(*) FILTER (WHERE cum <= budget) AS n_docs_kept,
+           CAST(COALESCE(SUM(n_tokens) FILTER (WHERE cum <= budget), 0) AS BIGINT) AS tokens_kept
+    FROM w GROUP BY source
+    """,
+)
+def l22_mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-weighted mixture sampling under a token budget — the
+    pretraining data-mixing primitive: each source gets
+    floor(weight * total_budget) tokens; docs are ordered by a
+    deterministic portable hash (an unbiased shuffle both engines replay)
+    and kept while the per-source cumulative token count fits the budget.
+    One window per source partition + one groupBy — shards by source at
+    any scale; skewed sources salt like any window partition. Exact
+    integer token arithmetic end-to-end, no float drift."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    from datafusion_cyberpolka_eda_spark.functions.hashing import md5_hash64
+
+    budget = F.floor(
+        F.when(F.col("source") == "src0", F.lit(0.35))
+        .when(F.col("source") == "src1", F.lit(0.25))
+        .otherwise(F.lit(0.05))
+        * 50000
+    ).cast("bigint")
+    d = docs.select(
+        "doc_id",
+        "source",
+        T.token_count("text").cast("bigint").alias("n_tokens"),
+        md5_hash64(F.col("doc_id").cast("string")).alias("h"),
+        budget.alias("budget"),
+    )
+    w = Window.partitionBy("source").orderBy("h", "doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = d.withColumn("cum", F.sum("n_tokens").over(w))
+    kept = F.col("cum") <= F.col("budget")
+    return cum.groupBy("source").agg(
+        F.min("budget").alias("budget_tokens"),
+        F.count(F.lit(1)).alias("n_docs_total"),
+        F.count(F.when(kept, 1)).alias("n_docs_kept"),
+        F.coalesce(F.sum(F.when(kept, F.col("n_tokens"))), F.lit(0)).alias("tokens_kept"),
+    )

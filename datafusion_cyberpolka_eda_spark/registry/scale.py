@@ -683,3 +683,37 @@ def d17_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_2eps_bound"),
         )
     )
+
+
+@register(
+    "b17_weighted_sample",
+    """
+    WITH s AS (
+      SELECT o_orderkey,
+             -ln((CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT
+                       AS DOUBLE) + 0.5) / 1152921504606846976.0)
+               / o_totalprice AS race
+      FROM orders
+    )
+    SELECT o_orderkey, ROUND(race, 6) AS race_key
+    FROM s ORDER BY race, o_orderkey LIMIT 200
+    """,
+)
+def b17_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis A-ES;
+    extends B6/b15 to probability-proportional-to-size — the training-mix
+    move when rows carry importance weights): each row draws a
+    deterministic uniform from the portable md5 hash of its key and races
+    with exponential key -ln(u)/w; the k smallest keys are the sample.
+    Map-side key computation under the scan + TakeOrdered top-k — no full
+    sort, no shuffle beyond the k-row reduction; the draw is key-stable
+    and replayed exactly by the oracle (race emitted at 6 dp; ln agrees
+    across engines to the last ulp or two, far inside the rounding)."""
+    from datafusion_cyberpolka_eda_spark.functions.sampling import (
+        weighted_sample_topk,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    return weighted_sample_topk(
+        o, "o_orderkey", "o_totalprice", k=200, portable=True
+    ).select("o_orderkey", F.round("race", 6).alias("race_key"))

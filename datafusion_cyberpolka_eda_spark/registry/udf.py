@@ -166,3 +166,49 @@ def k3_python_udf_rowwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy("lang").agg(
         F.sum(vowel_count("text")).alias("total_vowels")
     )
+
+
+@register(
+    "k5_pandas_grouped_agg",
+    """
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+             / CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / 100 AS wavg_price
+    FROM lineitem GROUP BY 1
+    """,
+)
+def k5_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas grouped-agg UDF (Series -> scalar, Arrow-batched — the
+    custom-UDAF surface): quantity-weighted average price per return
+    flag. Inputs are pre-converted to exact integers JVM-side (price
+    cents, integral quantities) so the Python aggregation is int64
+    arithmetic — order-independent, bitwise-reproducible by the SQL twin
+    (a float UDAF would drift from SQL SUM by accumulation order). Same
+    shuffle shape as a built-in agg: partial grouping map-side, one
+    exchange on the group key."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def wavg_cents(pc: pd.Series, q: pd.Series) -> float:
+        num = int((pc * q).sum())
+        den = int(q.sum())
+        return float(num) / float(den) / 100
+
+    # Spark disallows mixing a grouped-agg pandas UDF with built-in
+    # aggregates in one agg() (INVALID_PANDAS_UDF_PLACEMENT), so the row
+    # count is a second pandas UDAF.
+    @pandas_udf("long")
+    def pd_count(q: pd.Series) -> int:
+        return len(q)
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("pc"),
+        F.col("l_quantity").cast("bigint").alias("q"),
+    )
+    return li.groupBy("l_returnflag").agg(
+        pd_count("q").alias("n"),
+        wavg_cents("pc", "q").alias("wavg_price"),
+    )

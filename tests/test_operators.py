@@ -468,3 +468,53 @@ class TestTimeseriesGapFill:
             (1, 3, 40.0, 40.0, 40.0),
             (2, 5, 7.0, 7.0, 7.0),
         ]
+
+
+class TestCdcApply:
+    def test_compact_apply_semantics(self, spark):
+        from datafusion_cyberpolka_eda_spark.operators.cdc import cdc_apply, cdc_compact
+
+        base = spark.createDataFrame(
+            [(1, 10.0, "a"), (2, 20.0, "b"), (3, 30.0, "c")],
+            "k bigint, price double, status string",
+        )
+        changes = spark.createDataFrame(
+            [
+                (2, "U", 1, 25.0, "b"),   # superseded by seq 2
+                (2, "U", 2, 29.0, "b2"),  # latest wins
+                (3, "D", 1, None, None),  # delete
+                (9, "I", 1, 90.0, "z"),   # insert new key
+            ],
+            "k bigint, op string, seq int, price double, status string",
+        )
+        out = cdc_apply(base, cdc_compact(changes, "k", "seq"), "k", ["price", "status"])
+        got = {r["k"]: (r["price"], r["status"]) for r in out.collect()}
+        assert got == {1: (10.0, "a"), 2: (29.0, "b2"), 9: (90.0, "z")}
+
+
+class TestWeightedSample:
+    def test_proportional_to_weight(self, spark):
+        from datafusion_cyberpolka_eda_spark.functions.sampling import (
+            weighted_sample_topk,
+        )
+
+        # 100 heavy keys (weight 500) among 2000 light ones (weight 1):
+        # heavy mass = 50000 vs 2000 -> a k=100 sample should be
+        # overwhelmingly heavy keys
+        df = spark.range(0, 2100).select(
+            F.col("id").alias("k"),
+            F.when(F.col("id") < 100, 500.0).otherwise(1.0).alias("w"),
+        )
+        sel = [r["k"] for r in weighted_sample_topk(df, "k", "w", k=100).collect()]
+        n_heavy = sum(1 for k in sel if k < 100)
+        assert n_heavy >= 85
+        # deterministic: same call, same sample
+        sel2 = [r["k"] for r in weighted_sample_topk(df, "k", "w", k=100).collect()]
+        assert sel == sel2
+        # production (xxhash64) path: same shape, also deterministic
+        selx = [
+            r["k"]
+            for r in weighted_sample_topk(df, "k", "w", k=100, portable=False).collect()
+        ]
+        assert len(selx) == 100
+        assert sum(1 for k in selx if k < 100) >= 85
