@@ -717,3 +717,155 @@ def b17_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample_topk(
         o, "o_orderkey", "o_totalprice", k=200, portable=True
     ).select("o_orderkey", F.round("race", 6).alias("race_key"))
+
+
+@register(
+    "a11_small_file_compaction",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT)
+             AS content_checksum,
+           CAST(24 AS BIGINT) AS n_files_before,
+           TRUE AS file_count_reduced,
+           TRUE AS rows_preserved
+    FROM documents
+    """,
+)
+def a11_small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (the lakehouse OPTIMIZE loop; sink-side twin
+    of a10): a fragmented layout (24 deliberately tiny files) is compacted
+    to ceil(total_bytes / target_file_bytes) files via coalesce — the
+    file-count math runs over per-FILE metadata (_metadata.file_size on
+    distinct paths), never row data, and coalesce avoids a shuffle
+    entirely (partition concatenation, the right move when output count
+    only shrinks). Verified on read-back: md5-prefix content checksum
+    survives both hops (computed as a cross-engine SUM the oracle replays
+    from the source table) and the file count strictly drops. At 100 TB
+    the same job runs per partition-directory with target_file_bytes =
+    128 MB -- the compaction unit stays a metadata decision + one
+    narrow write."""
+    docs = load_table(spark, sf_dir, "documents")
+    small_path = os.path.join(_SCRATCH, f"{_tag(sf_dir)}_frag_docs")
+    compact_path = os.path.join(_SCRATCH, f"{_tag(sf_dir)}_compact_docs")
+    docs.repartition(24).write.mode("overwrite").parquet(small_path)
+
+    back = spark.read.parquet(small_path)
+    checksum = F.sum(
+        F.conv(F.substring(F.md5(F.col("text").cast("binary")), 1, 8), 16, 10)
+        .cast("bigint")
+    ).cast("bigint")
+    fmeta = (
+        back.select("_metadata.file_path", "_metadata.file_size")
+        .groupBy("file_path")
+        .agg(F.first("file_size").alias("fbytes"))
+        .agg(F.count(F.lit(1)).alias("n_before"), F.sum("fbytes").alias("total_bytes"))
+        .collect()[0]
+    )
+    target_file_bytes = 4 * 1024 * 1024
+    k = min(int(fmeta["n_before"]), max(1, -(-int(fmeta["total_bytes"]) // target_file_bytes)))
+    back.coalesce(k).write.mode("overwrite").parquet(compact_path)
+
+    back2 = spark.read.parquet(compact_path)
+    before = back.agg(
+        F.count(F.lit(1)).alias("n_docs"), checksum.alias("cs_before")
+    )
+    after = back2.agg(
+        checksum.alias("cs_after"),
+        F.countDistinct("_metadata.file_path").alias("n_after"),
+    )
+    return before.join(F.broadcast(after)).select(
+        "n_docs",
+        F.col("cs_before").alias("content_checksum"),
+        F.lit(fmeta["n_before"]).cast("bigint").alias("n_files_before"),
+        (F.col("n_after") < F.lit(fmeta["n_before"])).alias("file_count_reduced"),
+        (F.col("cs_after") == F.col("cs_before")).alias("rows_preserved"),
+    )
+
+
+def _z_terms_sql(rp: str, rs: str, bits: int = 8) -> str:
+    """DuckDB expression interleaving the low ``bits`` bits of two integer
+    expressions into a Z-value (Morton code) — generated so the Spark
+    column and the oracle SQL come from the same bit layout."""
+    return " + ".join(
+        f"((({rp} >> {i}) & 1) << {2 * i}) + ((({rs} >> {i}) & 1) << {2 * i + 1})"
+        for i in range(bits)
+    )
+
+
+def _z_value_col(rp, rs, bits: int = 8):
+    """Spark column computing exactly _z_terms_sql(rp, rs)."""
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        z = z + F.shiftleft(F.shiftright(rp, i).bitwiseAND(F.lit(1)), 2 * i)
+        z = z + F.shiftleft(F.shiftright(rs, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+    return z
+
+
+@register(
+    "a12_zorder_layout",
+    f"""
+    WITH b AS (
+      SELECT MIN(l_partkey) AS pmin, MAX(l_partkey) AS pmax,
+             MIN(l_suppkey) AS smin, MAX(l_suppkey) AS smax
+      FROM lineitem
+    ), q AS (
+      SELECT ((l_partkey - pmin) * 256) // (pmax - pmin + 1) AS rp,
+             ((l_suppkey - smin) * 256) // (smax - smin + 1) AS rs,
+             l_partkey, l_suppkey, pmin, pmax, smin, smax
+      FROM lineitem CROSS JOIN b
+    ), z AS (
+      SELECT ({_z_terms_sql('rp', 'rs')}) AS zval,
+             l_partkey, l_suppkey, pmin, pmax, smin, smax
+      FROM q
+    )
+    SELECT zval // 4096 AS file_id,
+           COUNT(*) AS n_rows,
+           MIN(l_partkey) AS part_lo, MAX(l_partkey) AS part_hi,
+           MIN(l_suppkey) AS supp_lo, MAX(l_suppkey) AS supp_hi,
+           CAST(MAX(l_partkey) - MIN(l_partkey) AS DOUBLE)
+             / CAST(MIN(pmax) - MIN(pmin) + 1 AS DOUBLE) AS part_extent,
+           CAST(MAX(l_suppkey) - MIN(l_suppkey) AS DOUBLE)
+             / CAST(MIN(smax) - MIN(smin) + 1 AS DOUBLE) AS supp_extent
+    FROM z GROUP BY 1
+    """,
+)
+def a12_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) clustering for multi-dimensional data
+    skipping — the Delta/Iceberg OPTIMIZE ZORDER move, as pure
+    expressions: quantize each dimension to 8-bit ranks with exact
+    integer arithmetic, interleave the bits into a Z-value (generated
+    identically for Spark and the oracle by _z_terms_sql), and range the
+    rows into 16 files by Z prefix — a map-side computation (no window,
+    no shuffle until the final per-file stats agg). The emitted per-file
+    min/max extents ARE the parquet footer stats a reader would prune on;
+    a file pins the top 2 bits of BOTH dims, so each extent is ~1/4 of
+    the key range (vs ~1 for a single-dim sort's non-sorted dim) — that
+    bound is asserted in tests. At 100 TB: repartitionByRange(zval) +
+    sortWithinPartitions(zval) before the write; the quantization bounds
+    come from a first metadata-cheap pass exactly as here."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    )
+    b = li.agg(
+        F.min("l_partkey").alias("pmin"), F.max("l_partkey").alias("pmax"),
+        F.min("l_suppkey").alias("smin"), F.max("l_suppkey").alias("smax"),
+    )
+    j = li.join(F.broadcast(b))
+    rp = F.expr("CAST(((l_partkey - pmin) * 256) DIV (pmax - pmin + 1) AS BIGINT)")
+    rs = F.expr("CAST(((l_suppkey - smin) * 256) DIV (smax - smin + 1) AS BIGINT)")
+    z = _z_value_col(rp, rs)
+    prange = (F.min("pmax") - F.min("pmin") + 1).cast("double")
+    srange = (F.min("smax") - F.min("smin") + 1).cast("double")
+    return (
+        j.withColumn("zval", z)
+        .groupBy((F.col("zval") / 4096).cast("bigint").alias("file_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_partkey").alias("part_lo"), F.max("l_partkey").alias("part_hi"),
+            F.min("l_suppkey").alias("supp_lo"), F.max("l_suppkey").alias("supp_hi"),
+            ((F.max("l_partkey") - F.min("l_partkey")).cast("double") / prange)
+            .alias("part_extent"),
+            ((F.max("l_suppkey") - F.min("l_suppkey")).cast("double") / srange)
+            .alias("supp_extent"),
+        )
+    )

@@ -650,3 +650,52 @@ def e18_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(4).cast("bigint").alias("dof"),
         (F.sum("contrib") > crit_5pct_dof4).alias("reject_independence_5pct"),
     )
+
+
+@register(
+    "e20_winsorize",
+    """
+    WITH q AS (
+      SELECT c_mktsegment,
+             quantile_disc(c_acctbal, 0.05) AS lo,
+             quantile_disc(c_acctbal, 0.95) AS hi
+      FROM customer GROUP BY 1
+    )
+    SELECT c.c_mktsegment, COUNT(*) AS n,
+           COUNT(*) FILTER (WHERE c_acctbal < lo) AS n_clipped_low,
+           COUNT(*) FILTER (WHERE c_acctbal > hi) AS n_clipped_high,
+           MIN(lo) AS p05, MIN(hi) AS p95,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mean_before,
+           CAST(SUM(CAST(LEAST(GREATEST(c_acctbal, lo), hi) AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(*) AS mean_after
+    FROM customer c JOIN q USING (c_mktsegment)
+    GROUP BY 1
+    """,
+)
+def e20_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization (outlier clipping at p5/p95 — the robust
+    preprocessing twin of E15/E16): pass 1 computes per-segment DISCRETE
+    percentiles (actual data values — no interpolation, so the bounds are
+    bitwise-portable), broadcast back; pass 2 clips and aggregates with
+    DECIMAL sums. Two scans + one broadcast join; the bounds table is
+    |groups| rows at any scale."""
+    c = load_table(spark, sf_dir, "customer")
+    q = c.groupBy("c_mktsegment").agg(
+        F.expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY c_acctbal)").alias("lo"),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY c_acctbal)").alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("c_acctbal"), F.col("lo")), F.col("hi"))
+    dec = lambda col: F.sum(col.cast("decimal(18,2)")).cast("double")  # noqa: E731
+    return (
+        c.join(F.broadcast(q), "c_mktsegment")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("c_acctbal") < F.col("lo"), 1)).alias("n_clipped_low"),
+            F.count(F.when(F.col("c_acctbal") > F.col("hi"), 1)).alias("n_clipped_high"),
+            F.min("lo").alias("p05"),
+            F.min("hi").alias("p95"),
+            (dec(F.col("c_acctbal")) / F.count(F.lit(1))).alias("mean_before"),
+            (dec(clipped) / F.count(F.lit(1))).alias("mean_after"),
+        )
+    )

@@ -6,6 +6,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from datafusion_cyberpolka_eda_spark.functions.sampling import hash_sample
@@ -518,3 +519,40 @@ class TestWeightedSample:
         ]
         assert len(selx) == 100
         assert sum(1 for k in selx if k < 100) >= 85
+
+
+class TestZorderLayout:
+    def test_both_dim_extents_bounded(self, spark):
+        """A Z-prefix file pins the top 2 bits of BOTH dimensions, so every
+        file's min/max extent must be ~1/4 of each key range — the
+        data-skipping property a single-dim sort cannot give the second
+        dimension (its extent stays ~1)."""
+        from datafusion_cyberpolka_eda_spark.registry.scale import a12_zorder_layout
+
+        rows = a12_zorder_layout(spark, "/root/testdata/sf0.01").collect()
+        assert len(rows) >= 8
+        for r in rows:
+            # 8-bit quantization puts a handful of boundary keys one rank
+            # off; allow epsilon over the exact 1/4
+            assert r["part_extent"] <= 0.27, r
+            assert r["supp_extent"] <= 0.27, r
+
+    def test_beats_single_dim_sort_on_second_dim(self, spark):
+        from datafusion_cyberpolka_eda_spark.sources.catalog import load_table
+
+        li = load_table(spark, "/root/testdata/sf0.01", "lineitem")
+        # single-dim layout: 16 range-files on l_partkey -> l_suppkey extent ~1
+        f = li.select(
+            F.ntile(16).over(
+                Window.orderBy("l_partkey", "l_orderkey", "l_linenumber")
+            ).alias("file_id"),
+            "l_suppkey",
+        )
+        ext = (
+            f.groupBy("file_id")
+            .agg(((F.max("l_suppkey") - F.min("l_suppkey"))).alias("span"))
+            .agg(F.avg("span").alias("avg_span"))
+            .collect()[0]["avg_span"]
+        )
+        smin, smax = li.agg(F.min("l_suppkey"), F.max("l_suppkey")).collect()[0]
+        assert ext / (smax - smin + 1) > 0.8  # non-sorted dim: nearly full range
