@@ -404,3 +404,81 @@ def i4_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v_locf",
         "v_interp",
     )
+
+
+@register(
+    "g9_time_range_window",
+    """
+    SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           COUNT(*) OVER w AS n_trailing_1h,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_trailing_1h
+    FROM events
+    WHERE user_id < 25
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 3599 SECOND PRECEDING AND CURRENT ROW)
+    """,
+)
+def g9_time_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frames (value-based, not row-based — the frame G
+    family's missing third shape after g6 ROWS and g7 offsets): trailing
+    1-hour count and decimal sum per user, frames keyed on event-time
+    seconds so ties and irregular spacing are handled by value, exactly
+    like the oracle's RANGE INTERVAL frame. One shuffle on the partition
+    key; at 100 TB bound the range (here 1h) so state per partition stays
+    O(events-in-range)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 25)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3599, 0)
+    )
+    return e.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.count(F.lit(1)).over(w).alias("n_trailing_1h"),
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double")
+        .alias("sum_trailing_1h"),
+    )
+
+
+@register(
+    "i5_map_functions",
+    """
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events WHERE user_id < 50 GROUP BY 1, 2
+    )
+    SELECT user_id, event_type, n * 2 AS boosted
+    FROM c WHERE n >= 3
+    """,
+)
+def i5_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions (family I extension — the MapType
+    toolkit): per-user event histograms become map columns
+    (sort_array + map_from_entries for deterministic construction),
+    transform_values doubles each count, map_filter keeps entries >= 3,
+    and explode(map) returns to rows. The oracle proves the composition
+    equals the plain relational form — maps here are a representation
+    choice, not different semantics. All JVM-side expressions; the map
+    stays bounded by |event types| per user."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    hist = (
+        e.groupBy("user_id", "event_type")
+        .count()
+        .groupBy("user_id")
+        .agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("event_type", "count")))
+            ).alias("m")
+        )
+    )
+    boosted = hist.select(
+        "user_id",
+        F.map_filter(
+            F.transform_values("m", lambda _, v: v * 2),
+            lambda _, v: v >= 6,
+        ).alias("m"),
+    )
+    return boosted.select(
+        "user_id", F.explode("m").alias("event_type", "boosted")
+    )

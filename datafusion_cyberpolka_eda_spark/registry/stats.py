@@ -699,3 +699,110 @@ def e20_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dec(clipped) / F.count(F.lit(1))).alias("mean_after"),
         )
     )
+
+
+@register(
+    "e21_mad_outliers",
+    """
+    WITH med AS (
+      SELECT c_mktsegment, quantile_disc(c_acctbal, 0.5) AS med
+      FROM customer GROUP BY 1
+    ), dev AS (
+      SELECT c.c_mktsegment, c_acctbal, med, ABS(c_acctbal - med) AS adev
+      FROM customer c JOIN med USING (c_mktsegment)
+    ), mad AS (
+      SELECT c_mktsegment, quantile_disc(adev, 0.5) AS mad FROM dev GROUP BY 1
+    )
+    SELECT d.c_mktsegment, COUNT(*) AS n,
+           MIN(d.med) AS median_bal, MIN(m.mad) AS mad,
+           COUNT(*) FILTER (WHERE adev > 3 * 1.4826 * m.mad) AS n_outliers,
+           CAST(COUNT(*) FILTER (WHERE adev > 3 * 1.4826 * m.mad) AS DOUBLE)
+             / COUNT(*) AS outlier_rate
+    FROM dev d JOIN mad m USING (c_mktsegment)
+    GROUP BY 1
+    """,
+)
+def e21_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier screen via median absolute deviation (complements
+    e20's percentile clip with the estimator that tolerates 50%
+    contamination): pass 1 per-group discrete median, pass 2 discrete
+    median of absolute deviations, pass 3 counts |x - med| > 3 sigma-hat
+    (MAD * 1.4826). Discrete percentiles keep every intermediate an
+    actual data value or an exact difference — bitwise portable, no
+    rounding anywhere. Three scans, two broadcast joins of |groups|-row
+    tables."""
+    c = load_table(spark, sf_dir, "customer")
+    med = c.groupBy("c_mktsegment").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY c_acctbal)").alias("med")
+    )
+    dev = c.join(F.broadcast(med), "c_mktsegment").withColumn(
+        "adev", F.abs(F.col("c_acctbal") - F.col("med"))
+    )
+    mad = dev.groupBy("c_mktsegment").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY adev)").alias("mad")
+    )
+    out = F.col("adev") > F.lit(3) * F.lit(1.4826) * F.col("mad")
+    return (
+        dev.join(F.broadcast(mad), "c_mktsegment")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("med").alias("median_bal"),
+            F.min("mad").alias("mad"),
+            F.count(F.when(out, 1)).alias("n_outliers"),
+            (F.count(F.when(out, 1)).cast("double") / F.count(F.lit(1)))
+            .alias("outlier_rate"),
+        )
+    )
+
+
+@register(
+    "e22_group_regression",
+    """
+    WITH m AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS sy,
+             CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_quantity AS BIGINT)
+                      * CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS sxy
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l_returnflag, n,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+           (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS intercept
+    FROM m
+    """,
+)
+def e22_group_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group simple linear regression (price ~ quantity) by the
+    closed-form moment route the corr engine uses (E1/E5 family): all
+    four moment sums are EXACT integer aggregations (quantities are
+    integral; prices aggregate in cents), cast to double only at the
+    final slope/intercept arithmetic — identical operands, identical
+    IEEE ops, bitwise-equal results with no rounding. One map-side
+    partial-agg pass, |groups| result rows; the same shape Spark's
+    built-in regr_slope would take, minus its float accumulation
+    order-dependence (which would need 6dp rounding to compare)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("bigint").alias("q"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("pc"),
+    )
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").cast("double").alias("sx"),
+        (F.sum("pc").cast("double") / 100).alias("sy"),
+        F.sum(F.col("q") * F.col("q")).cast("double").alias("sxx"),
+        (F.sum(F.col("q") * F.col("pc")).cast("double") / 100).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return m.select(
+        "l_returnflag",
+        "n",
+        slope.alias("slope"),
+        ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("intercept"),
+    )
