@@ -166,6 +166,55 @@ def main() -> int:
         failures.append("g8_analytic_pack: unexpected CartesianProduct")
     print(f"[{'OK' if not failures else '??'}] g8_analytic_pack")
 
+    # A-ES weighted sample: race key is map-side, selection is a top-k
+    # reduction — a full global sort would be the scale bug
+    check("b17_weighted_sample", contains=["TakeOrderedAndProject"],
+          absent=["CartesianProduct"])
+    # winsorize / MAD: bounds tables broadcast back onto the fact scan
+    check("e20_winsorize", contains=["BroadcastHashJoin"],
+          absent=["SortMergeJoin", "CartesianProduct"])
+    check("e21_mad_outliers", contains=["BroadcastHashJoin"],
+          absent=["SortMergeJoin", "CartesianProduct"])
+    # gap fill: every window must be partitioned by the series key
+    p = plan_of(qs["i4_gap_fill_interpolate"](spark, sf_dir))
+    for line in p.splitlines():
+        if "windowspecdefinition" in line and "key#" not in line:
+            failures.append(f"i4_gap_fill_interpolate: unpartitioned window: {line.strip()}")
+    if "CartesianProduct" in p:
+        failures.append("i4_gap_fill_interpolate: unexpected CartesianProduct")
+    print(f"[{'OK' if not failures else '??'}] i4_gap_fill_interpolate")
+    # z-order: z-values and file ids are map-side expressions; the ONLY
+    # exchange is the final per-file stats agg (bounds join is a 1-row
+    # broadcast NLJ, the c10 pattern)
+    p = plan_of(qs["a12_zorder_layout"](spark, sf_dir))
+    # exactly 3 exchange nodes: the 1-row bounds agg, its BroadcastExchange
+    # onto the fact scan, and the final per-file stats agg — the fact table
+    # itself is never shuffled before the stats agg
+    n_exch = p.count("Exchange (")
+    if n_exch != 3:
+        failures.append(f"a12_zorder_layout: expected 3 Exchange nodes, found {n_exch}")
+    if "CartesianProduct" in p or "SortMergeJoin" in p:
+        failures.append("a12_zorder_layout: unexpected shuffle join")
+    print(f"[{'OK' if not failures else '??'}] a12_zorder_layout")
+    # grouped regression: one partial-agg pass, one exchange, no join
+    p = plan_of(qs["e22_group_regression"](spark, sf_dir))
+    n_exch = p.count("Exchange (")
+    if n_exch != 1:
+        failures.append(f"e22_group_regression: expected exactly 1 Exchange, found {n_exch}")
+    print(f"[{'OK' if not failures else '??'}] e22_group_regression")
+    # grouped-agg pandas UDAF: Arrow agg node + the single group exchange
+    p = plan_of(qs["k5_pandas_grouped_agg"](spark, sf_dir))
+    if "ArrowAggregatePython" not in p and "AggregateInPandas" not in p:
+        failures.append("k5_pandas_grouped_agg: expected Arrow grouped-agg node")
+    print(f"[{'OK' if not failures else '??'}] k5_pandas_grouped_agg")
+    # mixture sampling: the budget-cut window and the per-source rollup
+    # share the source partitioning (window exchange + at most one more)
+    p = plan_of(qs["l22_mixture_sampling"](spark, sf_dir))
+    n_exch = p.count("Exchange (")
+    if n_exch > 2:
+        failures.append(f"l22_mixture_sampling: expected <=2 Exchanges, found {n_exch}")
+    print(f"[{'OK' if not failures else '??'}] l22_mixture_sampling")
+
     if failures:
         print("\nPLAN AUDIT FAILURES:")
         for f in failures:
