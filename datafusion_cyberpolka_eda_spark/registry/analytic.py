@@ -482,3 +482,66 @@ def i5_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boosted.select(
         "user_id", F.explode("m").alias("event_type", "boosted")
     )
+
+
+@register(
+    "g10_funnel_steps",
+    """
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ), s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1
+    ), s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1
+    )
+    SELECT (SELECT COUNT(*) FROM s1) AS n_step1_view,
+           (SELECT COUNT(*) FROM s2) AS n_step2_click,
+           (SELECT COUNT(*) FROM s3) AS n_step3_purchase,
+           CAST((SELECT COUNT(*) FROM s3) AS DOUBLE)
+             / (SELECT COUNT(*) FROM s1) AS full_funnel_rate
+    """,
+)
+def g10_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event-funnel analysis (product-analytics staple the
+    reference lacks): users progressing view -> later click -> later
+    purchase, counted per stage with strict event-time ordering. Each
+    stage is a groupBy-min plus a join against the previous stage's
+    (user, anchor-time) table — stages shrink monotonically, so every
+    join's right side is the reduced funnel, broadcastable once below
+    the threshold. No windows over raw events, no per-user sorting; at
+    100 TB this is 3 shuffles on user_id (or zero extra if events are
+    bucketed by user)."""
+    e = load_table(spark, sf_dir, "events")
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id").agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id").agg(F.min("ts").alias("t3"))
+    )
+    c1 = s1.agg(F.count(F.lit(1)).alias("n_step1_view"))
+    c2 = s2.agg(F.count(F.lit(1)).alias("n_step2_click"))
+    c3 = s3.agg(F.count(F.lit(1)).alias("n_step3_purchase"))
+    return (
+        c1.join(F.broadcast(c2)).join(F.broadcast(c3)).select(
+            "n_step1_view",
+            "n_step2_click",
+            "n_step3_purchase",
+            (F.col("n_step3_purchase").cast("double") / F.col("n_step1_view"))
+            .alias("full_funnel_rate"),
+        )
+    )

@@ -459,19 +459,22 @@ def l9_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS mean_recall_at_5_ge_60pct",
 )
 def l8b_ann_ivf_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed ANN (scale path #2): KMeans cells over unit vectors,
+    """IVF-bucketed ANN (scale path #2): trained cells over unit vectors,
     probe the nearest n_probe cells, exact dot product inside. The
-    trained quantizer's cells are engine-specific (KMeans init samples by
-    partition layout), so like l8 the registered output is a quality
-    gate the oracle asserts as a constant-true row: MEAN recall@5 over
-    the 5 benchmark queries >= 60% vs the exact cosine top-5 (measured
-    0.80-0.88 at probe 8/16 across sf0.001-0.1; the mean over 5 queries
-    is stable where a single query sits at the 0.6 boundary). One KMeans
-    fit serves all queries (ann_ivf_topk_multi); neighbor lists stay
-    covered by tests/test_llm_ops.py."""
+    quantizer is trained faiss-style on a BOUNDED deterministic sample
+    with driver-side Lloyd iterations (train_centroids_on_sample) — the
+    production shape (you train a coarse quantizer on a sample once, not
+    with a distributed fit per index build), and it removes the
+    pyspark.ml per-iteration scheduling noise that made this query's
+    median swing 3-9 s. Trained cells are still data/sample-dependent,
+    so like l8 the registered output is a quality gate the oracle asserts
+    as a constant-true row: MEAN recall@5 over the 5 benchmark queries
+    >= 60% vs the exact cosine top-5 (measured 0.84-1.0 across
+    sf0.001-0.1). The pyspark.ml KMeans variant stays available as
+    ann_ivf_topk/ann_ivf_topk_multi (unit-tested)."""
     emb = load_table(spark, sf_dir, "embeddings")
     qids = [0, 1, 2, 3, 4]
-    ann = SIM.ann_ivf_topk_multi(
+    ann = SIM.ann_ivf_sampled_topk_multi(
         emb, "vec_id", "embedding", query_ids=qids, k=5, n_probe=8
     )
     got: dict[int, set] = {}

@@ -212,3 +212,59 @@ def k5_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         pd_count("q").alias("n"),
         wavg_cents("pc", "q").alias("wavg_price"),
     )
+
+
+@register(
+    "k6_polymorphic_udtf",
+    """
+    WITH t AS (
+      SELECT lang,
+             string_split(text, ' ')[1] AS tok0,
+             string_split(text, ' ')[2] AS tok1,
+             string_split(text, ' ')[3] AS tok2
+      FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT tok0) AS BIGINT) AS d_tok0,
+           CAST(COUNT(DISTINCT tok2) AS BIGINT) AS d_tok2
+    FROM t GROUP BY 1
+    """,
+)
+def k6_polymorphic_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic Python UDTF (Spark 4 `analyze()`): the output schema —
+    one column per leading token — is computed at PLAN time from the
+    literal width argument, the mechanism behind schema-flexible
+    connectors and parsers. The lateral join + rollup is verified against
+    the built-in split-indexing twin. Same cost label as k1: Python
+    row-at-a-time, surface coverage — production form is the oracle's
+    expression."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class FirstTokens:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            width = int(n.value)
+            schema = StructType()
+            for i in range(width):
+                schema = schema.add(f"tok{i}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, text: str, n: int):
+            toks = (text or "").split(" ")
+            yield tuple(toks[i] if i < len(toks) else None for i in range(n))
+
+    spark.udtf.register("first_tokens_udtf", udtf(FirstTokens))
+    spread(load_table(spark, sf_dir, "documents")).createOrReplaceTempView(
+        "k6_documents"
+    )
+    return spark.sql(
+        """
+        SELECT lang, COUNT(*) AS n_docs,
+               COUNT(DISTINCT t.tok0) AS d_tok0,
+               COUNT(DISTINCT t.tok2) AS d_tok2
+        FROM k6_documents, LATERAL first_tokens_udtf(text, 3) t
+        GROUP BY lang
+        """
+    )

@@ -556,3 +556,49 @@ class TestZorderLayout:
         )
         smin, smax = li.agg(F.min("l_suppkey"), F.max("l_suppkey")).collect()[0]
         assert ext / (smax - smin + 1) > 0.8  # non-sorted dim: nearly full range
+
+
+class TestSampledIvf:
+    def test_recall_vs_exact(self, spark):
+        from datafusion_cyberpolka_eda_spark.operators.similarity import (
+            ann_ivf_sampled_topk_multi,
+            cosine_topk,
+        )
+        from datafusion_cyberpolka_eda_spark.sources.catalog import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        qids = [0, 1, 2, 3, 4]
+        ann = ann_ivf_sampled_topk_multi(
+            emb, "vec_id", "embedding", query_ids=qids, k=5, n_probe=8
+        )
+        got: dict[int, set] = {}
+        for r in ann.collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        exact = cosine_topk(
+            emb.filter(F.col("vec_id") < 5), emb, id_col="vec_id",
+            vec_col="embedding", k=5,
+        )
+        es: dict[int, set] = {}
+        for r in exact.collect():
+            es.setdefault(r["query_id"], set()).add(r["candidate_id"])
+        recall = sum(len(got.get(q, set()) & es[q]) / 5 for q in qids) / 5
+        assert recall >= 0.6
+        # deterministic: bounded-sample training + expression assignment
+        ann2 = ann_ivf_sampled_topk_multi(
+            emb, "vec_id", "embedding", query_ids=qids, k=5, n_probe=8
+        )
+        assert sorted(map(tuple, ann.collect())) == sorted(map(tuple, ann2.collect()))
+
+    def test_trained_centroids_are_unit_norm(self, spark):
+        import numpy as np
+
+        from datafusion_cyberpolka_eda_spark.operators.similarity import (
+            train_centroids_on_sample,
+            unit_vec_df,
+        )
+        from datafusion_cyberpolka_eda_spark.sources.catalog import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        c = train_centroids_on_sample(unit_vec_df(emb, "vec_id", "embedding"), 16, 256)
+        assert c.shape == (16, 64)
+        np.testing.assert_allclose(np.linalg.norm(c, axis=1), 1.0, rtol=1e-9)
