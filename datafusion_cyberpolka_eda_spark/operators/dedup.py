@@ -580,3 +580,103 @@ def connected_components(
             break
         prev_sum = new_sum
     return labels
+
+
+def verify_pairs_exact_jaccard(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.6,
+    hash_fn=None,
+) -> DataFrame:
+    """Exact n-gram Jaccard verification BOUNDED to candidate pairs — the
+    verify stage of a banded dedup pipeline (candidates from MinHash
+    bands, truth from exact set overlap). Cost is O(candidate pairs x
+    shared shingles), never all-pairs: candidates join the (id, shingle)
+    table twice on id+shingle keys.
+
+    ``hash_fn`` keys the intersection join (default xxhash64 —
+    production; pass hashing.md5_hash64 for cross-engine oracle replay).
+    Returns (id_a, id_b, jaccard) at jaccard >= threshold."""
+    hf = hash_fn if hash_fn is not None else (lambda c: F.xxhash64(c))
+    sh = (
+        shingle_sets(df, id_col, text_col, n)
+        .select(F.col(id_col).alias("__vid"), hf(F.col("shingle")).alias("sh"))
+        .localCheckpoint(eager=True)
+    )
+    sizes = sh.groupBy("__vid").agg(F.count(F.lit(1)).alias("sz"))
+    cand = pairs.select("id_a", "id_b")
+    inter = (
+        cand.join(sh.select(F.col("__vid").alias("id_a"), "sh"), "id_a")
+        .join(sh.select(F.col("__vid").alias("id_b"), "sh"), ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = F.broadcast(sizes.select(F.col("__vid").alias("id_a"), F.col("sz").alias("sz_a")))
+    sb = F.broadcast(sizes.select(F.col("__vid").alias("id_b"), F.col("sz").alias("sz_b")))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def dedup_pipeline_oracle(
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    est_threshold: float = 0.45,
+    verify_threshold: float = 0.6,
+) -> str:
+    """DuckDB SQL replaying the FULL dedup pipeline (banded-MinHash
+    candidates -> exact-Jaccard verify -> recursive-CTE components ->
+    corpus summary) with the portable hash family."""
+    grams = " || ' ' || ".join(f"w[i+{j}]" for j in range(n))
+    mh = minhash_banded_portable_oracle(n, num_hashes, bands, est_threshold)
+    return f"""
+    WITH RECURSIVE
+    t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, {grams} AS shingle
+      FROM t, LATERAL (SELECT unnest(generate_series(1, greatest(len(w) - {n - 1}, 1))) AS i) s
+      WHERE w[i+{n - 1}] IS NOT NULL AND {grams} != ''
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY 1),
+    cand AS (SELECT id_a, id_b FROM ({mh}) mq),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS inter
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.id_a
+      JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    ),
+    ver AS (
+      SELECT i.id_a, i.id_b
+      FROM inter i JOIN sz sa ON sa.doc_id = i.id_a
+                   JOIN sz sb ON sb.doc_id = i.id_b
+      WHERE CAST(inter AS DOUBLE) / (sa.c + sb.c - inter) >= {verify_threshold}
+    ),
+    edges AS (SELECT id_a AS a, id_b AS b FROM ver
+              UNION SELECT id_b, id_a FROM ver),
+    reach(id, r) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, r.r FROM reach r JOIN edges e ON e.a = r.id
+    ),
+    comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY 1)
+    SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+           (SELECT COUNT(*) FROM cand) AS n_candidate_pairs,
+           (SELECT COUNT(*) FROM ver) AS n_verified_pairs,
+           (SELECT COUNT(DISTINCT comp) FROM comp) AS n_clusters,
+           (SELECT COUNT(*) FROM comp WHERE id <> comp) AS n_docs_removed,
+           (SELECT CAST(COALESCE(SUM(id), 0) AS BIGINT)
+            FROM comp WHERE id <> comp) AS removed_id_checksum
+    """

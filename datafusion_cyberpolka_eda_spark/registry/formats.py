@@ -178,3 +178,45 @@ def a9_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sq").cast("bigint").alias("sum_sq"),
         F.max("id").cast("bigint").alias("max_id"),
     )
+
+
+@register(
+    "a13_schema_evolution",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           TRUE AS merged_has_quality_col,
+           CAST(SUM(CAST(doc_id % 2 = 0 AS BIGINT)) AS BIGINT) AS n_quality_nulls,
+           CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars % 7 ELSE 0 END) AS BIGINT)
+             AS quality_mod_sum
+    FROM documents
+    """,
+)
+def a13_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read (the lakehouse reality that columns get
+    added over time): batch 1 writes (doc_id, lang, n_chars); batch 2
+    adds a `quality` column; a mergeSchema read unifies them — old rows
+    surface NULL quality, new rows keep values, and the union schema is
+    verified structurally (column presence) plus by exact integer
+    aggregates the oracle recomputes from the source table. At 100 TB
+    mergeSchema costs one footer read per file subset — pin the merged
+    schema in a catalog once it stabilizes rather than re-inferring
+    per job."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    p1 = _scratch_path(sf_dir, "evo_batch1")
+    p2 = _scratch_path(sf_dir, "evo_batch2")
+    even = F.pmod("doc_id", F.lit(2)) == 0
+    docs.filter(even).write.mode("overwrite").parquet(p1)
+    (
+        docs.filter(~even)
+        .withColumn("quality", F.pmod("n_chars", F.lit(7)).cast("double"))
+        .write.mode("overwrite")
+        .parquet(p2)
+    )
+    merged = spark.read.option("mergeSchema", "true").parquet(p1, p2)
+    has_quality = "quality" in merged.columns
+    return merged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.lit(has_quality).alias("merged_has_quality_col"),
+        F.sum(F.col("quality").isNull().cast("bigint")).alias("n_quality_nulls"),
+        F.coalesce(F.sum("quality"), F.lit(0)).cast("bigint").alias("quality_mod_sum"),
+    )

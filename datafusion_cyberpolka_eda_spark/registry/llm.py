@@ -1107,3 +1107,48 @@ def l22_mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(kept, 1)).alias("n_docs_kept"),
         F.coalesce(F.sum(F.when(kept, F.col("n_tokens"))), F.lit(0)).alias("tokens_kept"),
     )
+
+
+from datafusion_cyberpolka_eda_spark.operators.dedup import dedup_pipeline_oracle
+
+
+@register("l23_dedup_pipeline", dedup_pipeline_oracle())
+def l23_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL near-dup dedup pipeline as one call — the composition a
+    training-data job actually runs, each stage an already-verified
+    operator: banded-MinHash candidates (portable hash family,
+    est >= 0.45) -> exact n-gram Jaccard verification bounded to
+    candidates (>= 0.6) -> HashMin connected components -> corpus
+    summary (clusters, docs removed, survivor checksum). The oracle
+    replays every stage including the recursive closure, so the
+    pipeline's end-to-end integer summary is hash-checked, not assembled
+    from per-stage trust. Scale: candidates are banded (never all-pairs),
+    verification touches candidate pairs only, components run
+    join+groupBy-min rounds — the whole pipeline is the SCALE.md L-family
+    budget, composed."""
+    from datafusion_cyberpolka_eda_spark.functions.hashing import md5_hash64
+    from datafusion_cyberpolka_eda_spark.operators.dedup import (
+        connected_components,
+        minhash_banded_pairs_portable,
+        verify_pairs_exact_jaccard,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    cand = minhash_banded_pairs_portable(docs, "doc_id", "text")
+    ver = verify_pairs_exact_jaccard(
+        docs, cand, "doc_id", "text", n=3, threshold=0.6, hash_fn=md5_hash64
+    )
+    comps = connected_components(ver, "id_a", "id_b")
+    removed = comps.filter(F.col("id") != F.col("comp"))
+    s_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    s_cand = cand.agg(F.count(F.lit(1)).alias("n_candidate_pairs"))
+    s_ver = ver.agg(F.count(F.lit(1)).alias("n_verified_pairs"))
+    s_comp = comps.agg(F.countDistinct("comp").alias("n_clusters"))
+    s_rem = removed.agg(
+        F.count(F.lit(1)).alias("n_docs_removed"),
+        F.coalesce(F.sum("id"), F.lit(0)).cast("bigint").alias("removed_id_checksum"),
+    )
+    out = s_docs
+    for s in (s_cand, s_ver, s_comp, s_rem):
+        out = out.join(F.broadcast(s))
+    return out
