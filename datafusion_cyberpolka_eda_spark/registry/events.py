@@ -320,3 +320,29 @@ def j6_stateful_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_stateful_user_rollup(
         spark, _os.path.join(sf_dir, "events.parquet")
     )
+
+
+@register(
+    "j14_checkpoint_recovery",
+    """
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def j14_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stop/restart recovery from a persistent checkpoint (streaming
+    family J's operational surface): phase 1 aggregates half the events
+    and stops; phase 2 restarts the SAME checkpoint over only the new
+    files. The oracle is the batch aggregate over ALL events — phase 2
+    can only match it if both the source offset log and the aggregation
+    state store were recovered (nothing re-reads batch A)."""
+    import os as _os
+
+    from datafusion_cyberpolka_eda_spark.streaming.events import (
+        stream_checkpoint_recovery_rollup,
+    )
+
+    return stream_checkpoint_recovery_rollup(
+        spark, _os.path.join(sf_dir, "events.parquet")
+    )

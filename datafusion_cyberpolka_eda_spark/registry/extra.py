@@ -8,7 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datafusion_cyberpolka_eda_spark.functions import text as T
-from datafusion_cyberpolka_eda_spark.registry import _dec_sum, _round_cols, register
+from datafusion_cyberpolka_eda_spark.registry import _dec_sum, _round_cols, register, small_df
 from datafusion_cyberpolka_eda_spark.sources.catalog import load_table, spread
 
 
@@ -818,4 +818,69 @@ def c15_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return applied.groupBy(F.col("status").alias("o_orderstatus")).agg(
         F.count(F.lit(1)).alias("n_rows"),
         _dec_sum(F.col("price"), "decimal(18,2)").alias("total_price"),
+    )
+
+
+@register(
+    "d18_data_quality_checks",
+    """
+    WITH o AS (SELECT COUNT(*) AS n FROM orders),
+    checks AS (
+      SELECT 'orders.o_orderkey.not_null' AS check_name,
+             (SELECT COUNT(*) FROM orders WHERE o_orderkey IS NULL) AS n_violations
+      UNION ALL
+      SELECT 'orders.o_orderkey.unique',
+             (SELECT CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders)
+      UNION ALL
+      SELECT 'orders.o_totalprice.positive',
+             (SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0)
+      UNION ALL
+      SELECT 'orders.o_orderstatus.in_domain',
+             (SELECT COUNT(*) FROM orders WHERE o_orderstatus NOT IN ('O','F','P'))
+      UNION ALL
+      SELECT 'orders.o_custkey.ref_customer',
+             (SELECT COUNT(*) FROM orders
+              WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+      UNION ALL
+      SELECT 'lineitem.l_orderkey.ref_orders',
+             (SELECT COUNT(*) FROM lineitem
+              WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+    )
+    SELECT check_name, CAST(n_violations AS BIGINT) AS n_violations,
+           n_violations = 0 AS passed
+    FROM checks
+    """,
+)
+def d18_data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint suite (deequ-lite — the validation gate a
+    production table runs before publish): not-null, uniqueness, range,
+    domain membership, and two referential-integrity checks, each
+    emitting an exact violation count + pass flag. Column-local checks
+    fold into ONE wide aggregate pass over each table (not one scan per
+    check); referential checks are left-anti joins (broadcast when the
+    key side fits, shuffle otherwise). At 100 TB the wide-agg shape is
+    what keeps a 50-constraint suite at 1-2 scans total."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = o.agg(
+        F.sum(F.col("o_orderkey").isNull().cast("bigint")).alias("nn"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("uq"),
+        F.sum((F.col("o_totalprice") <= 0).cast("bigint")).alias("pos"),
+        F.sum((~F.col("o_orderstatus").isin("O", "F", "P")).cast("bigint")).alias("dom"),
+    ).collect()[0]
+    ref1 = o.join(c, o["o_custkey"] == c["c_custkey"], "left_anti").count()
+    ref2 = li.join(o, li["l_orderkey"] == o["o_orderkey"], "left_anti").count()
+    rows = [
+        ("orders.o_orderkey.not_null", int(wide["nn"])),
+        ("orders.o_orderkey.unique", int(wide["uq"])),
+        ("orders.o_totalprice.positive", int(wide["pos"])),
+        ("orders.o_orderstatus.in_domain", int(wide["dom"])),
+        ("orders.o_custkey.ref_customer", int(ref1)),
+        ("lineitem.l_orderkey.ref_orders", int(ref2)),
+    ]
+    return small_df(
+        spark,
+        [(n, v, v == 0) for n, v in rows],
+        "check_name string, n_violations bigint, passed boolean",
     )

@@ -806,3 +806,66 @@ def e22_group_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         slope.alias("slope"),
         ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("intercept"),
     )
+
+
+@register(
+    "e24_ab_test_proportions",
+    """
+    WITH u AS (
+      SELECT user_id % 2 AS variant,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY user_id
+    ), s AS (
+      SELECT CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS BIGINT) AS c0,
+             CAST(SUM(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS BIGINT) AS c1
+      FROM u
+    )
+    SELECT n0, n1, c0, c1,
+           CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS rate0,
+           CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS rate1,
+           (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+            - CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+           / NULLIF(sqrt((CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                  * (1.0 - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                  * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))), 0.0) AS z_stat
+    FROM s
+    """,
+)
+def e24_ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B test (pooled z — the experimentation-platform
+    primitive; complements e13 Fisher for large counts): variant by user
+    hash, conversion = any purchase, z from exact integer counts with
+    the oracle's exact expression tree — identical IEEE operand order,
+    bitwise-equal z, no rounding. One per-user rollup + one 4-way
+    conditional agg; scales as a single groupBy + scalar pass."""
+    e = load_table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("conv")
+    ).withColumn("variant", F.pmod("user_id", F.lit(2)))
+    s = u.agg(
+        F.sum((F.col("variant") == 0).cast("bigint")).alias("n0"),
+        F.sum((F.col("variant") == 1).cast("bigint")).alias("n1"),
+        F.sum(F.when(F.col("variant") == 0, F.col("conv")).otherwise(0)).cast("bigint").alias("c0"),
+        F.sum(F.when(F.col("variant") == 1, F.col("conv")).otherwise(0)).cast("bigint").alias("c1"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    rate0, rate1 = d("c0") / d("n0"), d("c1") / d("n1")
+    pooled = (F.col("c0") + F.col("c1")).cast("double") / (
+        F.col("n0") + F.col("n1")
+    ).cast("double")
+    # NULLIF guard: a degenerate experiment (p pooled = 0 or 1) has no
+    # defined z; both engines emit NULL instead of raising on the 0 denom
+    z = (rate1 - rate0) / F.nullif(
+        F.sqrt(
+            pooled
+            * (F.lit(1.0) - pooled)
+            * (F.lit(1.0) / d("n0") + F.lit(1.0) / d("n1"))
+        ),
+        F.lit(0.0),
+    )
+    return s.select(
+        "n0", "n1", "c0", "c1",
+        rate0.alias("rate0"), rate1.alias("rate1"), z.alias("z_stat"),
+    )

@@ -645,3 +645,70 @@ def stream_transform_with_state_rollup(
         else:
             spark.conf.set(_provider_key, prev_provider)
     return spark.table(name)
+
+
+def stream_checkpoint_recovery_rollup(
+    spark: SparkSession, parquet_path: str
+) -> DataFrame:
+    """Checkpoint-based restart recovery — the operational property that
+    makes Structured Streaming production-usable: a stateful rollup runs
+    over batch A, the query STOPS, batch B arrives, and a NEW query
+    started from the SAME checkpointLocation must (a) not reprocess A's
+    files (source offsets recovered) and (b) still report totals that
+    include A (aggregation state recovered from the state store).
+
+    Locally both phases drain with trigger(availableNow); the returned
+    table is phase 2's complete-mode output, which equals the batch
+    aggregate over A+B ONLY IF recovery worked — phase 2's micro-batch
+    reads nothing but B. At scale the checkpoint dir lives on object
+    storage and the same restart path covers upgrades and failures."""
+    import shutil
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    base = spark.read.parquet(parquet_path)
+    work = tempfile.mkdtemp(prefix="ckpt_recovery_")
+    src = os.path.join(work, "src")
+    ckpt = os.path.join(work, "ckpt")
+    os.makedirs(src)
+    halves = []
+    for tag, cond in (("a", 0), ("b", 1)):
+        p = os.path.join(work, tag)
+        base.filter(F.pmod("event_id", F.lit(2)) == cond).coalesce(1).write.parquet(p)
+        halves.append(p)
+
+    def stage(batch_dir: str) -> None:
+        for f in os.listdir(batch_dir):
+            if f.endswith(".parquet"):
+                os.symlink(
+                    os.path.join(batch_dir, f),
+                    os.path.join(src, f"{os.path.basename(batch_dir)}_{f}"),
+                )
+
+    def run_phase() -> DataFrame:
+        stream = spark.readStream.schema(base.schema).parquet(src)
+        agg = stream.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            .alias("total_value"),
+        )
+        name = f"ckpt_out_{uuid.uuid4().hex[:8]}"
+        with scoped_state_partitions(spark):
+            q = (
+                agg.writeStream.outputMode("complete")
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        return spark.table(name)
+
+    stage(halves[0])
+    run_phase()  # phase 1: batch A builds state, then the query stops
+    stage(halves[1])
+    out = run_phase()  # phase 2: restart from checkpoint, reads only B
+    result = out.orderBy("event_type").localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return result
