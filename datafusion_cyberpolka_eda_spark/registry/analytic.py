@@ -545,3 +545,60 @@ def g10_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("full_funnel_rate"),
         )
     )
+
+
+@register(
+    "g11_cohort_retention",
+    """
+    WITH uw AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events
+    ), first AS (
+      SELECT user_id, MIN(w) AS cw FROM uw GROUP BY 1
+    ), act AS (
+      SELECT f.cw, CAST(date_diff('day', f.cw, uw.w) // 7 AS BIGINT) AS week_index,
+             uw.user_id
+      FROM uw JOIN first f USING (user_id)
+    ), size_ AS (
+      SELECT cw, COUNT(*) AS cohort_size FROM first GROUP BY 1
+    )
+    SELECT strftime(a.cw, '%Y-%m-%d') AS cohort_week,
+           a.week_index,
+           COUNT(DISTINCT a.user_id) AS n_active,
+           MIN(s.cohort_size) AS cohort_size,
+           CAST(COUNT(DISTINCT a.user_id) AS DOUBLE) / MIN(s.cohort_size)
+             AS retention
+    FROM act a JOIN size_ s USING (cw)
+    GROUP BY 1, 2
+    """,
+)
+def g11_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix (the other product-analytics staple next
+    to g10's funnel): users grouped by first-active week, per-cohort
+    distinct-active counts at each week offset, retention as an exact
+    integer ratio. Two groupBys + one join on user_id; the cohort table
+    is |users| rows and the matrix |cohorts x weeks| — both shrink
+    monotonically from the event scan, so every join side after the
+    first rollup is broadcastable at scale."""
+    e = load_table(spark, sf_dir, "events")
+    uw = e.select("user_id", F.date_trunc("week", "ts").alias("w")).distinct()
+    first = uw.groupBy("user_id").agg(F.min("w").alias("cw"))
+    act = uw.join(first, "user_id").select(
+        "cw",
+        (F.datediff("w", "cw") / 7).cast("bigint").alias("week_index"),
+        "user_id",
+    )
+    size = first.groupBy("cw").agg(F.count(F.lit(1)).alias("cohort_size"))
+    return (
+        act.join(F.broadcast(size), "cw")
+        .groupBy("cw", "week_index")
+        .agg(
+            F.countDistinct("user_id").alias("n_active"),
+            F.min("cohort_size").alias("cohort_size"),
+            (F.countDistinct("user_id").cast("double") / F.min("cohort_size"))
+            .alias("retention"),
+        )
+        .select(
+            F.date_format("cw", "yyyy-MM-dd").alias("cohort_week"),
+            "week_index", "n_active", "cohort_size", "retention",
+        )
+    )

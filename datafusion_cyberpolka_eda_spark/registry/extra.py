@@ -884,3 +884,66 @@ def d18_data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n, v, v == 0) for n, v in rows],
         "check_name string, n_violations bigint, passed boolean",
     )
+
+
+@register(
+    "p2_triangle_count",
+    """
+    WITH e0 AS (
+      SELECT DISTINCT s.s_nationkey AS a, c.c_nationkey AS b
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE s.s_nationkey <> c.c_nationkey
+    ), und AS (
+      SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v FROM e0
+    ), tri AS (
+      SELECT e1.u AS x, e1.v AS y, e2.v AS z
+      FROM und e1
+      JOIN und e2 ON e2.u = e1.v
+      JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT (SELECT COUNT(*) FROM und) AS n_edges,
+           (SELECT COUNT(*) FROM tri) AS n_triangles,
+           (SELECT CAST(COALESCE(SUM(x + y + z), 0) AS BIGINT) FROM tri)
+             AS triangle_vertex_checksum
+    """,
+)
+def p2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the undirected trade graph (graph family,
+    alongside l11 components and p1 PageRank): edges canonicalized to
+    u < v, triangles enumerated with the standard ordered two-join
+    (x < y < z — each triangle found exactly once). Scale shape: the
+    graph build distributes (fact-dim joins, distinct), the triangle
+    join runs on the collapsed edge list; at web scale add degree-based
+    orientation (join low-degree side first) — the ordering filter here
+    is exactly that pattern's skeleton. Exact integer outputs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    e0 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .select(F.col("s_nationkey").alias("a"), F.col("c_nationkey").alias("b"))
+        .distinct()
+    )
+    und = (
+        e0.select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        ).distinct()
+    ).localCheckpoint(eager=True)
+    e1 = und.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    e2 = und.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    e3 = und.select(F.col("u").alias("x"), F.col("v").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    cnt_e = und.agg(F.count(F.lit(1)).alias("n_edges"))
+    cnt_t = tri.agg(
+        F.count(F.lit(1)).alias("n_triangles"),
+        F.coalesce(F.sum(F.col("x") + F.col("y") + F.col("z")), F.lit(0))
+        .cast("bigint").alias("triangle_vertex_checksum"),
+    )
+    return cnt_e.join(F.broadcast(cnt_t))

@@ -220,3 +220,89 @@ def a13_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("quality").isNull().cast("bigint")).alias("n_quality_nulls"),
         F.coalesce(F.sum("quality"), F.lit(0)).cast("bigint").alias("quality_mod_sum"),
     )
+
+
+@register(
+    "a14_malformed_csv_handling",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows_total,
+           CAST(SUM(CAST(o_orderkey % 10 = 7 AS BIGINT)) AS BIGINT) AS n_corrupt,
+           CAST(SUM(CAST(o_orderkey % 10 <> 7 AS BIGINT)) AS BIGINT)
+             AS n_dropmalformed_rows,
+           CAST(SUM(CASE WHEN o_orderkey % 10 <> 7
+                    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
+             AS good_price_sum
+    FROM orders
+    """,
+)
+def a14_malformed_csv_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record handling on CSV ingest (every real corpus has bad
+    rows): a CSV staged with a deterministic 10% corruption (price field
+    'N/A' plus a stray extra field, i.e. structurally malformed) is read
+    twice — PERMISSIVE with columnNameOfCorruptRecord
+    (bad rows surface with the raw line captured, good fields null) and
+    DROPMALFORMED (bad rows vanish). Corrupt counts, surviving counts,
+    and the decimal sum of clean prices are all recomputed by the oracle
+    from the source table. Double->string->double round-trips exactly
+    (Java toString guarantees re-parse identity), so the clean-row sum
+    is bit-exact. At 100 TB PERMISSIVE + a corrupt-record sink is the
+    quarantine pattern; DROPMALFORMED is the lossy fast path."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = _scratch_path(sf_dir, "malformed_csv")
+    bad = F.pmod("o_orderkey", F.lit(10)) == 7
+    line = F.concat_ws(
+        ",",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.when(bad, F.lit("N/A,XTRA")).otherwise(
+            F.col("o_totalprice").cast("string")
+        ),
+    )
+    o.select(line.alias("value")).write.mode("overwrite").text(path)
+
+    schema = (
+        "o_orderkey bigint, o_orderstatus string, o_totalprice double,"
+        " _corrupt string"
+    )
+    perm = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+    )
+    # DROPMALFORMED engages per-field conversion failures only when the
+    # corrupt-record column is declared in the schema (otherwise Spark
+    # null-fills bad fields silently and keeps the row) — same schema as
+    # the PERMISSIVE read, observed behavior on Spark 4.1
+    dropm = (
+        spark.read.schema(schema)
+        .option("mode", "DROPMALFORMED")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+    )
+    # a bare COUNT(*) over CSV prunes every column, the parser never
+    # attempts field conversion, and DROPMALFORMED drops nothing — the
+    # documented columnPruning interaction; disable pruning so the drop
+    # semantics actually apply to the count
+    prev = spark.conf.get("spark.sql.csv.parser.columnPruning.enabled", "true")
+    spark.conf.set("spark.sql.csv.parser.columnPruning.enabled", "false")
+    try:
+        n_drop = dropm.count()
+    finally:
+        spark.conf.set("spark.sql.csv.parser.columnPruning.enabled", prev)
+    stats = perm.agg(
+        F.count(F.lit(1)).alias("n_rows_total"),
+        F.sum(F.col("_corrupt").isNotNull().cast("bigint")).alias("n_corrupt"),
+        _dec_sum(
+            F.when(F.col("_corrupt").isNull(), F.col("o_totalprice")),
+            "decimal(18,2)",
+        ).alias("good_price_sum"),
+    )
+    return stats.select(
+        "n_rows_total",
+        "n_corrupt",
+        F.lit(n_drop).cast("bigint").alias("n_dropmalformed_rows"),
+        "good_price_sum",
+    )

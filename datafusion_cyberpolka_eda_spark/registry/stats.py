@@ -869,3 +869,68 @@ def e24_ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n0", "n1", "c0", "c1",
         rate0.alias("rate0"), rate1.alias("rate1"), z.alias("z_stat"),
     )
+
+
+_BH_Q = 0.25
+
+_BH_ORACLE = f"""
+    WITH pv AS (
+      SELECT prio, fisher_p AS p FROM ({_FISHER_GROUPED_ORACLE}) fq
+    ),
+    r AS (
+      SELECT prio, p,
+             CAST(ROW_NUMBER() OVER (ORDER BY p, prio) AS BIGINT) AS rnk,
+             COUNT(*) OVER () AS m
+      FROM pv
+    ),
+    f AS (
+      SELECT *, MAX(CASE WHEN p <= rnk * {_BH_Q} / m THEN rnk END) OVER () AS max_ok
+      FROM r
+    )
+    SELECT prio, p AS fisher_p, rnk AS p_rank,
+           LEAST(1.0, MIN(p * m / rnk) OVER
+             (ORDER BY rnk ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+             AS bh_adjusted_p,
+           rnk <= COALESCE(max_ok, 0) AS rejected
+    FROM f
+"""
+
+
+@register("e25_bh_fdr", _BH_ORACLE)
+def e25_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR correction (the multiple-testing control a
+    screening pipeline needs once it runs E6/E13 over hundreds of
+    features): step-up rule at q=0.25 over the e13b per-priority Fisher
+    p-values, plus the standard adjusted p (running minimum of p*m/rank
+    from the worst rank down). Implemented as windows over the p-value
+    table — the global ordering window is over the TEST FAMILY (m rows,
+    thousands at most), never row data. Ranks order by (p, prio) so ties
+    are deterministic; p enters pre-rounded at 6dp on both engines, so
+    every downstream comparison and adjusted value is bitwise equal."""
+    pv = e13b_fisher_exact_grouped(spark, sf_dir).select(
+        "prio", F.col("fisher_p").alias("p")
+    )
+    w_all = Window.orderBy("p", "prio").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    r = pv.select(
+        "prio",
+        "p",
+        F.row_number().over(Window.orderBy("p", "prio")).cast("bigint").alias("rnk"),
+        F.count(F.lit(1)).over(w_all).alias("m"),
+    )
+    ok_rank = F.when(
+        F.col("p") <= F.col("rnk") * F.lit(_BH_Q) / F.col("m"), F.col("rnk")
+    )
+    f = r.withColumn("max_ok", F.max(ok_rank).over(w_all))
+    w_tail = Window.orderBy("rnk").rowsBetween(0, Window.unboundedFollowing)
+    return f.select(
+        "prio",
+        F.col("p").alias("fisher_p"),
+        F.col("rnk").alias("p_rank"),
+        F.least(
+            F.lit(1.0),
+            F.min(F.col("p") * F.col("m") / F.col("rnk")).over(w_tail),
+        ).alias("bh_adjusted_p"),
+        (F.col("rnk") <= F.coalesce(F.col("max_ok"), F.lit(0))).alias("rejected"),
+    )
