@@ -48,6 +48,9 @@ QUERIES = [
     #   ~2% of ALL pairs are TRUE near-pairs and output is inherently ~n^2 —
     #   the strict-threshold entry below isolates the algorithm's scaling
     "l7_cosine_topk",          # exact top-k, fixed query side: linear scan
+    "l23_dedup_pipeline",      # END-TO-END: banded candidates -> bounded
+    #   verify -> components -> summary; true near pairs grow linearly by
+    #   construction, so the whole pipeline should track that, not n^2
     "l20_contamination_screen",  # broadcast semi-join decontamination:
     #   token renaming keeps grams per-replica, so the benchmark gram set
     #   and the contaminated-doc count both grow linearly; runtime should
@@ -135,6 +138,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factors", default="1,4,16")
     ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--queries", default=None,
+                    help="comma-separated subset of QUERIES/CUSTOM names")
     args = ap.parse_args()
     factors = [int(x) for x in args.factors.split(",")]
 
@@ -157,6 +162,9 @@ def main() -> None:
             ).count()
             results[factor] = {}
             runnables = [(n, qs[n]) for n in QUERIES] + list(CUSTOM.items())
+            if args.queries:
+                keep = set(args.queries.split(","))
+                runnables = [(n, f) for n, f in runnables if n in keep]
             for name, fn in runnables:
                 best, n = float("inf"), 0
                 for _ in range(2):  # best-of-2: damp GC/scheduler noise
@@ -176,7 +184,11 @@ def main() -> None:
         f"{f}x sec / rows" for f in factors
     ) + f" | time ratio {factors[-1]}x/{base}x | rows ratio |")
     print("|---|" + "---|" * (len(factors) + 2))
-    for name in QUERIES + list(CUSTOM):
+    names = QUERIES + list(CUSTOM)
+    if args.queries:
+        keep = set(args.queries.split(","))
+        names = [n for n in names if n in keep]
+    for name in names:
         cells = " | ".join(
             f"{results[f][name][0]:.2f} / {results[f][name][1]}" for f in factors
         )
