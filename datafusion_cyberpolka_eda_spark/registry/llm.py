@@ -1152,3 +1152,50 @@ def l23_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in (s_cand, s_ver, s_comp, s_rem):
         out = out.join(F.broadcast(s))
     return out
+
+
+@register(
+    "l24_unigram_surprisal",
+    """
+    WITH tok AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents
+    ), tk AS (
+      SELECT lang, t FROM tok WHERE t != ''
+    ), vocab AS (
+      SELECT t, COUNT(*) AS c FROM tk GROUP BY 1
+    ), n AS (
+      SELECT COUNT(*) AS n, (SELECT COUNT(*) FROM vocab) AS v FROM tk
+    )
+    SELECT lang, COUNT(*) AS n_tokens,
+           ROUND(AVG(-ln((c + 1.0) / (n + v))), 6) AS avg_surprisal
+    FROM tk JOIN vocab USING (t) CROSS JOIN n
+    GROUP BY lang
+    """,
+)
+def l24_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram surprisal (pseudo-perplexity — the cheapest
+    model-based text-quality signal; gibberish and boilerplate both stand
+    out): add-one-smoothed token probabilities from one vocabulary pass,
+    then mean -ln p per language. Two groupBys (vocab, rollup) + one join
+    of tokens to vocab — at 100 TB the vocab table is the Zipf-small side
+    (broadcast below threshold, else one hash join); scoring is map-side
+    arithmetic. ln agrees across engines to ulps; the per-lang mean over
+    thousands of tokens rounds identically at 6dp."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tk = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("t")
+    ).filter(F.col("t") != "")
+    vocab = tk.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    n = tk.agg(F.count(F.lit(1)).alias("n")).join(
+        vocab.agg(F.count(F.lit(1)).alias("v"))
+    )
+    surprisal = -F.log((F.col("c") + F.lit(1.0)) / (F.col("n") + F.col("v")))
+    return (
+        tk.join(vocab, "t")
+        .join(F.broadcast(n))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(surprisal), 6).alias("avg_surprisal"),
+        )
+    )

@@ -934,3 +934,83 @@ def e25_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bh_adjusted_p"),
         (F.col("rnk") <= F.coalesce(F.col("max_ok"), F.lit(0))).alias("rejected"),
     )
+
+
+@register(
+    "e27_ks_shift_test",
+    """
+    WITH s AS (
+      SELECT o_totalprice AS v, CAST(o_orderstatus = 'F' AS INT) AS grp
+      FROM orders WHERE o_orderstatus IN ('F', 'O')
+    ), n AS (
+      SELECT SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS n1,
+             SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS n0
+      FROM s
+    ), d AS (
+      SELECT v,
+             SUM(grp) AS c1,
+             SUM(1 - grp) AS c0
+      FROM s GROUP BY v
+    ), e AS (
+      SELECT v,
+             SUM(c1) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+             SUM(c0) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum0
+      FROM d
+    )
+    SELECT CAST((SELECT n1 FROM n) AS BIGINT) AS n_f,
+           CAST((SELECT n0 FROM n) AS BIGINT) AS n_o,
+           ROUND((SELECT MAX(ABS(CAST(cum1 AS DOUBLE) / (SELECT n1 FROM n)
+                    - CAST(cum0 AS DOUBLE) / (SELECT n0 FROM n))) FROM e), 6)
+             AS ks_d
+    """,
+)
+def e27_ks_shift_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov D — the nonparametric distribution-
+    shift screen that complements the F1 adversarial classifier: D is the
+    max ECDF gap between F-status and O-status order prices, computed
+    exactly by compressing to distinct values first (like e7's AUC) and
+    running ONE cumulative window over the distinct-value table. Counts
+    are exact integers; the ECDF ratios divide identical operands, and D
+    rounds at 6dp on both engines. At scale, bucket the cumulative
+    window exactly as auc_by_rank does (the distinct-value table is the
+    small side; a price domain with 10^9 distinct values would reuse the
+    two-pass bucketed prefix sum)."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus").isin("F", "O")
+    )
+    s = o.select(
+        F.col("o_totalprice").alias("v"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("grp"),
+    )
+    n = s.agg(
+        F.sum("grp").alias("n1"), F.sum(1 - F.col("grp")).alias("n0")
+    )
+    d = s.groupBy("v").agg(
+        F.sum("grp").alias("c1"), F.sum(1 - F.col("grp")).alias("c0")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    e = d.select(
+        "v",
+        F.sum("c1").over(w).alias("cum1"),
+        F.sum("c0").over(w).alias("cum0"),
+    )
+    ks = (
+        e.join(F.broadcast(n))
+        .select(
+            F.abs(
+                F.col("cum1").cast("double") / F.col("n1")
+                - F.col("cum0").cast("double") / F.col("n0")
+            ).alias("gap")
+        )
+        .agg(F.max("gap").alias("ks"))
+    )
+    return (
+        n.join(F.broadcast(ks))
+        .select(
+            F.col("n1").cast("bigint").alias("n_f"),
+            F.col("n0").cast("bigint").alias("n_o"),
+            F.round("ks", 6).alias("ks_d"),
+        )
+    )
