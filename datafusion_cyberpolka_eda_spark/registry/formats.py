@@ -306,3 +306,81 @@ def a14_malformed_csv_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_drop).cast("bigint").alias("n_dropmalformed_rows"),
         "good_price_sum",
     )
+
+
+@register(
+    "a15_streaming_python_datasource",
+    """
+    WITH src AS (
+      SELECT i AS id,
+             (i * i) % 1000003 AS sq,
+             'g' || CAST(i % 7 AS VARCHAR) AS grp
+      FROM generate_series(0, 9999) s(i)
+    )
+    SELECT grp,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(sq) AS BIGINT) AS sum_sq,
+           CAST(MAX(id) AS BIGINT) AS max_id
+    FROM src GROUP BY grp
+    """,
+)
+def a15_streaming_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STREAMING connector via the Spark 4 Python DataSource API
+    (the stream twin of a9): a SimpleDataSourceStreamReader serves the
+    same deterministic generator in offset-tracked micro-batches —
+    initialOffset / read(start) -> (rows, nextOffset) /
+    readBetweenOffsets for replay, exactly the contract a custom
+    queue/CDC-feed connector implements. Drained to a complete-mode
+    memory sink; the batch oracle replays the generator, so the offset
+    protocol must deliver every row exactly once across micro-batches."""
+    import uuid as _uuid
+
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    N, BATCH = 10_000, 2_500
+
+    def rows(a: int, b: int):
+        return iter([(j, (j * j) % 1000003, f"g{j % 7}") for j in range(a, b)])
+
+    class StreamRangeReader(SimpleDataSourceStreamReader):
+        def initialOffset(self):
+            return {"i": 0}
+
+        def read(self, start):
+            i = start["i"]
+            end = min(i + BATCH, N)
+            return rows(i, end), {"i": end}
+
+        def readBetweenOffsets(self, start, end):
+            return rows(start["i"], end["i"])
+
+    class DetRangeStreamSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "detrangestream"
+
+        def schema(self):
+            return "id bigint, sq bigint, grp string"
+
+        def simpleStreamReader(self, schema):
+            return StreamRangeReader()
+
+    spark.dataSource.register(DetRangeStreamSource)
+    src = spark.readStream.format("detrangestream").load()
+    agg = src.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("sq").cast("bigint").alias("sum_sq"),
+        F.max("id").cast("bigint").alias("max_id"),
+    )
+    name = f"pyds_stream_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).localCheckpoint(eager=True)

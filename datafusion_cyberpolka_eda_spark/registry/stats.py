@@ -1014,3 +1014,55 @@ def e27_ks_shift_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("ks", 6).alias("ks_d"),
         )
     )
+
+
+@register(
+    "e28_gini_concentration",
+    """
+    WITH r AS (
+      SELECT c_mktsegment,
+             CAST(c_acctbal AS DECIMAL(18,2)) AS x,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal, c_custkey) AS i,
+             COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_mktsegment,
+           CAST(MIN(n) AS BIGINT) AS n,
+           CAST(SUM(x) AS DOUBLE) AS total_bal,
+           ROUND(2.0 * CAST(SUM(i * x) AS DOUBLE)
+                   / (MIN(n) * CAST(SUM(x) AS DOUBLE))
+                 - (MIN(n) + 1.0) / MIN(n), 6) AS gini
+    FROM r GROUP BY 1
+    """,
+)
+def e28_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration per segment (the inequality/whale-dominance
+    metric next to E12's uplift): the exact sorted-rank formula
+    G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over positive balances. Rank
+    i*x products and totals accumulate in DECIMAL (exact, order-proof);
+    only the final ratio is float, rounded at 6dp on both engines. One
+    partitioned rank window + one groupBy — the same two-shuffle budget
+    as any grouped analytic; no global ordering."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    wn = Window.partitionBy("c_mktsegment").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    x = F.col("c_acctbal").cast("decimal(18,2)")
+    r = c.select(
+        "c_mktsegment",
+        x.alias("x"),
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return r.groupBy("c_mktsegment").agg(
+        F.min("n").cast("bigint").alias("n"),
+        F.sum("x").cast("double").alias("total_bal"),
+        F.round(
+            F.lit(2.0) * F.sum(F.col("i") * F.col("x")).cast("double")
+            / (F.min("n") * F.sum("x").cast("double"))
+            - (F.min("n") + F.lit(1.0)) / F.min("n"),
+            6,
+        ).alias("gini"),
+    )
