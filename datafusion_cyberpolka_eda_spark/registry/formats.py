@@ -337,7 +337,7 @@ def a15_streaming_python_datasource(spark: SparkSession, sf_dir: str) -> DataFra
 
     from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
 
-    N, BATCH = 10_000, 2_500
+    N, BATCH = 10_000, 5_000
 
     def rows(a: int, b: int):
         return iter([(j, (j * j) % 1000003, f"g{j % 7}") for j in range(a, b)])
@@ -372,15 +372,20 @@ def a15_streaming_python_datasource(spark: SparkSession, sf_dir: str) -> DataFra
         F.sum("sq").cast("bigint").alias("sum_sq"),
         F.max("id").cast("bigint").alias("max_id"),
     )
-    name = f"pyds_stream_{_uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
+    from datafusion_cyberpolka_eda_spark.streaming.events import (
+        scoped_state_partitions,
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+
+    name = f"pyds_stream_{_uuid.uuid4().hex[:8]}"
+    with scoped_state_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table(name).localCheckpoint(eager=True)
