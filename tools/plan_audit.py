@@ -215,6 +215,15 @@ def main() -> int:
         failures.append(f"l22_mixture_sampling: expected <=2 Exchanges, found {n_exch}")
     print(f"[{'OK' if not failures else '??'}] l22_mixture_sampling")
 
+    # end-to-end dedup pipeline: banded everywhere — nothing may go
+    # all-pairs at any stage
+    check("l23_dedup_pipeline", absent=["CartesianProduct"])
+    # triangle counting: ordered two-join enumeration, no cross product
+    check("p2_triangle_count", absent=["CartesianProduct"])
+    # cohort retention: the cohort-size table broadcasts
+    check("g11_cohort_retention", contains=["BroadcastHashJoin"],
+          absent=["CartesianProduct"])
+
     if failures:
         print("\nPLAN AUDIT FAILURES:")
         for f in failures:
