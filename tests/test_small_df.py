@@ -82,3 +82,31 @@ def test_negative_zero_keeps_sign_bit(spark):
     got = {r["name"]: r for r in small_df(spark, rows, SCHEMA).collect()}
     assert math.copysign(1.0, got["nz"]["x"]) < 0  # -0.0, not +0.0
     assert math.copysign(1.0, got["pz"]["x"]) > 0
+
+
+class TestSweepRotation:
+    """Guards the round-3 verdict's #1 defect class: the driver sweeps
+    only the first ~50 queries() entries, so never-swept queries must
+    lead the ordering and must fit inside the window."""
+
+    def test_fresh_entries_lead_and_fit_window(self):
+        import __spark_entry__ as entrymod
+        from datafusion_cyberpolka_eda_spark.registry import _SWEPT_PRIOR_ROUNDS
+
+        names = list(entrymod.queries())
+        oracles = entrymod.oracle_sql()
+        fresh = [n for n in names if n not in _SWEPT_PRIOR_ROUNDS]
+        # every fresh entry must be inside the ~50-entry sweep window
+        assert len(fresh) <= 50, (
+            f"{len(fresh)} never-swept queries exceed the sweep window; "
+            "move older names into _SWEPT_PRIOR_ROUNDS or defer additions"
+        )
+        # fresh entries must occupy the FRONT of the ordering
+        assert names[: len(fresh)] == fresh, (
+            "never-swept queries must lead queries() order"
+        )
+        # oracle-bearing fresh entries come before rows-only fresh ones
+        kinds = [oracles.get(n) is not None for n in fresh]
+        assert kinds == sorted(kinds, reverse=True), (
+            "fresh oracle-bearing entries must precede rows-only entries"
+        )
