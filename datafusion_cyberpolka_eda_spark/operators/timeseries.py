@@ -30,11 +30,16 @@ def resample_grid(
     value_col: str,
     step: str = "1 hour",
     agg: Column | None = None,
+    bucket_unit: str | None = None,
 ) -> DataFrame:
     """Aggregate to (key, bucket) then densify: one row per key per step
     between that key's first and last observed bucket. Missing buckets
-    carry a null value. Returns (key, bucket, v)."""
-    bucket = F.date_trunc("hour", F.col(ts_col)).alias("bucket")
+    carry a null value. ``bucket_unit`` is the date_trunc granularity and
+    defaults to the unit of ``step`` (e.g. step "1 day" truncates to
+    day) — it must not be finer than the step or grid points would miss
+    observed buckets. Returns (key, bucket, v)."""
+    unit = bucket_unit or step.split()[-1].rstrip("s")
+    bucket = F.date_trunc(unit, F.col(ts_col)).alias("bucket")
     obs = (
         df.groupBy(F.col(key_col).alias("key"), bucket)
         .agg((agg if agg is not None else F.avg(value_col)).alias("v"))

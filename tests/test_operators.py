@@ -602,3 +602,18 @@ class TestSampledIvf:
         c = train_centroids_on_sample(unit_vec_df(emb, "vec_id", "embedding"), 16, 256)
         assert c.shape == (16, 64)
         np.testing.assert_allclose(np.linalg.norm(c, axis=1), 1.0, rtol=1e-9)
+
+
+class TestResampleGridUnits:
+    def test_day_step_truncates_to_day(self, spark):
+        from datafusion_cyberpolka_eda_spark.operators.timeseries import (
+            resample_grid,
+        )
+
+        rows = [(1, "2024-03-01 09:00:00", 1.0), (1, "2024-03-04 17:00:00", 4.0)]
+        df = spark.createDataFrame(rows, "k bigint, ts string, value double").select(
+            "k", F.to_timestamp("ts").alias("ts"), "value"
+        )
+        out = resample_grid(df, "k", "ts", "value", step="1 day").orderBy("bucket")
+        got = [(r["bucket"].day, r["v"]) for r in out.collect()]
+        assert got == [(1, 1.0), (2, None), (3, None), (4, 4.0)]
