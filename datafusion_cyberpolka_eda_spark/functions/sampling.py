@@ -101,8 +101,12 @@ def weighted_sample_topk(
     )
     u = (h.cast("double") + F.lit(0.5)) / F.lit(float(2**60))
     race = -F.log(u) / F.col(weight_col)
+    # zero/negative weights mean zero selection probability — without
+    # this filter w=0 yields NULL race (sorted FIRST) or a
+    # DIVIDE_BY_ZERO under ANSI, and w<0 outranks every valid row
     return (
-        df.select(F.col(key_col), race.alias("race"))
+        df.filter(F.col(weight_col) > 0)
+        .select(F.col(key_col), race.alias("race"))
         .orderBy("race", key_col)
         .limit(k)
     )

@@ -21,12 +21,14 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def cdc_compact(changes: DataFrame, key: str, seq: str) -> DataFrame:
+def cdc_compact(
+    changes: DataFrame, key: str, seq: str, op_col: str = "op"
+) -> DataFrame:
     """Latest-wins compaction: keep only the highest-``seq`` change per
     key (ties broken by op descending for determinism — feeds should
     never emit two ops at one seq, but the operator must not be
     order-dependent if they do)."""
-    w = Window.partitionBy(key).orderBy(F.desc(seq), F.desc("op"))
+    w = Window.partitionBy(key).orderBy(F.desc(seq), F.desc(op_col))
     return (
         changes.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
@@ -55,12 +57,17 @@ def cdc_apply(
         *[F.col(c).alias(f"_c_{c}") for c in payload_cols],
     )
     joined = base.join(lat, base[key] == lat["_ck"], "full_outer")
+    # payload selection keys on the OP being present, not on the payload
+    # value: an update that sets a column to NULL must win over the
+    # snapshot value (coalesce would silently resurrect it)
     return joined.filter(
         F.coalesce(F.col("_op"), F.lit("K")) != F.lit("D")
     ).select(
         F.coalesce(base[key], F.col("_ck")).alias(key),
         *[
-            F.coalesce(F.col(f"_c_{c}"), base[c]).alias(c)
+            F.when(F.col("_op").isNotNull(), F.col(f"_c_{c}"))
+            .otherwise(base[c])
+            .alias(c)
             for c in payload_cols
         ],
     )

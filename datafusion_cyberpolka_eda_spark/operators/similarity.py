@@ -311,9 +311,6 @@ def ann_ivf_fixed_topk_multi(
     (you train the quantizer once offline, not per index build).
     Returns (query_id, neighbor_id, cosine, rank)."""
     import numpy as np
-    from pyspark.sql import Window
-
-    import numpy as np
 
     unit = unit_vec_df(df, id_col, vec_col)
     cent_rows = sorted(

@@ -38,7 +38,16 @@ def resample_grid(
     defaults to the unit of ``step`` (e.g. step "1 day" truncates to
     day) — it must not be finer than the step or grid points would miss
     observed buckets. Returns (key, bucket, v)."""
-    unit = bucket_unit or step.split()[-1].rstrip("s")
+    parts = step.split()
+    if bucket_unit is None and len(parts) == 2 and parts[0] != "1":
+        # a '6 hours' step with hour-truncated buckets would generate a
+        # grid that misses observed buckets (silent data loss on the
+        # left join) — multi-count steps need an explicit coarser anchor
+        raise ValueError(
+            f"step {step!r} needs an explicit bucket_unit: the default "
+            "(the step's unit) is finer than the step itself"
+        )
+    unit = bucket_unit or parts[-1].rstrip("s")
     bucket = F.date_trunc(unit, F.col(ts_col)).alias("bucket")
     obs = (
         df.groupBy(F.col(key_col).alias("key"), bucket)

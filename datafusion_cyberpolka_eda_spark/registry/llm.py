@@ -1134,10 +1134,15 @@ def l23_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    cand = minhash_banded_pairs_portable(docs, "doc_id", "text")
+    # the summary fans out into five aggregation jobs plus the component
+    # iterations — checkpoint the two expensive stages once so the band
+    # self-join and the intersection join run once, not ~3x
+    cand = minhash_banded_pairs_portable(docs, "doc_id", "text").localCheckpoint(
+        eager=True
+    )
     ver = verify_pairs_exact_jaccard(
         docs, cand, "doc_id", "text", n=3, threshold=0.6, hash_fn=md5_hash64
-    )
+    ).localCheckpoint(eager=True)
     comps = connected_components(ver, "id_a", "id_b")
     removed = comps.filter(F.col("id") != F.col("comp"))
     s_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))

@@ -685,7 +685,7 @@ def stream_checkpoint_recovery_rollup(
                     os.path.join(src, f"{os.path.basename(batch_dir)}_{f}"),
                 )
 
-    def run_phase() -> DataFrame:
+    def run_phase() -> tuple[DataFrame, str]:
         stream = spark.readStream.schema(base.schema).parquet(src)
         agg = stream.groupBy("event_type").agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -703,12 +703,19 @@ def stream_checkpoint_recovery_rollup(
                 .start()
             )
             q.awaitTermination()
-        return spark.table(name)
+        return spark.table(name), name
 
-    stage(halves[0])
-    run_phase()  # phase 1: batch A builds state, then the query stops
-    stage(halves[1])
-    out = run_phase()  # phase 2: restart from checkpoint, reads only B
-    result = out.orderBy("event_type").localCheckpoint(eager=True)
-    shutil.rmtree(work, ignore_errors=True)
+    # temp tree and phase sink tables are cleaned even on a failed phase
+    # (a leaked staged copy per bench rep is exactly the session-drift
+    # mode BASELINE.md documents)
+    try:
+        stage(halves[0])
+        _, name1 = run_phase()  # phase 1: batch A builds state, then stops
+        spark.catalog.dropTempView(name1)
+        stage(halves[1])
+        out, name2 = run_phase()  # phase 2: restart, reads only B
+        result = out.orderBy("event_type").localCheckpoint(eager=True)
+        spark.catalog.dropTempView(name2)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
     return result

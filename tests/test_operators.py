@@ -617,3 +617,58 @@ class TestResampleGridUnits:
         out = resample_grid(df, "k", "ts", "value", step="1 day").orderBy("bucket")
         got = [(r["bucket"].day, r["v"]) for r in out.collect()]
         assert got == [(1, 1.0), (2, None), (3, None), (4, 4.0)]
+
+
+class TestCdcNullUpdate:
+    def test_update_to_null_wins_over_snapshot(self, spark):
+        """An update that sets a column to NULL must not resurrect the
+        snapshot value (op-presence selection, not value coalesce)."""
+        from datafusion_cyberpolka_eda_spark.operators.cdc import cdc_apply, cdc_compact
+
+        base = spark.createDataFrame(
+            [(1, "a@x.com"), (2, "b@x.com")], "k bigint, email string"
+        )
+        changes = spark.createDataFrame(
+            [(1, "U", 1, None)], "k bigint, op string, seq int, email string"
+        )
+        out = cdc_apply(base, cdc_compact(changes, "k", "seq"), "k", ["email"])
+        got = {r["k"]: r["email"] for r in out.collect()}
+        assert got == {1: None, 2: "b@x.com"}
+
+    def test_custom_op_column_name(self, spark):
+        from datafusion_cyberpolka_eda_spark.operators.cdc import cdc_compact
+
+        ch = spark.createDataFrame(
+            [(1, "U", 1, 5.0), (1, "D", 2, None)],
+            "k bigint, operation string, seq int, v double",
+        )
+        top = cdc_compact(ch, "k", "seq", op_col="operation").collect()
+        assert len(top) == 1 and top[0]["operation"] == "D"
+
+
+class TestOperatorGuards:
+    def test_multi_count_step_requires_bucket_unit(self, spark):
+        import pytest as _pytest
+
+        from datafusion_cyberpolka_eda_spark.operators.timeseries import (
+            resample_grid,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "2024-01-01 00:00:00", 1.0)], "k bigint, ts string, value double"
+        ).select("k", F.to_timestamp("ts").alias("ts"), "value")
+        with _pytest.raises(ValueError, match="bucket_unit"):
+            resample_grid(df, "k", "ts", "value", step="6 hours")
+        # explicit coarser anchor is fine
+        resample_grid(df, "k", "ts", "value", step="6 hours", bucket_unit="day")
+
+    def test_weighted_sample_excludes_nonpositive_weights(self, spark):
+        from datafusion_cyberpolka_eda_spark.functions.sampling import (
+            weighted_sample_topk,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 0.0), (2, -5.0), (3, 1.0), (4, 2.0)], "k bigint, w double"
+        )
+        sel = {r["k"] for r in weighted_sample_topk(df, "k", "w", k=4).collect()}
+        assert sel == {3, 4}
