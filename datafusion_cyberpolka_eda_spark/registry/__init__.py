@@ -16,9 +16,11 @@ Cross-engine float determinism rules (SURVEY.md §5.3):
 
 from __future__ import annotations
 
+import json
 import math
 import re
 from collections.abc import Callable
+from pathlib import Path
 
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -133,15 +135,12 @@ from datafusion_cyberpolka_eda_spark.registry import scale  # noqa: E402,F401
 from datafusion_cyberpolka_eda_spark.registry import analytic  # noqa: E402,F401
 from datafusion_cyberpolka_eda_spark.registry import udf  # noqa: E402,F401
 
-# Names already hard-verified by the external correctness sweep in rounds
-# 1-3 (CORRECTNESS_r01-r03.json). The sweep covers roughly the first 50
-# entries of queries() in registration order, so entries it has never seen
-# are rotated to the FRONT (oracle-bearing first — they yield the strongest
-# value-hash signal; rows-only entries next; previously-verified names
-# last, where pytest's exact oracle-parity suite still regression-guards
-# them every run — and the window's remaining slots re-check a rotating
-# tail of previously-swept names each round).
-_SWEPT_PRIOR_ROUNDS = frozenset({
+# Fallback swept-name set, used only when no CORRECTNESS_r*.json artifact
+# is readable (e.g. the registry imported from a bare checkout without the
+# committed driver artifacts). The live source of truth is
+# load_swept_names() below, which derives the set from the artifacts so no
+# hand edit is needed per round.
+_SWEPT_FALLBACK = frozenset({
     # rounds 1-2 (CORRECTNESS_r01/r02)
     'b10_b11_prefix_conditional', 'b1_b2_project_cast_filter', 'b3_b4_null_ops', 'b6_key_stable_sample',
     'b7_b8_horizontal_sum', 'b9_string_split', 'c13_order_revenue_topk', 'c1_join_revenue_by_region',
@@ -173,27 +172,66 @@ _SWEPT_PRIOR_ROUNDS = frozenset({
 })
 
 
-# Fresh entries that yield the sweep window to longer-waiting ones; empty
-# for round 4 — every never-swept query (j10-j12, l18, l19, a10, b15, b16,
-# k3, l3b, l4b, l8b) must lead the window this round.
-_SWEEP_LATER: tuple[str, ...] = ()
+_REPO_ROOT = Path(__file__).resolve().parents[2]
+
+# How many previously-swept names the rotating re-check tail advances per
+# round. The sweep window is ~50 slots; fresh queries occupy the front, so
+# the tail is whatever swept names follow them — rotating the swept block
+# by round_index * stride cycles old queries through external
+# re-verification across rounds (judge re-check hygiene ask, r3/r4).
+_TAIL_STRIDE = 6
+
+
+def load_swept_names(artifact_dir: str | Path | None = None) -> tuple[set[str], int]:
+    """Derive the already-driver-checked query-name set from the committed
+    CORRECTNESS_r*.json artifacts (every key in an artifact was run by the
+    external sweep that round). Returns (names, n_artifacts); n_artifacts
+    doubles as the round index that drives the re-check tail rotation.
+    Falls back to the frozen round-1-4 constant when no artifact is
+    readable, so a bare checkout still orders sensibly."""
+    root = Path(artifact_dir) if artifact_dir is not None else _REPO_ROOT
+    names: set[str] = set()
+    n_artifacts = 0
+    for f in sorted(root.glob("CORRECTNESS_r*.json")):
+        try:
+            data = json.loads(f.read_text())
+        except (OSError, ValueError):
+            continue
+        if isinstance(data, dict) and data:
+            n_artifacts += 1
+            names.update(k for k in data if isinstance(k, str))
+    if n_artifacts == 0:
+        return set(_SWEPT_FALLBACK), 0
+    return names, n_artifacts
+
+
+def plan_sweep_order(
+    has_oracle: dict[str, bool], swept: set[str], rotation: int
+) -> list[str]:
+    """Pure ordering rule (unit-testable without Spark): never-swept
+    oracle-bearing names first (strongest value-hash signal), never-swept
+    rows-only names next, then the previously-swept block rotated left by
+    `rotation` so each round's ~50-slot window re-checks a different tail
+    of old names (all still pytest-regression-guarded every run)."""
+    fresh_oracle = [n for n, o in has_oracle.items() if n not in swept and o]
+    fresh_rows = [n for n, o in has_oracle.items() if n not in swept and not o]
+    swept_block = [n for n in has_oracle if n in swept]
+    if swept_block:
+        k = rotation % len(swept_block)
+        swept_block = swept_block[k:] + swept_block[:k]
+    return fresh_oracle + fresh_rows + swept_block
 
 
 def _sweep_rotate() -> None:
-    """Stable-reorder _REGISTRY: never-swept oracle entries, then never-swept
-    rows-only entries, then previously-swept names (pytest-guarded)."""
-    fresh_oracle = {k: v for k, v in sorted(
-        _REGISTRY.items(), key=lambda kv: (kv[0] in _SWEEP_LATER,),
-    ) if k not in _SWEPT_PRIOR_ROUNDS and v[1] is not None}
-    fresh_rows = {k: v for k, v in sorted(
-        _REGISTRY.items(),
-        key=lambda kv: (kv[0] not in ('l3b_minhash_banded', 'l4b_simhash_near_pairs'),),
-    ) if k not in _SWEPT_PRIOR_ROUNDS and v[1] is None}
-    swept = {k: v for k, v in _REGISTRY.items() if k in _SWEPT_PRIOR_ROUNDS}
+    swept, n_artifacts = load_swept_names()
+    order = plan_sweep_order(
+        {k: v[1] is not None for k, v in _REGISTRY.items()},
+        swept,
+        n_artifacts * _TAIL_STRIDE,
+    )
+    reordered = {k: _REGISTRY[k] for k in order}
     _REGISTRY.clear()
-    _REGISTRY.update(fresh_oracle)
-    _REGISTRY.update(fresh_rows)
-    _REGISTRY.update(swept)
+    _REGISTRY.update(reordered)
 
 
 _sweep_rotate()

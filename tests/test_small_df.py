@@ -85,21 +85,23 @@ def test_negative_zero_keeps_sign_bit(spark):
 
 
 class TestSweepRotation:
-    """Guards the round-3 verdict's #1 defect class: the driver sweeps
+    """Guards the round-3/r4 verdict's #1 defect class: the driver sweeps
     only the first ~50 queries() entries, so never-swept queries must
-    lead the ordering and must fit inside the window."""
+    lead the ordering, must fit inside the window — and (round 5) the
+    swept set must be DERIVED from CORRECTNESS_r*.json, never hand-kept."""
 
     def test_fresh_entries_lead_and_fit_window(self):
         import __spark_entry__ as entrymod
-        from datafusion_cyberpolka_eda_spark.registry import _SWEPT_PRIOR_ROUNDS
+        from datafusion_cyberpolka_eda_spark.registry import load_swept_names
 
+        swept, _ = load_swept_names()
         names = list(entrymod.queries())
         oracles = entrymod.oracle_sql()
-        fresh = [n for n in names if n not in _SWEPT_PRIOR_ROUNDS]
+        fresh = [n for n in names if n not in swept]
         # every fresh entry must be inside the ~50-entry sweep window
         assert len(fresh) <= 50, (
             f"{len(fresh)} never-swept queries exceed the sweep window; "
-            "move older names into _SWEPT_PRIOR_ROUNDS or defer additions"
+            "defer additions or split across rounds"
         )
         # fresh entries must occupy the FRONT of the ordering
         assert names[: len(fresh)] == fresh, (
@@ -110,3 +112,51 @@ class TestSweepRotation:
         assert kinds == sorted(kinds, reverse=True), (
             "fresh oracle-bearing entries must precede rows-only entries"
         )
+
+    def test_swept_set_derived_from_artifacts(self, tmp_path):
+        import json
+
+        from datafusion_cyberpolka_eda_spark.registry import load_swept_names
+
+        row = {"rows_match": True, "err": None}
+        (tmp_path / "CORRECTNESS_r01.json").write_text(
+            json.dumps({"q_a": row, "q_b": row})
+        )
+        (tmp_path / "CORRECTNESS_r02.json").write_text(
+            json.dumps({"q_b": row, "q_c": row})
+        )
+        (tmp_path / "CORRECTNESS_r03.json").write_text("not json {")  # skipped
+        names, n = load_swept_names(tmp_path)
+        assert names == {"q_a", "q_b", "q_c"}
+        assert n == 2  # unreadable artifact doesn't advance the rotation
+
+    def test_swept_set_falls_back_without_artifacts(self, tmp_path):
+        from datafusion_cyberpolka_eda_spark.registry import (
+            _SWEPT_FALLBACK,
+            load_swept_names,
+        )
+
+        names, n = load_swept_names(tmp_path)  # empty dir
+        assert n == 0
+        assert names == set(_SWEPT_FALLBACK)
+
+    def test_plan_sweep_order_rotates_tail(self):
+        from datafusion_cyberpolka_eda_spark.registry import plan_sweep_order
+
+        has_oracle = {
+            "new_rows_only": False,
+            "old1": True,
+            "new_oracle": True,
+            "old2": True,
+            "old3": True,
+        }
+        swept = {"old1", "old2", "old3"}
+        r4 = plan_sweep_order(has_oracle, swept, rotation=1)
+        assert r4 == ["new_oracle", "new_rows_only", "old2", "old3", "old1"]
+        r5 = plan_sweep_order(has_oracle, swept, rotation=2)
+        # tail leads with a DIFFERENT old name the next round
+        assert r5[2] != r4[2]
+        # live registry: rotation actually changed the swept block order
+        # vs the unrotated registration order
+        r0 = plan_sweep_order(has_oracle, swept, rotation=0)
+        assert r0[2:] == ["old1", "old2", "old3"]
