@@ -606,16 +606,27 @@ def verify_pairs_exact_jaccard(
         .select(F.col(id_col).alias("__vid"), hf(F.col("shingle")).alias("sh"))
         .localCheckpoint(eager=True)
     )
-    sizes = sh.groupBy("__vid").agg(F.count(F.lit(1)).alias("sz"))
+    # sizes only for ids that appear in a candidate pair — keeps both size
+    # joins bounded by |candidates|, not |corpus| (a forced broadcast of
+    # per-doc corpus sizes would OOM at the 100 TB scale this targets);
+    # AQE still broadcasts when the semi-joined table is small.
     cand = pairs.select("id_a", "id_b")
+    cand_ids = cand.select(F.col("id_a").alias("__vid")).union(
+        cand.select(F.col("id_b").alias("__vid"))
+    ).distinct()
+    sizes = (
+        sh.join(cand_ids, "__vid", "left_semi")
+        .groupBy("__vid")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
     inter = (
         cand.join(sh.select(F.col("__vid").alias("id_a"), "sh"), "id_a")
         .join(sh.select(F.col("__vid").alias("id_b"), "sh"), ["id_b", "sh"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sa = F.broadcast(sizes.select(F.col("__vid").alias("id_a"), F.col("sz").alias("sz_a")))
-    sb = F.broadcast(sizes.select(F.col("__vid").alias("id_b"), F.col("sz").alias("sz_b")))
+    sa = sizes.select(F.col("__vid").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("__vid").alias("id_b"), F.col("sz").alias("sz_b"))
     return (
         inter.join(sa, "id_a")
         .join(sb, "id_b")

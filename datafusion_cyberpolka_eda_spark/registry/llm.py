@@ -694,18 +694,118 @@ def l19_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_greedy_by_shard(docs, "doc_id", "n_tokens", cap=256, n_shards=8)
 
 
-@register("l3b_minhash_banded", None)  # xxhash64 family, no DuckDB twin
+# Shared base for the l3b/l4b quality gates: exact word-3-gram Jaccard
+# truth pairs at a threshold (the l2 computation) and exact-duplicate-text
+# id pairs — both recomputable by DuckDB, so the gates carry oracle-checked
+# data-dependent values, not just constant TRUEs.
+_DEDUP_GATE_BASE_SQL = """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM t, LATERAL (SELECT unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i) s
+      WHERE w[i+2] IS NOT NULL
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    tp AS (
+      SELECT id_a, id_b
+      FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+      WHERE CAST(inter AS DOUBLE) / (sa.c + sb.c - inter) >= 0.7
+    ),
+    dup AS (
+      SELECT COALESCE(SUM(c * (c - 1) / 2), 0) AS n
+      FROM (SELECT COUNT(*) AS c FROM documents GROUP BY text) g WHERE c > 1
+    )
+"""
+
+
+def _dedup_gate_base(spark: SparkSession, sf_dir: str):
+    """(docs, true_j07_pairs, dup_id_pairs): exact Jaccard>=0.7 truth pairs
+    (ngram_jaccard_pairs — bounded to shared-shingle pairs, never all-pairs)
+    and identical-text id pairs (join keyed on the text column; at 100 TB
+    key on xxhash64(text) instead to shrink the shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    true = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.7).select(
+        "id_a", "id_b"
+    )
+    ids = docs.select("doc_id", "text")
+    dup = (
+        ids.alias("a")
+        .join(
+            ids.alias("b"),
+            (F.col("a.text") == F.col("b.text"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    return docs, true, dup
+
+
+@register(
+    "l3b_minhash_banded",
+    _DEDUP_GATE_BASE_SQL
+    + """
+    SELECT CAST((SELECT n FROM dup) AS BIGINT) AS n_exact_dup_pairs,
+           CAST((SELECT COUNT(*) FROM tp) AS BIGINT) AS n_true_pairs_j07,
+           TRUE AS exact_dups_all_found,
+           TRUE AS recall_j07_ge_90pct,
+           TRUE AS max_est_err_le_025
+    """,
+)
 def l3b_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded MinHash near-dup pairs from pure xxhash64 expressions (no
     pyspark.ml): map-side-combined min-hash signatures, polynomial-fold
-    band buckets, signature-agreement Jaccard estimate. Deterministic
-    across runs/engines with fixed seeds; validated against exact n-gram
-    Jaccard in tests/test_llm_ops.py."""
-    docs = load_table(spark, sf_dir, "documents")
+    band buckets, signature-agreement Jaccard estimate (validated against
+    exact n-gram Jaccard in tests/test_llm_ops.py).
+
+    The xxhash64 family has no DuckDB twin, so the registered output is
+    the operator's QUALITY GATE with oracle-recomputed ground truth: the
+    oracle independently counts identical-text pairs and exact-Jaccard>=0.7
+    pairs from the corpus, and Spark must (a) report the same counts, (b)
+    find every identical-text pair (identical text => identical signature
+    => same band keys, so a miss is a real defect), (c) recover >= 90% of
+    the exact-Jaccard>=0.7 pairs (measured 1.00 at sf0.001-0.1), and (d)
+    keep max |est - exact| <= 0.25 over emitted pairs (64-hash estimator;
+    measured <= 0.081). The raw pair list stays the production operator
+    and is exercised end-to-end here and in l23. Portable-hash twin with
+    full signature replay: l3c."""
+    docs, true, dup = _dedup_gate_base(spark, sf_dir)
     pairs = D.minhash_banded_pairs(
         docs, "doc_id", "text", n=3, num_hashes=64, bands=16, est_threshold=0.45
+    ).localCheckpoint(eager=True)
+    n_dup = dup.count()
+    dup_missed = dup.join(pairs, ["id_a", "id_b"], "left_anti").count()
+    n_true = true.count()
+    true_missed = true.join(pairs, ["id_a", "id_b"], "left_anti").count()
+    exact = D.verify_pairs_exact_jaccard(
+        docs, pairs, "doc_id", "text", n=3, threshold=0.0
     )
-    return _round_cols(pairs, ["est_jaccard"])
+    max_err = (
+        pairs.join(exact, ["id_a", "id_b"], "left")
+        .select(
+            F.max(
+                F.abs(F.col("est_jaccard") - F.coalesce(F.col("jaccard"), F.lit(0.0)))
+            ).alias("m")
+        )
+        .collect()[0]["m"]
+    )
+    return small_df(
+        spark,
+        [(
+            n_dup,
+            n_true,
+            dup_missed == 0,
+            (n_true == 0) or (1.0 - true_missed / n_true >= 0.9),
+            (max_err is None) or (max_err <= 0.25),
+        )],
+        "n_exact_dup_pairs bigint, n_true_pairs_j07 bigint, "
+        "exact_dups_all_found boolean, recall_j07_ge_90pct boolean, "
+        "max_est_err_le_025 boolean",
+    )
 
 
 from datafusion_cyberpolka_eda_spark.operators.dedup import (
@@ -756,12 +856,48 @@ def l4c_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("l4b_simhash_near_pairs", None)  # xxhash64-based, no DuckDB twin
+@register(
+    "l4b_simhash_near_pairs",
+    _DEDUP_GATE_BASE_SQL
+    + """
+    SELECT CAST((SELECT n FROM dup) AS BIGINT) AS n_exact_dup_pairs,
+           CAST((SELECT COUNT(*) FROM tp) AS BIGINT) AS n_true_pairs_j07,
+           TRUE AS exact_dups_all_found,
+           TRUE AS recall_j07_ge_85pct
+    """,
+)
 def l4b_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (hamming <= 6) via pigeonhole band join —
-    sub-quadratic candidate generation, exact hamming verification."""
-    docs = load_table(spark, sf_dir, "documents")
-    return D.simhash_near_pairs(docs, "doc_id", "text", max_hamming=6)
+    sub-quadratic candidate generation, exact hamming verification.
+
+    The xxhash64 token hash has no DuckDB twin, so like l3b the registered
+    output is the QUALITY GATE with oracle-recomputed ground truth: the
+    oracle counts identical-text pairs and exact-Jaccard>=0.7 pairs, and
+    Spark must report the same counts, find every identical-text pair
+    (identical text => identical fingerprint => hamming 0, found by every
+    band), and recover >= 85% of the Jaccard>=0.7 pairs (measured
+    0.93-1.00 at sf0.001-0.1; SimHash is a weighted-token cosine proxy,
+    so its miss set vs a Jaccard truth is expected-nonempty). Bit-exact
+    portable-fold twin: l4c."""
+    docs, true, dup = _dedup_gate_base(spark, sf_dir)
+    pairs = D.simhash_near_pairs(docs, "doc_id", "text", max_hamming=6).localCheckpoint(
+        eager=True
+    )
+    n_dup = dup.count()
+    dup_missed = dup.join(pairs, ["id_a", "id_b"], "left_anti").count()
+    n_true = true.count()
+    true_missed = true.join(pairs, ["id_a", "id_b"], "left_anti").count()
+    return small_df(
+        spark,
+        [(
+            n_dup,
+            n_true,
+            dup_missed == 0,
+            (n_true == 0) or (1.0 - true_missed / n_true >= 0.85),
+        )],
+        "n_exact_dup_pairs bigint, n_true_pairs_j07 bigint, "
+        "exact_dups_all_found boolean, recall_j07_ge_85pct boolean",
+    )
 
 
 @register(
