@@ -205,6 +205,23 @@ def load_swept_names(artifact_dir: str | Path | None = None) -> tuple[set[str], 
     return names, n_artifacts
 
 
+def load_latest_rows(artifact_dir: str | Path | None = None) -> dict[str, dict]:
+    """name -> its row in the HIGHEST-round CORRECTNESS artifact that
+    contains it (artifacts sort lexically by round number)."""
+    root = Path(artifact_dir) if artifact_dir is not None else _REPO_ROOT
+    latest: dict[str, dict] = {}
+    for f in sorted(root.glob("CORRECTNESS_r*.json")):
+        try:
+            data = json.loads(f.read_text())
+        except (OSError, ValueError):
+            continue
+        if isinstance(data, dict):
+            latest.update(
+                {k: v for k, v in data.items() if isinstance(v, dict)}
+            )
+    return latest
+
+
 def plan_sweep_order(
     has_oracle: dict[str, bool], swept: set[str], rotation: int
 ) -> list[str]:
@@ -215,18 +232,36 @@ def plan_sweep_order(
     of old names (all still pytest-regression-guarded every run)."""
     fresh_oracle = [n for n, o in has_oracle.items() if n not in swept and o]
     fresh_rows = [n for n, o in has_oracle.items() if n not in swept and not o]
-    swept_block = [n for n in has_oracle if n in swept]
+    swept_block = [n for n, o in has_oracle.items() if n in swept and o]
     if swept_block:
         k = rotation % len(swept_block)
         swept_block = swept_block[k:] + swept_block[:k]
-    return fresh_oracle + fresh_rows + swept_block
+    # already-swept rows-only entries (no oracle by design, each with an
+    # oracle-green twin + pytest coverage) sort dead last: the sweep window
+    # then contains only value-hash-checkable rows
+    swept_rows = [n for n, o in has_oracle.items() if n in swept and not o]
+    return fresh_oracle + fresh_rows + swept_block + swept_rows
 
 
 def _sweep_rotate() -> None:
     swept, n_artifacts = load_swept_names()
+    latest = load_latest_rows()
+    has_oracle = {k: v[1] is not None for k, v in _REGISTRY.items()}
+    # Re-promote to fresh any oracle-bearing name whose LATEST external
+    # check wasn't hash-green (a rows-only entry that since gained an
+    # oracle, or a failed row): it must lead the next sweep window.
+    promoted = (
+        {
+            nm
+            for nm in swept
+            if has_oracle.get(nm) and latest.get(nm, {}).get("hash_match") is not True
+        }
+        if latest
+        else set()  # fallback constant: no row data to judge against
+    )
     order = plan_sweep_order(
-        {k: v[1] is not None for k, v in _REGISTRY.items()},
-        swept,
+        has_oracle,
+        swept - promoted,
         n_artifacts * _TAIL_STRIDE,
     )
     reordered = {k: _REGISTRY[k] for k in order}

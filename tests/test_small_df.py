@@ -140,6 +140,28 @@ class TestSweepRotation:
         assert n == 0
         assert names == set(_SWEPT_FALLBACK)
 
+    def test_rows_only_swept_sort_last_and_promotion(self):
+        """The live registry must (a) keep rows-only already-swept entries
+        out of the 50-slot window and (b) re-promote names whose latest
+        external check wasn't hash-green but that now carry an oracle."""
+        from datafusion_cyberpolka_eda_spark.registry import (
+            _REGISTRY,
+            load_latest_rows,
+        )
+
+        order = list(_REGISTRY)
+        assert [n for n in order[:50] if _REGISTRY[n][1] is None] == []
+        latest = load_latest_rows()
+        if latest:  # committed artifacts present
+            promoted = [
+                n
+                for n in order
+                if _REGISTRY[n][1] is not None
+                and latest.get(n, {}).get("hash_match") is not True
+            ]
+            # every promoted name sits inside the sweep window
+            assert all(order.index(p) < 50 for p in promoted)
+
     def test_plan_sweep_order_rotates_tail(self):
         from datafusion_cyberpolka_eda_spark.registry import plan_sweep_order
 
