@@ -100,7 +100,18 @@ def main() -> None:
     timings: dict[str, float] = {}
     import gc
 
+    # pipeline_summary runs the COMPLETE 29-artifact EDA pipeline on its
+    # own committed fixture (a ~15 s end-to-end job, independent of sf_dir);
+    # it exists for the external correctness sweep. Its perf artifact is
+    # the separately-tracked 750k-row pipeline run (BASELINE.md "full
+    # pipeline"), so timing it here 3x per bench would only re-measure
+    # that number inside a per-query harness. Skipped from timing; its
+    # oracle is likewise skipped so the ratio compares the same work.
+    skip_timing = {"pipeline_summary"}
+
     for qi, (name, fn) in enumerate(qs.items()):
+        if name in skip_timing:
+            continue
         rts = []
         for _ in range(reps):
             t0 = time.perf_counter()
@@ -142,7 +153,9 @@ def main() -> None:
             con.sql(
                 f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
             )
-        oracles = oracle_sql()
+        oracles = {
+            k: v for k, v in oracle_sql().items() if k not in skip_timing
+        }
         t0 = time.perf_counter()
         for sql in oracles.values():
             con.sql(sql).fetchall()

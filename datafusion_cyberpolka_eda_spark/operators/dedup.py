@@ -53,30 +53,30 @@ def shingle_sets(
     return spread(df).select(F.col(id_col), F.explode(sh_arr).alias("shingle"))
 
 
-def ngram_jaccard_pairs(
-    df: DataFrame,
+def hashed_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id_col, sh) rows with the 8-byte xxhash64 of each distinct shingle —
+    the shared first stage of exact-Jaccard, MinHash, and the l3b/l4b
+    quality gates. Callers that reuse it across several pair computations
+    should localCheckpoint it once (the shingle explode is the expensive
+    part; the hashed rows are tiny)."""
+    return shingle_sets(df, id_col, text_col, n).select(
+        F.col(id_col), F.xxhash64("shingle").alias("sh")
+    )
+
+
+def pair_jaccard_from_hashed(
+    sh: DataFrame,
     id_col: str,
-    text_col: str,
-    n: int = 3,
     threshold: float = 0.2,
     max_shingle_freq: int | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similar pairs (id_a < id_b, jaccard >=
-    threshold). jaccard = |A∩B| / (|A| + |B| - |A∩B|).
-
-    Shuffle budget: the shingle expression evaluates once per doc (explode
-    without sibling scalars — see shingle_sets); the self-join key is the
-    8-byte xxhash64 of the shingle, not the string (shuffle volume ~= ids
-    + hashes); per-doc set sizes are a map-side-combined groupBy whose tiny
-    result broadcasts back onto the pair table (no extra shuffle).
-    Collisions in the 64-bit shingle space are negligible (and symmetric
-    across both join sides)."""
-    sh = shingle_sets(df, id_col, text_col, n).select(
-        F.col(id_col), F.xxhash64("shingle").alias("sh")
-    )
-    # materialize once: both self-join sides would otherwise re-run the
-    # shingle explode (the expensive part); the hashed rows are tiny
-    sh = sh.localCheckpoint(eager=True)
+    """Exact Jaccard for every pair sharing >= 1 shingle hash, from a
+    precomputed (id, sh) table: self-join on the hash, map-side-combined
+    intersection counts, per-doc sizes joined back (AQE broadcasts the
+    size table when small). Returns (id_a, id_b, inter, sz_a, sz_b,
+    jaccard) at jaccard >= threshold."""
     if max_shingle_freq is not None:
         freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__f"))
         sh = sh.join(freq.filter(F.col("__f") <= max_shingle_freq), "sh").drop("__f")
@@ -101,6 +101,32 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "inter", "sz_a", "sz_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.2,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similar pairs (id_a < id_b, jaccard >=
+    threshold). jaccard = |A∩B| / (|A| + |B| - |A∩B|).
+
+    Shuffle budget: the shingle expression evaluates once per doc (explode
+    without sibling scalars — see shingle_sets); the self-join key is the
+    8-byte xxhash64 of the shingle, not the string (shuffle volume ~= ids
+    + hashes); per-doc set sizes are a map-side-combined groupBy whose tiny
+    result broadcasts back onto the pair table (no extra shuffle).
+    Collisions in the 64-bit shingle space are negligible (and symmetric
+    across both join sides)."""
+    # materialize once: both self-join sides would otherwise re-run the
+    # shingle explode (the expensive part); the hashed rows are tiny
+    sh = hashed_shingles(df, id_col, text_col, n).localCheckpoint(eager=True)
+    return pair_jaccard_from_hashed(
+        sh, id_col, threshold=threshold, max_shingle_freq=max_shingle_freq
     )
 
 
@@ -283,10 +309,13 @@ def minhash_banded_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     est_threshold: float = 0.5,
+    hashed: DataFrame | None = None,
 ) -> DataFrame:
     """Banded MinHash near-dup pairs built entirely from xxhash64
     expressions — no pyspark.ml, fully deterministic, every stage
-    whole-row JVM arithmetic.
+    whole-row JVM arithmetic. Pass ``hashed`` (a hashed_shingles result,
+    ideally checkpointed) to share the shingle explode with other pair
+    computations on the same corpus.
 
     Plan shape (the 100 TB path):
       explode shingles -> ONE groupBy(id) computing all `num_hashes`
@@ -300,9 +329,8 @@ def minhash_banded_pairs(
     density, not O(n^2). est_jaccard = share of equal signature
     components (standard unbiased MinHash estimator).
     """
-    sh = shingle_sets(df, id_col, text_col, n).select(
-        F.col(id_col).alias("id"), F.xxhash64("shingle").alias("h")
-    )
+    src = hashed if hashed is not None else hashed_shingles(df, id_col, text_col, n)
+    sh = src.select(F.col(id_col).alias("id"), F.col("sh").alias("h"))
     # num_hashes independent permutations: re-hash the shingle hash with
     # the permutation index; min over the doc's shingles per permutation
     sig = sh.groupBy("id").agg(

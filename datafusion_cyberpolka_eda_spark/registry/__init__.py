@@ -124,6 +124,8 @@ def _round_cols(df: DataFrame, cols: list[str], scale: int = 6) -> DataFrame:
 
 
 
+_REPO_ROOT = Path(__file__).resolve().parents[2]
+
 # Query groups self-register on import (order defines display order).
 from datafusion_cyberpolka_eda_spark.registry import core  # noqa: E402,F401
 from datafusion_cyberpolka_eda_spark.registry import stats  # noqa: E402,F401
@@ -134,6 +136,7 @@ from datafusion_cyberpolka_eda_spark.registry import formats  # noqa: E402,F401
 from datafusion_cyberpolka_eda_spark.registry import scale  # noqa: E402,F401
 from datafusion_cyberpolka_eda_spark.registry import analytic  # noqa: E402,F401
 from datafusion_cyberpolka_eda_spark.registry import udf  # noqa: E402,F401
+from datafusion_cyberpolka_eda_spark.registry import pipeline  # noqa: E402,F401
 
 # Fallback swept-name set, used only when no CORRECTNESS_r*.json artifact
 # is readable (e.g. the registry imported from a bare checkout without the
@@ -171,8 +174,6 @@ _SWEPT_FALLBACK = frozenset({
     'e9b_indicator_auc_closed_form', 'e17_upper_triangle_mean',
 })
 
-
-_REPO_ROOT = Path(__file__).resolve().parents[2]
 
 # How many previously-swept names the rotating re-check tail advances per
 # round. The sweep window is ~50 slots; fresh queries occupy the front, so

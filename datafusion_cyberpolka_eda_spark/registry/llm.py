@@ -724,13 +724,19 @@ _DEDUP_GATE_BASE_SQL = """
 
 
 def _dedup_gate_base(spark: SparkSession, sf_dir: str):
-    """(docs, true_j07_pairs, dup_id_pairs): exact Jaccard>=0.7 truth pairs
-    (ngram_jaccard_pairs — bounded to shared-shingle pairs, never all-pairs)
-    and identical-text id pairs (join keyed on the text column; at 100 TB
-    key on xxhash64(text) instead to shrink the shuffle)."""
+    """(docs, sh, full_jaccard, dup_id_pairs) shared by the l3b/l4b gates:
+    one checkpointed hashed-shingle table, ONE pair self-join producing the
+    exact Jaccard of every co-shingle pair (bounded to shared-shingle
+    pairs, never all-pairs — truth >= 0.7 and per-emitted-pair error both
+    read from it), and identical-text id pairs (join keyed on the text
+    column; at 100 TB key on xxhash64(text) instead to shrink the
+    shuffle)."""
     docs = load_table(spark, sf_dir, "documents")
-    true = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.7).select(
-        "id_a", "id_b"
+    sh = D.hashed_shingles(docs, "doc_id", "text", n=3).localCheckpoint(eager=True)
+    full = (
+        D.pair_jaccard_from_hashed(sh, "doc_id", threshold=0.0)
+        .select("id_a", "id_b", "jaccard")
+        .localCheckpoint(eager=True)
     )
     ids = docs.select("doc_id", "text")
     dup = (
@@ -742,7 +748,21 @@ def _dedup_gate_base(spark: SparkSession, sf_dir: str):
         )
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
     )
-    return docs, true, dup
+    return docs, sh, full, dup
+
+
+def _gate_counts(pairs: DataFrame, truth: DataFrame) -> tuple[int, int]:
+    """(n_truth, n_missed): one left-join agg instead of two count jobs."""
+    row = (
+        truth.join(pairs.select("id_a", "id_b", F.lit(1).alias("__f")),
+                   ["id_a", "id_b"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("__f").isNull(), 1).otherwise(0)).alias("missed"),
+        )
+        .collect()[0]
+    )
+    return row["n"], row["missed"] or 0
 
 
 @register(
@@ -773,19 +793,16 @@ def l3b_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured <= 0.081). The raw pair list stays the production operator
     and is exercised end-to-end here and in l23. Portable-hash twin with
     full signature replay: l3c."""
-    docs, true, dup = _dedup_gate_base(spark, sf_dir)
+    docs, sh, full, dup = _dedup_gate_base(spark, sf_dir)
     pairs = D.minhash_banded_pairs(
-        docs, "doc_id", "text", n=3, num_hashes=64, bands=16, est_threshold=0.45
+        docs, "doc_id", "text", n=3, num_hashes=64, bands=16,
+        est_threshold=0.45, hashed=sh,
     ).localCheckpoint(eager=True)
-    n_dup = dup.count()
-    dup_missed = dup.join(pairs, ["id_a", "id_b"], "left_anti").count()
-    n_true = true.count()
-    true_missed = true.join(pairs, ["id_a", "id_b"], "left_anti").count()
-    exact = D.verify_pairs_exact_jaccard(
-        docs, pairs, "doc_id", "text", n=3, threshold=0.0
-    )
+    true = full.filter(F.col("jaccard") >= 0.7).select("id_a", "id_b")
+    n_dup, dup_missed = _gate_counts(pairs, dup)
+    n_true, true_missed = _gate_counts(pairs, true)
     max_err = (
-        pairs.join(exact, ["id_a", "id_b"], "left")
+        pairs.join(full, ["id_a", "id_b"], "left")
         .select(
             F.max(
                 F.abs(F.col("est_jaccard") - F.coalesce(F.col("jaccard"), F.lit(0.0)))
@@ -879,14 +896,13 @@ def l4b_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.93-1.00 at sf0.001-0.1; SimHash is a weighted-token cosine proxy,
     so its miss set vs a Jaccard truth is expected-nonempty). Bit-exact
     portable-fold twin: l4c."""
-    docs, true, dup = _dedup_gate_base(spark, sf_dir)
+    docs, _sh, full, dup = _dedup_gate_base(spark, sf_dir)
     pairs = D.simhash_near_pairs(docs, "doc_id", "text", max_hamming=6).localCheckpoint(
         eager=True
     )
-    n_dup = dup.count()
-    dup_missed = dup.join(pairs, ["id_a", "id_b"], "left_anti").count()
-    n_true = true.count()
-    true_missed = true.join(pairs, ["id_a", "id_b"], "left_anti").count()
+    true = full.filter(F.col("jaccard") >= 0.7).select("id_a", "id_b")
+    n_dup, dup_missed = _gate_counts(pairs, dup)
+    n_true, true_missed = _gate_counts(pairs, true)
     return small_df(
         spark,
         [(
