@@ -82,6 +82,12 @@ def main() -> None:
         mh_tiny
     )
     mh.transform(mh_tiny).collect()
+    # ...and the Python DataSource streaming machinery: the first
+    # micro-batch in a session pays DataSource-worker spin-up (~4 s),
+    # which otherwise lands in a15's first timed rep (r4: runs
+    # [6.66, 2.42, 2.55] — median absorbed it, but the spread is noise,
+    # not plan). One throwaway drain moves it into session warm-up.
+    qs["a15_streaming_python_datasource"](spark, sf_dir).collect()
 
     # Per-job scheduling floor: median of 7 empty two-stage jobs (shuffle
     # included, mirroring the cheapest real query shape).

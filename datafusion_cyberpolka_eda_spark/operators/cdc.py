@@ -25,10 +25,17 @@ def cdc_compact(
     changes: DataFrame, key: str, seq: str, op_col: str = "op"
 ) -> DataFrame:
     """Latest-wins compaction: keep only the highest-``seq`` change per
-    key (ties broken by op descending for determinism — feeds should
-    never emit two ops at one seq, but the operator must not be
-    order-dependent if they do)."""
-    w = Window.partitionBy(key).orderBy(F.desc(seq), F.desc(op_col))
+    key. The window order is TOTAL — (seq, op, *payload columns) all
+    descending — so the winner is deterministic under any partitioning,
+    spill, or retry. Feeds should never emit two ops at one seq, but the
+    operator must not be order-dependent if they do: without the payload
+    tiebreak, two changes with identical (key, seq, op) but different
+    payloads would get an arbitrary row_number winner that only LOOKED
+    stable because a single-partition window sort happens to be stable."""
+    rest = [c for c in changes.columns if c not in (key, seq, op_col)]
+    w = Window.partitionBy(key).orderBy(
+        F.desc(seq), F.desc(op_col), *[F.desc(c) for c in rest]
+    )
     return (
         changes.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

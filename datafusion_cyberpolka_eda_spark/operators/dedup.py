@@ -218,12 +218,22 @@ def embedding_neardup_bucketed(
     id_col: str,
     vec_col: str,
     threshold: float = 0.95,
-    n_centroids: int = 8,
+    n_centroids: int | None = None,
     n_probe: int = 2,
 ) -> DataFrame:
     """Embedding near-dup at scale: bucket candidates with a FIXED coarse
     quantizer, exact-cosine-verify inside buckets. No all-pairs join
     anywhere — the plan is equi-joins only (audited: no CartesianProduct).
+
+    ``n_centroids=None`` (default) applies the sqrt-n rule
+    (similarity.adaptive_n_centroids, one cheap count, capped at 128 here
+    because the quantizer is inlined as literal arrays in the row
+    expression — past that, per-cell occupancy control needs the
+    broadcast-table or trained-quantizer path): a FIXED cell count makes
+    per-cell occupancy — and in-bucket candidate pairs — grow linearly
+    with the corpus (SCALE.md measured 239 s vs ~14 s at 16x). True
+    near-dup pairs sit nearly coincident in the space, so probe=2 recall
+    holds as cells shrink; the oracle-replay twin l10 pins n_centroids=8.
 
     Plan shape (the 100 TB path):
       unit-normalize (norm hoisted, one aggregate per row) ->
@@ -249,6 +259,12 @@ def embedding_neardup_bucketed(
     )
 
     unit = unit_vec_df(spread(df), id_col, vec_col)
+    if n_centroids is None:
+        from datafusion_cyberpolka_eda_spark.operators.similarity import (
+            adaptive_n_centroids,
+        )
+
+        n_centroids = adaptive_n_centroids(unit.count(), cap=128)
     cent_rows = sorted(
         unit.orderBy("id").limit(n_centroids).collect(), key=lambda r: r["id"]
     )

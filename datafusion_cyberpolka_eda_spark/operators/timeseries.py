@@ -39,10 +39,11 @@ def resample_grid(
     day) — it must not be finer than the step or grid points would miss
     observed buckets. Returns (key, bucket, v)."""
     parts = step.split()
-    if bucket_unit is None and len(parts) == 2 and parts[0] != "1":
-        # a '6 hours' step with hour-truncated buckets would generate a
-        # grid that misses observed buckets (silent data loss on the
-        # left join) — multi-count steps need an explicit coarser anchor
+    if bucket_unit is None and not (len(parts) == 2 and parts[0] == "1"):
+        # anything but a single '1 <unit>' step ('6 hours', '1 hour 30
+        # minutes', ...) with default truncation would generate a grid
+        # that misses observed buckets (silent data loss on the left
+        # join) — such steps need an explicit coarser anchor
         raise ValueError(
             f"step {step!r} needs an explicit bucket_unit: the default "
             "(the step's unit) is finer than the step itself"

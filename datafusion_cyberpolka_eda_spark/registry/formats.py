@@ -388,4 +388,9 @@ def a15_streaming_python_datasource(spark: SparkSession, sf_dir: str) -> DataFra
             q.processAllAvailable()
         finally:
             q.stop()
-    return spark.table(name).localCheckpoint(eager=True)
+    out = spark.table(name).localCheckpoint(eager=True)
+    # drop the uniquely-named memory-sink view (j14's helper does the
+    # same): leaving it would leak one catalog entry per bench rep — the
+    # session-drift mode BASELINE.md documents
+    spark.catalog.dropTempView(name)
+    return out

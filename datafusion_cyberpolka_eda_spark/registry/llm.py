@@ -474,8 +474,10 @@ def l8b_ann_ivf_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann_ivf_topk/ann_ivf_topk_multi (unit-tested)."""
     emb = load_table(spark, sf_dir, "embeddings")
     qids = [0, 1, 2, 3, 4]
+    # fixed 16/8 (not the adaptive sqrt-n default): this entry's recall
+    # gate is externally asserted, so it stays on the verified fixed config
     ann = SIM.ann_ivf_sampled_topk_multi(
-        emb, "vec_id", "embedding", query_ids=qids, k=5, n_probe=8
+        emb, "vec_id", "embedding", query_ids=qids, k=5, n_centroids=16, n_probe=8
     )
     got: dict[int, set] = {}
     for r in ann.collect():

@@ -185,9 +185,12 @@ def k5_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     flag. Inputs are pre-converted to exact integers JVM-side (price
     cents, integral quantities) so the Python aggregation is int64
     arithmetic — order-independent, bitwise-reproducible by the SQL twin
-    (a float UDAF would drift from SQL SUM by accumulation order). Same
-    shuffle shape as a built-in agg: partial grouping map-side, one
-    exchange on the group key."""
+    (a float UDAF would drift from SQL SUM by accumulation order). Scale
+    caveat vs a built-in agg: grouped-agg pandas UDFs do NOT partial-
+    aggregate — every raw group row shuffles to one task (AggregateInPandas
+    has no map-side combine), so group cardinality x group size both land
+    on the exchange; keep it off hot paths with huge groups (the built-in
+    twin shape is k5's SQL)."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")

@@ -51,12 +51,14 @@ class TestCdcProperty:
             for r in cdc_apply(base, cdc_compact(ch, "k", "seq"), "k", ["v"]).collect()
         }
 
-        # reference: latest change per key by (seq, op) desc — same
-        # deterministic tiebreak as cdc_compact
+        # reference: latest change per key by the TOTAL (seq, op, payload)
+        # desc order — same deterministic tiebreak as cdc_compact, so
+        # exact (key, seq, op) duplicates with different payloads resolve
+        # identically on both sides
         latest: dict[int, tuple] = {}
         for k, op, seq, v in changes:
             cur = latest.get(k)
-            if cur is None or (seq, op) > (cur[0], cur[1]):
+            if cur is None or (seq, op, v) > cur:
                 latest[k] = (seq, op, v)
         expect = dict(base_rows)
         for k, (_, op, v) in latest.items():

@@ -61,24 +61,45 @@ QUERIES = [
 def _neardup_strict(spark, sf_dir: str):
     """Same bucketed operator as l10 but at threshold 0.6 (~5 sigma of the
     random-cosine noise floor), the sparse-true-pair regime bucketed
-    near-dup is built for — with n_centroids scaled ~sqrt(n), the IVF
-    cost model that keeps per-cell size (and so candidate volume per row)
-    constant as data grows. A fixed centroid count is quadratic by
-    construction: measured 239 s at 16x with 8 cells vs ~linear with
-    sqrt-scaled cells."""
+    near-dup is built for — exercising the operator's DEFAULT adaptive
+    sqrt-n centroid count (since round 5 the rule lives in the code:
+    similarity.adaptive_n_centroids), which keeps per-cell size (and so
+    candidate volume per row) constant as data grows. A fixed centroid
+    count is quadratic by construction: measured 239 s at 16x with 8
+    cells vs ~linear with sqrt-scaled cells."""
     from datafusion_cyberpolka_eda_spark.operators.dedup import (
         embedding_neardup_bucketed,
     )
     from datafusion_cyberpolka_eda_spark.sources.catalog import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
-    n_cent = max(8, min(128, int(emb.count() ** 0.5)))
     return embedding_neardup_bucketed(
-        emb, "vec_id", "embedding", threshold=0.6, n_centroids=n_cent, n_probe=2
+        emb, "vec_id", "embedding", threshold=0.6, n_probe=2
     )
 
 
-CUSTOM = {"l10_bucketed_strict_t0.6": _neardup_strict}
+def _ivf_adaptive(spark, sf_dir: str):
+    """Trained-quantizer IVF ANN at the DEFAULT adaptive sqrt-n centroid
+    count (l8b's operator; l8b itself pins the fixed 16/8 config its
+    external recall gate was verified on). Probe cost per query tracks
+    n_probe/n_centroids of the corpus; with both scaled ~sqrt(n) the scan
+    per query grows ~sqrt(n) per cell x constant cells — sub-linear —
+    while candidate verification stays bounded per cell."""
+    from datafusion_cyberpolka_eda_spark.operators.similarity import (
+        ann_ivf_sampled_topk_multi,
+    )
+    from datafusion_cyberpolka_eda_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_ivf_sampled_topk_multi(
+        emb, "vec_id", "embedding", query_ids=[0, 1, 2, 3, 4], k=5
+    )
+
+
+CUSTOM = {
+    "l10_bucketed_strict_t0.6": _neardup_strict,
+    "l8b_ivf_adaptive": _ivf_adaptive,
+}
 
 
 def build_scaled(spark, src_dir: str, out_dir: str, factor: int) -> None:
