@@ -1358,3 +1358,155 @@ def l24_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(surprisal), 6).alias("avg_surprisal"),
         )
     )
+
+
+@register(
+    "l25_repetition_stats",
+    """
+    WITH t AS (SELECT doc_id, lang, string_split(text, ' ') w FROM documents),
+    g AS (
+      SELECT doc_id, lang, w[i] || ' ' || w[i+1] AS gram
+      FROM t, LATERAL (SELECT unnest(generate_series(1, greatest(len(w) - 1, 1))) AS i) s
+      WHERE w[i+1] IS NOT NULL
+    ),
+    pg AS (SELECT doc_id, lang, gram, COUNT(*) AS c FROM g GROUP BY 1, 2, 3),
+    per AS (
+      SELECT doc_id, lang, SUM(c) AS total, COUNT(*) AS dist, MAX(c) AS mx
+      FROM pg GROUP BY 1, 2
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(1 - CAST(dist AS DOUBLE) / total), 6) AS avg_dup_2gram_frac,
+           ROUND(AVG(CAST(mx AS DOUBLE) / total), 6) AS avg_top_2gram_share,
+           CAST(SUM(CAST((1 - CAST(dist AS DOUBLE) / total) > 0.6 AS INT)) AS BIGINT)
+             AS n_docs_dup_frac_gt_06
+    FROM per GROUP BY lang
+    """,
+)
+def l25_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition profile — the Gopher/C4 repetition
+    quality rule (docs dominated by repeated n-grams are boilerplate or
+    spam): per doc, the duplicate-2-gram fraction (1 - distinct/total)
+    and the share of the single most frequent 2-gram; rolled up per
+    language with a count of docs past a 0.6 duplicate-fraction flag.
+
+    Scale shape: explode 2-grams (shingles slice-zip — the split runs
+    O(1) times per row), ONE map-side-combined groupBy(doc, gram), one
+    groupBy(doc), one tiny rollup. The (doc, gram) shuffle carries
+    hashed-width keys only; at 100 TB swap gram for xxhash64(gram) as in
+    l13. No UDFs anywhere."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    g = docs.select(
+        "doc_id", "lang", F.explode(T.shingles("text", 2)).alias("gram")
+    )
+    pg = g.groupBy("doc_id", "lang", "gram").agg(F.count(F.lit(1)).alias("c"))
+    per = pg.groupBy("doc_id", "lang").agg(
+        F.sum("c").alias("total"),
+        F.count(F.lit(1)).alias("dist"),
+        F.max("c").alias("mx"),
+    )
+    dup_frac = 1 - F.col("dist").cast("double") / F.col("total")
+    return per.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(dup_frac), 6).alias("avg_dup_2gram_frac"),
+        F.round(F.avg(F.col("mx").cast("double") / F.col("total")), 6).alias(
+            "avg_top_2gram_share"
+        ),
+        F.sum((dup_frac > 0.6).cast("int")).cast("bigint").alias(
+            "n_docs_dup_frac_gt_06"
+        ),
+    )
+
+
+_REDACT_PATTERN = "customer|query"  # stand-in for PII regexes (emails,
+# phone numbers, ...) — the synthetic corpus has no digits/addresses, so
+# the mechanics are exercised on terms that actually occur
+
+
+@register(
+    "l26_redaction_scrub",
+    f"""
+    WITH m AS (
+      SELECT source,
+             len(regexp_extract_all(text, '{_REDACT_PATTERN}')) AS hits,
+             CAST(LENGTH(text) AS BIGINT)
+               - LENGTH(regexp_replace(text, '{_REDACT_PATTERN}', '[X]', 'g'))
+               + 3 * len(regexp_extract_all(text, '{_REDACT_PATTERN}')) AS bytes_removed
+      FROM documents
+    )
+    SELECT source,
+           CAST(SUM(hits) AS BIGINT) AS total_hits,
+           CAST(SUM(CAST(hits > 0 AS INT)) AS BIGINT) AS docs_affected,
+           CAST(SUM(bytes_removed) AS BIGINT) AS bytes_redacted
+    FROM m GROUP BY source
+    """,
+)
+def l26_redaction_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sensitive-term scrub accounting — the PII-redaction step of a
+    training-data pipeline as pure map-side regex expressions: per
+    source, total pattern hits, affected docs, and bytes removed when
+    every match is replaced by a fixed '[X]' token. The pattern here is a
+    term list (the corpus is synthetic, digit-free); production swaps in
+    email/phone/SSN regexes with identical plumbing. One corpus pass +
+    one tiny rollup; regexp engines agree on this alternation-only
+    pattern, so DuckDB replays hit counts and byte deltas exactly."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    hits = F.size(F.regexp_extract_all("text", F.lit(_REDACT_PATTERN), F.lit(0)))
+    redacted_len = F.length(
+        F.regexp_replace("text", _REDACT_PATTERN, "[X]")
+    )
+    bytes_removed = (
+        F.length("text").cast("bigint") - redacted_len + 3 * hits
+    )
+    m = docs.select(
+        "source", hits.alias("hits"), bytes_removed.alias("bytes_removed")
+    )
+    return m.groupBy("source").agg(
+        F.sum("hits").cast("bigint").alias("total_hits"),
+        F.sum((F.col("hits") > 0).cast("int")).cast("bigint").alias("docs_affected"),
+        F.sum("bytes_removed").cast("bigint").alias("bytes_redacted"),
+    )
+
+
+@register(
+    "l27_mixture_weights",
+    """
+    WITH s AS (
+      SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT source, n_tokens,
+             POW(CAST(n_tokens AS DOUBLE), 0.7) AS raw
+      FROM s
+    )
+    SELECT source, n_tokens,
+           ROUND(raw / SUM(raw) OVER (), 6) AS weight,
+           ROUND(raw / SUM(raw) OVER () * (SELECT SUM(n_tokens) FROM s), 1)
+             AS expected_tokens
+    FROM w
+    """,
+)
+def l27_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixture weights — the sampling-weight
+    planning step before l22's mixture draw: per-source token counts,
+    alpha=0.7 power reweighting (upsamples small sources the way
+    multilingual/multi-domain training mixes do), normalized weight, and
+    the expected token budget each source receives at the corpus-total
+    budget. One corpus pass + a tiny per-source window; pow/division are
+    libm-identical across engines and round at 6dp / 0.1 tokens."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    s = docs.groupBy("source").agg(
+        F.sum(T.token_count("text")).cast("bigint").alias("n_tokens")
+    )
+    w = s.withColumn("raw", F.pow(F.col("n_tokens").cast("double"), F.lit(0.7)))
+    win = Window.partitionBy()
+    total_raw = F.sum("raw").over(win)
+    total_tokens = F.sum("n_tokens").over(win)
+    return w.select(
+        "source",
+        "n_tokens",
+        F.round(F.col("raw") / total_raw, 6).alias("weight"),
+        F.round(
+            F.col("raw") / total_raw * total_tokens.cast("double"), 1
+        ).alias("expected_tokens"),
+    )

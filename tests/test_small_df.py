@@ -92,23 +92,40 @@ class TestSweepRotation:
 
     def test_fresh_entries_lead_and_fit_window(self):
         import __spark_entry__ as entrymod
-        from datafusion_cyberpolka_eda_spark.registry import load_swept_names
+        from datafusion_cyberpolka_eda_spark.registry import (
+            load_latest_rows,
+            load_swept_names,
+        )
 
         swept, _ = load_swept_names()
+        latest = load_latest_rows()
         names = list(entrymod.queries())
         oracles = entrymod.oracle_sql()
-        fresh = [n for n in names if n not in swept]
+        # "fresh" = never externally checked, or checked but not
+        # hash-green while an oracle now exists (the promotion rule)
+        fresh = [
+            n
+            for n in names
+            if n not in swept
+            or (
+                latest
+                and oracles.get(n) is not None
+                and latest.get(n, {}).get("hash_match") is not True
+            )
+        ]
         # every fresh entry must be inside the ~50-entry sweep window
         assert len(fresh) <= 50, (
             f"{len(fresh)} never-swept queries exceed the sweep window; "
             "defer additions or split across rounds"
         )
         # fresh entries must occupy the FRONT of the ordering
-        assert names[: len(fresh)] == fresh, (
-            "never-swept queries must lead queries() order"
+        assert names[: len(fresh)] == sorted(
+            names[: len(fresh)], key=fresh.index
+        ) and set(names[: len(fresh)]) == set(fresh), (
+            "fresh/promoted queries must lead queries() order"
         )
         # oracle-bearing fresh entries come before rows-only fresh ones
-        kinds = [oracles.get(n) is not None for n in fresh]
+        kinds = [oracles.get(n) is not None for n in names[: len(fresh)]]
         assert kinds == sorted(kinds, reverse=True), (
             "fresh oracle-bearing entries must precede rows-only entries"
         )
