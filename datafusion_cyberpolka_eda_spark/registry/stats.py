@@ -323,13 +323,69 @@ def e12_whale_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("e13_fisher_whale", None)  # rows-only: exact test has no SQL twin
+_E13_WHALE_ORACLE = """
+    WITH cut AS (
+      SELECT percentile_cont(0.99) WITHIN GROUP (ORDER BY o_totalprice) AS c FROM orders
+    ),
+    f AS (
+      SELECT CAST(o_totalprice >= (SELECT c FROM cut) AS INT) AS top,
+             CAST(o_orderstatus = 'F' AS INT) AS y_f,
+             CAST(o_orderpriority = '1-URGENT' AS INT) AS y_u
+      FROM orders
+    ),
+    ct AS (
+      SELECT 'is_f' AS target,
+             SUM(top)::BIGINT AS top_n, SUM(top * y_f)::BIGINT AS top_pos,
+             SUM(1 - top)::BIGINT AS rest_n, SUM((1 - top) * y_f)::BIGINT AS rest_pos
+      FROM f
+      UNION ALL
+      SELECT 'is_urgent',
+             SUM(top)::BIGINT, SUM(top * y_u)::BIGINT,
+             SUM(1 - top)::BIGINT, SUM((1 - top) * y_u)::BIGINT
+      FROM f
+    ),
+    ok AS (
+      SELECT * FROM ct WHERE top_n >= 10 AND rest_n >= 100 AND rest_pos > 0
+    ),
+    ks AS (
+      SELECT unnest(generate_series(0,
+        (SELECT COALESCE(MAX(LEAST(top_n, top_pos + rest_pos)), 0) FROM ok))) AS k
+    ),
+    terms AS (
+      SELECT ok.target, ks.k,
+             (lgamma(top_n + 1) - lgamma(k + 1) - lgamma(top_n - k + 1))
+           + (lgamma(rest_n + 1) - lgamma(top_pos + rest_pos - k + 1)
+              - lgamma(rest_n - (top_pos + rest_pos - k) + 1))
+           - (lgamma(top_n + rest_n + 1) - lgamma(top_pos + rest_pos + 1)
+              - lgamma(top_n + rest_n - top_pos - rest_pos + 1)) AS lt
+      FROM ok JOIN ks
+        ON ks.k BETWEEN ok.top_pos AND LEAST(ok.top_n, ok.top_pos + ok.rest_pos)
+      WHERE ok.top_pos + ok.rest_pos - ks.k <= ok.rest_n
+    )
+    SELECT 'o_totalprice' AS feature, ok.target, top_n, top_pos, rest_n, rest_pos,
+           ROUND(CAST(top_pos AS DOUBLE) / top_n, 6) AS top1_rate,
+           ROUND(CAST(rest_pos AS DOUBLE) / rest_n, 6) AS rest99_rate,
+           ROUND((CAST(top_pos AS DOUBLE) / top_n)
+                 / (CAST(rest_pos AS DOUBLE) / rest_n), 6) AS lift,
+           ROUND(LEAST((SELECT SUM(exp(lt)) FROM terms t WHERE t.target = ok.target), 1.0), 6)
+             AS pvalue
+    FROM ok
+"""
+
+
+@register("e13_fisher_whale", _E13_WHALE_ORACLE)
 def e13_fisher_whale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whale screen with Fisher exact p-values (operators E12+E13; ref
     fisher_exact line 641). Contingencies are computed distributed
     (whale_scan); the hypergeometric tail is exact driver-side arithmetic
-    (pure Python — scipy unavailable). Rows-only driver check; the p-value
-    math is unit-tested against known values."""
+    (pure Python — scipy unavailable). Oracle-checked since round 5: the
+    DuckDB twin replays the exact-percentile cutoff, the 2x2
+    contingencies, the top>=10/rest>=100/rest_pos>0 guards, AND the
+    one-sided hypergeometric tail itself via lgamma + generate_series
+    (the e13b formulation) — so the full whale-screen path, p-values
+    included, is value-hash-checked, closing the last rows-only stats
+    entry. Both engines call the same libm lgamma and the 6dp round
+    absorbs term-order effects."""
     o = load_table(spark, sf_dir, "orders")
     d = o.select(
         "o_totalprice",
@@ -351,7 +407,7 @@ def e13_fisher_whale(spark: SparkSession, sf_dir: str) -> DataFrame:
         " rest_n bigint, rest_pos bigint, top1_rate double,"
         " rest99_rate double, lift double, pvalue double",
     )
-    return _round_cols(df, ["top1_rate", "rest99_rate", "lift"], 6)
+    return _round_cols(df, ["top1_rate", "rest99_rate", "lift", "pvalue"], 6)
 
 
 _FISHER_GROUPED_ORACLE = """
