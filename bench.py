@@ -146,6 +146,7 @@ def main() -> None:
     # ratio_net divides the net Spark time of THOSE queries by this total.
     oracle_total = None
     ratio_net = None
+    oracle_times: dict[str, float] = {}
     try:
         import duckdb
 
@@ -162,9 +163,12 @@ def main() -> None:
         oracles = {
             k: v for k, v in oracle_sql().items() if k not in skip_timing
         }
+        oracle_times: dict[str, float] = {}
         t0 = time.perf_counter()
-        for sql in oracles.values():
+        for name, sql in oracles.items():
+            t1 = time.perf_counter()
             con.sql(sql).fetchall()
+            oracle_times[name] = round(time.perf_counter() - t1, 4)
         oracle_total = round(time.perf_counter() - t0, 4)
         spark_net_oracle_subset = sum(
             max(timings[k] - floor, 0.0) for k in oracles if k in timings
@@ -172,7 +176,7 @@ def main() -> None:
         if oracle_total > 0:
             ratio_net = round(spark_net_oracle_subset / oracle_total, 2)
     except Exception:
-        pass  # bench must still emit its line if DuckDB is unavailable
+        oracle_times = {}  # bench must still emit its line without DuckDB
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "", 1).isdigit() else sf
@@ -198,6 +202,11 @@ def main() -> None:
         "queries_net": {
             k: round(max(v - floor, 0.0), 4) for k, v in timings.items()
         },
+        # per-oracle DuckDB timings: a single SQL-pathological oracle (p2's
+        # pure-SQL triangle count: 179-332 s across runs at sf0.1) can
+        # dominate oracle_total_sec and flatter ratio_net — the split keeps
+        # the comparison auditable
+        "oracle_queries": oracle_times,
         "sf": sf_val,
     }
     detail_path = os.path.join(

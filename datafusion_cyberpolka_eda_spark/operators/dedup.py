@@ -634,6 +634,7 @@ def verify_pairs_exact_jaccard(
     n: int = 3,
     threshold: float = 0.6,
     hash_fn=None,
+    hashed: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard verification BOUNDED to candidate pairs — the
     verify stage of a banded dedup pipeline (candidates from MinHash
@@ -643,13 +644,18 @@ def verify_pairs_exact_jaccard(
 
     ``hash_fn`` keys the intersection join (default xxhash64 —
     production; pass hashing.md5_hash64 for cross-engine oracle replay).
+    ``hashed`` (an (id, sh) hashed_shingles result, ideally checkpointed)
+    skips the shingle explode when the caller already built it.
     Returns (id_a, id_b, jaccard) at jaccard >= threshold."""
-    hf = hash_fn if hash_fn is not None else (lambda c: F.xxhash64(c))
-    sh = (
-        shingle_sets(df, id_col, text_col, n)
-        .select(F.col(id_col).alias("__vid"), hf(F.col("shingle")).alias("sh"))
-        .localCheckpoint(eager=True)
-    )
+    if hashed is not None:
+        sh = hashed.select(F.col(id_col).alias("__vid"), "sh")
+    else:
+        hf = hash_fn if hash_fn is not None else (lambda c: F.xxhash64(c))
+        sh = (
+            shingle_sets(df, id_col, text_col, n)
+            .select(F.col(id_col).alias("__vid"), hf(F.col("shingle")).alias("sh"))
+            .localCheckpoint(eager=True)
+        )
     # sizes only for ids that appear in a candidate pair — keeps both size
     # joins bounded by |candidates|, not |corpus| (a forced broadcast of
     # per-doc corpus sizes would OOM at the 100 TB scale this targets);

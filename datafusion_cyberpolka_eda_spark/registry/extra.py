@@ -889,14 +889,17 @@ def d18_data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "p2_triangle_count",
     """
-    WITH e0 AS (
+    WITH e0 AS MATERIALIZED (
+      -- MATERIALIZED matters: und is referenced 3x in the triangle join
+      -- and tri twice in the final select; without it DuckDB re-evaluates
+      -- the 4-way-join CTE per reference (measured 179-332 s vs ~20 s)
       SELECT DISTINCT s.s_nationkey AS a, c.c_nationkey AS b
       FROM lineitem l
       JOIN orders o ON l.l_orderkey = o.o_orderkey
       JOIN customer c ON o.o_custkey = c.c_custkey
       JOIN supplier s ON l.l_suppkey = s.s_suppkey
       WHERE s.s_nationkey <> c.c_nationkey
-    ), und AS (
+    ), und AS MATERIALIZED (
       SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v FROM e0
     ), tri AS (
       SELECT e1.u AS x, e1.v AS y, e2.v AS z
@@ -905,9 +908,10 @@ def d18_data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
     )
     SELECT (SELECT COUNT(*) FROM und) AS n_edges,
-           (SELECT COUNT(*) FROM tri) AS n_triangles,
-           (SELECT CAST(COALESCE(SUM(x + y + z), 0) AS BIGINT) FROM tri)
+           CAST(COUNT(*) AS BIGINT) AS n_triangles,
+           CAST(COALESCE(SUM(x + y + z), 0) AS BIGINT)
              AS triangle_vertex_checksum
+    FROM tri
     """,
 )
 def p2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:

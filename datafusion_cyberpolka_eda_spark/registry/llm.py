@@ -726,19 +726,17 @@ _DEDUP_GATE_BASE_SQL = """
 
 
 def _dedup_gate_base(spark: SparkSession, sf_dir: str):
-    """(docs, sh, full_jaccard, dup_id_pairs) shared by the l3b/l4b gates:
-    one checkpointed hashed-shingle table, ONE pair self-join producing the
-    exact Jaccard of every co-shingle pair (bounded to shared-shingle
-    pairs, never all-pairs — truth >= 0.7 and per-emitted-pair error both
-    read from it), and identical-text id pairs (join keyed on the text
-    column; at 100 TB key on xxhash64(text) instead to shrink the
-    shuffle)."""
+    """(docs, sh, truth) shared by the l3b/l4b gates: one checkpointed
+    hashed-shingle table and ONE tagged truth table — exact-Jaccard>=0.7
+    pairs (one shingle self-join, bounded to co-shingle pairs, never
+    all-pairs) unioned with identical-text id pairs (join keyed on the
+    text column; at 100 TB key on xxhash64(text) instead to shrink the
+    shuffle). The tag lets a single left-join agg produce every gate
+    count in one job."""
     docs = load_table(spark, sf_dir, "documents")
     sh = D.hashed_shingles(docs, "doc_id", "text", n=3).localCheckpoint(eager=True)
-    full = (
-        D.pair_jaccard_from_hashed(sh, "doc_id", threshold=0.0)
-        .select("id_a", "id_b", "jaccard")
-        .localCheckpoint(eager=True)
+    true_j07 = D.pair_jaccard_from_hashed(sh, "doc_id", threshold=0.7).select(
+        "id_a", "id_b", F.lit("j07").alias("kind")
     )
     ids = docs.select("doc_id", "text")
     dup = (
@@ -748,23 +746,31 @@ def _dedup_gate_base(spark: SparkSession, sf_dir: str):
             (F.col("a.text") == F.col("b.text"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.lit("dup").alias("kind"),
+        )
     )
-    return docs, sh, full, dup
+    return docs, sh, true_j07.unionByName(dup)
 
 
-def _gate_counts(pairs: DataFrame, truth: DataFrame) -> tuple[int, int]:
-    """(n_truth, n_missed): one left-join agg instead of two count jobs."""
-    row = (
+def _gate_counts(pairs: DataFrame, truth: DataFrame) -> dict[str, tuple[int, int]]:
+    """kind -> (n_truth, n_missed) in ONE left-join agg job."""
+    rows = (
         truth.join(pairs.select("id_a", "id_b", F.lit(1).alias("__f")),
                    ["id_a", "id_b"], "left")
+        .groupBy("kind")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.when(F.col("__f").isNull(), 1).otherwise(0)).alias("missed"),
         )
-        .collect()[0]
+        .collect()
     )
-    return row["n"], row["missed"] or 0
+    out = {r["kind"]: (r["n"], r["missed"] or 0) for r in rows}
+    out.setdefault("j07", (0, 0))
+    out.setdefault("dup", (0, 0))
+    return out
 
 
 @register(
@@ -795,16 +801,19 @@ def l3b_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured <= 0.081). The raw pair list stays the production operator
     and is exercised end-to-end here and in l23. Portable-hash twin with
     full signature replay: l3c."""
-    docs, sh, full, dup = _dedup_gate_base(spark, sf_dir)
+    docs, sh, truth = _dedup_gate_base(spark, sf_dir)
     pairs = D.minhash_banded_pairs(
         docs, "doc_id", "text", n=3, num_hashes=64, bands=16,
         est_threshold=0.45, hashed=sh,
     ).localCheckpoint(eager=True)
-    true = full.filter(F.col("jaccard") >= 0.7).select("id_a", "id_b")
-    n_dup, dup_missed = _gate_counts(pairs, dup)
-    n_true, true_missed = _gate_counts(pairs, true)
+    counts = _gate_counts(pairs, truth)
+    n_true, true_missed = counts["j07"]
+    n_dup, dup_missed = counts["dup"]
+    exact = D.verify_pairs_exact_jaccard(
+        docs, pairs, "doc_id", "text", n=3, threshold=0.0, hashed=sh
+    )
     max_err = (
-        pairs.join(full, ["id_a", "id_b"], "left")
+        pairs.join(exact, ["id_a", "id_b"], "left")
         .select(
             F.max(
                 F.abs(F.col("est_jaccard") - F.coalesce(F.col("jaccard"), F.lit(0.0)))
@@ -898,13 +907,13 @@ def l4b_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.93-1.00 at sf0.001-0.1; SimHash is a weighted-token cosine proxy,
     so its miss set vs a Jaccard truth is expected-nonempty). Bit-exact
     portable-fold twin: l4c."""
-    docs, _sh, full, dup = _dedup_gate_base(spark, sf_dir)
+    docs, _sh, truth = _dedup_gate_base(spark, sf_dir)
     pairs = D.simhash_near_pairs(docs, "doc_id", "text", max_hamming=6).localCheckpoint(
         eager=True
     )
-    true = full.filter(F.col("jaccard") >= 0.7).select("id_a", "id_b")
-    n_dup, dup_missed = _gate_counts(pairs, dup)
-    n_true, true_missed = _gate_counts(pairs, true)
+    counts = _gate_counts(pairs, truth)
+    n_true, true_missed = counts["j07"]
+    n_dup, dup_missed = counts["dup"]
     return small_df(
         spark,
         [(
