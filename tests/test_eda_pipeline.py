@@ -549,3 +549,27 @@ class TestBehavioral:
 
 def cfg_anti() -> str:
     return "target_10_1"
+
+
+def test_small_fixture_regeneration_is_deterministic(tmp_path):
+    """pipeline_summary's oracle reads the COMMITTED fixtures/eda_small
+    parquet; the query regenerates it on a bare checkout. Both paths must
+    hold the same values or the oracle comparison would drift."""
+    import numpy as np
+
+    from datafusion_cyberpolka_eda_spark.pipeline.fixtures import (
+        generate_eda_fixture,
+    )
+    from datafusion_cyberpolka_eda_spark.registry.pipeline import FIXTURE_DIR
+
+    regen = generate_eda_fixture(str(tmp_path), n_train=6000, n_test=2000, seed=42)
+    for name, path in regen.items():
+        committed = pd.read_parquet(os.path.join(str(FIXTURE_DIR), f"{name}.parquet"))
+        fresh = pd.read_parquet(path)
+        assert list(committed.columns) == list(fresh.columns), name
+        for c in committed.columns:
+            a, b = committed[c].to_numpy(), fresh[c].to_numpy()
+            if a.dtype.kind == "f":
+                assert np.array_equal(a, b, equal_nan=True), (name, c)
+            else:
+                assert np.array_equal(a, b), (name, c)

@@ -672,3 +672,44 @@ class TestOperatorGuards:
         )
         sel = {r["k"] for r in weighted_sample_topk(df, "k", "w", k=4).collect()}
         assert sel == {3, 4}
+
+
+class TestAdaptiveCentroids:
+    def test_sqrt_rule_with_floor_and_cap(self):
+        from datafusion_cyberpolka_eda_spark.operators.similarity import (
+            adaptive_n_centroids,
+        )
+
+        assert adaptive_n_centroids(0) == 8          # floor
+        assert adaptive_n_centroids(100) == 10
+        assert adaptive_n_centroids(10_000) == 100
+        assert adaptive_n_centroids(10_000, cap=64) == 64   # site cap
+        assert adaptive_n_centroids(1_000_000, cap=128) == 128
+
+    def test_neardup_bucketed_adaptive_matches_explicit(self, spark):
+        """The adaptive default must equal passing the rule's value
+        explicitly — the rule is a default, not a behavior fork."""
+        from datafusion_cyberpolka_eda_spark.operators.dedup import (
+            embedding_neardup_bucketed,
+        )
+        from datafusion_cyberpolka_eda_spark.operators.similarity import (
+            adaptive_n_centroids,
+        )
+        from datafusion_cyberpolka_eda_spark.sources.catalog import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").filter(
+            F.col("vec_id") % 5 == 0
+        )
+        n_cent = adaptive_n_centroids(emb.count(), cap=128)
+        auto = sorted(
+            map(tuple, embedding_neardup_bucketed(
+                emb, "vec_id", "embedding", threshold=0.25, n_probe=4
+            ).collect())
+        )
+        explicit = sorted(
+            map(tuple, embedding_neardup_bucketed(
+                emb, "vec_id", "embedding", threshold=0.25,
+                n_centroids=n_cent, n_probe=4,
+            ).collect())
+        )
+        assert auto == explicit and len(auto) > 0
