@@ -226,14 +226,16 @@ def embedding_neardup_bucketed(
     anywhere — the plan is equi-joins only (audited: no CartesianProduct).
 
     ``n_centroids=None`` (default) applies the sqrt-n rule
-    (similarity.adaptive_n_centroids, one cheap count, capped at 128 here
-    because the quantizer is inlined as literal arrays in the row
-    expression — past that, per-cell occupancy control needs the
-    broadcast-table or trained-quantizer path): a FIXED cell count makes
-    per-cell occupancy — and in-bucket candidate pairs — grow linearly
-    with the corpus (SCALE.md measured 239 s vs ~14 s at 16x). True
-    near-dup pairs sit nearly coincident in the space, so probe=2 recall
-    holds as cells shrink; the oracle-replay twin l10 pins n_centroids=8.
+    (similarity.adaptive_n_centroids, one cheap count, capped at 4096):
+    a FIXED cell count makes per-cell occupancy — and in-bucket candidate
+    pairs — grow linearly with the corpus (SCALE.md measured 239 s vs
+    ~14 s at 16x). Up to _LITERAL_CELL_CAP cells the quantizer inlines as
+    literal-array dot expressions (whole-stage codegen); past it, cell
+    assignment switches to the Arrow-batched matmul path
+    (similarity.assign_cells_arrow), so the sqrt-n rule keeps holding on
+    multi-billion-row shards. True near-dup pairs sit nearly coincident
+    in the space, so probe=2 recall holds as cells shrink; the
+    oracle-replay twin l10 pins n_centroids=8.
 
     Plan shape (the 100 TB path):
       unit-normalize (norm hoisted, one aggregate per row) ->
@@ -258,47 +260,60 @@ def embedding_neardup_bucketed(
         unit_vec_df,
     )
 
+    from datafusion_cyberpolka_eda_spark.operators.similarity import (
+        _LITERAL_CELL_CAP,
+        adaptive_n_centroids,
+        assign_cells_arrow,
+    )
+
     unit = unit_vec_df(spread(df), id_col, vec_col)
     if n_centroids is None:
-        from datafusion_cyberpolka_eda_spark.operators.similarity import (
-            adaptive_n_centroids,
-        )
-
-        n_centroids = adaptive_n_centroids(unit.count(), cap=128)
+        # cap 4096: the Arrow path serves any count; past ~16M-row shards
+        # switch to a trained quantizer (ann_ivf_sampled) or shard
+        n_centroids = adaptive_n_centroids(unit.count(), cap=4096)
     cent_rows = sorted(
         unit.orderBy("id").limit(n_centroids).collect(), key=lambda r: r["id"]
     )
 
-    def dot_lit(vec) -> Column:
-        arr = F.array(*[F.lit(float(x)) for x in vec])
-        return F.aggregate(
-            F.zip_with(F.col("unit_arr"), arr, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+    if n_centroids > _LITERAL_CELL_CAP:
+        # Arrow-batched matmul assignment: the literal-expression quantizer
+        # stops scaling past ~128 cells (codegen grows O(cells x dim))
+        scored = unit.localCheckpoint(eager=True)
+        cells = assign_cells_arrow(
+            scored, [r["unit_arr"] for r in cent_rows], n_probe
         )
+    else:
+        def dot_lit(vec) -> Column:
+            arr = F.array(*[F.lit(float(x)) for x in vec])
+            return F.aggregate(
+                F.zip_with(F.col("unit_arr"), arr, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
 
-    scored = unit.withColumn(
-        "cdots", F.array(*[dot_lit(r["unit_arr"]) for r in cent_rows])
-    ).localCheckpoint(eager=True)  # cut the 8x dot lineage before reuse
-    # peel off the top-n_probe cells: argmax, mask with -2 (< any cosine),
-    # repeat — array_position's first-occurrence is the lowest-index tiebreak
-    def mask_at(cell_col: str) -> Column:
-        return F.transform(
-            "cdots",
-            lambda x, i: F.when(i == F.col(cell_col), F.lit(-2.0)).otherwise(x),
+        scored = unit.withColumn(
+            "cdots", F.array(*[dot_lit(r["unit_arr"]) for r in cent_rows])
+        ).localCheckpoint(eager=True)  # cut the 8x dot lineage before reuse
+        # peel off the top-n_probe cells: argmax, mask with -2 (< any
+        # cosine), repeat — array_position's first-occurrence is the
+        # lowest-index tiebreak
+        def mask_at(cell_col: str) -> Column:
+            return F.transform(
+                "cdots",
+                lambda x, i: F.when(i == F.col(cell_col), F.lit(-2.0)).otherwise(x),
+            )
+
+        cells = scored
+        picked = []
+        for j in range(n_probe):
+            cells = cells.withColumn(
+                f"c{j}",
+                (F.array_position("cdots", F.array_max("cdots")) - 1).cast("int"),
+            ).withColumn("cdots", mask_at(f"c{j}"))
+            picked.append(f"c{j}")
+        cells = cells.select(
+            "id", F.explode(F.array(*[F.col(c) for c in picked])).alias("cell")
         )
-
-    cells = scored
-    picked = []
-    for j in range(n_probe):
-        cells = cells.withColumn(
-            f"c{j}",
-            (F.array_position("cdots", F.array_max("cdots")) - 1).cast("int"),
-        ).withColumn("cdots", mask_at(f"c{j}"))
-        picked.append(f"c{j}")
-    cells = cells.select(
-        "id", F.explode(F.array(*[F.col(c) for c in picked])).alias("cell")
-    )
     cand = (
         cells.alias("a")
         .join(cells.alias("b"), "cell")

@@ -322,27 +322,84 @@ def ann_ivf_fixed_topk_multi(
     return _ivf_probe_with_centers(unit, centers, query_ids, k, n_probe)
 
 
+# Above this centroid count, cell assignment switches from inlined
+# literal-array dot expressions (whole-stage-codegen friendly, but the
+# generated code grows O(cells x dim) and stops compiling efficiently) to
+# the Arrow-batched numpy matmul path (assign_cells_arrow).
+_LITERAL_CELL_CAP = 128
+
+
+def assign_cells_arrow(
+    unit: DataFrame,
+    centers,
+    n_probe: int = 1,
+    id_col: str = "id",
+    vec_col: str = "unit_arr",
+) -> DataFrame:
+    """Top-``n_probe`` quantizer-cell assignment via Arrow-batched numpy
+    matmul against a closure-captured centroid matrix — the serving path
+    past _LITERAL_CELL_CAP where inlining every centroid as a literal
+    array into the row expression stops scaling. One corpus pass; each
+    Arrow batch computes X @ C.T vectorized (dense BLAS, the same math a
+    faiss coarse quantizer runs); ties resolve to the lowest centroid
+    index, matching the expression path's first-max rule. The centroid
+    matrix ships once per task via the serialized closure (<= ~32 MB at
+    the 65536-cell shard cap). Returns (id, cell) with one row per
+    probed cell."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(centers, dtype=np.float64)
+    p = min(n_probe, len(C))
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            d = x @ C.T
+            idx = np.argsort(-d, axis=1, kind="stable")[:, :p]
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), p),
+                    "cell": idx.ravel().astype("int32"),
+                }
+            )
+
+    return unit.select(id_col, vec_col).mapInPandas(
+        fn, schema=f"{id_col} long, cell int"
+    )
+
+
 def _ivf_probe_with_centers(unit, centers, query_ids, k, n_probe):
-    """Shared IVF serving path: expression-based cell assignment against a
-    given centroid matrix, driver-side probe-cell argsort per query, one
-    broadcast-join probe pass, per-query top-k. Used by both the fixed
-    quantizer (l8c/oracle) and the sample-trained quantizer (l8b)."""
+    """Shared IVF serving path: cell assignment against a given centroid
+    matrix (inlined literal expressions up to _LITERAL_CELL_CAP cells,
+    Arrow-batched matmul past it), driver-side probe-cell argsort per
+    query, one broadcast-join probe pass, per-query top-k. Used by both
+    the fixed quantizer (l8c/oracle) and the sample-trained quantizer
+    (l8b)."""
     import numpy as np
     from pyspark.sql import Window
 
-    def dot_lit(vec):
-        arr = F.array(*[F.lit(float(x)) for x in vec])
-        return F.aggregate(
-            F.zip_with(F.col("unit_arr"), arr, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+    if len(centers) > _LITERAL_CELL_CAP:
+        unit_ck = unit.localCheckpoint(eager=True)
+        assigned = unit_ck.join(
+            assign_cells_arrow(unit_ck, centers, 1), "id"
+        ).localCheckpoint(eager=True)
+    else:
+        def dot_lit(vec):
+            arr = F.array(*[F.lit(float(x)) for x in vec])
+            return F.aggregate(
+                F.zip_with(F.col("unit_arr"), arr, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
 
-    dots = F.array(*[dot_lit(c) for c in centers])
-    # first-max tiebreak: array_position returns the first occurrence
-    assigned = unit.withColumn(
-        "cell", (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
-    ).localCheckpoint(eager=True)
+        dots = F.array(*[dot_lit(c) for c in centers])
+        # first-max tiebreak: array_position returns the first occurrence
+        assigned = unit.withColumn(
+            "cell", (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+        ).localCheckpoint(eager=True)
 
     qrows = assigned.filter(F.col("id").isin(list(query_ids))).collect()
     probe_rows = []

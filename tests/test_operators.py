@@ -713,3 +713,37 @@ class TestAdaptiveCentroids:
             ).collect())
         )
         assert auto == explicit and len(auto) > 0
+
+    def test_arrow_cell_assignment_matches_literal_path(self, spark):
+        """Forcing the Arrow matmul assignment through the same centroids
+        as the literal-expression path must produce the same near-dup
+        pairs (exact verify keeps precision exact; assignment parity
+        keeps candidates identical away from fp ties)."""
+        from datafusion_cyberpolka_eda_spark.operators import dedup as D
+        from datafusion_cyberpolka_eda_spark.operators import similarity as SIM
+        from datafusion_cyberpolka_eda_spark.sources.catalog import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").filter(
+            F.col("vec_id") % 5 == 0
+        )
+        lit_pairs = sorted(
+            (r["id_a"], r["id_b"])
+            for r in D.embedding_neardup_bucketed(
+                emb, "vec_id", "embedding", threshold=0.25,
+                n_centroids=16, n_probe=4,
+            ).collect()
+        )
+        orig_cap = SIM._LITERAL_CELL_CAP
+        SIM._LITERAL_CELL_CAP = 1  # force the Arrow branch
+        try:
+            arrow_pairs = sorted(
+                (r["id_a"], r["id_b"])
+                for r in D.embedding_neardup_bucketed(
+                    emb, "vec_id", "embedding", threshold=0.25,
+                    n_centroids=16, n_probe=4,
+                ).collect()
+            )
+        finally:
+            SIM._LITERAL_CELL_CAP = orig_cap
+        assert len(lit_pairs) > 0
+        assert arrow_pairs == lit_pairs
