@@ -356,8 +356,17 @@ def assign_cells_arrow(
         for pdf in batches:
             if not len(pdf):
                 continue
-            x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            # np.stack over the per-row ndarrays Arrow hands us — C-speed;
+            # .tolist() round-trips through Python objects (~5x slower on
+            # 100k-row batches)
+            x = np.stack(pdf[vec_col].to_numpy())
             d = x @ C.T
+            if p == 1:
+                cells = d.argmax(1).astype("int32")  # first-max on ties
+                yield pd.DataFrame(
+                    {id_col: pdf[id_col].to_numpy(), "cell": cells}
+                )
+                continue
             idx = np.argsort(-d, axis=1, kind="stable")[:, :p]
             yield pd.DataFrame(
                 {
