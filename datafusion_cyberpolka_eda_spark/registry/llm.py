@@ -1519,3 +1519,51 @@ def l27_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("raw") / total_raw * total_tokens.cast("double"), 1
         ).alias("expected_tokens"),
     )
+
+
+@register(
+    "l28_bpe_pair_merges",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+    g AS (
+      SELECT doc_id, w[i] AS a, w[i+1] AS b
+      FROM t, LATERAL (SELECT unnest(generate_series(1, greatest(len(w) - 1, 1))) AS i) s
+      WHERE w[i+1] IS NOT NULL AND w[i] != '' AND w[i+1] != ''
+    )
+    SELECT a, b, CAST(COUNT(*) AS BIGINT) AS pair_count,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+    FROM g GROUP BY a, b
+    ORDER BY pair_count DESC, a, b LIMIT 20
+    """,
+)
+def l28_bpe_pair_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE merge iteration — the tokenizer-training primitive: count
+    every adjacent token pair across the corpus and rank the merge
+    candidates (highest-frequency pair merges first), with per-pair
+    document frequency. One explode + one map-side-combined groupBy; the
+    top-k is TakeOrderedAndProject (per-partition heaps), never a global
+    sort. Deterministic (count desc, pair asc) tiebreak on both engines.
+    Full BPE training iterates this with re-tokenization — each round is
+    the same one-pass shape over the updated token column; at 100 TB you
+    run it over a corpus sample, which is exactly how production BPE
+    vocabularies are trained."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    a_arr = F.slice(toks, 1, F.greatest(n - 1, F.lit(0)))
+    b_arr = F.slice(toks, 2, F.greatest(n - 1, F.lit(0)))
+    g = docs.select(
+        "doc_id",
+        F.explode(F.zip_with(a_arr, b_arr, lambda x, y: F.struct(x.alias("a"), y.alias("b")))).alias("p"),
+    ).select("doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b")).filter(
+        (F.col("a") != "") & (F.col("b") != "")
+    )
+    return (
+        g.groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).alias("pair_count"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.desc("pair_count"), F.asc("a"), F.asc("b"))
+        .limit(20)
+    )
