@@ -163,7 +163,6 @@ def main() -> None:
         oracles = {
             k: v for k, v in oracle_sql().items() if k not in skip_timing
         }
-        oracle_times: dict[str, float] = {}
         t0 = time.perf_counter()
         for name, sql in oracles.items():
             t1 = time.perf_counter()
@@ -176,7 +175,8 @@ def main() -> None:
         if oracle_total > 0:
             ratio_net = round(spark_net_oracle_subset / oracle_total, 2)
     except Exception:
-        oracle_times = {}  # bench must still emit its line without DuckDB
+        pass  # bench must still emit its line (with any partial
+        # per-oracle timings gathered) if DuckDB is unavailable
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "", 1).isdigit() else sf

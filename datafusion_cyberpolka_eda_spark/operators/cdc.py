@@ -32,10 +32,25 @@ def cdc_compact(
     tiebreak, two changes with identical (key, seq, op) but different
     payloads would get an arbitrary row_number winner that only LOOKED
     stable because a single-partition window sort happens to be stable."""
-    rest = [c for c in changes.columns if c not in (key, seq, op_col)]
-    w = Window.partitionBy(key).orderBy(
-        F.desc(seq), F.desc(op_col), *[F.desc(c) for c in rest]
-    )
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    def orderable(dt) -> bool:
+        if isinstance(dt, MapType):
+            return False
+        if isinstance(dt, ArrayType):
+            return orderable(dt.elementType)
+        if isinstance(dt, StructType):
+            return all(orderable(f.dataType) for f in dt.fields)
+        return True
+
+    # unorderable payload types (maps, nested maps) sort via their
+    # canonical JSON text; everything else orders natively
+    tiebreak = [
+        F.desc(fld.name) if orderable(fld.dataType) else F.desc(F.to_json(fld.name))
+        for fld in changes.schema.fields
+        if fld.name not in (key, seq, op_col)
+    ]
+    w = Window.partitionBy(key).orderBy(F.desc(seq), F.desc(op_col), *tiebreak)
     return (
         changes.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

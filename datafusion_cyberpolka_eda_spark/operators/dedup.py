@@ -89,8 +89,11 @@ def pair_jaccard_from_hashed(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sa = F.broadcast(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")))
-    sb = F.broadcast(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")))
+    # no forced broadcast: sizes is one row per document — AQE broadcasts
+    # it when small, and at the 100 TB scale a forced broadcast of per-doc
+    # corpus sizes would OOM (same reasoning as verify_pairs_exact_jaccard)
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
     return (
         inter.join(sa, "id_a")
         .join(sb, "id_b")
@@ -118,8 +121,8 @@ def ngram_jaccard_pairs(
     Shuffle budget: the shingle expression evaluates once per doc (explode
     without sibling scalars — see shingle_sets); the self-join key is the
     8-byte xxhash64 of the shingle, not the string (shuffle volume ~= ids
-    + hashes); per-doc set sizes are a map-side-combined groupBy whose tiny
-    result broadcasts back onto the pair table (no extra shuffle).
+    + hashes); per-doc set sizes are a map-side-combined groupBy that AQE
+    broadcasts back onto the pair table when small.
     Collisions in the 64-bit shingle space are negligible (and symmetric
     across both join sides)."""
     # materialize once: both self-join sides would otherwise re-run the
@@ -271,6 +274,10 @@ def embedding_neardup_bucketed(
         # cap 4096: the Arrow path serves any count; past ~16M-row shards
         # switch to a trained quantizer (ann_ivf_sampled) or shard
         n_centroids = adaptive_n_centroids(unit.count(), cap=4096)
+    # probing more cells than exist is identity coverage; clamping also
+    # keeps the literal masking loop and the Arrow path (which clamps
+    # internally) emitting the same candidate multiset
+    n_probe = min(n_probe, n_centroids)
     cent_rows = sorted(
         unit.orderBy("id").limit(n_centroids).collect(), key=lambda r: r["id"]
     )

@@ -351,6 +351,7 @@ def assign_cells_arrow(
 
     C = np.asarray(centers, dtype=np.float64)
     p = min(n_probe, len(C))
+    id_type = unit.schema[id_col].dataType.simpleString()
 
     def fn(batches):
         for pdf in batches:
@@ -376,7 +377,7 @@ def assign_cells_arrow(
             )
 
     return unit.select(id_col, vec_col).mapInPandas(
-        fn, schema=f"{id_col} long, cell int"
+        fn, schema=f"{id_col} {id_type}, cell int"
     )
 
 

@@ -719,8 +719,14 @@ _DEDUP_GATE_BASE_SQL = """
       WHERE CAST(inter AS DOUBLE) / (sa.c + sb.c - inter) >= 0.7
     ),
     dup AS (
+      -- only shingle-bearing docs (>= 3 tokens): a doc with fewer tokens
+      -- has no 3-gram signature/fingerprint source set, so "identical
+      -- text => found" is only provable above that floor (both engines
+      -- apply the same guard; the driver corpus min is ~10 tokens)
       SELECT COALESCE(SUM(c * (c - 1) / 2), 0) AS n
-      FROM (SELECT COUNT(*) AS c FROM documents GROUP BY text) g WHERE c > 1
+      FROM (SELECT COUNT(*) AS c FROM documents
+            WHERE len(string_split(text, ' ')) >= 3 GROUP BY text) g
+      WHERE c > 1
     )
 """
 
@@ -738,7 +744,12 @@ def _dedup_gate_base(spark: SparkSession, sf_dir: str):
     true_j07 = D.pair_jaccard_from_hashed(sh, "doc_id", threshold=0.7).select(
         "id_a", "id_b", F.lit("j07").alias("kind")
     )
-    ids = docs.select("doc_id", "text")
+    # identical-text truth restricted to shingle-bearing docs (>= 3
+    # tokens), mirroring the oracle's guard: below that floor a doc has
+    # no signature/fingerprint source set, so "identical => found" is
+    # unprovable (SimHash of empty token sets still matches, but MinHash
+    # emits no signature row)
+    ids = docs.filter(T.token_count("text") >= 3).select("doc_id", "text")
     dup = (
         ids.alias("a")
         .join(

@@ -562,7 +562,7 @@ def test_small_fixture_regeneration_is_deterministic(tmp_path):
     )
     from datafusion_cyberpolka_eda_spark.registry.pipeline import FIXTURE_DIR
 
-    regen = generate_eda_fixture(str(tmp_path), n_train=6000, n_test=2000, seed=42)
+    regen = generate_eda_fixture(str(tmp_path), n_train=6000, n_test=2000, seed=7)
     for name, path in regen.items():
         committed = pd.read_parquet(os.path.join(str(FIXTURE_DIR), f"{name}.parquet"))
         fresh = pd.read_parquet(path)

@@ -129,3 +129,21 @@ class TestWeightedSampleStatistics:
         # heavy items are ~50 of 1000 picks max; all 50 should be in
         # (each heavy item's inclusion probability is ~100x a light one's)
         assert heavy >= 45
+
+
+def test_cdc_compact_orders_unorderable_payloads_via_json(spark):
+    """A map-typed payload column must not break the total tiebreak
+    (maps are unorderable in Spark; the window sorts their JSON text)."""
+    from datafusion_cyberpolka_eda_spark.operators.cdc import cdc_compact
+
+    df = spark.createDataFrame(
+        [
+            (1, "U", 5, {"x": "b"}),
+            (1, "U", 5, {"x": "a"}),  # exact (key, seq, op) duplicate
+            (2, "I", 1, {"y": "z"}),
+        ],
+        "k bigint, op string, seq int, props map<string,string>",
+    )
+    out = {r["k"]: r["props"] for r in cdc_compact(df, "k", "seq").collect()}
+    assert out[1] == {"x": "b"}  # json desc: {"x":"b"} > {"x":"a"}
+    assert out[2] == {"y": "z"}
