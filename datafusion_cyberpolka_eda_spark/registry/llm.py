@@ -1578,3 +1578,198 @@ def l28_bpe_pair_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pair_count"), F.asc("a"), F.asc("b"))
         .limit(20)
     )
+
+
+@register(
+    "l29_neardup_canonical_pick",
+    """
+    WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM t, LATERAL (SELECT unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i) s
+      WHERE w[i+2] IS NOT NULL
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+      WHERE CAST(inter AS DOUBLE) / (sa.c + sb.c - inter) >= 0.5
+    ),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(id, r) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, r.r FROM reach r JOIN edges e ON e.a = r.id
+    ),
+    comp AS (SELECT id AS doc_id, MIN(r) AS canonical_id FROM reach GROUP BY id),
+    multi AS (
+      SELECT canonical_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM comp GROUP BY canonical_id HAVING COUNT(*) > 1
+    ),
+    cand AS (
+      SELECT c.canonical_id, c.doc_id,
+             len(string_split(d.text, ' ')) AS n_tokens
+      FROM comp c JOIN documents d USING (doc_id) JOIN multi USING (canonical_id)
+    ),
+    pick AS (
+      SELECT canonical_id, doc_id AS picked_id, CAST(n_tokens AS BIGINT) AS picked_n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY canonical_id
+               ORDER BY n_tokens DESC, doc_id ASC) AS rn
+      FROM cand
+    )
+    SELECT m.canonical_id, m.cluster_size, p.picked_id, p.picked_n_tokens
+    FROM multi m JOIN pick p USING (canonical_id) WHERE p.rn = 1
+    """,
+)
+def l29_neardup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representative selection after near-dup clustering — the policy
+    step that decides WHICH document survives dedup (keep the
+    longest-by-token-count member, ties to the lowest doc_id; production
+    policies swap in quality scores with the same shape): l11's
+    connected components over exact-Jaccard>=0.5 pairs, restricted to
+    multi-document clusters, joined to per-doc token counts, one
+    partitioned window pick. The DuckDB oracle replays the recursive
+    closure AND the pick policy, so the end-to-end survivor set is
+    value-hash-checked. Scale shape: the window partitions by cluster id
+    (no global sort); token counts join map-side; everything downstream
+    of the (already linear) pair generation is proportional to cluster
+    membership, not the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    comps = D.connected_components(pairs, "id_a", "id_b")
+    sizes = (
+        comps.groupBy("comp")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .filter(F.col("cluster_size") > 1)
+        .withColumnRenamed("comp", "canonical_id")
+    )
+    cand = (
+        comps.select(F.col("id").alias("doc_id"), F.col("comp").alias("canonical_id"))
+        .join(F.broadcast(sizes), "canonical_id")
+        .join(
+            docs.select("doc_id", T.token_count("text").alias("n_tokens")),
+            "doc_id",
+        )
+    )
+    w = Window.partitionBy("canonical_id").orderBy(
+        F.desc("n_tokens"), F.asc("doc_id")
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "canonical_id",
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+            F.col("doc_id").alias("picked_id"),
+            F.col("n_tokens").cast("bigint").alias("picked_n_tokens"),
+        )
+    )
+
+
+def _l30_oracle() -> str:
+    inner = minhash_banded_portable_oracle(
+        n=3, num_hashes=32, bands=8, est_threshold=0.45
+    )
+    return f"""
+    WITH fuzzy_pairs AS (
+      {inner}
+    ),
+    d AS (
+      SELECT doc_id, lang, source IN ('src0', 'src1') AS is_bench
+      FROM documents
+    ),
+    x AS (
+      SELECT CASE WHEN da.is_bench THEN p.id_b ELSE p.id_a END AS train_doc,
+             CASE WHEN da.is_bench THEN db.lang ELSE da.lang END AS lang
+      FROM fuzzy_pairs p
+      JOIN d da ON da.doc_id = p.id_a
+      JOIN d db ON db.doc_id = p.id_b
+      WHERE da.is_bench != db.is_bench
+    ),
+    tdocs AS (
+      SELECT lang, COUNT(*) AS n_train_docs FROM d
+      WHERE NOT is_bench GROUP BY lang
+    )
+    SELECT t.lang,
+           CAST(t.n_train_docs AS BIGINT) AS n_train_docs,
+           CAST(COALESCE(COUNT(DISTINCT x.train_doc), 0) AS BIGINT)
+             AS n_fuzzy_contaminated,
+           ROUND(CAST(COALESCE(COUNT(DISTINCT x.train_doc), 0) AS DOUBLE)
+                 / t.n_train_docs, 6) AS contamination_rate
+    FROM tdocs t LEFT JOIN x ON x.lang = t.lang
+    GROUP BY t.lang, t.n_train_docs
+    """
+
+
+@register("l30_fuzzy_decontamination", _l30_oracle())
+def l30_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY benchmark decontamination — the near-duplicate complement of
+    l20's exact 5-gram containment screen (exact matching misses
+    paraphrased/lightly-edited benchmark leakage; production pipelines
+    run both): banded MinHash candidates between the held-out benchmark
+    slice (source src0/src1, the l20 convention) and the training slice,
+    est-Jaccard >= 0.45, rolled up per language as distinct contaminated
+    training docs + rate. Uses the PORTABLE md5 universal-hash family so
+    the DuckDB oracle replays signatures, band buckets, candidate pairs,
+    and the cross-slice classification end-to-end (the l3c pattern); the
+    xxhash64 family is the drop-in production path at ~5-10x hash speed.
+    Scale shape: one banded self-join (candidates track near-pair
+    density), two metadata joins, one rollup — never bench x train
+    all-pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_banded_pairs_portable(
+        docs, "doc_id", "text", n=3, num_hashes=32, bands=8, est_threshold=0.45
+    )
+    d = docs.select(
+        "doc_id", F.col("source").isin("src0", "src1").alias("is_bench"), "lang"
+    )
+    x = (
+        pairs.join(
+            d.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("is_bench").alias("bench_a"),
+                F.col("lang").alias("lang_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            d.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("is_bench").alias("bench_b"),
+                F.col("lang").alias("lang_b"),
+            ),
+            "id_b",
+        )
+        .filter(F.col("bench_a") != F.col("bench_b"))
+        .select(
+            F.when(F.col("bench_a"), F.col("id_b")).otherwise(F.col("id_a")).alias("train_doc"),
+            F.when(F.col("bench_a"), F.col("lang_b")).otherwise(F.col("lang_a")).alias("lang"),
+        )
+    )
+    tdocs = d.filter(~F.col("is_bench")).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_train_docs")
+    )
+    hit = x.groupBy("lang").agg(
+        F.countDistinct("train_doc").alias("n_fuzzy_contaminated")
+    )
+    return (
+        tdocs.join(hit, "lang", "left")
+        .select(
+            "lang",
+            F.col("n_train_docs").cast("bigint").alias("n_train_docs"),
+            F.coalesce("n_fuzzy_contaminated", F.lit(0)).cast("bigint").alias(
+                "n_fuzzy_contaminated"
+            ),
+            F.round(
+                F.coalesce("n_fuzzy_contaminated", F.lit(0)).cast("double")
+                / F.col("n_train_docs"),
+                6,
+            ).alias("contamination_rate"),
+        )
+    )
