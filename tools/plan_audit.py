@@ -223,6 +223,14 @@ def main() -> int:
     # cohort retention: the cohort-size table broadcasts
     check("g11_cohort_retention", contains=["BroadcastHashJoin"],
           absent=["CartesianProduct"])
+    # round-5 additions: repetition profile stays UDF-free map-side +
+    # grouped aggs; survivor pick must not enumerate pairs beyond the
+    # (already banded) similarity graph; fuzzy decontamination candidates
+    # come from the band bucket equi-join — never bench x train all-pairs
+    check("l25_repetition_stats",
+          absent=["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"])
+    check("l29_neardup_canonical_pick", absent=["CartesianProduct"])
+    check("l30_fuzzy_decontamination", absent=["CartesianProduct"])
 
     if failures:
         print("\nPLAN AUDIT FAILURES:")
