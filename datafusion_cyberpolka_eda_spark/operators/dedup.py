@@ -259,14 +259,11 @@ def embedding_neardup_bucketed(
     tests/test_llm_ops.py). The brute-force embedding_cosine_pairs stays
     as the recall oracle only."""
     from datafusion_cyberpolka_eda_spark.operators.similarity import (
-        dot_expr,
-        unit_vec_df,
-    )
-
-    from datafusion_cyberpolka_eda_spark.operators.similarity import (
         _LITERAL_CELL_CAP,
         adaptive_n_centroids,
         assign_cells_arrow,
+        dot_expr,
+        unit_vec_df,
     )
 
     unit = unit_vec_df(spread(df), id_col, vec_col)
@@ -284,11 +281,15 @@ def embedding_neardup_bucketed(
 
     if n_centroids > _LITERAL_CELL_CAP:
         # Arrow-batched matmul assignment: the literal-expression quantizer
-        # stops scaling past ~128 cells (codegen grows O(cells x dim))
+        # stops scaling past ~128 cells (codegen grows O(cells x dim)).
+        # Checkpoint the (tiny) cell table, not just the input: cells is
+        # self-joined as both sides below, and without the cut the
+        # full-corpus matmul subtree would rely on ReuseExchange to run
+        # once — the checkpoint makes single-pass unconditional.
         scored = unit.localCheckpoint(eager=True)
         cells = assign_cells_arrow(
             scored, [r["unit_arr"] for r in cent_rows], n_probe
-        )
+        ).localCheckpoint(eager=True)
     else:
         def dot_lit(vec) -> Column:
             arr = F.array(*[F.lit(float(x)) for x in vec])

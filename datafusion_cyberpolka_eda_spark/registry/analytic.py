@@ -250,7 +250,9 @@ def d8b_approx_distinct_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).collect()[0]
     rows = []
     for c in cols:
-        exact = li.select(c).distinct().count()
+        # NULL-excluding, matching COUNT(DISTINCT)/countDistinct/HLL
+        # semantics (a bare distinct().count() would count NULL as a value)
+        exact = li.select(c).where(F.col(c).isNotNull()).distinct().count()
         rows.append(
             (c, exact, abs(int(approx[c]) - exact) <= 0.05 * exact)
         )

@@ -1649,9 +1649,11 @@ def l29_neardup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cluster_size") > 1)
         .withColumnRenamed("comp", "canonical_id")
     )
+    # no forced broadcast: multi-doc cluster count grows with the corpus;
+    # AQE broadcasts the size table only while it is actually small
     cand = (
         comps.select(F.col("id").alias("doc_id"), F.col("comp").alias("canonical_id"))
-        .join(F.broadcast(sizes), "canonical_id")
+        .join(sizes, "canonical_id")
         .join(
             docs.select("doc_id", T.token_count("text").alias("n_tokens")),
             "doc_id",
