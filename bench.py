@@ -87,7 +87,9 @@ def main() -> None:
     # which otherwise lands in a15's first timed rep (r4: runs
     # [6.66, 2.42, 2.55] — median absorbed it, but the spread is noise,
     # not plan). One throwaway drain moves it into session warm-up.
-    qs["a15_streaming_python_datasource"](spark, sf_dir).collect()
+    a15 = qs.get("a15_streaming_python_datasource")
+    if a15 is not None:  # drain is warm-up only; absence must not kill bench
+        a15(spark, sf_dir).collect()
 
     # Per-job scheduling floor: median of 7 empty two-stage jobs (shuffle
     # included, mirroring the cheapest real query shape).

@@ -668,8 +668,16 @@ def verify_pairs_exact_jaccard(
     ``hash_fn`` keys the intersection join (default xxhash64 —
     production; pass hashing.md5_hash64 for cross-engine oracle replay).
     ``hashed`` (an (id, sh) hashed_shingles result, ideally checkpointed)
-    skips the shingle explode when the caller already built it.
+    skips the shingle explode when the caller already built it — and
+    therefore fixes the hash family too, so passing BOTH is a caller
+    error (the hash_fn would be silently ignored and e.g. an md5 oracle
+    replay would get xxhash-keyed results).
     Returns (id_a, id_b, jaccard) at jaccard >= threshold."""
+    if hashed is not None and hash_fn is not None:
+        raise ValueError(
+            "verify_pairs_exact_jaccard: pass either `hashed` (pre-hashed "
+            "shingles, hash family already baked in) or `hash_fn`, not both"
+        )
     if hashed is not None:
         sh = hashed.select(F.col(id_col).alias("__vid"), "sh")
     else:

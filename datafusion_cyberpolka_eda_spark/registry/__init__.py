@@ -175,14 +175,6 @@ _SWEPT_FALLBACK = frozenset({
 })
 
 
-# How many previously-swept names the rotating re-check tail advances per
-# round. The sweep window is ~50 slots; fresh queries occupy the front, so
-# the tail is whatever swept names follow them — rotating the swept block
-# by round_index * stride cycles old queries through external
-# re-verification across rounds (judge re-check hygiene ask, r3/r4).
-_TAIL_STRIDE = 6
-
-
 def load_swept_names(artifact_dir: str | Path | None = None) -> tuple[set[str], int]:
     """Derive the already-driver-checked query-name set from the committed
     CORRECTNESS_r*.json artifacts (every key in an artifact was run by the
@@ -223,20 +215,43 @@ def load_latest_rows(artifact_dir: str | Path | None = None) -> dict[str, dict]:
     return latest
 
 
+def load_latest_round(artifact_dir: str | Path | None = None) -> dict[str, int]:
+    """name -> round number of the HIGHEST-round CORRECTNESS artifact that
+    contains it — the staleness signal driving the sweep-order tail."""
+    root = Path(artifact_dir) if artifact_dir is not None else _REPO_ROOT
+    out: dict[str, int] = {}
+    for f in sorted(root.glob("CORRECTNESS_r*.json")):
+        try:
+            data = json.loads(f.read_text())
+        except (OSError, ValueError):
+            continue
+        m = re.search(r"CORRECTNESS_r(\d+)", f.name)
+        rn = int(m.group(1)) if m else 0
+        if isinstance(data, dict):
+            for k in data:
+                if isinstance(k, str):
+                    out[k] = rn
+    return out
+
+
 def plan_sweep_order(
-    has_oracle: dict[str, bool], swept: set[str], rotation: int
+    has_oracle: dict[str, bool], swept: set[str], staleness: dict[str, int]
 ) -> list[str]:
     """Pure ordering rule (unit-testable without Spark): never-swept
     oracle-bearing names first (strongest value-hash signal), never-swept
-    rows-only names next, then the previously-swept block rotated left by
-    `rotation` so each round's ~50-slot window re-checks a different tail
-    of old names (all still pytest-regression-guarded every run)."""
+    rows-only names next, then the previously-swept block ordered
+    STALEST-FIRST (lowest latest-check round, registration order as the
+    deterministic tie-break) so the driver's bounded ~50-slot sweep window
+    always re-checks the names whose last external verification is oldest.
+    Replaces the r3-r5 fixed-stride rotation, under which 69 names entered
+    round 6 with a 3+-round-old latest check (r5 verdict task 3)."""
+    reg_pos = {n: i for i, n in enumerate(has_oracle)}
     fresh_oracle = [n for n, o in has_oracle.items() if n not in swept and o]
     fresh_rows = [n for n, o in has_oracle.items() if n not in swept and not o]
-    swept_block = [n for n, o in has_oracle.items() if n in swept and o]
-    if swept_block:
-        k = rotation % len(swept_block)
-        swept_block = swept_block[k:] + swept_block[:k]
+    swept_block = sorted(
+        (n for n, o in has_oracle.items() if n in swept and o),
+        key=lambda n: (staleness.get(n, 0), reg_pos[n]),
+    )
     # already-swept rows-only entries (no oracle by design, each with an
     # oracle-green twin + pytest coverage) sort dead last: the sweep window
     # then contains only value-hash-checkable rows
@@ -245,7 +260,7 @@ def plan_sweep_order(
 
 
 def _sweep_rotate() -> None:
-    swept, n_artifacts = load_swept_names()
+    swept, _n_artifacts = load_swept_names()
     latest = load_latest_rows()
     has_oracle = {k: v[1] is not None for k, v in _REGISTRY.items()}
     # Re-promote to fresh any oracle-bearing name whose LATEST external
@@ -263,7 +278,7 @@ def _sweep_rotate() -> None:
     order = plan_sweep_order(
         has_oracle,
         swept - promoted,
-        n_artifacts * _TAIL_STRIDE,
+        load_latest_round(),
     )
     reordered = {k: _REGISTRY[k] for k in order}
     _REGISTRY.clear()

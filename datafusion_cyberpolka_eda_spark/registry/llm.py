@@ -71,33 +71,142 @@ def l2_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_cols(pairs, ["jaccard"])
 
 
-@register("l3_minhash_lsh_pairs", None)  # hash family differs per engine
+@register(
+    "l3_minhash_lsh_pairs",
+    # oracle appended below once _DEDUP_GATE_BASE_SQL is defined (the gate
+    # shares l3b's truth recomputation); see _close_l3_l4_oracles()
+    None,
+)
 def l3_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash LSH candidate pairs (the 100 TB dedup path): banded MinHash
-    over hashed shingle features, bucket-join candidates. Rows-only (the
-    MinHash family is engine-specific); cross-validated against the exact
-    Jaccard pairs in tests/test_llm_ops.py."""
-    docs = load_table(spark, sf_dir, "documents")
+    """MinHash LSH candidate pairs via pyspark.ml (HashingTF + MinHashLSH
+    + approxSimilarityJoin) — the built-in-estimator twin of the
+    expression-built l3b path.
+
+    The ml MinHash family is engine-specific (no DuckDB twin for the
+    hash coefficients), so — like l3b since r5 — the registered output is
+    the operator's QUALITY GATE with oracle-recomputed ground truth: the
+    oracle independently counts identical-text pairs and exact n-gram
+    Jaccard>=0.7 pairs, and Spark must (a) report the same counts, (b)
+    find every identical-text pair (identical text => identical feature
+    vector => identical MinHash bucket in every table => candidate at
+    distance 0), (c) recover >= 90% of the exact-Jaccard>=0.7 pairs
+    (8 OR-amplified tables: per-pair miss prob (1-j)^8 <= 7e-5 at j=0.7;
+    measured 1.00 at sf0.001-0.1), and (d) keep the approxSimilarityJoin
+    distance column honest: max |(1-dist) - exact_jaccard| <= 0.25 over
+    emitted pairs (dist is exact Jaccard over 2^14 hashed-feature sets,
+    so the only error source is feature-hash collisions; measured
+    <= 0.02). The raw pair list (id_a, id_b, jaccard_dist) remains the
+    production operator, cross-validated in tests/test_llm_ops.py."""
+    docs, sh, truth = _dedup_gate_base(spark, sf_dir)
     pairs = D.minhash_lsh_pairs(
         docs, "doc_id", "text", n=3, jaccard_distance_threshold=0.8
+    )  # already localCheckpoint'ed inside
+    counts = _gate_counts(pairs, truth)
+    n_true, true_missed = counts["j07"]
+    n_dup, dup_missed = counts["dup"]
+    exact = D.verify_pairs_exact_jaccard(
+        docs, pairs, "doc_id", "text", n=3, threshold=0.0, hashed=sh
     )
-    return _round_cols(
-        pairs.select("id_a", "id_b", "jaccard_dist"), ["jaccard_dist"]
+    max_err = (
+        pairs.join(exact, ["id_a", "id_b"], "left")
+        .select(
+            F.max(
+                F.abs(
+                    (F.lit(1.0) - F.col("jaccard_dist"))
+                    - F.coalesce(F.col("jaccard"), F.lit(0.0))
+                )
+            ).alias("m")
+        )
+        .collect()[0]["m"]
+    )
+    return small_df(
+        spark,
+        [(
+            n_dup,
+            n_true,
+            dup_missed == 0,
+            (n_true == 0) or (1.0 - true_missed / n_true >= 0.9),
+            (max_err is None) or (max_err <= 0.25),
+        )],
+        "n_exact_dup_pairs bigint, n_true_pairs_j07 bigint, "
+        "exact_dups_all_found boolean, recall_j07_ge_90pct boolean, "
+        "max_est_err_le_025 boolean",
     )
 
 
-@register("l4_simhash_fingerprints", None)  # xxhash64 has no DuckDB twin
+@register(
+    "l4_simhash_fingerprints",
+    """
+    WITH dup AS (
+      SELECT COALESCE(SUM(c * (c - 1) / 2), 0) AS n
+      FROM (SELECT COUNT(*) AS c FROM documents GROUP BY text) g
+      WHERE c > 1
+    )
+    SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs,
+           CAST((SELECT n FROM dup) AS BIGINT) AS n_identical_text_pairs,
+           TRUE AS identical_text_same_simhash,
+           TRUE AS identical_text_same_rolling_fp,
+           TRUE AS distinct_simhash_le_distinct_text
+    """,
+)
 def l4_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash fingerprints + identical-fingerprint bucket pairs.
-    Pure JVM expressions (xxhash64 + array aggregation); deterministic
-    across runs, so the driver's rows-only stability check is meaningful."""
+    """64-bit SimHash + rolling-hash document fingerprints — pure JVM
+    expressions (xxhash64 + array aggregation).
+
+    The xxhash64 fingerprint VALUES have no DuckDB twin, so the registered
+    output is the operator's QUALITY GATE with oracle-recomputed ground
+    truth: the oracle counts docs and identical-text pairs, and Spark must
+    (a) report the same counts, (b) give every identical-text pair an
+    identical simhash AND identical rolling fingerprint (determinism — a
+    mismatch means the fold depends on row order or partitioning), and
+    (c) emit no more distinct simhashes than distinct texts (same text
+    never forks into two fingerprints). The per-doc fingerprint table
+    stays the production operator; its bit-exact portable-fold twin (md5
+    family, full DuckDB replay of every fingerprint bit) is l4c."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     fp = docs.select(
         "doc_id",
+        "text",
         T.simhash("text").alias("simhash"),
         T.doc_fingerprint("text").alias("rolling_fp"),
+    ).localCheckpoint(eager=True)
+    totals = fp.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("simhash").alias("n_fp"),
+        F.countDistinct("text").alias("n_text"),
+    ).collect()[0]
+    pair_stats = (
+        fp.alias("a")
+        .join(
+            fp.alias("b"),
+            (F.col("a.text") == F.col("b.text"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(
+                (F.col("a.simhash") != F.col("b.simhash")).cast("int")
+            ).alias("sim_mismatch"),
+            F.sum(
+                (F.col("a.rolling_fp") != F.col("b.rolling_fp")).cast("int")
+            ).alias("fp_mismatch"),
+        )
+        .collect()[0]
     )
-    return fp
+    return small_df(
+        spark,
+        [(
+            totals["n_docs"],
+            pair_stats["n_pairs"] or 0,
+            (pair_stats["sim_mismatch"] or 0) == 0,
+            (pair_stats["fp_mismatch"] or 0) == 0,
+            totals["n_fp"] <= totals["n_text"],
+        )],
+        "n_docs bigint, n_identical_text_pairs bigint, "
+        "identical_text_same_simhash boolean, "
+        "identical_text_same_rolling_fp boolean, "
+        "distinct_simhash_le_distinct_text boolean",
+    )
 
 
 @register(
@@ -729,6 +838,23 @@ _DEDUP_GATE_BASE_SQL = """
       WHERE c > 1
     )
 """
+
+# l3's gate oracle shares this truth recomputation, but the constant is
+# defined after l3's decorator runs (registration order = sweep display
+# order), so patch the oracle in here. Same SELECT shape as l3b's.
+from datafusion_cyberpolka_eda_spark.registry import _REGISTRY as _REG  # noqa: E402
+
+_REG["l3_minhash_lsh_pairs"] = (
+    _REG["l3_minhash_lsh_pairs"][0],
+    _DEDUP_GATE_BASE_SQL
+    + """
+    SELECT CAST((SELECT n FROM dup) AS BIGINT) AS n_exact_dup_pairs,
+           CAST((SELECT COUNT(*) FROM tp) AS BIGINT) AS n_true_pairs_j07,
+           TRUE AS exact_dups_all_found,
+           TRUE AS recall_j07_ge_90pct,
+           TRUE AS max_est_err_le_025
+    """,
+)
 
 
 def _dedup_gate_base(spark: SparkSession, sf_dir: str):

@@ -179,7 +179,7 @@ class TestSweepRotation:
             # every promoted name sits inside the sweep window
             assert all(order.index(p) < 50 for p in promoted)
 
-    def test_plan_sweep_order_rotates_tail(self):
+    def test_plan_sweep_order_stalest_first(self):
         from datafusion_cyberpolka_eda_spark.registry import plan_sweep_order
 
         has_oracle = {
@@ -188,14 +188,64 @@ class TestSweepRotation:
             "new_oracle": True,
             "old2": True,
             "old3": True,
+            "old_rows_only": False,
         }
-        swept = {"old1", "old2", "old3"}
-        r4 = plan_sweep_order(has_oracle, swept, rotation=1)
-        assert r4 == ["new_oracle", "new_rows_only", "old2", "old3", "old1"]
-        r5 = plan_sweep_order(has_oracle, swept, rotation=2)
-        # tail leads with a DIFFERENT old name the next round
-        assert r5[2] != r4[2]
-        # live registry: rotation actually changed the swept block order
-        # vs the unrotated registration order
-        r0 = plan_sweep_order(has_oracle, swept, rotation=0)
-        assert r0[2:] == ["old1", "old2", "old3"]
+        swept = {"old1", "old2", "old3", "old_rows_only"}
+        # old2 last checked r1, old3 r2, old1 r5: stalest leads the tail
+        stale = {"old1": 5, "old2": 1, "old3": 2}
+        order = plan_sweep_order(has_oracle, swept, stale)
+        assert order == [
+            "new_oracle", "new_rows_only", "old2", "old3", "old1",
+            "old_rows_only",
+        ]
+        # a name missing from the staleness map counts as never-checked
+        # (round 0) and therefore leads the swept block
+        order2 = plan_sweep_order(has_oracle, swept, {"old1": 5, "old3": 2})
+        assert order2[2] == "old2"
+        # empty staleness (bare checkout, no artifacts): registration
+        # order preserved deterministically
+        order3 = plan_sweep_order(has_oracle, swept, {})
+        assert order3[2:5] == ["old1", "old2", "old3"]
+
+    def test_load_latest_round(self, tmp_path):
+        import json
+
+        from datafusion_cyberpolka_eda_spark.registry import load_latest_round
+
+        row = {"rows_match": True, "err": None}
+        (tmp_path / "CORRECTNESS_r01.json").write_text(
+            json.dumps({"q_a": row, "q_b": row})
+        )
+        (tmp_path / "CORRECTNESS_r03.json").write_text(
+            json.dumps({"q_b": row, "q_c": row})
+        )
+        assert load_latest_round(tmp_path) == {"q_a": 1, "q_b": 3, "q_c": 3}
+
+    def test_live_swept_tail_is_stalest_first(self):
+        """The live registry's swept oracle-bearing block must be ordered
+        by ascending latest-check round — the guarantee the r5 verdict's
+        freshness task asked for (no name silently ages out of re-check)."""
+        from datafusion_cyberpolka_eda_spark.registry import (
+            _REGISTRY,
+            load_latest_round,
+            load_latest_rows,
+            load_swept_names,
+        )
+
+        swept, _ = load_swept_names()
+        if not swept:
+            return
+        latest_round = load_latest_round()
+        latest = load_latest_rows()
+        promoted = {
+            nm
+            for nm in swept
+            if _REGISTRY.get(nm, (None, None))[1] is not None
+            and latest.get(nm, {}).get("hash_match") is not True
+        }
+        tail_rounds = [
+            latest_round.get(n, 0)
+            for n in _REGISTRY
+            if n in swept - promoted and _REGISTRY[n][1] is not None
+        ]
+        assert tail_rounds == sorted(tail_rounds)

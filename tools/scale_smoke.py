@@ -41,7 +41,9 @@ QUERIES = [
     "l1_dedup_exact",          # one shuffle on key: linear
     "l3b_minhash_banded",      # banded MinHash: candidates ~ near-pair density
     "l4b_simhash_near_pairs",  # hamming<=k pigeonhole bands
-    "l4_simhash_fingerprints", # per-row fingerprint cost: linear map
+    "l4_simhash_fingerprints", # linear fingerprint map + (since r6) the
+    #   gate's identical-text self-join: shuffle keyed on text, group sizes
+    #   are duplicate multiplicities — stays linear while dup density does
     "l11_neardup_components",  # iterative HashMin CC over near-dup graph
     "l10_embedding_neardup",   # bucketed quantizer; NOTE: its 0.25 threshold
     #   sits at ~2 sigma of dim-64 random-cosine noise (1/sqrt(64)=0.125), so
