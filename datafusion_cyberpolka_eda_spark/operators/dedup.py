@@ -607,6 +607,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components of an undirected similarity graph via HashMin
     label propagation: every node repeatedly adopts the smallest component
@@ -623,24 +624,40 @@ def connected_components(
     duplicate connects its variants), so 2-4 rounds in practice.
     Convergence is detected with a single exact aggregate (sum of labels,
     strictly decreasing until fixpoint — integer-exact, no tolerance).
-    Lineage is cut with localCheckpoint per round; at cluster scale use
-    checkpoint() to HDFS/object storage instead.
+
+    Lineage is cut per round. With ``checkpoint_dir`` unset the cut is
+    localCheckpoint (executor-local blocks — fine single-node / tests).
+    On a cluster PASS ``checkpoint_dir`` (an HDFS/object-store path): the
+    cut becomes a reliable checkpoint() there, so losing an executor
+    mid-iteration loses a replica of nothing instead of the whole
+    computed prefix — executor-local checkpoint blocks die with their
+    executor and are unrecoverable because the lineage was truncated.
     """
+    if checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def _cut(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+    else:
+
+        def _cut(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=True)
+
     sym = edges.select(F.col(src).alias("id"), F.col(dst).alias("nbr")).union(
         edges.select(F.col(dst).alias("id"), F.col(src).alias("nbr"))
     )
-    sym = sym.localCheckpoint(eager=True)
+    sym = _cut(sym)
     labels = sym.groupBy("id").agg(F.least(F.min("nbr"), F.col("id")).alias("comp"))
-    labels = labels.localCheckpoint(eager=True)
+    labels = _cut(labels)
     prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
     for _ in range(max_iter):
         # neighbor labels -> adopt the minimum of (own label, neighbor labels)
         msgs = sym.join(labels, "id").select(
             F.col("nbr").alias("id"), F.col("comp")
         )
-        new_labels = (
+        new_labels = _cut(
             labels.union(msgs).groupBy("id").agg(F.min("comp").alias("comp"))
-        ).localCheckpoint(eager=True)
+        )
         new_sum = new_labels.agg(F.sum("comp")).collect()[0][0]
         labels = new_labels
         if new_sum == prev_sum:
