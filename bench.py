@@ -115,7 +115,7 @@ def main() -> None:
     # pipeline"), so timing it here 3x per bench would only re-measure
     # that number inside a per-query harness. Skipped from timing; its
     # oracle is likewise skipped so the ratio compares the same work.
-    skip_timing = {"pipeline_summary"}
+    skip_timing = {"pipeline_summary", "pipeline_artifacts"}
 
     for qi, (name, fn) in enumerate(qs.items()):
         if name in skip_timing:

@@ -23,6 +23,8 @@ GBT so the non-checked adversarial stage stays cheap.
 
 from __future__ import annotations
 
+import atexit
+import os
 import shutil
 import tempfile
 
@@ -36,6 +38,12 @@ from datafusion_cyberpolka_eda_spark.registry import (
 )
 
 FIXTURE_DIR = _REPO_ROOT / "fixtures" / "eda_small"
+
+# One full pipeline run per process, shared by pipeline_summary and
+# pipeline_artifacts (the run is ~15 s; the two entries check disjoint
+# slices of the same output). The artifact dir lives for the process so
+# the CSV FILES — not an in-memory recomputation — are what gets checked.
+_RUN_CACHE: dict[str, tuple[dict, str]] = {}
 
 _TARGETS = [
     "target_1_1", "target_1_2", "target_2_1", "target_2_2", "target_3_1",
@@ -157,6 +165,18 @@ def pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     adversarial stage cheap. Excluded from bench.py timing — the pipeline's
     perf artifact is the separately-tracked 750k-row end-to-end run
     (BASELINE.md)."""
+    summary, _tables = _run_fixture_pipeline(spark)
+    rows = [(k, float(summary[k])) for k in _METRICS]
+    return _round_cols(small_df(spark, rows, "metric string, value double"), ["value"])
+
+
+def _run_fixture_pipeline(spark: SparkSession) -> tuple[dict, str]:
+    """Run the COMPLETE pipeline on the committed fixture once per process
+    and return (summary, tables_dir). The temp output dir is kept until
+    process exit so pipeline_artifacts reads the artifact CSVs the
+    pipeline actually wrote."""
+    if "run" in _RUN_CACHE:
+        return _RUN_CACHE["run"]
     from datafusion_cyberpolka_eda_spark.pipeline.eda import EdaConfig, run_pipeline
     from datafusion_cyberpolka_eda_spark.pipeline.fixtures import generate_eda_fixture
 
@@ -170,10 +190,113 @@ def pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         adv_max_iter=2,
         adv_max_depth=3,
     )
-    out_dir = tempfile.mkdtemp(prefix="pipeline_summary_")
-    try:
-        summary = run_pipeline(spark, str(FIXTURE_DIR), out_dir, cfg)
-    finally:
-        shutil.rmtree(out_dir, ignore_errors=True)
-    rows = [(k, float(summary[k])) for k in _METRICS]
-    return _round_cols(small_df(spark, rows, "metric string, value double"), ["value"])
+    out_dir = tempfile.mkdtemp(prefix="pipeline_fixture_")
+    atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
+    summary = run_pipeline(spark, str(FIXTURE_DIR), out_dir, cfg)
+    _RUN_CACHE["run"] = (summary, os.path.join(out_dir, "public_tables"))
+    return _RUN_CACHE["run"]
+
+
+# ---- pipeline_artifacts: hash-check ARTIFACT TABLES, not just scalars ----
+# Three representative artifact CSVs (the r5 verdict's hardening item 4):
+#   target_stats.csv            (ref:public_eda_pipeline.py:104)
+#   target_pair_stats.csv       (ref:public_eda_pipeline.py:166)
+#   extra_missingness_summary.csv (ref:public_eda_pipeline.py:264)
+# emitted long-form (artifact, row_key, metric, value) from the files the
+# pipeline wrote; DuckDB recomputes every value from the fixture parquet.
+
+_PAIR_METRICS = [
+    "corr", "co_count", "co_rate", "expected_independent_rate", "pair_lift",
+]
+
+
+def _artifacts_oracle() -> str:
+    tt = f"read_parquet('{FIXTURE_DIR}/train_target.parquet')"
+    tx = f"read_parquet('{FIXTURE_DIR}/train_extra_features.parquet')"
+    stats_union = "\n      UNION ALL ".join(
+        f"""SELECT 'target_stats' AS artifact, '{t}' AS row_key,
+              'positive_count' AS metric, CAST(SUM({t}) AS DOUBLE) AS value
+            FROM {tt}
+            UNION ALL
+            SELECT 'target_stats', '{t}', 'positive_rate',
+              CAST(SUM({t}) AS DOUBLE) / COUNT(*)
+            FROM {tt}"""
+        for t in _TARGETS
+    )
+    pair_union = "\n      UNION ALL ".join(
+        f"""SELECT '{ta}|{tb}' AS row_key,
+              corr({ta}, {tb}) AS corr,
+              CAST(SUM({ta} * {tb}) AS DOUBLE) AS co_count,
+              CAST(SUM({ta} * {tb}) AS DOUBLE) / COUNT(*) AS co_rate,
+              (CAST(SUM({ta}) AS DOUBLE) / COUNT(*))
+                * (CAST(SUM({tb}) AS DOUBLE) / COUNT(*))
+                AS expected_independent_rate,
+              CASE WHEN SUM({ta}) > 0 AND SUM({tb}) > 0
+                THEN (CAST(SUM({ta} * {tb}) AS DOUBLE) / COUNT(*))
+                     / ((CAST(SUM({ta}) AS DOUBLE) / COUNT(*))
+                        * (CAST(SUM({tb}) AS DOUBLE) / COUNT(*)))
+                END AS pair_lift
+            FROM {tt}"""
+        for i, ta in enumerate(_TARGETS)
+        for tb in _TARGETS[i + 1:]
+    )
+    miss_union = "\n      UNION ALL ".join(
+        f"""SELECT 'extra_missingness' AS artifact, '{c}' AS row_key,
+              'null_rate' AS metric,
+              AVG(CAST({c} IS NULL AS INT)) AS value
+            FROM {tx}"""
+        for c in _EXTRA_COLS
+    )
+    return f"""
+    WITH pairs AS (
+      {pair_union}
+    ),
+    pairs_long AS (
+      SELECT 'target_pair_stats' AS artifact, row_key, metric, value
+      FROM pairs
+      UNPIVOT (value FOR metric IN ({', '.join(_PAIR_METRICS)}))
+    )
+    SELECT artifact, row_key, metric, ROUND(value, 6) AS value FROM (
+      {stats_union}
+      UNION ALL SELECT * FROM pairs_long
+      UNION ALL {miss_union}
+    ) allrows
+    """
+
+
+@register("pipeline_artifacts", _artifacts_oracle())
+def pipeline_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-check the EDA pipeline's artifact TABLES (not just summary
+    scalars): read back target_stats.csv, target_pair_stats.csv and
+    extra_missingness_summary.csv exactly as the pipeline wrote them
+    (CSV round-trip preserves doubles via shortest-repr) and emit them
+    long-form; the DuckDB oracle recomputes all 295 values independently
+    from the fixture parquet (prevalence sums, pairwise Pearson/phi,
+    co-occurrence lifts, per-column null rates). Shares the per-process
+    pipeline run with pipeline_summary; like it, excluded from bench
+    timing (the perf artifact is the 750k-row run in BASELINE.md)."""
+    import pandas as pd
+
+    _summary, tables = _run_fixture_pipeline(spark)
+    rows: list[tuple] = []
+    ts = pd.read_csv(os.path.join(tables, "target_stats.csv"))
+    for r in ts.itertuples():
+        rows.append(("target_stats", r.target, "positive_count",
+                     float(r.positive_count)))
+        rows.append(("target_stats", r.target, "positive_rate",
+                     float(r.positive_rate)))
+    ps = pd.read_csv(os.path.join(tables, "target_pair_stats.csv"))
+    for r in ps.itertuples():
+        key = f"{r.target_a}|{r.target_b}"
+        for m in _PAIR_METRICS:
+            v = getattr(r, m)
+            rows.append(("target_pair_stats", key, m,
+                         None if pd.isna(v) else float(v)))
+    ms = pd.read_csv(os.path.join(tables, "extra_missingness_summary.csv"))
+    for r in ms.itertuples():
+        rows.append(("extra_missingness", r.feature, "null_rate",
+                     float(r.null_rate)))
+    df = small_df(
+        spark, rows, "artifact string, row_key string, metric string, value double"
+    )
+    return _round_cols(df, ["value"])
