@@ -1,0 +1,195 @@
+"""sf-amortization datapoint (r5 verdict task 6): scale the sf0.1 driver
+tables Nx (default 5x -> "sf0.5"), run the heaviest non-streaming
+registry queries on Spark AND their DuckDB oracles at both scales, and
+print a markdown table for BASELINE.md showing the vs-oracle net ratio
+falling as sf rises — the general-suite evidence that the ~1-2 s
+per-job local scheduling floor amortizes while the measured work grows
+on both sides.
+
+Scaling preserves the semantics each query family depends on:
+- region/nation: copied as-is (dimension tables stay small at any scale
+  — that is also the 100 TB reality; FK values keep resolving).
+- fact/entity tables: replica k offsets every integer KEY column by
+  k*10M, so each replica carries its own consistent FK subgraph — join
+  and group cardinalities grow linearly, no cross-replica fan-out.
+- documents: scale_smoke's bijective token renaming per replica
+  (replica-local near-pair structure preserved; token sets disjoint
+  across replicas, so no artificial near-dups).
+- embeddings: scale_smoke's rotation isometry (within-replica cosines
+  exact; cross-replica decorrelated).
+
+Usage: python tools/sf_amortization.py [--factor 5] [--reps 2]
+Writes scaled parquet to a temp dir (removed on exit); prints markdown.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+OFF = 10_000_000
+
+# integer key columns to offset per replica, per table
+KEYED = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+}
+COPIED = ["region", "nation"]
+
+# heaviest non-streaming queries by BENCH_r05 net time (l3 gate excluded:
+# its r6 shape pays ml-estimator warm-up that would confound the trend)
+QUERIES = [
+    "l3c_minhash_banded_portable",
+    "l3b_minhash_banded",
+    "l23_dedup_pipeline",
+    "d8b_approx_distinct_bound",
+    "p1_pagerank_trade_graph",
+    "l8d_ann_lsh_portable",
+    "d2_wide_agg_pricing",
+    "l11_neardup_components",
+    "l8b_ann_ivf_neighbors",
+    "l2_ngram_jaccard_pairs",
+]
+
+
+def build_scaled(spark, out_dir: str, factor: int) -> None:
+    from tools.scale_smoke import build_scaled as build_docs_embs
+
+    build_docs_embs(spark, SRC, out_dir, factor)  # documents + embeddings
+    for t in COPIED:
+        spark.read.parquet(f"{SRC}/{t}.parquet").write.mode("overwrite").parquet(
+            f"{out_dir}/{t}.parquet"
+        )
+    for t, keys in KEYED.items():
+        df = spark.read.parquet(f"{SRC}/{t}.parquet")
+        parts = []
+        for k in range(factor):
+            off = k * OFF
+            rep = df
+            for c in keys:
+                rep = rep.withColumn(c, (F.col(c) + F.lit(off)).cast("long"))
+            parts.append(rep)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
+
+
+def duck_connect(sf_dir: str):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split():
+        p = f"{sf_dir}/{t}.parquet"
+        # Spark writes a DIRECTORY named t.parquet; glob its files
+        src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet({src})")
+    return con
+
+
+def measure(spark, sf_dir: str, label: str, reps: int) -> dict:
+    from datafusion_cyberpolka_eda_spark.registry import oracle_sql, queries
+
+    qs, os_ = queries(), oracle_sql()
+    # floor: same protocol as bench.py
+    floors = []
+    for _ in range(7):
+        t0 = time.perf_counter()
+        spark.range(2).repartition(2).count()
+        floors.append(time.perf_counter() - t0)
+    floor = statistics.median(floors)
+    con = duck_connect(sf_dir)
+    rows = {}
+    for name in QUERIES:
+        rts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).collect()
+            rts.append(time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        con.sql(os_[name]).fetchall()
+        du = time.perf_counter() - t0
+        sp = statistics.median(rts)
+        rows[name] = (sp, max(sp - floor, 0.0), du)
+        print(
+            f"  [{label}] {name}: spark {sp:.2f}s (net {max(sp - floor, 0.0):.2f}) "
+            f"duckdb {du:.2f}s",
+            file=sys.stderr,
+        )
+    con.close()
+    return {"floor": floor, "rows": rows}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factor", type=int, default=5)
+    ap.add_argument("--reps", type=int, default=2)
+    args = ap.parse_args()
+
+    from datafusion_cyberpolka_eda_spark import get_spark
+
+    spark = get_spark(app_name="sf_amortization")
+    out_dir = tempfile.mkdtemp(prefix="sf_amort_")
+    try:
+        print(f"building {args.factor}x scaled tables in {out_dir} ...",
+              file=sys.stderr)
+        build_scaled(spark, out_dir, args.factor)
+        # warm-up mirrors bench.py (JVM, python workers, ml classes)
+        from datafusion_cyberpolka_eda_spark.registry import queries
+
+        queries()["d2_wide_agg_pricing"](spark, SRC).collect()
+        spark.range(1000).repartition(32).mapInPandas(
+            lambda it: it, schema="id long"
+        ).collect()
+
+        base = measure(spark, SRC, "sf0.1", args.reps)
+        scaled = measure(spark, out_dir, f"sf0.{args.factor}", args.reps)
+
+        def totals(m):
+            sp = sum(v[0] for v in m["rows"].values())
+            net = sum(v[1] for v in m["rows"].values())
+            du = sum(v[2] for v in m["rows"].values())
+            return sp, net, du
+
+        b_sp, b_net, b_du = totals(base)
+        s_sp, s_net, s_du = totals(scaled)
+        print(f"\n## sf-amortization ({args.factor}x, reps={args.reps})\n")
+        print("| query | sf0.1 spark net s | sf0.1 duckdb s | ratio "
+              f"| sf0.{args.factor} spark net s | sf0.{args.factor} duckdb s | ratio |")
+        print("|---|---|---|---|---|---|---|")
+        for name in QUERIES:
+            b = base["rows"][name]
+            s = scaled["rows"][name]
+            rb = b[1] / b[2] if b[2] > 0 else float("nan")
+            rs = s[1] / s[2] if s[2] > 0 else float("nan")
+            print(f"| {name} | {b[1]:.2f} | {b[2]:.2f} | {rb:.2f} "
+                  f"| {s[1]:.2f} | {s[2]:.2f} | {rs:.2f} |")
+        print(f"| **total** | **{b_net:.2f}** | **{b_du:.2f}** | "
+              f"**{b_net / b_du:.2f}** | **{s_net:.2f}** | **{s_du:.2f}** | "
+              f"**{s_net / s_du:.2f}** |")
+        print(f"\nfloors: sf0.1 {base['floor']:.3f}s, scaled "
+              f"{scaled['floor']:.3f}s; raw spark totals {b_sp:.1f}s -> {s_sp:.1f}s")
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
