@@ -325,8 +325,14 @@ def ann_ivf_fixed_topk_multi(
 # Above this centroid count, cell assignment switches from inlined
 # literal-array dot expressions (whole-stage-codegen friendly, but the
 # generated code grows O(cells x dim) and stops compiling efficiently) to
-# the Arrow-batched numpy matmul path (assign_cells_arrow).
-_LITERAL_CELL_CAP = 128
+# the Arrow-batched numpy matmul path (assign_cells_arrow). Measured at
+# dim 64 (r6, warm medians on the bench corpus): literal vs Arrow is
+# 3.3/3.0 s at 8 cells, 3.3/2.5 at 16, 4.4/3.5 at 32, 4.4/2.7 at 45 —
+# the O(cells x dim) codegen cost overtakes the Python round-trip just
+# past a few dozen cells, so the cap sits at 32 (literal keeps tiny
+# quantizers JVM-side and serialization-free; Arrow serves the sqrt-n
+# counts any real corpus produces).
+_LITERAL_CELL_CAP = 32
 
 
 def assign_cells_arrow(
