@@ -567,3 +567,52 @@ class TestAdaptiveCentroidGuard:
             emb, "vec_id", "embedding", query_ids=[1, 2], k=3
         ).collect()
         assert calls, "default path no longer calls adaptive_n_centroids"
+
+
+class TestDegenerateInputs:
+    """A production pipeline feeds these operators arbitrary corpus
+    slices — an empty filter result or a single-document partition must
+    yield empty/identity outputs, never a crash (no .head() on nothing,
+    no divide-by-zero, no un-guarded collect()[0])."""
+
+    def _empty_docs(self, spark):
+        return spark.createDataFrame(
+            [], "doc_id bigint, text string, lang string, source string, n_chars bigint"
+        )
+
+    def test_minhash_banded_pairs_empty(self, spark):
+        out = D.minhash_banded_pairs(
+            self._empty_docs(spark), "doc_id", "text", n=3
+        )
+        assert out.count() == 0
+
+    def test_simhash_near_pairs_empty(self, spark):
+        out = D.simhash_near_pairs(
+            self._empty_docs(spark), "doc_id", "text", max_hamming=6
+        )
+        assert out.count() == 0
+
+    def test_ngram_jaccard_pairs_empty_and_single(self, spark):
+        empty = self._empty_docs(spark)
+        assert D.ngram_jaccard_pairs(empty, "doc_id", "text", n=3).count() == 0
+        one = spark.createDataFrame(
+            [(1, "a b c d e", "en", "s", 9)],
+            "doc_id bigint, text string, lang string, source string, n_chars bigint",
+        )
+        # one doc: no pairs, not an error
+        assert D.ngram_jaccard_pairs(one, "doc_id", "text", n=3).count() == 0
+
+    def test_connected_components_empty_edges(self, spark):
+        edges = spark.createDataFrame([], "id_a bigint, id_b bigint")
+        assert D.connected_components(edges, "id_a", "id_b").count() == 0
+
+    def test_verify_pairs_empty_candidates(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "a b c d", "en", "s", 7), (2, "a b c e", "en", "s", 7)],
+            "doc_id bigint, text string, lang string, source string, n_chars bigint",
+        )
+        pairs = spark.createDataFrame([], "id_a bigint, id_b bigint")
+        out = D.verify_pairs_exact_jaccard(
+            docs, pairs, "doc_id", "text", n=3, threshold=0.0
+        )
+        assert out.count() == 0
