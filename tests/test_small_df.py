@@ -249,3 +249,49 @@ class TestSweepRotation:
             if n in swept - promoted and _REGISTRY[n][1] is not None
         ]
         assert tail_rounds == sorted(tail_rounds)
+
+
+class TestSweepOrderProperties:
+    """Property-based invariants for plan_sweep_order — the ordering is
+    what the external driver consumes, so a subtle regression here
+    silently reduces verification coverage for every future round."""
+
+    def test_invariants_hold_for_arbitrary_inputs(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from datafusion_cyberpolka_eda_spark.registry import plan_sweep_order
+
+        names = st.lists(
+            st.text(alphabet="abcdefgh", min_size=1, max_size=6),
+            min_size=0, max_size=25, unique=True,
+        )
+
+        @settings(max_examples=200, deadline=None)
+        @given(
+            names=names,
+            oracle_bits=st.lists(st.booleans(), min_size=25, max_size=25),
+            swept_bits=st.lists(st.booleans(), min_size=25, max_size=25),
+            rounds=st.lists(st.integers(0, 9), min_size=25, max_size=25),
+        )
+        def check(names, oracle_bits, swept_bits, rounds):
+            has_oracle = {n: oracle_bits[i] for i, n in enumerate(names)}
+            swept = {n for i, n in enumerate(names) if swept_bits[i]}
+            stale = {n: rounds[i] for i, n in enumerate(names) if swept_bits[i]}
+            order = plan_sweep_order(has_oracle, swept, stale)
+            # permutation of the input, nothing lost or invented
+            assert sorted(order) == sorted(names)
+            # block structure: fresh-oracle, fresh-rows, swept-oracle,
+            # swept-rows — verify by classifying each position
+            def cls(n):
+                if n not in swept:
+                    return 0 if has_oracle[n] else 1
+                return 2 if has_oracle[n] else 3
+            kinds = [cls(n) for n in order]
+            assert kinds == sorted(kinds)
+            # swept oracle block is stalest-first
+            tail = [n for n in order if cls(n) == 2]
+            tr = [stale.get(n, 0) for n in tail]
+            assert tr == sorted(tr)
+
+        check()
