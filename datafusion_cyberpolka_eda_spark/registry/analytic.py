@@ -215,6 +215,64 @@ def h3_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "d19_cms_heavy_hitters",
+    """
+    SELECT CAST(l_suppkey AS BIGINT) AS suppkey,
+           CAST(COUNT(*) AS BIGINT) AS exact_count,
+           TRUE AS cms_ge_exact,
+           TRUE AS cms_within_eps_n
+    FROM lineitem GROUP BY l_suppkey
+    ORDER BY exact_count DESC, suppkey ASC LIMIT 5
+    """,
+)
+def d19_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy-hitter counts — the frequency-sketch
+    sibling of d8b's HLL (cardinality) and c10's Bloom (membership),
+    completing the mergeable-sketch family a 100 TB engine needs when an
+    exact groupBy over a hot key is not worth its shuffle.
+
+    One `count_min_sketch` aggregate pass (map-side-combined, fixed
+    7x20000x8B = ~1.1 MB state at eps 1e-4 / confidence 0.99) builds the
+    sketch; the driver deserializes it via the JVM sketch library and
+    queries the top-5 supplier keys. Deterministic: seed pinned, and CMS
+    increments/merges are commutative, so the estimate is identical
+    under any partitioning — the driver hash-check is exact, not flaky.
+
+    Gates (oracle pins exact counts + booleans): (a) est >= exact — a
+    CMS NEVER undercounts, any violation is a broken hash/merge; (b)
+    est <= exact + eps*N — the textbook error bound at confidence 0.99
+    (measured: est == exact at sf0.001-0.1; <=1000 distinct keys across
+    20000 cells leave the min-of-7-rows estimate collision-free)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    eps = 1e-4
+    row = li.agg(
+        F.expr(f"count_min_sketch(l_suppkey, {eps}d, 0.99d, 42)").alias("cms")
+    ).collect()[0]
+    jcms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        bytes(row["cms"])
+    )
+    n_total = jcms.totalCount()
+    top = (
+        li.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("l_suppkey"))
+        .limit(5)
+        .collect()
+    )
+    rows = []
+    for r in top:
+        k, exact = int(r["l_suppkey"]), int(r["c"])
+        est = jcms.estimateCount(k)
+        rows.append((k, exact, est >= exact, est <= exact + eps * n_total))
+    return small_df(
+        spark,
+        rows,
+        "suppkey bigint, exact_count bigint, cms_ge_exact boolean, "
+        "cms_within_eps_n boolean",
+    )
+
+
+@register(
     "d8b_approx_distinct_bound",
     """
     SELECT 'l_orderkey' AS column_name, COUNT(DISTINCT l_orderkey) AS exact_distinct,
