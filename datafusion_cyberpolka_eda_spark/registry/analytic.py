@@ -273,6 +273,73 @@ def d19_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "d20_hll_sketch_union",
+    """
+    SELECT 'customer' AS source,
+           CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS exact_distinct,
+           TRUE AS hll_within_3pct
+    FROM customer
+    UNION ALL
+    SELECT 'orders', CAST(COUNT(DISTINCT o_custkey) AS BIGINT), TRUE FROM orders
+    UNION ALL
+    SELECT 'union', CAST(COUNT(DISTINCT k) AS BIGINT), TRUE FROM (
+      SELECT c_custkey AS k FROM customer
+      UNION ALL SELECT o_custkey FROM orders
+    ) u
+    """,
+)
+def d20_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-HLL distinct counting across SOURCES (Apache DataSketches
+    via hll_sketch_agg / hll_union) — the piece d8b's one-shot
+    approx_count_distinct doesn't show: at 100 TB you don't rescan to
+    count a union, you keep a ~2^lgK-register sketch per source/shard/day
+    and union the sketches (register-wise max — commutative, so the
+    estimate is deterministic under any partitioning or merge order).
+
+    One sketch per source (customer keys; ordering customers), then a
+    sketch-level union whose estimate must land within 3% of the exact
+    union cardinality (lgK=14 -> rsd ~0.8%, so 3% is a >3-sigma bound;
+    measured exact agreement at sf0.001-0.1). The oracle pins all three
+    exact distinct counts and the bound booleans."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    lgk = F.lit(14)
+    sk_c = c.agg(
+        F.hll_sketch_agg("c_custkey", lgk).alias("sk"),
+        F.countDistinct("c_custkey").alias("exact"),
+    )
+    sk_o = o.agg(
+        F.hll_sketch_agg("o_custkey", lgk).alias("sk"),
+        F.countDistinct("o_custkey").alias("exact"),
+    )
+    rc, ro = sk_c.collect()[0], sk_o.collect()[0]
+    merged = (
+        sk_c.select("sk")
+        .unionByName(sk_o.select("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .collect()[0]["est"]
+    )
+    est_c = sk_c.select(F.hll_sketch_estimate("sk").alias("e")).collect()[0]["e"]
+    est_o = sk_o.select(F.hll_sketch_estimate("sk").alias("e")).collect()[0]["e"]
+    exact_u = (
+        c.select(F.col("c_custkey").alias("k"))
+        .unionByName(o.select(F.col("o_custkey").alias("k")))
+        .distinct()
+        .count()
+    )
+    rows = [
+        ("customer", int(rc["exact"]), abs(est_c - rc["exact"]) <= 0.03 * rc["exact"]),
+        ("orders", int(ro["exact"]), abs(est_o - ro["exact"]) <= 0.03 * ro["exact"]),
+        ("union", exact_u, abs(merged - exact_u) <= 0.03 * exact_u),
+    ]
+    return small_df(
+        spark,
+        rows,
+        "source string, exact_distinct bigint, hll_within_3pct boolean",
+    )
+
+
+@register(
     "d8b_approx_distinct_bound",
     """
     SELECT 'l_orderkey' AS column_name, COUNT(DISTINCT l_orderkey) AS exact_distinct,
