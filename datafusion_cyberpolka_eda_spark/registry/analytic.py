@@ -340,6 +340,46 @@ def d20_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "d21_bitmap_exact_distinct",
+    """
+    SELECT 'o_custkey' AS column_name,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderkey', CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders
+    """,
+)
+def d21_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct counting via bitmap aggregates
+    (bitmap_bucket_number / bitmap_construct_agg / bitmap_count) — the
+    exact counterpart of d20's HLL: integer keys are bucketed into
+    32k-bit bitmaps, per-bucket bitmaps OR-merge (commutative, so the
+    count is identical under any partitioning), and the distinct count
+    is the summed popcount. Unlike COUNT(DISTINCT)'s shuffle of every
+    distinct VALUE, the shuffle here carries one fixed-size bitmap per
+    32k-key bucket — the warehouse pattern for exact distincts over
+    dense id spaces, and the bitmaps are storable per shard/day and
+    re-mergeable like the HLL sketches. The oracle pins the exact
+    counts; the comparison is equality, no error bound needed."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def bitmap_distinct(col: str) -> int:
+        return (
+            o.select(
+                F.expr(f"bitmap_bucket_number({col})").alias("b"),
+                F.expr(f"bitmap_bit_position({col})").alias("p"),
+            )
+            .groupBy("b")
+            .agg(F.expr("bitmap_construct_agg(p)").alias("bm"))
+            .agg(F.expr("sum(bitmap_count(bm))").alias("n"))
+            .collect()[0]["n"]
+        )
+
+    rows = [(c, int(bitmap_distinct(c))) for c in ("o_custkey", "o_orderkey")]
+    return small_df(spark, rows, "column_name string, n_distinct bigint")
+
+
+@register(
     "d8b_approx_distinct_bound",
     """
     SELECT 'l_orderkey' AS column_name, COUNT(DISTINCT l_orderkey) AS exact_distinct,
