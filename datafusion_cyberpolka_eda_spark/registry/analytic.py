@@ -303,35 +303,38 @@ def d20_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact distinct counts and the bound booleans."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
-    lgk = F.lit(14)
-    sk_c = c.agg(
-        F.hll_sketch_agg("c_custkey", lgk).alias("sk"),
-        F.countDistinct("c_custkey").alias("exact"),
+    keys = c.select(F.col("c_custkey").alias("k"), F.lit("customer").alias("src")).unionByName(
+        o.select(F.col("o_custkey").alias("k"), F.lit("orders").alias("src"))
     )
-    sk_o = o.agg(
-        F.hll_sketch_agg("o_custkey", lgk).alias("sk"),
-        F.countDistinct("o_custkey").alias("exact"),
+    # ONE scan+agg pass builds both sketches; checkpoint the 2-row result
+    # so the union job re-aggregates two sketch rows, not the fact tables
+    per = (
+        keys.groupBy("src")
+        .agg(
+            F.hll_sketch_agg("k", F.lit(14)).alias("sk"),
+            F.countDistinct("k").alias("exact"),
+        )
+        .localCheckpoint(eager=True)
     )
-    rc, ro = sk_c.collect()[0], sk_o.collect()[0]
-    merged = (
-        sk_c.select("sk")
-        .unionByName(sk_o.select("sk"))
-        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
-        .collect()[0]["est"]
-    )
-    est_c = sk_c.select(F.hll_sketch_estimate("sk").alias("e")).collect()[0]["e"]
-    est_o = sk_o.select(F.hll_sketch_estimate("sk").alias("e")).collect()[0]["e"]
-    exact_u = (
-        c.select(F.col("c_custkey").alias("k"))
-        .unionByName(o.select(F.col("o_custkey").alias("k")))
-        .distinct()
-        .count()
-    )
+    by_src = {
+        r["src"]: r
+        for r in per.select(
+            "src", "exact", F.hll_sketch_estimate("sk").alias("est")
+        ).collect()
+    }
+    merged = per.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    ).collect()[0]["est"]
+    exact_u = keys.select("k").distinct().count()
     rows = [
-        ("customer", int(rc["exact"]), abs(est_c - rc["exact"]) <= 0.03 * rc["exact"]),
-        ("orders", int(ro["exact"]), abs(est_o - ro["exact"]) <= 0.03 * ro["exact"]),
-        ("union", exact_u, abs(merged - exact_u) <= 0.03 * exact_u),
-    ]
+        (
+            src,
+            int(by_src[src]["exact"]),
+            abs(by_src[src]["est"] - by_src[src]["exact"])
+            <= 0.03 * by_src[src]["exact"],
+        )
+        for src in ("customer", "orders")
+    ] + [("union", exact_u, abs(merged - exact_u) <= 0.03 * exact_u)]
     return small_df(
         spark,
         rows,
