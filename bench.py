@@ -37,6 +37,19 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 STDOUT_BUDGET = 1800  # driver keeps ~2000 chars of tail; stay well under it
 
 
+def build_stdout_line(out: dict, budget: int = STDOUT_BUDGET) -> str:
+    """Render the one-line JSON the driver records, dropping the fastest
+    `queries` entries until the line fits the stdout tail budget. The
+    headline metrics and `core_ops` always survive; only the per-query
+    tail shrinks. `out['queries']` must be ordered slowest-first."""
+    line = json.dumps(out, separators=(",", ":"))
+    while len(line) > budget and out["queries"]:
+        # drop the fastest remaining entry (dict preserves insert order)
+        out["queries"].pop(next(reversed(out["queries"])))
+        line = json.dumps(out, separators=(",", ":"))
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from datafusion_cyberpolka_eda_spark import get_spark
@@ -278,12 +291,7 @@ def main() -> None:
     }
     for name, sec in sorted(timings.items(), key=lambda kv: -kv[1]):
         out["queries"][name] = round(sec, 2)
-    line = json.dumps(out, separators=(",", ":"))
-    while len(line) > STDOUT_BUDGET and out["queries"]:
-        # drop the fastest remaining entry (dict preserves insert order)
-        out["queries"].pop(next(reversed(out["queries"])))
-        line = json.dumps(out, separators=(",", ":"))
-    print(line)
+    print(build_stdout_line(out))
 
 
 if __name__ == "__main__":

@@ -295,3 +295,57 @@ class TestSweepOrderProperties:
             assert tr == sorted(tr)
 
         check()
+
+
+class TestBenchStdoutBudget:
+    """bench.py's one-line JSON is the driver's BENCH_r{N} artifact and
+    the driver records only the ~2000-char stdout tail — a line that
+    overruns loses the headline metrics (observed in round 1). Pin the
+    trimming behavior without needing Spark."""
+
+    def _out(self, n_queries):
+        return {
+            "metric": "total_query_wall_seconds",
+            "value": 123.4,
+            "unit": "sec",
+            "floor_sec": 0.1,
+            "net_value": 100.0,
+            "n_queries": n_queries,
+            "reps": 3,
+            "run_spread_sec": 40.0,
+            "oracle_total_sec": 60.0,
+            "ratio_net": 1.3,
+            "detail": "BENCH_DETAIL.json",
+            "core_ops": {"minhash_banded_pairs": 1.2, "simhash_near_pairs": 1.1},
+            "queries": {
+                f"very_long_query_name_number_{i:04d}": round(10.0 - i * 0.01, 2)
+                for i in range(n_queries)
+            },
+            "sf": 0.1,
+        }
+
+    def test_line_fits_budget_and_keeps_headline(self):
+        import json as _json
+
+        from bench import STDOUT_BUDGET, build_stdout_line
+
+        out = self._out(400)
+        line = build_stdout_line(out)
+        assert len(line) <= STDOUT_BUDGET
+        d = _json.loads(line)
+        for k in ("value", "net_value", "ratio_net", "core_ops",
+                  "run_spread_sec", "n_queries"):
+            assert k in d
+        # slowest entries survive, fastest were dropped
+        kept = list(d["queries"])
+        assert kept[0] == "very_long_query_name_number_0000"
+        assert len(kept) < 400
+
+    def test_small_payload_untrimmed(self):
+        import json as _json
+
+        from bench import build_stdout_line
+
+        out = self._out(3)
+        line = build_stdout_line(out)
+        assert len(_json.loads(line)["queries"]) == 3
