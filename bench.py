@@ -192,8 +192,11 @@ def main() -> None:
                 spark.catalog.clearCache()
             gc.collect()
             core_ops[nm] = round(statistics.median(rts), 4)
-    except Exception:
-        pass  # core split is diagnostic; never kill the bench line
+    except Exception as exc:
+        # core split is diagnostic; never kill the bench line — but a
+        # missing core_ops section in the artifact must be attributable
+        # (it is the production-operator trend line), so say why
+        print(f"WARNING: core_ops measurement failed: {exc!r}", file=sys.stderr)
 
     # Same-round single-node oracle run: total DuckDB wall for every
     # oracle_sql() query on the same parquet, so the vs-baseline ratio is
@@ -230,9 +233,10 @@ def main() -> None:
         )
         if oracle_total > 0:
             ratio_net = round(spark_net_oracle_subset / oracle_total, 2)
-    except Exception:
-        pass  # bench must still emit its line (with any partial
-        # per-oracle timings gathered) if DuckDB is unavailable
+    except Exception as exc:
+        # bench must still emit its line (with any partial per-oracle
+        # timings gathered) if DuckDB is unavailable — but attributably
+        print(f"WARNING: oracle timing failed: {exc!r}", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "", 1).isdigit() else sf

@@ -632,9 +632,22 @@ def connected_components(
     mid-iteration loses a replica of nothing instead of the whole
     computed prefix — executor-local checkpoint blocks die with their
     executor and are unrecoverable because the lineage was truncated.
+
+    ``checkpoint_dir`` side effects (it maps onto a GLOBAL
+    SparkContext setting): the context's checkpoint dir is switched for
+    the duration of this call and restored afterwards (restorable only
+    when one was previously set — Spark has no unset), and a CONCURRENT
+    caller on the same context sees the switch (last-write-wins — don't
+    run two different-dir callers in parallel). Spark only deletes
+    reliable checkpoint files at shutdown when
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true``; with it
+    unset, repeated runs accumulate data under ``checkpoint_dir``
+    indefinitely — set that conf or prune the dir on a schedule.
     """
     if checkpoint_dir is not None:
-        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        sc = edges.sparkSession.sparkContext
+        prev_dir = sc.getCheckpointDir()
+        sc.setCheckpointDir(checkpoint_dir)
 
         def _cut(df: DataFrame) -> DataFrame:
             return df.checkpoint(eager=True)
@@ -643,27 +656,31 @@ def connected_components(
         def _cut(df: DataFrame) -> DataFrame:
             return df.localCheckpoint(eager=True)
 
-    sym = edges.select(F.col(src).alias("id"), F.col(dst).alias("nbr")).union(
-        edges.select(F.col(dst).alias("id"), F.col(src).alias("nbr"))
-    )
-    sym = _cut(sym)
-    labels = sym.groupBy("id").agg(F.least(F.min("nbr"), F.col("id")).alias("comp"))
-    labels = _cut(labels)
-    prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
-    for _ in range(max_iter):
-        # neighbor labels -> adopt the minimum of (own label, neighbor labels)
-        msgs = sym.join(labels, "id").select(
-            F.col("nbr").alias("id"), F.col("comp")
+    try:
+        sym = edges.select(F.col(src).alias("id"), F.col(dst).alias("nbr")).union(
+            edges.select(F.col(dst).alias("id"), F.col(src).alias("nbr"))
         )
-        new_labels = _cut(
-            labels.union(msgs).groupBy("id").agg(F.min("comp").alias("comp"))
-        )
-        new_sum = new_labels.agg(F.sum("comp")).collect()[0][0]
-        labels = new_labels
-        if new_sum == prev_sum:
-            break
-        prev_sum = new_sum
-    return labels
+        sym = _cut(sym)
+        labels = sym.groupBy("id").agg(F.least(F.min("nbr"), F.col("id")).alias("comp"))
+        labels = _cut(labels)
+        prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
+        for _ in range(max_iter):
+            # neighbor labels -> adopt the minimum of (own label, neighbor labels)
+            msgs = sym.join(labels, "id").select(
+                F.col("nbr").alias("id"), F.col("comp")
+            )
+            new_labels = _cut(
+                labels.union(msgs).groupBy("id").agg(F.min("comp").alias("comp"))
+            )
+            new_sum = new_labels.agg(F.sum("comp")).collect()[0][0]
+            labels = new_labels
+            if new_sum == prev_sum:
+                break
+            prev_sum = new_sum
+        return labels
+    finally:
+        if checkpoint_dir is not None and prev_dir is not None:
+            sc.setCheckpointDir(prev_dir)
 
 
 def verify_pairs_exact_jaccard(

@@ -242,7 +242,14 @@ def d19_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     CMS NEVER undercounts, any violation is a broken hash/merge; (b)
     est <= exact + eps*N — the textbook error bound at confidence 0.99
     (measured: est == exact at sf0.001-0.1; <=1000 distinct keys across
-    20000 cells leave the min-of-7-rows estimate collision-free)."""
+    20000 cells leave the min-of-7-rows estimate collision-free).
+
+    Scale assumption for gate (b): the eps*N bound holds per-query only
+    with probability 0.99, so pinning it TRUE in the oracle relies on the
+    sweep scales' collision-free key space. If the sweep ever runs above
+    sf0.1 (many more distinct l_suppkey values), widen the bound — e.g.
+    tighten eps or raise confidence so the pinned check stays
+    deterministic rather than 99%-probable."""
     li = load_table(spark, sf_dir, "lineitem")
     eps = 1e-4
     row = li.agg(

@@ -867,6 +867,29 @@ _REG["l3_minhash_lsh_pairs"] = (
 _GATE_BASE_CACHE: dict[str, tuple] = {}
 
 
+def _docs_fingerprint(sf_dir: str) -> str:
+    """Cheap change detector for the documents table backing the memoized
+    gate truth: max mtime (ns) + total byte size over the parquet file or
+    directory. Regenerated testdata at the same path changes either."""
+    import os
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    try:
+        if os.path.isdir(path):
+            stats = [
+                os.stat(os.path.join(r, f))
+                for r, _dirs, files in os.walk(path)
+                for f in files
+            ]
+        else:
+            stats = [os.stat(path)]
+    except OSError:
+        return "missing"
+    if not stats:
+        return "empty"
+    return f"{max(s.st_mtime_ns for s in stats)}:{sum(s.st_size for s in stats)}"
+
+
 def _dedup_gate_base(spark: SparkSession, sf_dir: str):
     """(docs, sh, truth) shared by the l3/l3b/l4b gates: one checkpointed
     hashed-shingle table and ONE tagged truth table — exact-Jaccard>=0.7
@@ -874,9 +897,13 @@ def _dedup_gate_base(spark: SparkSession, sf_dir: str):
     all-pairs) unioned with identical-text id pairs (join keyed on the
     text column; at 100 TB key on xxhash64(text) instead to shrink the
     shuffle). The tag lets a single left-join agg produce every gate
-    count in one job. Memoized per (session, sf_dir) with truth
-    materialized, so the three gate queries share one truth build."""
-    key = f"{spark.sparkContext.applicationId}:{sf_dir}"
+    count in one job. Memoized per (session, sf_dir, data fingerprint)
+    with truth materialized, so the three gate queries share one truth
+    build; the fingerprint (max mtime + total size of the documents
+    parquet) invalidates the memo if the driver regenerates testdata at
+    the same path mid-session, so checkpointed truth can never go
+    stale."""
+    key = f"{spark.sparkContext.applicationId}:{sf_dir}:{_docs_fingerprint(sf_dir)}"
     if key in _GATE_BASE_CACHE:
         return _GATE_BASE_CACHE[key]
     docs = load_table(spark, sf_dir, "documents")
