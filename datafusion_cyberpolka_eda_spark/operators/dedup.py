@@ -419,29 +419,25 @@ def minhash_banded_pairs(
     )
 
 
-def minhash_banded_pairs_portable(
+def minhash_signatures_portable(
     df: DataFrame,
     id_col: str,
     text_col: str,
     n: int = 3,
     num_hashes: int = 32,
     bands: int = 8,
-    est_threshold: float = 0.45,
 ) -> DataFrame:
-    """Banded MinHash near-dup pairs with the *portable* hash family
-    (functions/hashing.py): md5-derived 60-bit shingle hashes reduced mod
-    2^31-1, then `num_hashes` universal-hash permutations
-    h_i(x) = (a_i*x + b_i) mod P — every value identical in DuckDB, so the
-    whole algorithm (signatures, band buckets, candidate pairs, agreement
-    estimate) is oracle-checked end-to-end, not just stable across runs.
+    """(id, sig: array<long>, band_keys: array<string>) — the portable
+    MinHash signature stage, factored out of minhash_banded_pairs_portable
+    because it is ALSO the durable-store payload of incremental dedup: a
+    daily pipeline persists exactly these rows (signatures + band keys)
+    and dedups tomorrow's increment against them without re-reading old
+    text. Per-doc output is corpus-independent (signature = mins over the
+    doc's own shingles), which is what makes store reuse sound.
 
-    Same plan shape and shuffle budget as minhash_banded_pairs (ONE
-    signature groupBy with map-side-combined mins, band self-join,
-    candidate distinct); band keys are comma-joined signature slices —
-    at 100 TB hash the key string (band keys here stay short: r values
-    < 2^31 per band). The xxhash64 variant remains the production path
-    (md5 costs ~5-10x more per shingle); this one trades hash speed for
-    cross-engine verifiability."""
+    One shingle explode + ONE groupBy with map-side-combined mins; band
+    keys are comma-joined signature slices — at 100 TB hash the key
+    string (band keys here stay short: r values < 2^31 per band)."""
     from datafusion_cyberpolka_eda_spark.functions.hashing import (
         MERSENNE31,
         md5_hash64,
@@ -471,10 +467,37 @@ def minhash_banded_pairs_portable(
         )
         for b in range(bands)
     ]
-    sig = sig.select(
+    return sig.select(
         "id",
         F.array(*[f"s{i}" for i in range(num_hashes)]).alias("sig"),
         F.array(*band_keys).alias("band_keys"),
+    )
+
+
+def minhash_banded_pairs_portable(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    est_threshold: float = 0.45,
+) -> DataFrame:
+    """Banded MinHash near-dup pairs with the *portable* hash family
+    (functions/hashing.py): md5-derived 60-bit shingle hashes reduced mod
+    2^31-1, then `num_hashes` universal-hash permutations
+    h_i(x) = (a_i*x + b_i) mod P — every value identical in DuckDB, so the
+    whole algorithm (signatures, band buckets, candidate pairs, agreement
+    estimate) is oracle-checked end-to-end, not just stable across runs.
+
+    Same plan shape and shuffle budget as minhash_banded_pairs (ONE
+    signature groupBy with map-side-combined mins — see
+    minhash_signatures_portable — band self-join, candidate distinct).
+    The xxhash64 variant remains the production path (md5 costs ~5-10x
+    more per shingle); this one trades hash speed for cross-engine
+    verifiability."""
+    sig = minhash_signatures_portable(
+        df, id_col, text_col, n, num_hashes, bands
     ).localCheckpoint(eager=True)
 
     banded = sig.select("id", F.posexplode("band_keys").alias("band_idx", "band_key"))
@@ -556,6 +579,84 @@ def minhash_banded_portable_oracle(
     SELECT id_a, id_b, ROUND(est_jaccard, 6) AS est_jaccard
     FROM est WHERE est_jaccard >= {est_threshold}
     """
+
+
+def incremental_minhash_pairs(
+    new_sigs: DataFrame,
+    store_sigs: DataFrame,
+    num_hashes: int = 32,
+    est_threshold: float = 0.45,
+) -> DataFrame:
+    """Incremental (cross-snapshot) near-dup pairs: every banded-MinHash
+    pair involving AT LEAST ONE new document, computed WITHOUT touching
+    the old corpus's text — the operator a real 100 TB pipeline runs
+    daily (dedup today's shard against the persisted signature store,
+    never recompute the old corpus).
+
+    Inputs are minhash_signatures_portable outputs: ``new_sigs`` for the
+    increment (computed this run), ``store_sigs`` the persisted store
+    (read back from parquet — ids must be disjoint from the increment;
+    that is the store contract). Because a doc's signature depends only
+    on its own shingles, the result is EXACTLY the full-corpus
+    minhash_banded_pairs_portable pair set restricted to pairs with >= 1
+    new id (tests assert this equivalence).
+
+    Plan shape: new bands self-join (new-new) + new bands vs store bands
+    equi-join (new-old) -> distinct candidates -> signature-agreement
+    estimate from the unioned signature table. Shuffle volume tracks
+    |increment| band rows + colliding store band rows — NOT the store
+    size: at scale, persist the store bucketed/partitioned by band_key
+    so the new-old join prunes to colliding buckets. Returns
+    (id_a, id_b, est_jaccard, kind) with id_a < id_b and kind in
+    ('new_new', 'new_old')."""
+    nb = new_sigs.select("id", F.posexplode("band_keys").alias("band_idx", "band_key"))
+    sb = store_sigs.select(
+        "id", F.posexplode("band_keys").alias("band_idx", "band_key")
+    )
+    a = nb.select(F.col("id").alias("id_a"), "band_idx", "band_key")
+    b = nb.select(F.col("id").alias("id_b"), "band_idx", "band_key")
+    new_new = (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit("new_new").alias("kind"))
+    )
+    so = sb.select(F.col("id").alias("sid"), "band_idx", "band_key")
+    new_old = (
+        nb.join(so, ["band_idx", "band_key"])
+        .select(
+            F.least(F.col("id"), F.col("sid")).alias("id_a"),
+            F.greatest(F.col("id"), F.col("sid")).alias("id_b"),
+            F.lit("new_old").alias("kind"),
+        )
+    )
+    cand = new_new.union(new_old).distinct()
+    sigs = new_sigs.select("id", "sig").union(store_sigs.select("id", "sig"))
+    sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb2 = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ).cast("double") / F.lit(num_hashes)
+    return (
+        cand.join(sa, "id_a")
+        .join(sb2, "id_b")
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= est_threshold)
+        .select("id_a", "id_b", "est_jaccard", "kind")
+    )
+
+
+def updated_minhash_store(
+    store_sigs: DataFrame, new_sigs: DataFrame
+) -> DataFrame:
+    """The day-N+1 store: old store plus the increment's signature rows
+    (schemas are identical minhash_signatures_portable outputs; union by
+    name so column order in a reloaded store can't silently mispair).
+    Persist the result and tomorrow's increment joins against it — the
+    store only ever grows by |increment| rows, and no old text is ever
+    re-shingled."""
+    return store_sigs.unionByName(new_sigs)
 
 
 def simhash_near_pairs(

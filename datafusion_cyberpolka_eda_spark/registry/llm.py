@@ -1944,3 +1944,101 @@ def l30_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("contamination_rate"),
         )
     )
+
+
+# ---- incremental cross-snapshot dedup (l31) ----
+# (session, sf_dir, cutoff, data fingerprint) -> persisted store path.
+_INCR_STORE_CACHE: dict[str, str] = {}
+
+
+def _incremental_store_dir(spark: SparkSession, sf_dir: str, cutoff: int) -> str:
+    """Build ONCE per (session, data) the persisted day-1 MinHash store —
+    minhash_signatures_portable rows for docs below the cutoff, written to
+    parquet exactly the way a daily dedup job persists them — and return
+    its path. Subsequent l31 calls (and bench reps) read the store back
+    instead of re-shingling the old corpus, which is the entire point of
+    the incremental shape. Memoized with the same data fingerprint as the
+    gate truth so in-session testdata regeneration invalidates it."""
+    key = (
+        f"{spark.sparkContext.applicationId}:{sf_dir}:{cutoff}:"
+        f"{_docs_fingerprint(sf_dir)}"
+    )
+    if key in _INCR_STORE_CACHE:
+        return _INCR_STORE_CACHE[key]
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    day1 = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < cutoff)
+    sigs = D.minhash_signatures_portable(
+        day1, "doc_id", "text", n=3, num_hashes=32, bands=8
+    )
+    out = tempfile.mkdtemp(prefix="minhash_store_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    path = os.path.join(out, "store.parquet")
+    sigs.write.mode("overwrite").parquet(path)
+    _INCR_STORE_CACHE[key] = path
+    return path
+
+
+def _l31_oracle() -> str:
+    from datafusion_cyberpolka_eda_spark.operators.dedup import (
+        minhash_banded_portable_oracle,
+    )
+
+    inner = minhash_banded_portable_oracle(
+        n=3, num_hashes=32, bands=8, est_threshold=0.45
+    )
+    return f"""
+    WITH mh AS (
+      {inner}
+    ),
+    cut AS (
+      SELECT CAST(FLOOR(0.8 * (MAX(doc_id) + 1)) AS BIGINT) AS c FROM documents
+    )
+    SELECT id_a, id_b, est_jaccard,
+           CASE WHEN id_a >= (SELECT c FROM cut) AND id_b >= (SELECT c FROM cut)
+                THEN 'new_new' ELSE 'new_old' END AS kind
+    FROM mh
+    WHERE id_a >= (SELECT c FROM cut) OR id_b >= (SELECT c FROM cut)
+    """
+
+
+@register("l31_incremental_dedup", _l31_oracle())
+def l31_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cross-snapshot dedup — the daily-pipeline operator
+    (r6 verdict task 1): the first 80% of doc ids are "day 1" whose
+    MinHash signature/band store is PERSISTED to parquet (built once per
+    session — _incremental_store_dir); the remaining 20% arrive as the
+    "day 2" increment. The query shingles ONLY the increment (the
+    doc_id >= cutoff predicate is pushed into the documents scan; the old
+    corpus enters purely via the signature store — a no-rescan plan test
+    pins this), joins new bands against new+store bands, and emits every
+    near-dup pair involving >= 1 new doc, tagged new_new/new_old.
+
+    Because per-doc signatures are corpus-independent, the result equals
+    the full-corpus banded pair set restricted to >= 1 new id — which is
+    exactly what the DuckDB oracle computes (full portable-hash replay +
+    cutoff classification), so the incremental path is value-hash-checked
+    against the from-scratch semantics it must preserve.
+
+    Scale shape: store grows by |increment| rows/day and is never
+    recomputed; shuffle volume tracks increment band rows + colliding
+    store rows (persist the store bucketed by band_key at 100 TB so the
+    new-old join prunes to colliding buckets). The mergeable-sketch
+    entries (d20/d21) are the same pattern for distinct counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    cutoff = int(0.8 * (max_id + 1))
+    store = spark.read.parquet(_incremental_store_dir(spark, sf_dir, cutoff))
+    new_docs = docs.filter(F.col("doc_id") >= cutoff)
+    new_sigs = D.minhash_signatures_portable(
+        new_docs, "doc_id", "text", n=3, num_hashes=32, bands=8
+    ).localCheckpoint(eager=True)
+    pairs = D.incremental_minhash_pairs(
+        new_sigs, store, num_hashes=32, est_threshold=0.45
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"), "kind"
+    )
