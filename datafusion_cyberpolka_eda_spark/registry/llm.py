@@ -2042,3 +2042,84 @@ def l31_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"), "kind"
     )
+
+
+# ---- iterative BPE training (l28b) ----
+
+
+def _l28b_oracle(k: int = 5) -> str:
+    """Unrolled-CTE replay of bpe_train_merges (the PageRank-oracle
+    pattern, registry/extra.py:_pagerank_oracle): per round, pick the
+    top pair (count desc, a, b), find match positions, apply the
+    textbook non-overlapping greedy rule — within runs of CONSECUTIVE
+    match positions (which only exist when a = b), merge the odd-ranked
+    ones — then rebuild each token array. Equivalent to the Spark
+    side's left-to-right fold: a merged token contains a space and can
+    never re-match `a` in the same pass."""
+    # AS MATERIALIZED: DuckDB inlines plain CTEs, so the chained
+    # w{i} -> tk{i+1} references re-evaluate the whole prefix per use —
+    # measured 20.8 s -> 0.32 s at sf0.01 with materialization
+    parts = [
+        "w0 AS MATERIALIZED (SELECT doc_id, "
+        "list_filter(string_split(text, ' '), x -> x != '') AS w FROM documents)"
+    ]
+    for i in range(1, k + 1):
+        parts.append(f"""
+    tk{i} AS MATERIALIZED (
+      SELECT doc_id, i AS pos, w[i] AS t, w[i+1] AS tn
+      FROM w{i - 1}, LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) s
+    ),
+    p{i} AS MATERIALIZED (
+      SELECT t AS a, tn AS b, COUNT(*) AS c
+      FROM tk{i} WHERE tn IS NOT NULL
+      GROUP BY 1, 2 ORDER BY c DESC, a, b LIMIT 1
+    ),
+    m{i} AS MATERIALIZED (
+      SELECT doc_id, pos FROM tk{i}, p{i} WHERE t = p{i}.a AND tn = p{i}.b
+    ),
+    sel{i} AS MATERIALIZED (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos,
+               ROW_NUMBER() OVER (PARTITION BY doc_id, grp ORDER BY pos) AS rk
+        FROM (SELECT doc_id, pos,
+                     pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+                       AS grp
+              FROM m{i}) gg
+      ) hh WHERE rk % 2 = 1
+    ),
+    w{i} AS MATERIALIZED (
+      SELECT t.doc_id,
+             list(CASE WHEN s.pos IS NOT NULL THEN t.t || ' ' || t.tn
+                       ELSE t.t END ORDER BY t.pos) AS w
+      FROM tk{i} t
+      LEFT JOIN sel{i} s ON s.doc_id = t.doc_id AND s.pos = t.pos
+      WHERE NOT EXISTS (SELECT 1 FROM sel{i} s2
+                        WHERE s2.doc_id = t.doc_id AND s2.pos = t.pos - 1)
+      GROUP BY t.doc_id
+    )""")
+    selects = "\n    UNION ALL ".join(
+        f"SELECT {i} AS step, a, b, CAST(c AS BIGINT) AS pair_count FROM p{i}"
+        for i in range(1, k + 1)
+    )
+    return "WITH " + ",".join(parts) + "\n    " + selects
+
+
+@register("l28b_bpe_train_k_merges", _l28b_oracle(5))
+def l28b_bpe_train_k_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative BPE TRAINING (r6 verdict task 3) — the loop l28 showed
+    one step of: 5 rounds of count-pairs -> argmax merge (deterministic
+    count-desc/a/b tiebreak) -> greedy non-overlapping apply -> re-pair,
+    over the documents corpus. Returns the learned merge table
+    (step, a, b, pair_count) — the artifact tokenizer training actually
+    produces. Spark side: operators/bpe.py (one pair-count groupBy +
+    TakeOrdered(1) + a map-side array fold per round, lineage cut per
+    round — the PageRank superstep shape); the DuckDB oracle unrolls the
+    same 5 supersteps as chained CTEs, so the full iterative training
+    run is value-hash-checked end-to-end, not just one step."""
+    from datafusion_cyberpolka_eda_spark.operators.bpe import bpe_train_merges
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    merges = bpe_train_merges(docs, "text", k=5)
+    return small_df(
+        spark, merges, "step int, a string, b string, pair_count bigint"
+    )
