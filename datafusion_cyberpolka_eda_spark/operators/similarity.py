@@ -635,3 +635,150 @@ def ann_lsh_fixed_topk_multi(
         .filter(F.col("rank") <= k)
         .select("query_id", F.col("id").alias("neighbor_id"), "cosine", "rank")
     )
+
+
+def ivf_pq_index(
+    unit: DataFrame, centers
+) -> tuple[DataFrame, DataFrame]:
+    """IVF-PQ composed index build (r6 verdict task 4): assign each unit
+    vector to its coarse cell, then int8-quantize the RESIDUAL
+    (v - centroid) with a PER-CELL scale — the standard memory story for
+    billion-vector ANN (faiss IVF + scalar-quantized residuals: residual
+    magnitudes within a cell are comparable, so one scale per cell costs
+    no per-vector metadata and the per-vector payload is exactly
+    dim x 1 byte vs dim x 4 for float32 = a hard 4x compression).
+
+    Returns (index, cell_scales):
+      index       (id, cell, qcodes array<tinyint>, unit_arr) — unit_arr
+                  retained here only so tests can compare against exact
+                  scoring; a persisted index stores (id, cell, qcodes).
+      cell_scales (cell, scale) with scale = 127 / max|residual| over the
+                  cell (1.0 for an all-zero-residual cell).
+
+    Build cost: one assignment pass (literal-expression dots — the l10
+    quantizer path), one per-cell max aggregate (n_centroids rows,
+    broadcast back), one quantization pass. All map-side except the tiny
+    scale agg; no shuffle of vector data."""
+    cent_lits = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centers]
+    )
+
+    def dot_lit(vec) -> Column:
+        arr = F.array(*[F.lit(float(x)) for x in vec])
+        return F.aggregate(
+            F.zip_with(F.col("unit_arr"), arr, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    dots = F.array(*[dot_lit(c) for c in centers])
+    assigned = unit.withColumn(
+        "cell", (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+    ).withColumn(
+        "residual",
+        F.zip_with(
+            "unit_arr", F.element_at(cent_lits, F.col("cell") + 1), lambda a, b: a - b
+        ),
+    ).localCheckpoint(eager=True)  # cut the 2x centroid-dot lineage
+    scales = (
+        assigned.groupBy("cell")
+        .agg(F.max(F.array_max(F.transform("residual", F.abs))).alias("rmax"))
+        .select(
+            "cell",
+            F.when(F.col("rmax") > 0, F.lit(127.0) / F.col("rmax"))
+            .otherwise(F.lit(1.0))
+            .alias("scale"),
+        )
+    )
+    index = (
+        assigned.join(F.broadcast(scales), "cell")
+        .withColumn(
+            "qcodes",
+            F.transform(
+                "residual", lambda x: F.round(x * F.col("scale")).cast("tinyint")
+            ),
+        )
+        .select("id", "cell", "qcodes", "unit_arr")
+    )
+    return index, scales
+
+
+def ann_ivf_pq_topk_multi(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: list[int],
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 8,
+    n_train: int = 2048,
+    prebuilt: tuple | None = None,
+) -> DataFrame:
+    """IVF-PQ serving: approximate cosine from the composed index alone —
+    score(q, v) = dot(q, centroid_cell) + dot(q, qcodes) / scale_cell,
+    i.e. the coarse term plus the dequantized-residual term; the full
+    float vector is never touched in the scoring loop (that is the point:
+    at serving time only codes live in memory).
+
+    Plan shape mirrors ann_ivf_sampled_topk_multi: quantizer trained on a
+    bounded sample driver-side, one assignment+quantization pass, probe
+    cells per query computed driver-side (n_queries x n_centroids dots),
+    candidates via a broadcast equi-join on cell, per-query top-k window.
+    Pass ``prebuilt=(index, centers, cell_scales)`` to serve from an
+    already-built ivf_pq_index (the l8e gate builds once, then measures
+    the footprint and serves from the same index). Returns
+    (query_id, neighbor_id, approx_cosine, rank)."""
+    import numpy as np
+
+    if prebuilt is not None:
+        index, centers, _scales_df = prebuilt
+    else:
+        unit = unit_vec_df(df, id_col, vec_col)
+        n_train = min(max(n_train, 64 * n_centroids), 1 << 18)
+        centers = train_centroids_on_sample(unit, n_centroids, n_train)
+        index, _scales_df = ivf_pq_index(unit, centers)
+    # per-cell scales (n_centroids rows) ride along with the probe rows
+    # so the dequant term needs no extra join
+    scales = {
+        int(r["cell"]): float(r["scale"]) for r in _scales_df.collect()
+    }
+    qrows = index.filter(F.col("id").isin(list(query_ids))).select(
+        "id", "unit_arr"
+    ).collect()
+    probe_rows = []
+    for qr in qrows:
+        qvec = np.array(qr["unit_arr"])
+        cd = centers @ qvec
+        for cell in (int(i) for i in np.argsort(-cd, kind="stable")[:n_probe]):
+            probe_rows.append(
+                (qr["id"], [float(x) for x in qvec], cell, float(cd[cell]),
+                 scales.get(cell, 1.0))
+            )
+    probes = F.broadcast(
+        index.sparkSession.createDataFrame(
+            probe_rows,
+            "query_id bigint, q_arr array<double>, cell int, "
+            "qc_dot double, cell_scale double",
+        )
+    )
+    resid_dot = F.aggregate(
+        F.zip_with(
+            F.col("q_arr"), F.col("qcodes"), lambda a, b: a * b.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    ) / F.col("cell_scale")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_cosine"), F.asc("id")
+    )
+    return (
+        index.select("id", "cell", "qcodes")
+        .join(probes, "cell")
+        .filter(F.col("id") != F.col("query_id"))
+        .withColumn("approx_cosine", F.col("qc_dot") + resid_dot)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", F.col("id").alias("neighbor_id"), "approx_cosine", "rank"
+        )
+    )
