@@ -131,3 +131,73 @@ class TestRangeExportSkew:
             spans = sorted((r["lo"], r["hi"]) for r in fstats)
             for (_, prev_hi), (lo, _) in zip(spans, spans[1:]):
                 assert prev_hi < lo
+
+
+class TestAqeSkewJoinFires:
+    """AQE skew-join evidence (r6 verdict task 5): the automatic
+    counterpart of the hand-salted c9/c12 entries. Build a deliberately
+    skewed sort-merge join, run it, and assert Spark's runtime skew
+    split actually fired — SortMergeJoin(skew=true) in the FINAL
+    adaptive plan. At 100x data a hot key relies on exactly this path,
+    so a config/regression that silently disables it must fail CI."""
+
+    def test_skew_split_fires_in_final_plan(self, spark):
+        confs = {
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            # keep AQE from first coalescing tiny test partitions into one
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1KB",
+        }
+        saved = {}
+        for k, v in confs.items():
+            try:
+                saved[k] = spark.conf.get(k)
+            except Exception:
+                saved[k] = None
+            spark.conf.set(k, v)
+        try:
+            # 400k rows on ONE hot key vs 40k spread keys; the probe side
+            # carries a fat payload so the hot partition crosses the 64KB
+            # skew threshold by orders of magnitude
+            left = spark.range(0, 440_000).select(
+                F.when(F.col("id") < 400_000, F.lit(7))
+                .otherwise(F.pmod(F.col("id"), F.lit(1000)) + 100)
+                .alias("k"),
+                F.concat(F.lit("x" * 64), F.col("id").cast("string")).alias(
+                    "payload"
+                ),
+            )
+            right = spark.range(0, 2000).select(
+                F.pmod(F.col("id"), F.lit(1100)).alias("k"),
+                F.col("id").alias("rv"),
+            )
+            # GLOBAL agg, not groupBy(k): a grouped agg on the join key
+            # requires the join's hash partitioning downstream, and AQE
+            # (correctly) refuses to skew-split a join whose output
+            # partitioning is still needed — the global agg's partial
+            # stage has no such requirement, so the split is legal.
+            # The agg MUST consume the payload: otherwise column pruning
+            # shuffles bare 8-byte keys whose near-constant hot partition
+            # compresses below any realistic skew threshold
+            joined = left.join(right, "k").agg(
+                F.sum(F.length("payload")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            joined.collect()  # AQE finalizes the plan only on execution
+            final_plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "isFinalPlan=true" in final_plan
+            assert "skew=true" in final_plan, (
+                "AQE skew split did not fire:\n" + final_plan[:4000]
+            )
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    try:
+                        spark.conf.unset(k)
+                    except Exception:
+                        pass
+                else:
+                    spark.conf.set(k, v)

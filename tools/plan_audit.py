@@ -231,6 +231,61 @@ def main() -> int:
           absent=["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"])
     check("l29_neardup_canonical_pick", absent=["CartesianProduct"])
     check("l30_fuzzy_decontamination", absent=["CartesianProduct"])
+    # incremental dedup: nothing may go all-pairs. (The no-rescan
+    # contract — increment predicate pushed into every documents scan,
+    # old corpus entering only via the store parquet — is asserted in
+    # tests/test_incremental_dedup.py against the UNCUT lineage; the
+    # registry entry checkpoints its signature stage, so its final plan
+    # no longer contains the documents scan at all.)
+    check("l31_incremental_dedup", absent=["CartesianProduct"])
+
+    # AQE skew-join split (executed, not just planned: AQE finalizes at
+    # runtime): a deliberately skewed SMJ must come back with skew=true
+    # in the final adaptive plan — the automatic counterpart of the
+    # hand-salted c9/c12 entries, and what a 100x hot key relies on.
+    from pyspark.sql import functions as SF
+
+    saved = {}
+    aqe_confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    for k, v in aqe_confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(0, 440_000).select(
+            SF.when(SF.col("id") < 400_000, SF.lit(7))
+            .otherwise(SF.pmod(SF.col("id"), SF.lit(1000)) + 100)
+            .alias("k"),
+            SF.concat(SF.lit("x" * 64), SF.col("id").cast("string")).alias("pl"),
+        )
+        right = spark.range(0, 2000).select(
+            SF.pmod(SF.col("id"), SF.lit(1100)).alias("k"),
+            SF.col("id").alias("rv"),
+        )
+        j = left.join(right, "k").agg(
+            SF.sum(SF.length("pl")).alias("s"), SF.count(SF.lit(1)).alias("n")
+        )
+        j.collect()
+        final_plan = j._jdf.queryExecution().executedPlan().toString()
+        if "skew=true" not in final_plan:
+            failures.append("aqe_skew_join: skew=true absent from final plan")
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                try:
+                    spark.conf.unset(k)
+                except Exception:
+                    pass
+            else:
+                spark.conf.set(k, v)
+    print(f"[{'OK' if not failures else '??'}] aqe_skew_join split fires")
 
     if failures:
         print("\nPLAN AUDIT FAILURES:")
