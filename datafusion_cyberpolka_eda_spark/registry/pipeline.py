@@ -198,16 +198,32 @@ def _run_fixture_pipeline(spark: SparkSession) -> tuple[dict, str]:
 
 
 # ---- pipeline_artifacts: hash-check ARTIFACT TABLES, not just scalars ----
-# Three representative artifact CSVs (the r5 verdict's hardening item 4):
-#   target_stats.csv            (ref:public_eda_pipeline.py:104)
-#   target_pair_stats.csv       (ref:public_eda_pipeline.py:166)
+# Five artifact CSVs (r5 verdict hardening item 4; whale + linear screen
+# added per r6 verdict task 8 — they exercise E5/E12/E13 end-to-end
+# THROUGH the pipeline, not just as standalone operators):
+#   target_stats.csv              (ref:public_eda_pipeline.py:104)
+#   target_pair_stats.csv         (ref:public_eda_pipeline.py:166)
 #   extra_missingness_summary.csv (ref:public_eda_pipeline.py:264)
+#   feature_target_linear_corr.csv (ref:public_eda_pipeline.py:463-594)
+#   whale_signals.csv             (ref:public_eda_pipeline.py:598-669)
 # emitted long-form (artifact, row_key, metric, value) from the files the
 # pipeline wrote; DuckDB recomputes every value from the fixture parquet.
+#
+# NULL convention (advisor r6): a NaN pair/correlation metric crosses as
+# an explicit NULL row on BOTH sides — the oracle builds its long forms
+# with per-metric UNION ALLs (NULL-preserving), never UNPIVOT (which
+# silently drops NULL values and would desync row counts the first time
+# a regenerated fixture produces a NaN). The linear-screen table is the
+# one exception BY THE PIPELINE'S OWN RULE: it drops non-finite corr
+# rows before writing the CSV, so the oracle filters them identically.
 
 _PAIR_METRICS = [
     "corr", "co_count", "co_rate", "expected_independent_rate", "pair_lift",
 ]
+_NUM_MAIN = [f"num_feature_{i}" for i in range(1, 21)]
+_SCREEN_FEATS = _NUM_MAIN + _CAT_COLS + _EXTRA_COLS
+_LINEAR_METRICS = ["pearson_corr", "abs_corr", "null_rate"]
+_WHALE_METRICS = ["top1_rate", "rest99_rate", "lift", "pvalue"]
 
 
 def _artifacts_oracle() -> str:
@@ -247,34 +263,184 @@ def _artifacts_oracle() -> str:
             FROM {tx}"""
         for c in _EXTRA_COLS
     )
+    # NULL-preserving long form (advisor r6): one UNION ALL per metric so
+    # a NULL pair stat survives to a row instead of vanishing in UNPIVOT
+    pairs_long = "\n      UNION ALL ".join(
+        f"SELECT 'target_pair_stats' AS artifact, row_key, '{m}' AS metric, "
+        f"{m} AS value FROM pairs"
+        for m in _PAIR_METRICS
+    )
     return f"""
     WITH pairs AS (
       {pair_union}
     ),
-    pairs_long AS (
-      SELECT 'target_pair_stats' AS artifact, row_key, metric, value
-      FROM pairs
-      UNPIVOT (value FOR metric IN ({', '.join(_PAIR_METRICS)}))
-    )
+    {_screen_oracle_ctes()}
     SELECT artifact, row_key, metric, ROUND(value, 6) AS value FROM (
       {stats_union}
-      UNION ALL SELECT * FROM pairs_long
+      UNION ALL {pairs_long}
       UNION ALL {miss_union}
+      UNION ALL SELECT * FROM lin_long
+      UNION ALL SELECT * FROM wh_long
     ) allrows
     """
+
+
+def _screen_oracle_ctes() -> str:
+    """CTEs recomputing feature_target_linear_corr.csv (mean-imputed
+    Pearson screen over the full-sample 3-way join — pct=100 in the
+    fixture config, so no sampling enters) and whale_signals.csv (exact
+    p99 cutoffs, null-aware 2x2 contingencies, lgamma hypergeometric
+    tail — the e13 oracle formulation — lift>=2 & p<0.05 significance
+    filter) from the fixture parquet. Long-form outputs `lin_long` /
+    `wh_long` ready for the final union."""
+    tt = f"read_parquet('{FIXTURE_DIR}/train_target.parquet')"
+    tm = f"read_parquet('{FIXTURE_DIR}/train_main_features.parquet')"
+    tx = f"read_parquet('{FIXTURE_DIR}/train_extra_features.parquet')"
+    main_cast = ", ".join(
+        f"CAST(m.{c} AS DOUBLE) AS {c}" for c in _NUM_MAIN + _CAT_COLS
+    )
+    extra_cast = ", ".join(f"CAST(x.{c} AS DOUBLE) AS {c}" for c in _EXTRA_COLS)
+    tgt_cast = ", ".join(f"CAST(t.{c} AS DOUBLE) AS {c}" for c in _TARGETS)
+    means = ", ".join(f"AVG({c}) AS m_{c}" for c in _SCREEN_FEATS)
+    imputed = ", ".join(f"COALESCE({c}, m_{c}) AS {c}" for c in _SCREEN_FEATS)
+    feats_list = ", ".join(_SCREEN_FEATS)
+    tgts_list = ", ".join(_TARGETS)
+    null_rate_main = ", ".join(
+        f"AVG(CAST({c} IS NULL AS INT)) AS {c}" for c in _NUM_MAIN + _CAT_COLS
+    )
+    null_rate_extra = ", ".join(
+        f"AVG(CAST({c} IS NULL AS INT)) AS {c}" for c in _EXTRA_COLS
+    )
+    num_cast = ", ".join(f"CAST({c} AS DOUBLE) AS {c}" for c in _NUM_MAIN)
+    num_list = ", ".join(_NUM_MAIN)
+    wh_long = "\n      UNION ALL ".join(
+        f"SELECT 'whale_signals' AS artifact, target || '|' || feature AS "
+        f"row_key, '{m}' AS metric, {m} AS value FROM whsig"
+        for m in _WHALE_METRICS
+    )
+    return f"""
+    sc AS MATERIALIZED (
+      SELECT m.customer_id, {main_cast}, {extra_cast}, {tgt_cast}
+      FROM {tm} m JOIN {tx} x USING (customer_id) JOIN {tt} t USING (customer_id)
+    ),
+    mu AS (SELECT {means} FROM sc),
+    sci AS MATERIALIZED (
+      SELECT customer_id, {imputed} FROM sc CROSS JOIN mu
+    ),
+    fl AS (
+      SELECT customer_id, fname, fval FROM sci
+      UNPIVOT (fval FOR fname IN ({feats_list}))
+    ),
+    tlg AS (
+      SELECT customer_id, tname, tval FROM sc
+      UNPIVOT (tval FOR tname IN ({tgts_list}))
+    ),
+    lin AS (
+      SELECT tname, fname, corr(fval, tval) AS c
+      FROM fl JOIN tlg USING (customer_id)
+      GROUP BY 1, 2
+    ),
+    nrm AS (SELECT {null_rate_main} FROM {tm}),
+    nrx AS (SELECT {null_rate_extra} FROM {tx}),
+    nr AS (
+      SELECT fname, null_rate FROM nrm
+      UNPIVOT (null_rate FOR fname IN ({", ".join(_NUM_MAIN + _CAT_COLS)}))
+      UNION ALL
+      SELECT fname, null_rate FROM nrx
+      UNPIVOT (null_rate FOR fname IN ({", ".join(_EXTRA_COLS)}))
+    ),
+    linf AS (SELECT * FROM lin WHERE c IS NOT NULL AND isfinite(c)),
+    lin_long AS (
+      SELECT 'feature_target_linear_corr' AS artifact,
+             tname || '|' || fname AS row_key,
+             'pearson_corr' AS metric, c AS value FROM linf
+      UNION ALL
+      SELECT 'feature_target_linear_corr', tname || '|' || fname,
+             'abs_corr', ABS(c) FROM linf
+      UNION ALL
+      SELECT 'feature_target_linear_corr', l.tname || '|' || l.fname,
+             'null_rate', nr.null_rate
+      FROM linf l JOIN nr ON nr.fname = l.fname
+    ),
+    nlw AS (
+      SELECT customer_id, fname, fval
+      FROM (SELECT customer_id, {num_cast} FROM {tm})
+      UNPIVOT (fval FOR fname IN ({num_list}))
+    ),
+    cuts AS (
+      SELECT fname, percentile_cont(0.99) WITHIN GROUP (ORDER BY fval) AS c
+      FROM nlw GROUP BY fname
+    ),
+    rare AS (SELECT tname FROM tlg GROUP BY tname HAVING AVG(tval) < 0.005),
+    ctw AS (
+      SELECT n.fname AS feature, t.tname AS target,
+             CAST(SUM(CASE WHEN n.fval >= c.c THEN 1 ELSE 0 END) AS BIGINT)
+               AS top_n,
+             CAST(SUM(CASE WHEN n.fval >= c.c THEN t.tval ELSE 0 END) AS BIGINT)
+               AS top_pos,
+             CAST(SUM(CASE WHEN n.fval < c.c THEN 1 ELSE 0 END) AS BIGINT)
+               AS rest_n,
+             CAST(SUM(CASE WHEN n.fval < c.c THEN t.tval ELSE 0 END) AS BIGINT)
+               AS rest_pos
+      FROM nlw n
+      JOIN cuts c USING (fname)
+      JOIN tlg t USING (customer_id)
+      JOIN rare r ON r.tname = t.tname
+      GROUP BY 1, 2
+    ),
+    okw AS (
+      SELECT * FROM ctw WHERE top_n >= 50 AND rest_n >= 1000 AND rest_pos > 0
+    ),
+    ksw AS (
+      SELECT unnest(generate_series(0,
+        (SELECT COALESCE(MAX(LEAST(top_n, top_pos + rest_pos)), 0) FROM okw)
+      )) AS k
+    ),
+    termsw AS (
+      SELECT o.feature, o.target, ksw.k,
+             (lgamma(top_n + 1) - lgamma(k + 1) - lgamma(top_n - k + 1))
+           + (lgamma(rest_n + 1) - lgamma(top_pos + rest_pos - k + 1)
+              - lgamma(rest_n - (top_pos + rest_pos - k) + 1))
+           - (lgamma(top_n + rest_n + 1) - lgamma(top_pos + rest_pos + 1)
+              - lgamma(top_n + rest_n - top_pos - rest_pos + 1)) AS lt
+      FROM okw o JOIN ksw
+        ON ksw.k BETWEEN o.top_pos AND LEAST(o.top_n, o.top_pos + o.rest_pos)
+      WHERE o.top_pos + o.rest_pos - ksw.k <= o.rest_n
+    ),
+    whp AS (
+      SELECT o.feature, o.target,
+             CAST(o.top_pos AS DOUBLE) / o.top_n AS top1_rate,
+             CAST(o.rest_pos AS DOUBLE) / o.rest_n AS rest99_rate,
+             (CAST(o.top_pos AS DOUBLE) / o.top_n)
+               / (CAST(o.rest_pos AS DOUBLE) / o.rest_n) AS lift,
+             LEAST((SELECT SUM(exp(lt)) FROM termsw t
+                    WHERE t.feature = o.feature AND t.target = o.target),
+                   1.0) AS pvalue
+      FROM okw o
+    ),
+    whsig AS (SELECT * FROM whp WHERE lift >= 2.0 AND pvalue < 0.05),
+    wh_long AS (
+      {wh_long}
+    )"""
 
 
 @register("pipeline_artifacts", _artifacts_oracle())
 def pipeline_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-check the EDA pipeline's artifact TABLES (not just summary
-    scalars): read back target_stats.csv, target_pair_stats.csv and
-    extra_missingness_summary.csv exactly as the pipeline wrote them
-    (CSV round-trip preserves doubles via shortest-repr) and emit them
-    long-form; the DuckDB oracle recomputes all 295 values independently
-    from the fixture parquet (prevalence sums, pairwise Pearson/phi,
-    co-occurrence lifts, per-column null rates). Shares the per-process
-    pipeline run with pipeline_summary; like it, excluded from bench
-    timing (the perf artifact is the 750k-row run in BASELINE.md)."""
+    scalars): read back target_stats.csv, target_pair_stats.csv,
+    extra_missingness_summary.csv, feature_target_linear_corr.csv and
+    whale_signals.csv exactly as the pipeline wrote them (CSV round-trip
+    preserves doubles via shortest-repr) and emit them long-form; the
+    DuckDB oracle recomputes all 2643 values independently from the
+    fixture parquet (prevalence sums, pairwise Pearson/phi, co-occurrence
+    lifts, per-column null rates, the full mean-imputed 78-feature x
+    10-target linear screen, and the whale stage end-to-end: exact p99
+    cutoffs, null-aware contingencies, lgamma Fisher tails, the
+    lift/p-value significance filter). This closes the gap between
+    "operator green" (E5/E12/E13 standalone) and "pipeline-composed
+    green". Shares the per-process pipeline run with pipeline_summary;
+    like it, excluded from bench timing (the perf artifact is the
+    750k-row run in BASELINE.md)."""
     import pandas as pd
 
     _summary, tables = _run_fixture_pipeline(spark)
@@ -296,6 +462,20 @@ def pipeline_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in ms.itertuples():
         rows.append(("extra_missingness", r.feature, "null_rate",
                      float(r.null_rate)))
+    lc = pd.read_csv(os.path.join(tables, "feature_target_linear_corr.csv"))
+    for r in lc.itertuples():
+        key = f"{r.target}|{r.feature}"
+        for m in _LINEAR_METRICS:
+            v = getattr(r, m)
+            rows.append(("feature_target_linear_corr", key, m,
+                         None if pd.isna(v) else float(v)))
+    ws = pd.read_csv(os.path.join(tables, "whale_signals.csv"))
+    for r in ws.itertuples():
+        key = f"{r.target}|{r.feature}"
+        for m in _WHALE_METRICS:
+            v = getattr(r, m)
+            rows.append(("whale_signals", key, m,
+                         None if pd.isna(v) else float(v)))
     df = small_df(
         spark, rows, "artifact string, row_key string, metric string, value double"
     )
