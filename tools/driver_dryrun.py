@@ -6,11 +6,19 @@ oracles at the driver's sweep scale, with the driver's compare shape
 (column-name sort, NaN-aware float equality). Use before a round ends to
 catch would-be CORRECTNESS failures without waiting for the driver.
 
-Usage: python tools/driver_dryrun.py [n_window] [sf_dir]
+Usage: python tools/driver_dryrun.py [n_window] [sf_dir] [artifact.json]
+
+Pass n_window=0 (or >= the registry size) to sweep EVERY entry, and an
+artifact path to write the per-query result rows as JSON in the
+CORRECTNESS_r* shape — committing one full sweep per round
+(CORRECTNESS_local_rN.json) closes the driver-rotation staleness window
+(r6 verdict task 2: the driver re-checks ~50/round, so without this a
+regression in an unswept entry could hide for rounds).
 """
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 
@@ -22,6 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> int:
     n_window = int(sys.argv[1]) if len(sys.argv) > 1 else 50
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    artifact = sys.argv[3] if len(sys.argv) > 3 else None
 
     import duckdb
     from pyspark.sql import SparkSession
@@ -39,13 +48,22 @@ def main() -> int:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs, os_ = e.queries(), e.oracle_sql()
+    names = list(qs) if n_window <= 0 else list(qs)[:n_window]
     failures = []
-    for name in list(qs)[:n_window]:
+    results: dict[str, dict] = {}
+    for name in names:
         sql = os_.get(name)
+        row = {
+            "rows_match": None, "schema_match": None, "hash_match": None,
+            "spark_rows": None, "oracle_rows": None, "err": None,
+        }
+        results[name] = row
         try:
             spdf = qs[name](spark, sf_dir).toPandas()
+            row["spark_rows"] = len(spdf)
         except Exception as exc:  # a sweep row would record err
             failures.append(name)
+            row["err"] = f"spark: {exc}"[:500]
             print(name, "SPARK ERROR:", exc)
             continue
         if sql is None:
@@ -53,8 +71,10 @@ def main() -> int:
             continue
         try:
             opdf = con.sql(sql).df()
+            row["oracle_rows"] = len(opdf)
         except Exception as exc:
             failures.append(name)
+            row["err"] = f"oracle: {exc}"[:500]
             print(name, "ORACLE ERROR:", exc)
             continue
         s = spdf[sorted(spdf.columns)].sort_values(
@@ -63,7 +83,9 @@ def main() -> int:
         o = opdf[sorted(opdf.columns)].sort_values(
             by=sorted(opdf.columns)
         ).reset_index(drop=True)
-        ok = s.shape == o.shape and list(s.columns) == list(o.columns)
+        row["rows_match"] = s.shape[0] == o.shape[0]
+        row["schema_match"] = list(s.columns) == list(o.columns)
+        ok = bool(row["rows_match"] and row["schema_match"])
         if ok:
             for c in s.columns:
                 a, b = s[c].values, o[c].values
@@ -75,10 +97,15 @@ def main() -> int:
                 if not good:
                     ok = False
                     break
+        row["hash_match"] = ok
         if not ok:
             failures.append(name)
         print(name, "MATCH:", ok, flush=True)
-    print(f"\ndry-run: {n_window} window entries, {len(failures)} failures")
+    if artifact:
+        with open(artifact, "w") as f:
+            json.dump(results, f, indent=1)
+        print(f"wrote {artifact} ({len(results)} entries)")
+    print(f"\ndry-run: {len(names)} window entries, {len(failures)} failures")
     if failures:
         print("failed:", failures)
     return 1 if failures else 0
