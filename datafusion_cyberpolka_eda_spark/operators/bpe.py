@@ -71,16 +71,27 @@ def greedy_merge_expr(tok_col: str, a: str, b: str) -> Column:
     )
 
 
-def bpe_train_merges(
-    docs: DataFrame, text_col: str, k: int = 5
-) -> list[tuple[int, str, str, int]]:
-    """Train k BPE merges over the corpus; returns the merge table
-    [(step, a, b, pair_count), ...] in learned order (fewer than k rows
-    only if the corpus runs out of adjacent pairs). Ties broken
-    deterministically (count desc, a asc, b asc) so the learned merges
-    are engine-reproducible — the l28b DuckDB oracle unrolls the same k
-    supersteps as chained CTEs and must pick identical pairs."""
-    toks = docs.select(tokens_col(text_col).alias("toks"))
+def bpe_train(
+    docs: DataFrame,
+    text_col: str,
+    k: int = 5,
+    carry_cols: tuple[str, ...] = (),
+    encode: bool = True,
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Train k BPE merges over the corpus; returns (merge_table,
+    encoded_docs) — the merge table [(step, a, b, pair_count), ...] in
+    learned order (fewer than k rows only if the corpus runs out of
+    adjacent pairs) and the corpus's token arrays AFTER all merges (the
+    encode side of tokenizer training), with ``carry_cols`` (e.g. doc_id,
+    lang) threaded through. Ties broken deterministically (count desc,
+    a asc, b asc) so the learned merges are engine-reproducible — the
+    l28b/l28c DuckDB oracles unroll the same k supersteps as chained
+    CTEs and must pick identical pairs.
+
+    ``encode=False`` skips the k-th merge application (it only affects
+    the encoded corpus, never the merge table) — the merge-table-only
+    caller saves one fold+checkpoint job per train."""
+    toks = docs.select(*carry_cols, tokens_col(text_col).alias("toks"))
     # one cut up front: the source text column is dropped from lineage
     toks = toks.localCheckpoint(eager=True)
     merges: list[tuple[int, str, str, int]] = []
@@ -95,9 +106,32 @@ def bpe_train_merges(
             break
         a, b, c = top[0]["a"], top[0]["b"], int(top[0]["pair_count"])
         merges.append((step, a, b, c))
-        # apply + cut: the fold rewrites arrays map-side; the checkpoint
-        # keeps round r+1's plan independent of round r's fold expression
+        if step == k and not encode:
+            break  # last apply only matters for the encoded corpus
+        # apply: the fold rewrites arrays map-side; cut lineage every
+        # SECOND round (and before returning the encoded corpus) — a
+        # two-fold-deep plan stays flat at half the checkpoint-job cost
         toks = toks.select(
-            greedy_merge_expr("toks", a, b).alias("toks")
-        ).localCheckpoint(eager=True)
-    return merges
+            *carry_cols, greedy_merge_expr("toks", a, b).alias("toks")
+        )
+        if step % 2 == 0 or step == k:
+            toks = toks.localCheckpoint(eager=True)
+    return merges, toks
+
+
+def bpe_encode_with_merges(
+    toks: DataFrame, merges: list[tuple[int, str, str, int]],
+) -> DataFrame:
+    """Apply an already-learned merge table to a token-array DataFrame in
+    learned order — encode new text with a trained tokenizer (no counting
+    passes; k map-side folds, zero shuffles)."""
+    for _step, a, b, _c in merges:
+        toks = toks.withColumn("toks", greedy_merge_expr("toks", a, b))
+    return toks
+
+
+def bpe_train_merges(
+    docs: DataFrame, text_col: str, k: int = 5
+) -> list[tuple[int, str, str, int]]:
+    """Merge table only — see bpe_train (skips the final apply)."""
+    return bpe_train(docs, text_col, k, encode=False)[0]

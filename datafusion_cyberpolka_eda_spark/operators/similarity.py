@@ -782,3 +782,60 @@ def ann_ivf_pq_topk_multi(
             "query_id", F.col("id").alias("neighbor_id"), "approx_cosine", "rank"
         )
     )
+
+
+def ivf_pq_add(
+    new_unit: DataFrame, centers, scales: DataFrame
+) -> DataFrame:
+    """Incremental IVF-PQ index growth with a FROZEN quantizer (the ANN
+    analog of incremental dedup's persisted store): new vectors are
+    assigned against the STORED centroids and quantized with the STORED
+    per-cell scales — no retraining, no rescan of indexed vectors, the
+    index grows by |increment| rows. This is how production vector
+    indexes actually ingest (quantizer retrains on a schedule, not per
+    batch).
+
+    Codes are clamped to [-127, 127]: an increment vector's residual can
+    exceed the old cell max the frozen scale was derived from (bounded
+    extra quantization error on those components — re-train the
+    quantizer when the clamp rate grows). On already-indexed vectors the
+    clamp is the identity, so re-adding day-1 rows reproduces the
+    original index EXACTLY (tested — the store-replay equivalence gate).
+
+    Returns rows with the ivf_pq_index schema (id, cell, qcodes,
+    unit_arr); union with the existing index to serve."""
+    cent_lits = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centers]
+    )
+
+    def dot_lit(vec) -> Column:
+        arr = F.array(*[F.lit(float(x)) for x in vec])
+        return F.aggregate(
+            F.zip_with(F.col("unit_arr"), arr, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    dots = F.array(*[dot_lit(c) for c in centers])
+    assigned = new_unit.withColumn(
+        "cell", (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+    ).withColumn(
+        "residual",
+        F.zip_with(
+            "unit_arr", F.element_at(cent_lits, F.col("cell") + 1), lambda a, b: a - b
+        ),
+    )
+    return (
+        assigned.join(F.broadcast(scales), "cell")
+        .withColumn(
+            "qcodes",
+            F.transform(
+                "residual",
+                lambda x: F.greatest(
+                    F.lit(-127),
+                    F.least(F.lit(127), F.round(x * F.col("scale")).cast("int")),
+                ).cast("tinyint"),
+            ),
+        )
+        .select("id", "cell", "qcodes", "unit_arr")
+    )

@@ -110,3 +110,49 @@ class TestL28bOracleParity:
 
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-x", "-q"]))
+
+
+class TestBpeEncode:
+    def test_encode_with_merges_matches_train_encode(self, spark):
+        from datafusion_cyberpolka_eda_spark.operators.bpe import (
+            bpe_encode_with_merges,
+            bpe_train,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "the cat sat"), (2, "the cat ran"), (3, "a cat sat")],
+            "doc_id bigint, text string",
+        )
+        merges, enc = bpe_train(docs, "text", k=3, carry_cols=("doc_id",))
+        fresh = spark.createDataFrame(
+            [(9, "the cat sat on a cat sat",)], "doc_id bigint, text string"
+        ).select("doc_id", tokens_col("text").alias("toks"))
+        out = {r["doc_id"]: r["toks"] for r in
+               bpe_encode_with_merges(fresh, merges).collect()}
+        # merges learned in order: (cat,sat) -> (a,"cat sat") -> (cat,ran):
+        # pass 1 fuses both cat+sat; pass 2 fuses the a+"cat sat" tail
+        assert out[9] == ["the", "cat sat", "on", "a cat sat"]
+
+    def test_train_encode_skips_nothing(self, spark):
+        """encode=True's returned corpus reflects ALL k merges, including
+        the k-th (the merge-table-only path skips that final apply)."""
+        from datafusion_cyberpolka_eda_spark.operators.bpe import bpe_train
+
+        docs = spark.createDataFrame([("a b a b",)], "text string")
+        merges, enc = bpe_train(docs, "text", k=2)
+        assert merges == [(1, "a", "b", 2), (2, "a b", "a b", 1)]
+        assert enc.collect()[0]["toks"] == ["a b a b"]
+
+    def test_l28c_oracle_parity(self, spark, duck, sf_dir):
+        from datafusion_cyberpolka_eda_spark.registry.llm import (
+            _l28c_oracle,
+            l28c_bpe_encode,
+        )
+
+        got = sorted(
+            (r["lang"], r["n_docs"], r["tokens_before"], r["tokens_after"],
+             r["compression"])
+            for r in l28c_bpe_encode(spark, sf_dir).collect()
+        )
+        want = sorted(tuple(t) for t in duck.sql(_l28c_oracle(5)).fetchall())
+        assert got == want

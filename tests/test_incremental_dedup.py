@@ -159,7 +159,7 @@ class TestNoOldCorpusRescan:
 
         stores = [v for k, v in L._INCR_STORE_CACHE.items() if sf_dir in k]
         assert stores, "store cache empty after l31 run"
-        path = stores[-1]
+        _cutoff, path = stores[-1]
 
         def mtimes():
             return sorted(

@@ -730,3 +730,46 @@ class TestIvfPq:
         row = l8e_ann_ivf_pq(spark, sf_dir).collect()[0]
         assert row["mean_recall_at_5_ge_60pct"] is True
         assert row["pq_bytes_le_quarter_f32"] is True
+
+
+class TestIvfPqIncremental:
+    """Frozen-quantizer incremental index growth (l8f): re-adding indexed
+    vectors must replay the store exactly; out-of-range increment
+    residuals must clamp to the int8 range."""
+
+    def test_day1_replay_exact(self, spark, emb):
+        unit = SIM.unit_vec_df(emb, "vec_id", "embedding")
+        centers = SIM.train_centroids_on_sample(unit, 8, 512)
+        index, scales = SIM.ivf_pq_index(unit, centers)
+        replay = SIM.ivf_pq_add(unit, centers, scales)
+        cols = ["id", "cell", "qcodes"]
+        a, b = index.select(*cols), replay.select(*cols)
+        assert a.exceptAll(b).count() == 0
+        assert b.exceptAll(a).count() == 0
+
+    def test_out_of_range_residual_clamps(self, spark):
+        import numpy as np
+
+        # 3 tight day-1 vectors around e1 -> tiny residual max -> huge
+        # scale; a day-2 vector far from the centroid must clamp, not wrap
+        base = [(i, [1.0, 0.001 * i, 0.0, 0.0]) for i in range(1, 4)]
+        day1 = spark.createDataFrame(base, "vec_id bigint, embedding array<double>")
+        unit1 = SIM.unit_vec_df(day1, "vec_id", "embedding")
+        centers = np.array([[1.0, 0.0, 0.0, 0.0], [0.0, 0.0, 0.0, 1.0]])
+        _index, scales = SIM.ivf_pq_index(unit1, centers)
+        far = spark.createDataFrame(
+            [(9, [0.5, 0.85, 0.0, 0.0])], "vec_id bigint, embedding array<double>"
+        )
+        row = SIM.ivf_pq_add(
+            SIM.unit_vec_df(far, "vec_id", "embedding"), centers, scales
+        ).collect()[0]
+        assert max(abs(c) for c in row["qcodes"]) == 127  # clamped, in-range
+
+    def test_l8f_gate_row(self, spark, sf_dir):
+        from datafusion_cyberpolka_eda_spark.registry.llm import (
+            l8f_ann_ivf_pq_incremental,
+        )
+
+        row = l8f_ann_ivf_pq_incremental(spark, sf_dir).collect()[0]
+        assert row["day1_replay_identical"] is True
+        assert row["union_recall_at_5_ge_60pct"] is True
