@@ -637,6 +637,28 @@ def ann_lsh_fixed_topk_multi(
     )
 
 
+def _assign_cells_literal(unit: DataFrame, centers) -> DataFrame:
+    """(id, unit_arr, cell): nearest-centroid assignment via inlined
+    literal dot products (argmax-dot == argmin-euclidean on unit
+    vectors; first-max tiebreak). Callers MUST materialize (checkpoint)
+    the result before referencing `cell` inside any per-element lambda —
+    CollapseProject re-inlines and re-evaluates it per component
+    otherwise."""
+
+    def dot_lit(vec) -> Column:
+        arr = F.array(*[F.lit(float(x)) for x in vec])
+        return F.aggregate(
+            F.zip_with(F.col("unit_arr"), arr, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    dots = F.array(*[dot_lit(c) for c in centers])
+    return unit.withColumn(
+        "cell", (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+    )
+
+
 def ivf_pq_index(
     unit: DataFrame, centers
 ) -> tuple[DataFrame, DataFrame]:
@@ -658,28 +680,24 @@ def ivf_pq_index(
     Build cost: one assignment pass (literal-expression dots — the l10
     quantizer path), one per-cell max aggregate (n_centroids rows,
     broadcast back), one quantization pass. All map-side except the tiny
-    scale agg; no shuffle of vector data."""
+    scale agg; no shuffle of vector data.
+
+    The cell column is MATERIALIZED before the residual is expressed:
+    `cell` is a 16-fold dot-product argmax, and a per-element lambda that
+    references it gets re-inlined by CollapseProject and re-evaluated
+    PER VECTOR COMPONENT (the shingle_sets trap — measured 14 s vs <1 s
+    on the sf0.1 embeddings). The checkpoint barrier pins it to one
+    evaluation per row."""
+    assigned = _assign_cells_literal(unit, centers).localCheckpoint(eager=True)
     cent_lits = F.array(
         *[F.array(*[F.lit(float(x)) for x in c]) for c in centers]
     )
-
-    def dot_lit(vec) -> Column:
-        arr = F.array(*[F.lit(float(x)) for x in vec])
-        return F.aggregate(
-            F.zip_with(F.col("unit_arr"), arr, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    dots = F.array(*[dot_lit(c) for c in centers])
-    assigned = unit.withColumn(
-        "cell", (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
-    ).withColumn(
+    assigned = assigned.withColumn(
         "residual",
         F.zip_with(
             "unit_arr", F.element_at(cent_lits, F.col("cell") + 1), lambda a, b: a - b
         ),
-    ).localCheckpoint(eager=True)  # cut the 2x centroid-dot lineage
+    )
     scales = (
         assigned.groupBy("cell")
         .agg(F.max(F.array_max(F.transform("residual", F.abs))).alias("rmax"))
@@ -803,22 +821,14 @@ def ivf_pq_add(
     original index EXACTLY (tested — the store-replay equivalence gate).
 
     Returns rows with the ivf_pq_index schema (id, cell, qcodes,
-    unit_arr); union with the existing index to serve."""
+    unit_arr); union with the existing index to serve. Cell assignment
+    is materialized before the residual lambda references it (the
+    ivf_pq_index CollapseProject barrier — see its docstring)."""
     cent_lits = F.array(
         *[F.array(*[F.lit(float(x)) for x in c]) for c in centers]
     )
-
-    def dot_lit(vec) -> Column:
-        arr = F.array(*[F.lit(float(x)) for x in vec])
-        return F.aggregate(
-            F.zip_with(F.col("unit_arr"), arr, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    dots = F.array(*[dot_lit(c) for c in centers])
-    assigned = new_unit.withColumn(
-        "cell", (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+    assigned = _assign_cells_literal(new_unit, centers).localCheckpoint(
+        eager=True
     ).withColumn(
         "residual",
         F.zip_with(

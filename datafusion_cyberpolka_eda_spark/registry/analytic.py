@@ -771,3 +771,152 @@ def g11_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             "week_index", "n_active", "cohort_size", "retention",
         )
     )
+
+
+@register(
+    "d22_kll_quantile_sketch",
+    """
+    WITH n AS (SELECT COUNT(l_extendedprice) AS n FROM lineitem)
+    SELECT 0.5 AS quantile, CAST((SELECT n FROM n) AS BIGINT) AS n_values,
+           TRUE AS rank_within_2pct
+    UNION ALL SELECT 0.9, (SELECT n FROM n), TRUE
+    UNION ALL SELECT 0.99, (SELECT n FROM n), TRUE
+    """,
+)
+def d22_kll_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable KLL quantile sketches (Apache DataSketches
+    kll_sketch_agg_double / kll_merge_agg_double) — the QUANTILE member
+    completing the mergeable-sketch family (d19 CMS frequency, d20 HLL
+    distinct, d21 bitmap exact): per-shard sketches (one per
+    l_returnflag here, standing in for per-day/per-shard builds at
+    100 TB) merge into a corpus sketch without rescanning, exactly how
+    you keep p50/p99 latency or price quantiles over a growing corpus.
+
+    KLL is a randomized sketch, so the ESTIMATE is not a stable hash
+    target; the registered output follows the d19/d20 gate convention:
+    (a) the merged sketch's item count must equal the exact non-null
+    row count (an exact integer the oracle pins — a lost or
+    double-merged shard breaks it), and (b) for p in {0.5, 0.9, 0.99}
+    the TRUE rank of the estimated quantile (one exact counting pass)
+    must sit within 2% of p — k=800 gives ~0.5% normalized rank error,
+    so 2% is a multi-sigma bound (same scale caveat as d19: documented,
+    not probabilistically tight)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per = (
+        li.groupBy("l_returnflag")
+        .agg(F.kll_sketch_agg_double("l_extendedprice", F.lit(800)).alias("sk"))
+        .localCheckpoint(eager=True)  # merge job re-aggs 3 sketch rows
+    )
+    merged = per.agg(F.kll_merge_agg_double("sk").alias("m")).select(
+        F.kll_sketch_get_n_double("m").alias("n"),
+        *[
+            F.kll_sketch_get_quantile_double("m", F.lit(p)).alias(f"q{i}")
+            for i, p in enumerate((0.5, 0.9, 0.99))
+        ],
+    ).collect()[0]
+    n = int(merged["n"])
+    ranks = li.agg(
+        F.count("l_extendedprice").alias("cnt"),
+        *[
+            (
+                F.count(
+                    F.when(F.col("l_extendedprice") <= merged[f"q{i}"], 1)
+                ) / F.count("l_extendedprice")
+            ).alias(f"r{i}")
+            for i in range(3)
+        ],
+    ).collect()[0]
+    rows = [
+        (
+            p,
+            n,
+            n == int(ranks["cnt"]) and abs(float(ranks[f"r{i}"]) - p) <= 0.02,
+        )
+        for i, p in enumerate((0.5, 0.9, 0.99))
+    ]
+    return small_df(
+        spark, rows, "quantile double, n_values bigint, rank_within_2pct boolean"
+    )
+
+
+@register(
+    "d23_theta_sketch_set_ops",
+    """
+    WITH a AS (SELECT DISTINCT o_custkey AS k FROM orders
+               WHERE o_orderpriority = '1-URGENT'),
+    b AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'F')
+    SELECT 'union' AS op,
+           CAST((SELECT COUNT(*) FROM (SELECT k FROM a UNION SELECT k FROM b) u)
+                AS BIGINT) AS exact_distinct,
+           TRUE AS theta_within_5pct_of_union
+    UNION ALL
+    SELECT 'intersection',
+           CAST((SELECT COUNT(*) FROM a WHERE k IN (SELECT k FROM b)) AS BIGINT),
+           TRUE
+    UNION ALL
+    SELECT 'difference',
+           CAST((SELECT COUNT(*) FROM a WHERE k NOT IN (SELECT k FROM b))
+                AS BIGINT),
+           TRUE
+    """,
+)
+def d23_theta_sketch_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta sketch SET OPERATIONS (Apache DataSketches theta_sketch_agg /
+    theta_union_agg / theta_intersection_agg / theta_difference) — the
+    capability HLL fundamentally lacks: sketch-level INTERSECTION and
+    DIFFERENCE estimates (HLL unions only). At 100 TB this answers
+    "how many customers appear in BOTH day-1 and day-2" or "how many are
+    new today" from two stored 4KB sketches instead of re-shuffling both
+    key sets — the set-algebra member of the mergeable-sketch family.
+
+    The two sets genuinely overlap AND differ on both sides (customers
+    with an URGENT order vs customers with a finished order), so all
+    three set ops are non-degenerate at every sweep scale. One scan+agg
+    builds both per-source sketches (the d20 shape); union, intersection,
+    and A-minus-B are sketch-level ops on the 2-row table. Gate
+    convention (d20): exact distinct counts pinned by the oracle,
+    estimates within 5% OF THE UNION cardinality — theta set-op error
+    scales with the union size, not the result size (a small difference
+    estimated from two large sketches has unbounded RELATIVE error by
+    construction; default lgK=12 -> RSE ~1.6% of the union, and exact
+    mode below 4096 entries, so 5%-of-union stays multi-sigma)."""
+    o = load_table(spark, sf_dir, "orders")
+    keys = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("k"), F.lit("a").alias("src"))
+        .unionByName(
+            o.filter(F.col("o_orderstatus") == "F").select(
+                F.col("o_custkey").alias("k"), F.lit("b").alias("src")
+            )
+        )
+    )
+    per = (
+        keys.groupBy("src")
+        .agg(F.theta_sketch_agg("k").alias("sk"))
+        .localCheckpoint(eager=True)
+    )
+    ests = per.agg(
+        F.theta_sketch_estimate(F.theta_union_agg("sk")).alias("u"),
+        F.theta_sketch_estimate(F.theta_intersection_agg("sk")).alias("i"),
+        F.theta_sketch_estimate(
+            F.theta_difference(
+                F.max_by("sk", F.when(F.col("src") == "a", 1).otherwise(0)),
+                F.max_by("sk", F.when(F.col("src") == "b", 1).otherwise(0)),
+            )
+        ).alias("d"),
+    ).collect()[0]
+    a_keys = keys.filter(F.col("src") == "a").select("k").distinct()
+    b_keys = keys.filter(F.col("src") == "b").select("k").distinct()
+    exact_u = a_keys.union(b_keys).distinct().count()
+    exact_i = a_keys.join(b_keys, "k", "left_semi").count()
+    exact_d = a_keys.join(b_keys, "k", "left_anti").count()
+    tol = 0.05 * exact_u
+    rows = [
+        ("union", exact_u, abs(float(ests["u"]) - exact_u) <= tol),
+        ("intersection", exact_i, abs(float(ests["i"]) - exact_i) <= tol),
+        ("difference", exact_d, abs(float(ests["d"]) - exact_d) <= tol),
+    ]
+    return small_df(
+        spark, rows,
+        "op string, exact_distinct bigint, theta_within_5pct_of_union boolean",
+    )

@@ -2319,9 +2319,8 @@ def l8f_ann_ivf_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay = SIM.ivf_pq_add(unit1, centers, scales)
     cmp_cols = ["id", "cell", "qcodes"]
     a, b = index1.select(*cmp_cols), replay.select(*cmp_cols)
-    identical = (
-        a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
-    )
+    # symmetric difference in ONE action (two exceptAll branches unioned)
+    identical = a.exceptAll(b).union(b.exceptAll(a)).count() == 0
 
     inc = SIM.ivf_pq_add(
         SIM.unit_vec_df(day2, "vec_id", "embedding"), centers, scales
