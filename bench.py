@@ -162,13 +162,20 @@ def main() -> None:
         if name in skip_timing:
             continue
         rts = []
-        for _ in range(reps):
+        # rep 0 is a DISCARDED warm-up execution: the first run of each
+        # query compiles its whole-stage codegen (0.3-7 s for the
+        # literal-heavy plans — measured: l9 rep1 7.3 s vs 0.7 s warm),
+        # which is per-plan compile cost, not steady-state query cost.
+        # Medians and spread are over genuinely warm executions only.
+        for r in range(reps + 1):
             t0 = time.perf_counter()
             fn(spark, sf_dir).collect()
-            rts.append(round(time.perf_counter() - t0, 4))
+            elapsed = round(time.perf_counter() - t0, 4)
             # drop caches/broadcasts between runs: 100+ queries in one JVM
             # otherwise accumulate blocks and GC pauses pollute later timings
             spark.catalog.clearCache()
+            if r > 0:
+                rts.append(elapsed)
         # localCheckpoint blocks and broadcasts are freed by ContextCleaner
         # only after the Python-side refs die — collect them promptly, and
         # periodically force a JVM old-gen sweep, or ~350 executions in one
