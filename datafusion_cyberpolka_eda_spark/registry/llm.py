@@ -1303,6 +1303,32 @@ def l11_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doc_gram_hashes(docs: DataFrame, n: int = 5) -> DataFrame:
+    """(doc_id, lang, source, h) — one row per word n-gram, h the portable
+    60-bit md5 gram hash (functions/hashing) the DuckDB oracles replay.
+    Shared by the full-corpus screen (l20) and the incremental screen
+    (l32) so both sides hash identically by construction. Explode +
+    hash are map-side; no shuffle is introduced here."""
+    from datafusion_cyberpolka_eda_spark.functions.hashing import md5_hash64
+
+    d = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.split(F.lower(F.col("text")), " ").alias("_toks"),
+    )
+    gram_expr = (
+        f"case when size(_toks) >= {n} then "
+        f"transform(sequence(1, size(_toks) - {n - 1}), "
+        f"i -> array_join(slice(_toks, i, {n}), ' ')) "
+        "else array() end"
+    )
+    return d.select(
+        "doc_id", "lang", "source",
+        F.explode(F.expr(gram_expr)).alias("gram"),
+    ).select("doc_id", "lang", "source", md5_hash64("gram").alias("h"))
+
+
 @register(
     "l20_contamination_screen",
     """
@@ -1355,28 +1381,8 @@ def l20_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side partial all happen in the scan stage; only (lang, doc)
     survivors shuffle. Contamination screening an entire crawl is one
     pass over the corpus."""
-    from datafusion_cyberpolka_eda_spark.functions.hashing import md5_hash64
-
     docs = load_table(spark, sf_dir, "documents")
-    n = 5
-    d = docs.select(
-        "doc_id",
-        "lang",
-        "source",
-        F.split(F.lower(F.col("text")), " ").alias("_toks"),
-    )
-    gram_expr = (
-        f"case when size(_toks) >= {n} then "
-        f"transform(sequence(1, size(_toks) - {n - 1}), "
-        f"i -> array_join(slice(_toks, i, {n}), ' ')) "
-        "else array() end"
-    )
-    g = d.select(
-        "doc_id", "lang", "source",
-        F.explode(F.expr(gram_expr)).alias("gram"),
-    ).select(
-        "doc_id", "lang", "source", md5_hash64("gram").alias("h")
-    )
+    g = _doc_gram_hashes(docs, n=5)
     is_bench = F.col("source").isin("src0", "src1")
     bench = g.filter(is_bench).select("h").distinct()
     train_hits = (
@@ -1388,7 +1394,7 @@ def l20_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_contaminated"))
     )
     tdocs = (
-        d.filter(~is_bench)
+        docs.filter(~is_bench)
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
@@ -2063,6 +2069,150 @@ def l31_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pairs.select(
         "id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"), "kind"
+    )
+
+
+# ---- incremental cross-snapshot decontamination (l32) ----
+# (session, sf_dir, data fingerprint) -> (cutoff, persisted gram-store path).
+_DECON_STORE_CACHE: dict[str, tuple[int, str]] = {}
+
+# Increment = the last 40% of doc ids (vs l31's 20%): at the driver's
+# sf0.01 sweep scale the 20% tail happens to contain zero contaminated
+# docs, which would make the oracle check trivially all-zero; the 40%
+# tail contains real hits at every sweep scale, so the incremental path
+# is value-checked on nonzero contamination counts.
+_L32_CUTOFF_FRAC = 0.6
+
+
+def _decon_store(spark: SparkSession, sf_dir: str) -> tuple[int, str]:
+    """Build ONCE per (session, data) the persisted benchmark gram store —
+    the DISTINCT portable 60-bit hashes of every benchmark 5-gram
+    (sources src0/src1), written to parquet the way a daily pipeline
+    persists its decontamination blocklist — and return (cutoff, path).
+    Unlike the dedup signature store (which grows by the daily increment,
+    l31), the benchmark store is STATIC between benchmark releases: a new
+    benchmark snapshot unions in and distinct-merges, daily document
+    increments never touch it. Memoized with the data fingerprint so
+    in-session testdata regeneration invalidates it."""
+    key = (
+        f"{spark.sparkContext.applicationId}:{sf_dir}:"
+        f"{_docs_fingerprint(sf_dir)}"
+    )
+    if key in _DECON_STORE_CACHE:
+        return _DECON_STORE_CACHE[key]
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    cutoff = int(_L32_CUTOFF_FRAC * (max_id + 1))
+    bench = (
+        _doc_gram_hashes(
+            docs.filter(F.col("source").isin("src0", "src1")), n=5
+        )
+        .select("h")
+        .distinct()
+    )
+    out = tempfile.mkdtemp(prefix="decon_store_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    path = os.path.join(out, "bench_grams.parquet")
+    bench.write.mode("overwrite").parquet(path)
+    _DECON_STORE_CACHE[key] = (cutoff, path)
+    return _DECON_STORE_CACHE[key]
+
+
+_L32_ORACLE = f"""
+    WITH cut AS (
+      SELECT CAST(FLOOR({_L32_CUTOFF_FRAC} * (MAX(doc_id) + 1)) AS BIGINT) AS c
+      FROM documents
+    ),
+    d AS (
+      SELECT doc_id, lang, source,
+             string_split(lower(text), ' ') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, lang, source,
+             ('0x' || substr(md5(array_to_string(toks[i:i+4], ' ')), 1, 15))::BIGINT AS h
+      FROM d, UNNEST(range(1, greatest(len(toks) - 3, 1))) AS t(i)
+    ),
+    bench AS (SELECT DISTINCT h FROM g WHERE source IN ('src0', 'src1')),
+    inc AS (
+      SELECT lang, COUNT(*) AS n_docs FROM d
+      WHERE source NOT IN ('src0', 'src1')
+        AND doc_id >= (SELECT c FROM cut)
+      GROUP BY lang
+    ),
+    hit AS (
+      SELECT DISTINCT g.doc_id, g.lang
+      FROM g JOIN bench USING (h)
+      WHERE g.source NOT IN ('src0', 'src1')
+        AND g.doc_id >= (SELECT c FROM cut)
+    ),
+    hc AS (SELECT lang, COUNT(*) AS n_contaminated FROM hit GROUP BY lang)
+    SELECT i.lang,
+           CAST(i.n_docs AS BIGINT) AS n_docs,
+           CAST(COALESCE(hc.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+           ROUND(COALESCE(hc.n_contaminated, 0) * 1.0 / i.n_docs, 6)
+             AS contamination_rate
+    FROM inc i LEFT JOIN hc USING (lang)
+"""
+
+
+@register("l32_incremental_decontamination", _L32_ORACLE)
+def l32_incremental_decontamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental decontamination — the daily-shape counterpart of l20,
+    completing the incremental family (l31 dedup store, l8f IVF-PQ add,
+    d20/d21 mergeable sketches): the benchmark's distinct 5-gram hash
+    set is PERSISTED once (per benchmark release — _decon_store), and
+    each day only the NEW document increment (doc_id >= the
+    _L32_CUTOFF_FRAC snapshot cutoff) is tokenized, exploded, and
+    probed against the store. The old corpus
+    is never re-screened and the benchmark is never re-shingled; a plan
+    test pins that every documents scan on the steady-state path carries
+    the pushed increment predicate.
+
+    Because contamination is a per-document property (shares ANY 5-gram
+    with the static benchmark set), the increment screen equals the
+    full-corpus screen (l20) restricted to increment docs — which is
+    exactly what the DuckDB oracle computes (full tokenize/hash/contain
+    replay + cutoff restriction), so the incremental path is
+    value-hash-checked against the from-scratch semantics.
+
+    100 TB design: the gram store is benchmark-sized (MBs — broadcasts),
+    the daily scan is increment-sized, and the probe is the same
+    all-map-side broadcast semi-join as l20; only (lang, doc) survivors
+    shuffle. Steady-state daily cost tracks |increment|, independent of
+    corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    cutoff, store_path = _decon_store(spark, sf_dir)
+    bench = spark.read.parquet(store_path)
+    inc = docs.filter(
+        (F.col("doc_id") >= cutoff)
+        & ~F.col("source").isin("src0", "src1")
+    )
+    hits = (
+        _doc_gram_hashes(inc, n=5)
+        .join(F.broadcast(bench), "h", "left_semi")
+        .select("doc_id", "lang")
+        .distinct()
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    n_docs = inc.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    return n_docs.join(hits, "lang", "left").select(
+        "lang",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.coalesce("n_contaminated", F.lit(0)).cast("bigint").alias(
+            "n_contaminated"
+        ),
+        F.round(
+            F.coalesce("n_contaminated", F.lit(0)) * 1.0 / F.col("n_docs"), 6
+        ).alias("contamination_rate"),
     )
 
 
