@@ -346,3 +346,50 @@ def j14_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_checkpoint_recovery_rollup(
         spark, _os.path.join(sf_dir, "events.parquet")
     )
+
+
+def _j15_oracle() -> str:
+    # the streaming path must reproduce the batch incremental answer,
+    # which equals the full-corpus banded pair set restricted to >= 1
+    # new id — l31's oracle, verbatim
+    from datafusion_cyberpolka_eda_spark.registry.llm import _l31_oracle
+
+    return _l31_oracle()
+
+
+@register("j15_stream_incremental_dedup", _j15_oracle())
+def j15_stream_incremental_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming incremental dedup — the continuous-ingest shape of l31:
+    the day-2 document increment arrives as 3 forced micro-batches; each
+    epoch shingles only its batch, joins bands against the persisted
+    day-1 store plus previously-streamed signatures, emits near-dup
+    pairs, and appends its own signatures (store grows by the epoch's
+    rows). The accumulated pair set must equal the BATCH incremental
+    answer — l31's full-corpus-replay oracle, so the epoch-at-a-time
+    path is value-hash-checked against from-scratch semantics."""
+    import os as _os
+
+    from datafusion_cyberpolka_eda_spark.registry.llm import (
+        _incremental_store,
+    )
+    from datafusion_cyberpolka_eda_spark.sources.catalog import load_table
+    from datafusion_cyberpolka_eda_spark.streaming.documents import (
+        stream_incremental_dedup,
+    )
+
+    cutoff, store_path = _incremental_store(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    scratch = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+        ".scratch",
+        f"j15_{_os.path.basename(_os.path.normpath(sf_dir)).replace('.', '_')}",
+    )
+    return stream_incremental_dedup(
+        spark,
+        docs.filter(F.col("doc_id") >= cutoff),
+        store_path,
+        scratch,
+        cutoff,
+    )

@@ -1,0 +1,112 @@
+"""Streaming document-pipeline drivers.
+
+Structured-Streaming front-ends over the incremental dedup operators in
+``operators/dedup.py``: document increments arrive as micro-batches and
+are deduped against the persisted MinHash signature store, which grows
+by exactly the increment each epoch. This is the daily-ingest shape of
+the l31 batch operator (ref: the reference engine has no streaming
+surface — reference coverage is batch-only per SURVEY §2-J; this module
+is the Spark-native extension family).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_cyberpolka_eda_spark.operators import dedup as D
+
+
+def stream_incremental_dedup(
+    spark: SparkSession,
+    increment: DataFrame,
+    store_path: str,
+    scratch_dir: str,
+    cutoff: int,
+    *,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    est_threshold: float = 0.45,
+    n_files: int = 3,
+) -> DataFrame:
+    """Continuous-ingest near-dup dedup: the document increment is fanned
+    into ``n_files`` files and streamed with maxFilesPerTrigger=1, so the
+    query runs MULTIPLE epochs. Each epoch's foreachBatch shingles ONLY
+    that micro-batch, joins its bands against the persisted day-1 store
+    PLUS every previously-streamed batch's appended signatures, emits the
+    near-dup pairs, and then appends its own signatures — so the store
+    grows by exactly the epoch's rows and cross-epoch new-new pairs are
+    found by the later epoch (each unordered pair is emitted exactly
+    once: the earlier doc is already in the store when the later one
+    arrives; a test pins the no-duplicate invariant).
+
+    The rollup re-derives ``kind`` against the SNAPSHOT cutoff (a pair
+    between two streamed docs is new_new even when a later epoch found
+    its partner in the appended store), so the accumulated result equals
+    the batch incremental answer (l31) and therefore the full-corpus
+    banded pair set restricted to >= 1 new id — that equality is the
+    oracle.
+
+    At 100 TB this is the Kafka-fed ingest topology: bounded per-epoch
+    sink transactions (pairs + signature append), store partitioned by
+    band_key so each epoch's join prunes to colliding buckets, and no
+    old text ever re-shingled. File-source micro-batches stand in for
+    the queue; the foreachBatch body is source-agnostic."""
+    src_dir = os.path.join(scratch_dir, "inc_src")
+    appended_dir = os.path.join(scratch_dir, "appended_sigs")
+    pairs_dir = os.path.join(scratch_dir, "pairs")
+    for d in (src_dir, appended_dir, pairs_dir):
+        shutil.rmtree(d, ignore_errors=True)
+
+    # contiguous id ranges per file: deterministic epoch membership, so
+    # tests can place near-dup partners in different epochs on purpose
+    increment.repartitionByRange(n_files, "doc_id").write.parquet(src_dir)
+    base_store = spark.read.parquet(store_path)
+    # seed the append + pairs dirs with empty frames so every epoch (and
+    # the final rollup) can read them unconditionally
+    spark.createDataFrame([], base_store.schema).write.parquet(appended_dir)
+    spark.createDataFrame(
+        [], "id_a bigint, id_b bigint, est_jaccard double, kind string"
+    ).write.parquet(pairs_dir)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        sigs = D.minhash_signatures_portable(
+            batch_df, "doc_id", "text", n=n, num_hashes=num_hashes,
+            bands=bands,
+        ).localCheckpoint(eager=True)
+        store = base_store.unionByName(spark.read.parquet(appended_dir))
+        pairs = D.incremental_minhash_pairs(
+            sigs, store, num_hashes=num_hashes, est_threshold=est_threshold
+        )
+        # pairs MUST materialize before this epoch's signatures land in
+        # the appended store — otherwise the lazy store scan would pick
+        # up the batch's own rows and re-emit its pairs via the
+        # new-old path
+        pairs.write.mode("append").parquet(pairs_dir)
+        sigs.write.mode("append").parquet(appended_dir)
+
+    q = stream.writeStream.foreachBatch(handle).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    both_new = (F.col("id_a") >= cutoff) & (F.col("id_b") >= cutoff)
+    return spark.read.parquet(pairs_dir).select(
+        "id_a",
+        "id_b",
+        F.round("est_jaccard", 6).alias("est_jaccard"),
+        F.when(both_new, F.lit("new_new"))
+        .otherwise(F.lit("new_old"))
+        .alias("kind"),
+    )
