@@ -499,7 +499,20 @@ def minhash_banded_pairs_portable(
     sig = minhash_signatures_portable(
         df, id_col, text_col, n, num_hashes, bands
     ).localCheckpoint(eager=True)
+    return banded_pairs_from_signatures(sig, num_hashes, est_threshold)
 
+
+def banded_pairs_from_signatures(
+    sig: DataFrame,
+    num_hashes: int = 32,
+    est_threshold: float = 0.45,
+) -> DataFrame:
+    """The pair stage of banded MinHash, starting from an existing
+    (id, sig, band_keys) signature table — either freshly computed
+    (minhash_banded_pairs_portable calls this) or READ BACK from a
+    persisted signature store, which is how incremental pipelines rebuild
+    day-1 pairs/components without ever re-shingling day-1 text. Band
+    self-join -> distinct candidates -> signature-agreement estimate."""
     banded = sig.select("id", F.posexplode("band_keys").alias("band_idx", "band_key"))
     a = banded.select(F.col("id").alias("id_a"), "band_idx", "band_key")
     b = banded.select(F.col("id").alias("id_b"), "band_idx", "band_key")
@@ -782,6 +795,61 @@ def connected_components(
     finally:
         if checkpoint_dir is not None and prev_dir is not None:
             sc.setCheckpointDir(prev_dir)
+
+
+def incremental_components(
+    old_labels: DataFrame,
+    new_edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Incremental connected-component maintenance: merge a day's new
+    similarity edges into a PERSISTED component-label store without
+    re-running CC over the whole corpus — the cluster-maintenance half of
+    incremental dedup (incremental_minhash_pairs finds the new pairs;
+    this updates which doc survives per cluster).
+
+    ``old_labels`` is yesterday's (id, comp) assignment (comp = min member
+    id — connected_components output, read back from parquet).
+    ``new_edges`` are today's pairs, each touching >= 1 new doc. Only
+    components TOUCHED by a new edge can change, so the update runs CC on
+    a bounded subgraph:
+
+      1. endpoints of new edges -> affected old components (a lookup join
+         against the store on id — bounded by |delta|, broadcast it);
+      2. pull every member row of the affected components (at 100 TB keep
+         the store partitioned/bucketed by comp so this is a pruned read,
+         not a full-store scan);
+      3. star edges (comp, id) encode each old component's connectivity
+         in one hop (sound because comp is itself a member id and the min
+         over the star equals the min over the original component);
+      4. HashMin CC over star + new edges — rounds track the diameter of
+         the NEW-edge graph collapsed over old components, not the old
+         graph's.
+
+    Returns (id, comp) for every member of every affected component —
+    exactly the from-scratch full-graph CC restricted to components
+    containing >= 1 new-edge endpoint (tests assert this equivalence).
+    Old components untouched by any new edge keep their store rows;
+    callers overwrite/append only the returned delta."""
+    ends = (
+        new_edges.select(F.col(src).alias("id"))
+        .union(new_edges.select(F.col(dst).alias("id")))
+        .distinct()
+    )
+    affected = (
+        old_labels.join(F.broadcast(ends), "id").select("comp").distinct()
+    )
+    sub_old = old_labels.join(F.broadcast(affected), "comp")
+    star = sub_old.filter(F.col("id") != F.col("comp")).select(
+        F.col("comp").alias(src), F.col("id").alias(dst)
+    )
+    merged = star.union(new_edges.select(src, dst))
+    return connected_components(
+        merged, src, dst, max_iter=max_iter, checkpoint_dir=checkpoint_dir
+    )
 
 
 def verify_pairs_exact_jaccard(

@@ -2072,6 +2072,155 @@ def l31_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- incremental component maintenance (l33) ----
+# (session, sf_dir, data fingerprint) -> persisted day-1 label-store path.
+_INCR_CC_CACHE: dict[str, str] = {}
+
+
+def _incremental_cc_store(spark: SparkSession, sf_dir: str) -> str:
+    """Build ONCE per (session, data) the persisted day-1 COMPONENT-LABEL
+    store: day-1 banded pairs rebuilt from the persisted signature store
+    (banded_pairs_from_signatures — day-1 text is never re-shingled),
+    HashMin connected components over them, (id, comp) written to parquet
+    the way a daily dedup job persists its cluster assignment. Returns
+    the parquet path; keyed by the same data fingerprint as the signature
+    store so testdata regeneration invalidates it."""
+    key = (
+        f"{spark.sparkContext.applicationId}:{sf_dir}:"
+        f"{_docs_fingerprint(sf_dir)}"
+    )
+    if key in _INCR_CC_CACHE:
+        return _INCR_CC_CACHE[key]
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    _cutoff, sig_path = _incremental_store(spark, sf_dir)
+    sigs = spark.read.parquet(sig_path)
+    pairs = D.banded_pairs_from_signatures(sigs, num_hashes=32, est_threshold=0.45)
+    labels = D.connected_components(pairs, "id_a", "id_b")
+    out = tempfile.mkdtemp(prefix="cc_store_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    path = os.path.join(out, "labels.parquet")
+    labels.write.mode("overwrite").parquet(path)
+    _INCR_CC_CACHE[key] = path
+    return path
+
+
+def _l33_oracle() -> str:
+    from datafusion_cyberpolka_eda_spark.operators.dedup import (
+        minhash_banded_portable_oracle,
+    )
+
+    inner = minhash_banded_portable_oracle(
+        n=3, num_hashes=32, bands=8, est_threshold=0.45
+    )
+    return f"""
+    WITH RECURSIVE mh AS (
+      {inner}
+    ),
+    cut AS (
+      SELECT CAST(FLOOR(0.8 * (MAX(doc_id) + 1)) AS BIGINT) AS c FROM documents
+    ),
+    opairs AS (
+      SELECT id_a, id_b FROM mh
+      WHERE id_a < (SELECT c FROM cut) AND id_b < (SELECT c FROM cut)
+    ),
+    oedges AS (SELECT id_a AS a, id_b AS b FROM opairs
+               UNION SELECT id_b, id_a FROM opairs),
+    oreach(id, r) AS (
+      SELECT a, a FROM oedges
+      UNION
+      SELECT e.b, o.r FROM oreach o JOIN oedges e ON e.a = o.id
+    ),
+    olab AS (SELECT id, MIN(r) AS comp FROM oreach GROUP BY id),
+    fedges AS (SELECT id_a AS a, id_b AS b FROM mh
+               UNION SELECT id_b, id_a FROM mh),
+    freach(id, r) AS (
+      SELECT a, a FROM fedges
+      UNION
+      SELECT e.b, f.r FROM freach f JOIN fedges e ON e.a = f.id
+    ),
+    flab AS (SELECT id, MIN(r) AS comp FROM freach GROUP BY id),
+    newcomp AS (
+      SELECT DISTINCT comp FROM flab WHERE id >= (SELECT c FROM cut)
+    ),
+    aff AS (SELECT f.id, f.comp FROM flab f JOIN newcomp n ON f.comp = n.comp),
+    sizes AS (SELECT comp, COUNT(*) AS n FROM aff GROUP BY comp)
+    SELECT a.id AS doc_id, a.comp AS component,
+           CASE WHEN a.id >= (SELECT c FROM cut) THEN 'new'
+                WHEN o.comp IS NULL THEN 'first_cluster'
+                WHEN o.comp <> a.comp THEN 'relabeled'
+                ELSE 'unchanged' END AS status,
+           s.n AS cluster_size
+    FROM aff a
+    LEFT JOIN olab o ON o.id = a.id
+    JOIN sizes s ON s.comp = a.comp
+    """
+
+
+@register("l33_incremental_components", _l33_oracle())
+def l33_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cluster-assignment maintenance — the second half of the
+    daily dedup loop (l31 finds today's near-dup pairs; this merges them
+    into the PERSISTED component-label store without re-running CC over
+    the old corpus). Day-1 labels are built once per session from the
+    persisted signature store (banded_pairs_from_signatures — no
+    re-shingling) and written to parquet; the day-2 increment's pairs
+    (incremental_minhash_pairs) then update only the components they
+    touch via dedup.incremental_components: affected-component pull +
+    star edges + bounded-subgraph HashMin CC.
+
+    Output = the update DELTA a daily job would write back: every member
+    of every affected component with its new label, a status
+    (new / first_cluster / relabeled / unchanged), and the new cluster
+    size. The DuckDB oracle recomputes from-scratch full-graph CC (two
+    recursive CTEs: day-1-only and full) and restricts to components
+    containing >= 1 new doc — the incremental path must reproduce
+    from-scratch semantics exactly, statuses included.
+
+    Scale shape: cost tracks |increment pairs| + |affected components|,
+    never |corpus|; persist the label store partitioned by comp so the
+    member pull is a pruned read."""
+    docs = load_table(spark, sf_dir, "documents")
+    cutoff, sig_path = _incremental_store(spark, sf_dir)
+    labels_path = _incremental_cc_store(spark, sf_dir)
+    store = spark.read.parquet(sig_path)
+    old_labels = spark.read.parquet(labels_path)
+    new_docs = docs.filter(F.col("doc_id") >= cutoff)
+    new_sigs = D.minhash_signatures_portable(
+        new_docs, "doc_id", "text", n=3, num_hashes=32, bands=8
+    ).localCheckpoint(eager=True)
+    new_pairs = (
+        D.incremental_minhash_pairs(new_sigs, store, num_hashes=32, est_threshold=0.45)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    updated = D.incremental_components(old_labels, new_pairs, "id_a", "id_b")
+    sizes = updated.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        updated.join(
+            old_labels.select(
+                F.col("id"), F.col("comp").alias("old_comp")
+            ),
+            "id",
+            "left",
+        )
+        .join(F.broadcast(sizes), "comp")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("comp").alias("component"),
+            F.when(F.col("id") >= cutoff, F.lit("new"))
+            .when(F.col("old_comp").isNull(), F.lit("first_cluster"))
+            .when(F.col("old_comp") != F.col("comp"), F.lit("relabeled"))
+            .otherwise(F.lit("unchanged"))
+            .alias("status"),
+            "cluster_size",
+        )
+    )
+
+
 # ---- incremental cross-snapshot decontamination (l32) ----
 # (session, sf_dir, data fingerprint) -> (cutoff, persisted gram-store path).
 _DECON_STORE_CACHE: dict[str, tuple[int, str]] = {}
