@@ -2221,6 +2221,295 @@ def l33_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- incremental survivor maintenance (l34) ----
+# (session, sf_dir, data fingerprint) -> (day-1 stats path, day-1 survivors path).
+_INCR_SURV_CACHE: dict[str, tuple[str, str]] = {}
+
+
+def _pick_survivors(members: DataFrame, toks: DataFrame) -> DataFrame:
+    """(comp, picked_id, picked_n_tokens): longest-member policy (ties to
+    lowest doc_id) over a (id, comp) membership table joined to per-doc
+    token counts — the same window pick as l29, partitioned by cluster id
+    so there is no global sort."""
+    w = Window.partitionBy("comp").orderBy(F.desc("n_tokens"), F.asc("id"))
+    return (
+        members.join(toks.withColumnRenamed("doc_id", "id"), "id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "comp",
+            F.col("id").alias("picked_id"),
+            F.col("n_tokens").cast("bigint").alias("picked_n_tokens"),
+        )
+    )
+
+
+def _incremental_surv_store(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Build ONCE per (session, data) the remaining day-1 stores of the
+    daily dedup loop: the per-doc stats store (doc_id, n_tokens — token
+    counts are computed when a doc FIRST arrives and persisted, so
+    survivor re-picks never re-read old text) and the day-1 survivor
+    store ((comp, picked_id, picked_n_tokens) over the day-1 label
+    store). Returns (stats_path, survivors_path)."""
+    key = (
+        f"{spark.sparkContext.applicationId}:{sf_dir}:"
+        f"{_docs_fingerprint(sf_dir)}"
+    )
+    if key in _INCR_SURV_CACHE:
+        return _INCR_SURV_CACHE[key]
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    cutoff, _sig_path = _incremental_store(spark, sf_dir)
+    labels_path = _incremental_cc_store(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    day1_stats = docs.filter(F.col("doc_id") < cutoff).select(
+        "doc_id", T.token_count("text").cast("bigint").alias("n_tokens")
+    )
+    out = tempfile.mkdtemp(prefix="surv_store_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    stats_path = os.path.join(out, "stats.parquet")
+    day1_stats.write.mode("overwrite").parquet(stats_path)
+
+    labels = spark.read.parquet(labels_path)
+    surv = _pick_survivors(labels, spark.read.parquet(stats_path))
+    surv_path = os.path.join(out, "survivors.parquet")
+    surv.write.mode("overwrite").parquet(surv_path)
+    _INCR_SURV_CACHE[key] = (stats_path, surv_path)
+    return _INCR_SURV_CACHE[key]
+
+
+def _l34_oracle() -> str:
+    from datafusion_cyberpolka_eda_spark.operators.dedup import (
+        minhash_banded_portable_oracle,
+    )
+
+    inner = minhash_banded_portable_oracle(
+        n=3, num_hashes=32, bands=8, est_threshold=0.45
+    )
+    return f"""
+    WITH RECURSIVE mh AS (
+      {inner}
+    ),
+    cut AS (
+      SELECT CAST(FLOOR(0.8 * (MAX(doc_id) + 1)) AS BIGINT) AS c FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    opairs AS (
+      SELECT id_a, id_b FROM mh
+      WHERE id_a < (SELECT c FROM cut) AND id_b < (SELECT c FROM cut)
+    ),
+    oedges AS (SELECT id_a AS a, id_b AS b FROM opairs
+               UNION SELECT id_b, id_a FROM opairs),
+    oreach(id, r) AS (
+      SELECT a, a FROM oedges
+      UNION
+      SELECT e.b, o.r FROM oreach o JOIN oedges e ON e.a = o.id
+    ),
+    olab AS (SELECT id, MIN(r) AS comp FROM oreach GROUP BY id),
+    opick AS (
+      SELECT l.comp, l.id, t.n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY l.comp
+               ORDER BY t.n_tokens DESC, l.id ASC) AS rn
+      FROM olab l JOIN tok t ON t.doc_id = l.id
+    ),
+    osurv AS (SELECT comp, id AS picked_id FROM opick WHERE rn = 1),
+    fedges AS (SELECT id_a AS a, id_b AS b FROM mh
+               UNION SELECT id_b, id_a FROM mh),
+    freach(id, r) AS (
+      SELECT a, a FROM fedges
+      UNION
+      SELECT e.b, f.r FROM freach f JOIN fedges e ON e.a = f.id
+    ),
+    flab AS (SELECT id, MIN(r) AS comp FROM freach GROUP BY id),
+    newcomp AS (
+      SELECT DISTINCT comp FROM flab WHERE id >= (SELECT c FROM cut)
+    ),
+    aff AS (SELECT f.id, f.comp FROM flab f JOIN newcomp n ON f.comp = n.comp),
+    sizes AS (SELECT comp, COUNT(*) AS n FROM aff GROUP BY comp),
+    fpick AS (
+      SELECT a.comp, a.id, t.n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY a.comp
+               ORDER BY t.n_tokens DESC, a.id ASC) AS rn
+      FROM aff a JOIN tok t ON t.doc_id = a.id
+    )
+    SELECT p.comp AS component, s.n AS cluster_size,
+           p.id AS picked_id, p.n_tokens AS picked_n_tokens,
+           CASE WHEN o.picked_id IS NULL THEN 'new_cluster'
+                WHEN o.picked_id <> p.id THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM fpick p
+    JOIN sizes s ON s.comp = p.comp
+    LEFT JOIN osurv o ON o.comp = p.comp
+    WHERE p.rn = 1
+    """
+
+
+@register("l34_incremental_survivors", _l34_oracle())
+def l34_incremental_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental canonical-survivor maintenance — the last step of the
+    daily dedup loop (l31 pairs -> l33 cluster delta -> WHICH doc now
+    survives each affected cluster). Re-picks the longest-member survivor
+    (ties to lowest doc_id) for ONLY the components the day-2 increment
+    touched; token counts for old members come from the persisted per-doc
+    stats store (computed when each doc first arrived — old text is never
+    re-read), and the previous survivor store supplies the
+    new_cluster / changed / unchanged status per cluster.
+
+    The DuckDB oracle replays everything from scratch (portable MinHash
+    pairs, day-1-only + full-graph recursive CC, both window picks) and
+    restricts to affected components, so the incremental path — labels,
+    picks, AND status transitions — is value-hash-checked against
+    from-scratch semantics.
+
+    Scale shape: everything after the (store-bounded) l33 delta is
+    proportional to affected-cluster membership; the stats store is an
+    append-only ledger keyed by doc_id (bucket it by id for the member
+    join); the survivor store is overwritten only on the returned rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    cutoff, sig_path = _incremental_store(spark, sf_dir)
+    labels_path = _incremental_cc_store(spark, sf_dir)
+    stats_path, surv_path = _incremental_surv_store(spark, sf_dir)
+    store = spark.read.parquet(sig_path)
+    old_labels = spark.read.parquet(labels_path)
+    new_docs = docs.filter(F.col("doc_id") >= cutoff)
+    new_sigs = D.minhash_signatures_portable(
+        new_docs, "doc_id", "text", n=3, num_hashes=32, bands=8
+    ).localCheckpoint(eager=True)
+    new_pairs = (
+        D.incremental_minhash_pairs(new_sigs, store, num_hashes=32, est_threshold=0.45)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    updated = D.incremental_components(old_labels, new_pairs, "id_a", "id_b")
+    toks = spark.read.parquet(stats_path).unionByName(
+        new_docs.select(
+            "doc_id", T.token_count("text").cast("bigint").alias("n_tokens")
+        )
+    )
+    pick = _pick_survivors(updated, toks)
+    sizes = updated.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
+    old_surv = spark.read.parquet(surv_path).select(
+        "comp", F.col("picked_id").alias("old_picked_id")
+    )
+    return (
+        pick.join(F.broadcast(sizes), "comp")
+        .join(old_surv, "comp", "left")
+        .select(
+            F.col("comp").alias("component"),
+            "cluster_size",
+            "picked_id",
+            "picked_n_tokens",
+            F.when(F.col("old_picked_id").isNull(), F.lit("new_cluster"))
+            .when(F.col("old_picked_id") != F.col("picked_id"), F.lit("changed"))
+            .otherwise(F.lit("unchanged"))
+            .alias("status"),
+        )
+    )
+
+
+@register(
+    "l35_cluster_safe_split",
+    """
+    WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM t, LATERAL (SELECT unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i) s
+      WHERE w[i+2] IS NOT NULL
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+      WHERE CAST(inter AS DOUBLE) / (sa.c + sb.c - inter) >= 0.5
+    ),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(id, r) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, r.r FROM reach r JOIN edges e ON e.a = r.id
+    ),
+    comp AS (SELECT id AS doc_id, MIN(r) AS comp FROM reach GROUP BY id),
+    lab AS (
+      SELECT d.doc_id, d.lang,
+             CAST(len(string_split(d.text, ' ')) AS BIGINT) AS nt,
+             COALESCE(c.comp, d.doc_id) AS canonical_id
+      FROM documents d LEFT JOIN comp c USING (doc_id)
+    ),
+    b AS (
+      SELECT *,
+             ('0x' || substr(md5(CAST(canonical_id AS VARCHAR)), 1, 15))::BIGINT
+               % 100 AS bucket
+      FROM lab
+    )
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'validation'
+                ELSE 'test' END AS split,
+           lang,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT canonical_id) AS n_clusters,
+           CAST(SUM(nt) AS BIGINT) AS n_tokens
+    FROM b GROUP BY 1, 2
+    """,
+)
+def l35_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/validation/test split: hash-split by the
+    near-dup CLUSTER's canonical id, never the document id, so two
+    near-duplicate documents can never land in different splits (the
+    classic train/test contamination bug dedup-aware pipelines exist to
+    prevent). Docs in no cluster split by their own id; the split is a
+    pure function of the portable 60-bit hash of the canonical id
+    (80/10/10 by bucket), so it is deterministic, reproducible across
+    engines, and stable under corpus growth for untouched clusters.
+
+    The DuckDB oracle recomputes the exact-Jaccard closure (l11's
+    recursive CTE), the same md5-derived bucket, and the per-(split,
+    lang) doc/cluster/token aggregates — so the entire assignment is
+    value-hash-checked, and a pytest asserts zero near-dup pairs straddle
+    splits. Scale shape: one CC over (already linear) banded pairs + one
+    map-side hash per doc; the aggregation is a plain partial+final
+    hash agg on (split, lang)."""
+    from datafusion_cyberpolka_eda_spark.functions.hashing import md5_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    comps = D.connected_components(pairs, "id_a", "id_b")
+    lab = docs.join(
+        comps.withColumnRenamed("id", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        "lang",
+        T.token_count("text").cast("bigint").alias("nt"),
+        F.coalesce(F.col("comp"), F.col("doc_id")).alias("canonical_id"),
+    )
+    bucket = F.pmod(md5_hash64(F.col("canonical_id").cast("string")), F.lit(100))
+    return (
+        lab.withColumn(
+            "split",
+            F.when(bucket < 80, F.lit("train"))
+            .when(bucket < 90, F.lit("validation"))
+            .otherwise(F.lit("test")),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("canonical_id").alias("n_clusters"),
+            F.sum("nt").alias("n_tokens"),
+        )
+    )
+
+
 # ---- incremental cross-snapshot decontamination (l32) ----
 # (session, sf_dir, data fingerprint) -> (cutoff, persisted gram-store path).
 _DECON_STORE_CACHE: dict[str, tuple[int, str]] = {}
