@@ -393,3 +393,49 @@ def j15_stream_incremental_dedup(
         scratch,
         cutoff,
     )
+
+
+@register(
+    "j16_stream_quality_routing",
+    """
+    WITH c AS (
+      SELECT lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS ndis
+      FROM documents
+    ),
+    r AS (
+      SELECT lang, ntok,
+             CASE WHEN ntok < 8 THEN 'reject_short'
+                  WHEN ndis * 2 < ntok THEN 'reject_repetitive'
+                  ELSE 'accept' END AS sink
+      FROM c
+    )
+    SELECT sink, lang, COUNT(*) AS n_docs,
+           CAST(SUM(ntok) AS BIGINT) AS n_tokens
+    FROM r GROUP BY 1, 2
+    """,
+)
+def j16_stream_quality_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest quality gate: documents arrive as forced
+    micro-batches and each epoch routes every doc to exactly one of
+    three parquet sinks (accept / reject_short / reject_repetitive) with
+    a JVM-side integer-exact rule set. The per-(sink, lang) rollup of
+    the sinks must equal the batch classification of the whole corpus
+    (the oracle) — no doc lost, duplicated, or mis-routed across
+    epochs. The continuous-ingest front door of the training-data
+    pipeline (the accepted sink feeds l31's incremental dedup)."""
+    import os as _os
+
+    from datafusion_cyberpolka_eda_spark.sources.catalog import load_table
+    from datafusion_cyberpolka_eda_spark.streaming.documents import (
+        stream_quality_routing,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scratch = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+        ".scratch",
+        f"j16_{_os.path.basename(_os.path.normpath(sf_dir)).replace('.', '_')}",
+    )
+    return stream_quality_routing(spark, docs, scratch)

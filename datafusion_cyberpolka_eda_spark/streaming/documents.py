@@ -110,3 +110,89 @@ def stream_incremental_dedup(
         .otherwise(F.lit("new_old"))
         .alias("kind"),
     )
+
+
+def quality_sink_col() -> F.Column:
+    """The routing expression shared by the streaming router and its
+    batch oracle: integer-exact quality rules (no float thresholds, so
+    both engines classify identically) applied in priority order —
+    too-short first, then low distinct-token ratio (the Gopher-style
+    repetition screen), else accept."""
+    toks = F.split(F.col("text"), " ")
+    ntok = F.size(toks)
+    ndis = F.size(F.array_distinct(toks))
+    return (
+        F.when(ntok < 8, F.lit("reject_short"))
+        .when(ndis * 2 < ntok, F.lit("reject_repetitive"))
+        .otherwise(F.lit("accept"))
+    )
+
+
+QUALITY_SINKS = ("accept", "reject_short", "reject_repetitive")
+
+
+def stream_quality_routing(
+    spark: SparkSession,
+    docs: DataFrame,
+    scratch_dir: str,
+    n_files: int = 3,
+) -> DataFrame:
+    """Streaming ingest quality gate with MULTI-SINK routing: documents
+    arrive as micro-batches (maxFilesPerTrigger=1 over ``n_files`` files
+    — the file source stands in for a queue) and each epoch's
+    foreachBatch scores the batch ONCE (localCheckpoint, so the three
+    filtered writes don't recompute it) and appends every doc to exactly
+    one parquet sink: accept / reject_short / reject_repetitive. The
+    returned rollup aggregates the sinks per (sink, lang); it must equal
+    the batch classification of the whole corpus — that equality is the
+    oracle, proving no doc is lost, duplicated, or mis-routed across
+    epochs.
+
+    This is the ingest-side filter every training-data pipeline runs
+    continuously: at 100 TB the sinks are partitioned tables the
+    downstream dedup/mixture jobs read, the routing expression stays
+    JVM-side (no Python in the per-row path), and each epoch commits
+    bounded per-sink appends."""
+    src_dir = os.path.join(scratch_dir, "docs_src")
+    sink_dirs = {s: os.path.join(scratch_dir, f"sink_{s}") for s in QUALITY_SINKS}
+    for d in (src_dir, *sink_dirs.values()):
+        shutil.rmtree(d, ignore_errors=True)
+
+    slim = docs.select("doc_id", "lang", "text")
+    slim.repartitionByRange(n_files, "doc_id").write.parquet(src_dir)
+    routed_schema = "doc_id bigint, lang string, n_tokens bigint"
+    for d in sink_dirs.values():
+        spark.createDataFrame([], routed_schema).write.parquet(d)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        scored = batch_df.select(
+            "doc_id",
+            "lang",
+            F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+            quality_sink_col().alias("sink"),
+        ).localCheckpoint(eager=True)
+        for s, d in sink_dirs.items():
+            scored.filter(F.col("sink") == s).drop("sink").write.mode(
+                "append"
+            ).parquet(d)
+
+    q = stream.writeStream.foreachBatch(handle).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    routed = None
+    for s, d in sink_dirs.items():
+        part = spark.read.parquet(d).withColumn("sink", F.lit(s))
+        routed = part if routed is None else routed.unionByName(part)
+    return routed.groupBy("sink", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
