@@ -2413,6 +2413,131 @@ def l34_incremental_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- incremental mixture refresh (l36) ----
+# (session, sf_dir, data fingerprint) -> (cutoff, persisted ledger path).
+_MIXTURE_STORE_CACHE: dict[str, tuple[int, str]] = {}
+
+
+def _mixture_store(spark: SparkSession, sf_dir: str) -> tuple[int, str]:
+    """Build ONCE per (session, data) the persisted day-1 corpus LEDGER:
+    per-source doc and token totals — the mergeable-exact-aggregate
+    analog of d20/d21's sketches (commutative integer sums, so daily
+    increments merge register-wise without re-reading old text). Returns
+    (cutoff, parquet path)."""
+    key = (
+        f"{spark.sparkContext.applicationId}:{sf_dir}:"
+        f"{_docs_fingerprint(sf_dir)}"
+    )
+    if key in _MIXTURE_STORE_CACHE:
+        return _MIXTURE_STORE_CACHE[key]
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    cutoff = int(0.8 * (max_id + 1))
+    ledger = (
+        docs.filter(F.col("doc_id") < cutoff)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(T.token_count("text")).cast("bigint").alias("n_tokens"),
+        )
+    )
+    out = tempfile.mkdtemp(prefix="mixture_ledger_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    path = os.path.join(out, "ledger.parquet")
+    ledger.write.mode("overwrite").parquet(path)
+    _MIXTURE_STORE_CACHE[key] = (cutoff, path)
+    return _MIXTURE_STORE_CACHE[key]
+
+
+@register(
+    "l36_incremental_mixture_refresh",
+    """
+    WITH cut AS (
+      SELECT CAST(FLOOR(0.8 * (MAX(doc_id) + 1)) AS BIGINT) AS c FROM documents
+    ),
+    s AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+             CAST(SUM(CASE WHEN doc_id >= (SELECT c FROM cut)
+                           THEN len(string_split(text, ' ')) ELSE 0 END)
+                  AS BIGINT) AS inc_tokens
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT *, POW(CAST(n_tokens AS DOUBLE), 0.7) AS raw FROM s
+    )
+    SELECT source, n_docs, n_tokens, inc_tokens,
+           ROUND(raw / SUM(raw) OVER (), 6) AS weight,
+           ROUND(raw / SUM(raw) OVER () * (SELECT SUM(n_tokens) FROM s), 1)
+             AS expected_tokens
+    FROM w
+    """,
+)
+def l36_incremental_mixture_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental mixture-weight refresh — the corpus-accounting step of
+    the daily loop: a real pipeline recomputes temperature-scaled source
+    weights (l27) as the corpus grows, WITHOUT re-tokenizing old text.
+    Per-source doc/token totals live in a persisted ledger (exact
+    integer sums — the mergeable-aggregate analog of d20/d21's
+    sketches); the day-2 increment aggregates only its own docs (the
+    >= cutoff predicate is pushed into the scan), merges into the ledger
+    with a full-outer coalesce-sum (commutative — a source first seen in
+    the increment just appears), and alpha=0.7 weights are recomputed
+    from the merged totals. The oracle recomputes everything from the
+    full corpus with the same cutoff split, so the merged ledger math is
+    value-hash-checked against from-scratch semantics."""
+    docs = load_table(spark, sf_dir, "documents")
+    cutoff, ledger_path = _mixture_store(spark, sf_dir)
+    ledger = spark.read.parquet(ledger_path).select(
+        "source",
+        F.col("n_docs").alias("d1_docs"),
+        F.col("n_tokens").alias("d1_tokens"),
+    )
+    inc = (
+        docs.filter(F.col("doc_id") >= cutoff)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("i_docs"),
+            F.sum(T.token_count("text")).cast("bigint").alias("i_tokens"),
+        )
+    )
+    merged = (
+        ledger.join(inc, "source", "full_outer")
+        .select(
+            "source",
+            (F.coalesce("d1_docs", F.lit(0)) + F.coalesce("i_docs", F.lit(0)))
+            .cast("bigint")
+            .alias("n_docs"),
+            (F.coalesce("d1_tokens", F.lit(0)) + F.coalesce("i_tokens", F.lit(0)))
+            .cast("bigint")
+            .alias("n_tokens"),
+            F.coalesce("i_tokens", F.lit(0)).cast("bigint").alias("inc_tokens"),
+        )
+    )
+    w = merged.withColumn(
+        "raw", F.pow(F.col("n_tokens").cast("double"), F.lit(0.7))
+    )
+    win = Window.partitionBy()
+    total_raw = F.sum("raw").over(win)
+    total_tokens = F.sum("n_tokens").over(win)
+    return w.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "inc_tokens",
+        F.round(F.col("raw") / total_raw, 6).alias("weight"),
+        F.round(
+            F.col("raw") / total_raw * total_tokens.cast("double"), 1
+        ).alias("expected_tokens"),
+    )
+
+
 @register(
     "l35_cluster_safe_split",
     """
