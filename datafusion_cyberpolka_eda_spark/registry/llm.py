@@ -2635,6 +2635,240 @@ def l35_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- the composed incremental daily pipeline (l37) ----
+
+
+def _l37_oracle() -> str:
+    from datafusion_cyberpolka_eda_spark.operators.dedup import (
+        minhash_banded_portable_oracle,
+    )
+
+    inner = minhash_banded_portable_oracle(
+        n=3, num_hashes=32, bands=8, est_threshold=0.45
+    )
+    return f"""
+    WITH RECURSIVE mh AS (
+      {inner}
+    ),
+    cut AS (
+      SELECT CAST(FLOOR(0.8 * (MAX(doc_id) + 1)) AS BIGINT) AS c FROM documents
+    ),
+    inc AS (SELECT * FROM documents WHERE doc_id >= (SELECT c FROM cut)),
+    route AS (
+      SELECT CASE WHEN len(string_split(text, ' ')) < 8 THEN 'reject_short'
+                  WHEN len(list_distinct(string_split(text, ' '))) * 2
+                       < len(string_split(text, ' ')) THEN 'reject_repetitive'
+                  ELSE 'accept' END AS sink
+      FROM inc
+    ),
+    npair AS (
+      SELECT CASE WHEN id_a >= (SELECT c FROM cut) AND id_b >= (SELECT c FROM cut)
+                  THEN 'new_new' ELSE 'new_old' END AS kind
+      FROM mh
+      WHERE id_a >= (SELECT c FROM cut) OR id_b >= (SELECT c FROM cut)
+    ),
+    tok AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    opairs AS (
+      SELECT id_a, id_b FROM mh
+      WHERE id_a < (SELECT c FROM cut) AND id_b < (SELECT c FROM cut)
+    ),
+    oedges AS (SELECT id_a AS a, id_b AS b FROM opairs
+               UNION SELECT id_b, id_a FROM opairs),
+    oreach(id, r) AS (
+      SELECT a, a FROM oedges
+      UNION
+      SELECT e.b, o.r FROM oreach o JOIN oedges e ON e.a = o.id
+    ),
+    olab AS (SELECT id, MIN(r) AS comp FROM oreach GROUP BY id),
+    opick AS (
+      SELECT l.comp, l.id,
+             ROW_NUMBER() OVER (PARTITION BY l.comp
+               ORDER BY t.n_tokens DESC, l.id ASC) AS rn
+      FROM olab l JOIN tok t ON t.doc_id = l.id
+    ),
+    osurv AS (SELECT comp, id AS picked_id FROM opick WHERE rn = 1),
+    fedges AS (SELECT id_a AS a, id_b AS b FROM mh
+               UNION SELECT id_b, id_a FROM mh),
+    freach(id, r) AS (
+      SELECT a, a FROM fedges
+      UNION
+      SELECT e.b, f.r FROM freach f JOIN fedges e ON e.a = f.id
+    ),
+    flab AS (SELECT id, MIN(r) AS comp FROM freach GROUP BY id),
+    newcomp AS (
+      SELECT DISTINCT comp FROM flab WHERE id >= (SELECT c FROM cut)
+    ),
+    aff AS (SELECT f.id, f.comp FROM flab f JOIN newcomp n ON f.comp = n.comp),
+    member_status AS (
+      SELECT a.comp,
+             CASE WHEN a.id >= (SELECT c FROM cut) THEN 'new'
+                  WHEN o.comp IS NULL THEN 'first_cluster'
+                  WHEN o.comp <> a.comp THEN 'relabeled'
+                  ELSE 'unchanged' END AS status
+      FROM aff a LEFT JOIN olab o ON o.id = a.id
+    ),
+    fpick AS (
+      SELECT a.comp, a.id,
+             ROW_NUMBER() OVER (PARTITION BY a.comp
+               ORDER BY t.n_tokens DESC, a.id ASC) AS rn
+      FROM aff a JOIN tok t ON t.doc_id = a.id
+    ),
+    surv_status AS (
+      SELECT CASE WHEN o.picked_id IS NULL THEN 'new_cluster'
+                  WHEN o.picked_id <> p.id THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM fpick p LEFT JOIN osurv o ON o.comp = p.comp
+      WHERE p.rn = 1
+    )
+    SELECT 'route' AS stage, sink AS metric, CAST(COUNT(*) AS BIGINT) AS value
+    FROM route GROUP BY sink
+    UNION ALL
+    SELECT 'pairs', kind, CAST(COUNT(*) AS BIGINT) FROM npair GROUP BY kind
+    UNION ALL
+    SELECT 'components', status, CAST(COUNT(*) AS BIGINT)
+    FROM member_status GROUP BY status
+    UNION ALL
+    SELECT 'components', 'affected_clusters',
+           CAST(COUNT(DISTINCT comp) AS BIGINT) FROM aff
+    UNION ALL
+    SELECT 'survivors', status, CAST(COUNT(*) AS BIGINT)
+    FROM surv_status GROUP BY status
+    UNION ALL
+    SELECT 'mixture', 'inc_tokens',
+           CAST(SUM(CASE WHEN doc_id >= (SELECT c FROM cut)
+                         THEN n_tokens ELSE 0 END) AS BIGINT) FROM tok
+    UNION ALL
+    SELECT 'mixture', 'total_tokens', CAST(SUM(n_tokens) AS BIGINT) FROM tok
+    """
+
+
+@register("l37_incremental_pipeline", _l37_oracle())
+def l37_incremental_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE incremental daily pipeline in one call — the
+    increment-side counterpart of l23's batch dedup pipeline: the day-2
+    shard is quality-routed (j16 rules), near-dup-paired against the
+    persisted signature store (l31), merged into the component-label
+    store (l33), survivor-re-picked from the stats ledger (l34), and
+    accounted into the mixture ledger (l36) — emitting one
+    (stage, metric, value) row per per-stage outcome so the whole daily
+    run is summarized in a dozen scalars. Every store is the persisted
+    day-1 artifact (memoized per session); the increment's text is read
+    once per stage group with the pushed >= cutoff predicate, and NO
+    stage recomputes the old corpus.
+
+    The DuckDB oracle replays all five stages from scratch in a single
+    statement (portable MinHash replay + day-1-only and full recursive
+    CC + both window picks + ledger sums), so the composed pipeline —
+    not just each stage alone — is value-hash-checked end-to-end."""
+    docs = load_table(spark, sf_dir, "documents")
+    cutoff, sig_path = _incremental_store(spark, sf_dir)
+    labels_path = _incremental_cc_store(spark, sf_dir)
+    stats_path, surv_path = _incremental_surv_store(spark, sf_dir)
+    from datafusion_cyberpolka_eda_spark.streaming.documents import (
+        quality_sink_col,
+    )
+
+    inc = docs.filter(F.col("doc_id") >= cutoff)
+    store = spark.read.parquet(sig_path)
+    old_labels = spark.read.parquet(labels_path)
+
+    def rows(stage: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(stage).alias("stage"),
+            F.col("metric"),
+            F.col("value").cast("bigint").alias("value"),
+        )
+
+    route = rows(
+        "route",
+        inc.select(quality_sink_col().alias("metric"))
+        .groupBy("metric")
+        .agg(F.count(F.lit(1)).alias("value")),
+    )
+
+    new_sigs = D.minhash_signatures_portable(
+        inc, "doc_id", "text", n=3, num_hashes=32, bands=8
+    ).localCheckpoint(eager=True)
+    new_pairs_full = D.incremental_minhash_pairs(
+        new_sigs, store, num_hashes=32, est_threshold=0.45
+    ).localCheckpoint(eager=True)
+    pairs = rows(
+        "pairs",
+        new_pairs_full.groupBy(F.col("kind").alias("metric")).agg(
+            F.count(F.lit(1)).alias("value")
+        ),
+    )
+
+    new_pairs = new_pairs_full.select("id_a", "id_b")
+    updated = D.incremental_components(
+        old_labels, new_pairs, "id_a", "id_b"
+    ).localCheckpoint(eager=True)
+    member_status = updated.join(
+        old_labels.select("id", F.col("comp").alias("old_comp")), "id", "left"
+    ).select(
+        F.when(F.col("id") >= cutoff, F.lit("new"))
+        .when(F.col("old_comp").isNull(), F.lit("first_cluster"))
+        .when(F.col("old_comp") != F.col("comp"), F.lit("relabeled"))
+        .otherwise(F.lit("unchanged"))
+        .alias("metric")
+    )
+    components = rows(
+        "components",
+        member_status.groupBy("metric").agg(F.count(F.lit(1)).alias("value")),
+    ).unionByName(
+        rows(
+            "components",
+            updated.agg(
+                F.countDistinct("comp").alias("value")
+            ).withColumn("metric", F.lit("affected_clusters")),
+        )
+    )
+
+    toks = spark.read.parquet(stats_path).unionByName(
+        inc.select("doc_id", T.token_count("text").cast("bigint").alias("n_tokens"))
+    )
+    pick = _pick_survivors(updated, toks)
+    old_surv = spark.read.parquet(surv_path).select(
+        "comp", F.col("picked_id").alias("old_picked_id")
+    )
+    survivors = rows(
+        "survivors",
+        pick.join(old_surv, "comp", "left")
+        .select(
+            F.when(F.col("old_picked_id").isNull(), F.lit("new_cluster"))
+            .when(F.col("old_picked_id") != F.col("picked_id"), F.lit("changed"))
+            .otherwise(F.lit("unchanged"))
+            .alias("metric")
+        )
+        .groupBy("metric")
+        .agg(F.count(F.lit(1)).alias("value")),
+    )
+
+    # totals from the SAME per-doc ledger rows the pick stage used
+    # (stats store for day-1 + increment rows): one agg each, no joins
+    mixture = rows(
+        "mixture",
+        inc.agg(F.sum(T.token_count("text")).cast("bigint").alias("value"))
+        .withColumn("metric", F.lit("inc_tokens")),
+    ).unionByName(
+        rows(
+            "mixture",
+            toks.agg(F.sum("n_tokens").cast("bigint").alias("value"))
+            .withColumn("metric", F.lit("total_tokens")),
+        )
+    )
+
+    return (
+        route.unionByName(pairs)
+        .unionByName(components)
+        .unionByName(survivors)
+        .unionByName(mixture)
+    )
+
+
 # ---- incremental cross-snapshot decontamination (l32) ----
 # (session, sf_dir, data fingerprint) -> (cutoff, persisted gram-store path).
 _DECON_STORE_CACHE: dict[str, tuple[int, str]] = {}

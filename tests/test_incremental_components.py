@@ -181,3 +181,69 @@ class TestNoDay1Rescan:
 
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-x", "-q"]))
+
+
+class TestIncrementalComponentsProperty:
+    """Random-graph equivalence: incremental CC over (old-CC labels + new
+    edges) must equal from-scratch CC over (old + new edges) restricted
+    to components containing a new-edge endpoint — for ARBITRARY graphs,
+    not just the curated cases above. Pure-Python union-find is the
+    reference. Few examples, a handful of Spark jobs per example."""
+
+    @staticmethod
+    def _uf_components(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in parent}
+
+    def test_random_graphs(self, spark):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        nodes = st.integers(min_value=0, max_value=14)
+        edge = st.tuples(nodes, nodes).filter(lambda e: e[0] != e[1])
+        edge_lists = st.lists(edge, min_size=0, max_size=12)
+
+        @given(old=edge_lists, new=edge_lists)
+        @settings(
+            max_examples=5,
+            deadline=None,
+            suppress_health_check=[HealthCheck.function_scoped_fixture],
+        )
+        def check(old, new):
+            def norm(edges):
+                return sorted({(min(a, b), max(a, b)) for a, b in edges})
+
+            old_e, new_e = norm(old), norm(new)
+            if not new_e:
+                return  # no delta -> empty update, nothing to compare
+            want_full = self._uf_components(old_e + new_e)
+            new_ends = {x for e in new_e for x in e}
+            touched = {want_full[x] for x in new_ends}
+            want = {n: c for n, c in want_full.items() if c in touched}
+
+            old_labels_rows = sorted(self._uf_components(old_e).items())
+            old_labels = spark.createDataFrame(
+                old_labels_rows or [(None, None)], "id bigint, comp bigint"
+            )
+            if not old_labels_rows:
+                old_labels = old_labels.filter(F.col("id").isNotNull())
+            new_edges = spark.createDataFrame(new_e, "id_a bigint, id_b bigint")
+            got = {
+                r["id"]: r["comp"]
+                for r in D.incremental_components(old_labels, new_edges).collect()
+            }
+            assert got == want
+
+        check()

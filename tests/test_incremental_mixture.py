@@ -109,5 +109,42 @@ class TestLedgerMerge:
         assert mtimes() == before
 
 
+class TestIncrementalPipelineComposition:
+    def test_all_five_stages_present_and_consistent(self, spark, sf_dir):
+        """l37 must emit every stage, its route counts must sum to the
+        increment size, and its component/survivor scalars must agree
+        with the standalone l33/l34 entries run on the same stores."""
+        from datafusion_cyberpolka_eda_spark.registry.llm import (
+            _incremental_store,
+            l33_incremental_components,
+            l34_incremental_survivors,
+            l37_incremental_pipeline,
+        )
+        from datafusion_cyberpolka_eda_spark.sources.catalog import load_table
+
+        out = {
+            (r["stage"], r["metric"]): r["value"]
+            for r in l37_incremental_pipeline(spark, sf_dir).collect()
+        }
+        stages = {s for s, _m in out}
+        assert stages == {"route", "pairs", "components", "survivors", "mixture"}
+
+        docs = load_table(spark, sf_dir, "documents")
+        cutoff, _ = _incremental_store(spark, sf_dir)
+        n_inc = docs.filter(F.col("doc_id") >= cutoff).count()
+        assert sum(v for (s, _m), v in out.items() if s == "route") == n_inc
+
+        l33 = l33_incremental_components(spark, sf_dir).toPandas()
+        assert out[("components", "affected_clusters")] == l33["component"].nunique()
+        for status, n in l33["status"].value_counts().items():
+            assert out[("components", status)] == n
+
+        l34 = l34_incremental_survivors(spark, sf_dir).toPandas()
+        for status, n in l34["status"].value_counts().items():
+            assert out[("survivors", status)] == n
+
+        assert out[("mixture", "total_tokens")] > out[("mixture", "inc_tokens")]
+
+
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-x", "-q"]))
