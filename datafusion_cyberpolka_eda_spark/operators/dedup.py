@@ -975,3 +975,65 @@ def dedup_pipeline_oracle(
            (SELECT CAST(COALESCE(SUM(id), 0) AS BIGINT)
             FROM comp WHERE id <> comp) AS removed_id_checksum
     """
+
+
+def takedown_components(
+    old_labels: DataFrame,
+    removed_ids: DataFrame,
+    edges_fn,
+    max_iter: int = 25,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Takedown propagation through a persisted component-label store —
+    the DELETE half of incremental dedup maintenance
+    (incremental_components is the INSERT half). A takedown/right-to-be-
+    forgotten request removes documents from the corpus; every cluster
+    that contained one must be re-derived over its REMAINING members,
+    because removing a doc can SPLIT a component (it may have been the
+    only bridge between two groups of near-dups) or retire its label
+    (component ids are min member ids).
+
+    ``old_labels``: the persisted (id, comp) assignment.
+    ``removed_ids``: (id) — the takedown set. Assumed small relative to
+    the corpus (it is a request batch, not a corpus scan) — broadcast.
+    ``edges_fn``: callable (remaining_members: DataFrame[id, comp]) ->
+    DataFrame[id_a, id_b] rebuilding the similarity edges AMONG those
+    members — in production, a banded self-join over the persisted
+    signature store restricted to them (banded_pairs_from_signatures on a
+    semi-joined store slice; old text is never re-read). Restricting to
+    affected-component members is EXACT because deletion can only split
+    components, never merge them: any surviving edge lies inside one old
+    component, so the re-derived clusters are confined to old boundaries.
+
+    Returns the store update delta, one row per member of every affected
+    component: (id, old_comp, comp) where comp is the re-derived label
+    for survivors and NULL for removed docs (tombstone rows the caller
+    turns into store deletes). Members whose every edge vanished come out
+    as singletons labeled by their own id. Components containing no
+    removed doc are untouched and absent from the delta.
+
+    Scale shape: cost tracks |request| + |affected components| + the
+    edge rebuild over affected members only — never |corpus|. Keep the
+    label store partitioned by comp and the signature store bucketed by
+    id so the member pull and signature slice are pruned reads."""
+    removed = removed_ids.select(F.col(removed_ids.columns[0]).alias("id")).distinct()
+    affected = old_labels.join(F.broadcast(removed), "id").select("comp").distinct()
+    members = old_labels.join(F.broadcast(affected), "comp")
+    remaining = members.join(F.broadcast(removed), "id", "left_anti").localCheckpoint(
+        eager=True
+    )
+    edges = edges_fn(remaining)
+    relabeled = connected_components(
+        edges, "id_a", "id_b", max_iter=max_iter, checkpoint_dir=checkpoint_dir
+    )
+    survivors = (
+        remaining.select("id", F.col("comp").alias("old_comp"))
+        .join(relabeled.withColumnRenamed("comp", "new_comp"), "id", "left")
+        .select("id", "old_comp", F.coalesce("new_comp", "id").alias("comp"))
+    )
+    tombstones = (
+        members.join(F.broadcast(removed), "id")
+        .select("id", F.col("comp").alias("old_comp"))
+        .withColumn("comp", F.lit(None).cast("long"))
+    )
+    return survivors.unionByName(tombstones)

@@ -3333,3 +3333,125 @@ def l8f_ann_ivf_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_queries bigint, day1_replay_identical boolean, "
         "union_recall_at_5_ge_60pct boolean",
     )
+
+
+# ---- takedown propagation (l38) ----
+
+
+def _l38_oracle() -> str:
+    from datafusion_cyberpolka_eda_spark.operators.dedup import (
+        minhash_banded_portable_oracle,
+    )
+
+    inner = minhash_banded_portable_oracle(
+        n=3, num_hashes=32, bands=8, est_threshold=0.45
+    )
+    return f"""
+    WITH RECURSIVE mh AS (
+      {inner}
+    ),
+    cut AS (
+      SELECT CAST(FLOOR(0.8 * (MAX(doc_id) + 1)) AS BIGINT) AS c FROM documents
+    ),
+    opairs AS (
+      SELECT id_a, id_b FROM mh
+      WHERE id_a < (SELECT c FROM cut) AND id_b < (SELECT c FROM cut)
+    ),
+    oedges AS (SELECT id_a AS a, id_b AS b FROM opairs
+               UNION SELECT id_b, id_a FROM opairs),
+    oreach(id, r) AS (
+      SELECT a, a FROM oedges
+      UNION
+      SELECT e.b, o.r FROM oreach o JOIN oedges e ON e.a = o.id
+    ),
+    olab AS (SELECT id, MIN(r) AS comp FROM oreach GROUP BY id),
+    removed AS (SELECT id FROM olab WHERE id % 7 = 3),
+    aff AS (SELECT DISTINCT comp FROM olab WHERE id % 7 = 3),
+    members AS (SELECT o.id, o.comp FROM olab o JOIN aff a ON a.comp = o.comp),
+    remaining AS (
+      SELECT m.id, m.comp FROM members m
+      WHERE m.id NOT IN (SELECT id FROM removed)
+    ),
+    rpairs AS (
+      SELECT p.id_a, p.id_b FROM opairs p
+      JOIN remaining ra ON ra.id = p.id_a
+      JOIN remaining rb ON rb.id = p.id_b
+    ),
+    redges AS (SELECT id_a AS a, id_b AS b FROM rpairs
+               UNION SELECT id_b, id_a FROM rpairs),
+    rreach(id, r) AS (
+      SELECT a, a FROM redges
+      UNION
+      SELECT e.b, x.r FROM rreach x JOIN redges e ON e.a = x.id
+    ),
+    rlab AS (SELECT id, MIN(r) AS comp FROM rreach GROUP BY id),
+    surv AS (
+      SELECT m.id, m.comp AS old_comp, COALESCE(r.comp, m.id) AS new_comp
+      FROM remaining m LEFT JOIN rlab r ON r.id = m.id
+    ),
+    sizes AS (SELECT new_comp, COUNT(*) AS n FROM surv GROUP BY new_comp)
+    SELECT s.id AS doc_id, s.old_comp AS old_component,
+           s.new_comp AS new_component,
+           CASE WHEN s.new_comp <> s.old_comp THEN 'relabeled'
+                ELSE 'unchanged' END AS status,
+           z.n AS new_cluster_size
+    FROM surv s JOIN sizes z ON z.new_comp = s.new_comp
+    UNION ALL
+    SELECT m.id, m.comp, NULL, 'removed', NULL
+    FROM members m JOIN removed r ON r.id = m.id
+    """
+
+
+@register("l38_takedown_propagation", _l38_oracle())
+def l38_takedown_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Takedown / right-to-be-forgotten propagation — the DELETE half of
+    the incremental-dedup CRUD story (l31/l33 cover inserts). A takedown
+    batch (modeled as the clustered day-1 docs with doc_id % 7 == 3 — a
+    deterministic stand-in for a request list) is removed from the
+    persisted stores, and every cluster that contained one is re-derived
+    over its remaining members via dedup.takedown_components: affected-
+    component pull -> signature-store slice -> banded pair rebuild ->
+    bounded CC. Deletion can SPLIT clusters (the removed doc may have
+    been the only bridge) and retire labels (comp = min member id), so
+    survivors carry relabeled/unchanged statuses and removed docs emit
+    tombstone rows the store write-back turns into deletes.
+
+    Old text is never re-read: connectivity is rebuilt purely from the
+    persisted signature store (banded_pairs_from_signatures over a
+    semi-joined slice — a plan test pins the no-documents-scan shape).
+    The DuckDB oracle replays from scratch: full-corpus portable MinHash,
+    day-1 CC, drop the removed set, re-run CC over the remaining members
+    of affected components — the incremental path must reproduce
+    from-scratch delete semantics exactly, statuses and sizes included.
+
+    Scale shape: cost tracks |request| + |affected components|, never
+    |corpus| — the daily takedown job at 100 TB touches a few thousand
+    clusters, not the store."""
+    cutoff, sig_path = _incremental_store(spark, sf_dir)
+    labels_path = _incremental_cc_store(spark, sf_dir)
+    store = spark.read.parquet(sig_path)
+    labels = spark.read.parquet(labels_path)
+    removed = labels.filter(F.col("id") % 7 == 3).select("id")
+
+    def edges_fn(remaining: DataFrame) -> DataFrame:
+        sub = store.join(F.broadcast(remaining.select("id")), "id", "semi")
+        return D.banded_pairs_from_signatures(
+            sub, num_hashes=32, est_threshold=0.45
+        ).select("id_a", "id_b")
+
+    delta = D.takedown_components(labels, removed, edges_fn)
+    sizes = (
+        delta.filter(F.col("comp").isNotNull())
+        .groupBy("comp")
+        .agg(F.count(F.lit(1)).alias("new_cluster_size"))
+    )
+    return delta.join(F.broadcast(sizes), "comp", "left").select(
+        F.col("id").alias("doc_id"),
+        F.col("old_comp").alias("old_component"),
+        F.col("comp").alias("new_component"),
+        F.when(F.col("comp").isNull(), F.lit("removed"))
+        .when(F.col("comp") != F.col("old_comp"), F.lit("relabeled"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+        "new_cluster_size",
+    )
