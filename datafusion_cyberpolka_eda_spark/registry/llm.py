@@ -3455,3 +3455,122 @@ def l38_takedown_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("status"),
         "new_cluster_size",
     )
+
+
+# ---- corpus drift monitoring (l39) ----
+
+
+_L39_ORACLE = """
+WITH cut AS (
+  SELECT CAST(FLOOR(0.8 * (MAX(doc_id) + 1)) AS BIGINT) AS c FROM documents
+),
+base AS (
+  SELECT doc_id < (SELECT c FROM cut) AS day1,
+         lang, source,
+         CAST(LEAST(n_chars // 64, 8) AS VARCHAR) AS len_band,
+         CAST(LEAST(len(string_split(text, ' ')) // 16, 6) AS VARCHAR) AS tok_band
+  FROM documents
+),
+long AS (
+  SELECT 'lang' AS feature, lang AS bucket, day1 FROM base
+  UNION ALL SELECT 'source', source, day1 FROM base
+  UNION ALL SELECT 'len_band', len_band, day1 FROM base
+  UNION ALL SELECT 'tok_band', tok_band, day1 FROM base
+),
+counts AS (
+  SELECT feature, bucket,
+         SUM(CASE WHEN day1 THEN 1 ELSE 0 END) AS day1_n,
+         SUM(CASE WHEN day1 THEN 0 ELSE 1 END) AS day2_n
+  FROM long GROUP BY 1, 2
+),
+sm AS (
+  SELECT feature, bucket, day1_n, day2_n,
+         (day1_n + 1.0) / (SUM(day1_n) OVER (PARTITION BY feature)
+                           + COUNT(*) OVER (PARTITION BY feature)) AS p,
+         (day2_n + 1.0) / (SUM(day2_n) OVER (PARTITION BY feature)
+                           + COUNT(*) OVER (PARTITION BY feature)) AS q
+  FROM counts
+),
+c2 AS (
+  SELECT feature, bucket, day1_n, day2_n, (p - q) * ln(p / q) AS contrib FROM sm
+)
+SELECT feature, bucket,
+       CAST(day1_n AS BIGINT) AS day1_n,
+       CAST(day2_n AS BIGINT) AS day2_n,
+       ROUND(contrib, 6) AS psi_contrib,
+       ROUND(SUM(contrib) OVER (PARTITION BY feature), 6) AS psi
+FROM c2
+"""
+
+
+@register("l39_psi_drift", _L39_ORACLE)
+def l39_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift monitor between the day-1 corpus
+    and the day-2 increment (same 80% doc_id cutoff as the incremental
+    family) — the daily distribution check a training-data pipeline runs
+    before admitting an increment: a shifted source mix, language mix, or
+    length profile upstream shows up here before it skews the mixture
+    weights (l27/l36) or quality gates.
+
+    Four monitored features — lang and source (categorical) plus banded
+    n_chars and whitespace-token counts — are unpivoted via ONE explode
+    over a single documents scan, counted per (feature, bucket) in one
+    shuffle, then smoothed Laplace-style (add-one over the union bucket
+    set, so buckets present on only one side stay finite) and folded into
+    PSI = sum (p-q)*ln(p/q) with per-bucket contributions exposed.
+    Rule-of-thumb thresholds (<0.1 stable, >0.25 action) apply per
+    feature row.
+
+    Scale shape: one scan + one (feature, bucket) shuffle whose
+    cardinality is buckets (tiny), not rows; window partitions are
+    per-feature bucket lists — O(10) rows each. Exact integer counts;
+    doubles rounded to 6 dp on both sides (registry float convention)."""
+    docs = load_table(spark, sf_dir, "documents")
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    cutoff = int(0.8 * (max_id + 1))
+    base = docs.select(
+        (F.col("doc_id") < cutoff).alias("day1"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("lang").alias("feature"), F.col("lang").alias("bucket")
+                ),
+                F.struct(
+                    F.lit("source").alias("feature"),
+                    F.col("source").alias("bucket"),
+                ),
+                F.struct(
+                    F.lit("len_band").alias("feature"),
+                    F.least(F.floor(F.col("n_chars") / 64), F.lit(8))
+                    .cast("string")
+                    .alias("bucket"),
+                ),
+                F.struct(
+                    F.lit("tok_band").alias("feature"),
+                    F.least(F.floor(T.token_count("text") / 16), F.lit(6))
+                    .cast("string")
+                    .alias("bucket"),
+                ),
+            )
+        ).alias("fb"),
+    ).select("day1", "fb.feature", "fb.bucket")
+    counts = base.groupBy("feature", "bucket").agg(
+        F.sum(F.when(F.col("day1"), 1).otherwise(0)).alias("day1_n"),
+        F.sum(F.when(~F.col("day1"), 1).otherwise(0)).alias("day2_n"),
+    )
+    w = Window.partitionBy("feature")
+    k = F.count(F.lit(1)).over(w)
+    p = (F.col("day1_n") + 1.0) / (F.sum("day1_n").over(w) + k)
+    q = (F.col("day2_n") + 1.0) / (F.sum("day2_n").over(w) + k)
+    contrib = (p - q) * F.log(p / q)
+    return (
+        counts.withColumn("contrib", contrib)
+        .select(
+            "feature",
+            "bucket",
+            "day1_n",
+            "day2_n",
+            F.round("contrib", 6).alias("psi_contrib"),
+            F.round(F.sum("contrib").over(w), 6).alias("psi"),
+        )
+    )
