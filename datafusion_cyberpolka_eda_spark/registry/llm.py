@@ -3574,3 +3574,98 @@ def l39_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("contrib").over(w), 6).alias("psi"),
         )
     )
+
+
+@register(
+    "l8g_ann_ivf_pq_takedown",
+    """
+    WITH cut AS (
+      SELECT CAST(FLOOR(0.8 * (MAX(vec_id) + 1)) AS BIGINT) AS c FROM embeddings
+    )
+    SELECT (SELECT COUNT(*) FROM embeddings
+            WHERE vec_id < (SELECT c FROM cut) AND vec_id % 9 = 2) AS n_removed,
+           TRUE AS delete_equals_rebuild,
+           TRUE AS no_removed_in_topk,
+           TRUE AS recall_after_delete_ge_60pct
+    """,
+)
+def l8g_ann_ivf_pq_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Takedown propagation into the ANN serving index — the vector-side
+    counterpart of l38: when documents are removed from the corpus, their
+    vectors must leave the index too, and because IVF-PQ codes are
+    per-vector independent under a frozen quantizer, deletion is a pure
+    anti-join on the persisted index: O(|request|), no retraining, no
+    rescan of the remaining vectors.
+
+    Three oracle-pinned gates prove delete-by-anti-join is the real
+    semantics, not an approximation (removal set = indexed day-1 vectors
+    with vec_id % 9 == 2, a deterministic request stand-in):
+      (a) delete_equals_rebuild — the anti-joined index is EXACTLY the
+          index rebuilt from scratch over the remaining vectors with the
+          same frozen quantizer/scales (symmetric exceptAll in one
+          action); this is the algebraic identity that makes O(|request|)
+          deletion sound;
+      (b) no_removed_in_topk — serving top-5 from the deleted index never
+          returns a removed id (no ghost results after takedown);
+      (c) recall_after_delete_ge_60pct — mean recall@5 vs the exact
+          cosine top-5 over the REMAINING corpus stays >= 60%: deletion
+          does not degrade serving quality for surviving vectors.
+    n_removed is genuinely recomputed by the oracle from the same cutoff
+    + modulus; the booleans are pinned-TRUE gate outcomes (d19 pattern).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    cutoff, ipath, centers, spath = _ivf_pq_store(spark, sf_dir)
+    index1 = spark.read.parquet(ipath)
+    scales = spark.read.parquet(spath)
+    day1 = emb.filter(F.col("vec_id") < cutoff)
+    removed = day1.filter(F.col("vec_id") % 9 == 2).select(
+        F.col("vec_id").alias("id")
+    )
+    n_removed = removed.count()
+
+    deleted = index1.join(F.broadcast(removed), "id", "left_anti").localCheckpoint(
+        eager=True
+    )
+    rebuilt = SIM.ivf_pq_add(
+        SIM.unit_vec_df(
+            day1.join(F.broadcast(removed.withColumnRenamed("id", "vec_id")),
+                      "vec_id", "left_anti"),
+            "vec_id", "embedding",
+        ),
+        centers,
+        scales,
+    )
+    cmp_cols = ["id", "cell", "qcodes"]
+    a, b = deleted.select(*cmp_cols), rebuilt.select(*cmp_cols)
+    identical = a.exceptAll(b).union(b.exceptAll(a)).count() == 0
+
+    qids = [0, 1, 3, 4, 5]  # query ids chosen outside the removal set
+    ann = SIM.ann_ivf_pq_topk_multi(
+        emb, "vec_id", "embedding", query_ids=qids, k=5, n_probe=8,
+        prebuilt=(deleted, centers, scales),
+    )
+    got: dict[int, set] = {}
+    for r in ann.collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    removed_ids = {r["id"] for r in removed.collect()}
+    no_ghosts = all(not (s & removed_ids) for s in got.values())
+
+    remaining_day1 = day1.join(
+        F.broadcast(removed.withColumnRenamed("id", "vec_id")), "vec_id", "left_anti"
+    )
+    exact = SIM.cosine_topk(
+        emb.filter(F.col("vec_id").isin(qids)), remaining_day1,
+        id_col="vec_id", vec_col="embedding", k=5,
+    )
+    es: dict[int, set] = {}
+    for r in exact.collect():
+        es.setdefault(r["query_id"], set()).add(r["candidate_id"])
+    mean_recall = sum(
+        len(got.get(q, set()) & es[q]) / len(es[q]) for q in qids
+    ) / len(qids)
+    return small_df(
+        spark,
+        [(n_removed, identical, no_ghosts, mean_recall >= 0.6)],
+        "n_removed bigint, delete_equals_rebuild boolean, "
+        "no_removed_in_topk boolean, recall_after_delete_ge_60pct boolean",
+    )

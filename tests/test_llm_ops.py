@@ -773,3 +773,46 @@ class TestIvfPqIncremental:
         row = l8f_ann_ivf_pq_incremental(spark, sf_dir).collect()[0]
         assert row["day1_replay_identical"] is True
         assert row["union_recall_at_5_ge_60pct"] is True
+
+
+class TestIvfPqTakedown:
+    """Index takedown (l8g): deleting vectors from a frozen-quantizer
+    IVF-PQ index by anti-join must equal a from-scratch rebuild over the
+    remaining vectors, and serving must neither return ghosts nor lose
+    recall for survivors."""
+
+    def test_delete_equals_rebuild_toy(self, spark, emb):
+        from pyspark.sql import functions as F
+
+        unit = SIM.unit_vec_df(emb, "vec_id", "embedding")
+        centers = SIM.train_centroids_on_sample(unit, 8, 512)
+        index, scales = SIM.ivf_pq_index(unit, centers)
+        removed = emb.filter(F.col("vec_id") % 5 == 0).select(
+            F.col("vec_id").alias("id")
+        )
+        deleted = index.join(F.broadcast(removed), "id", "left_anti")
+        rebuilt = SIM.ivf_pq_add(
+            SIM.unit_vec_df(
+                emb.join(
+                    F.broadcast(removed.withColumnRenamed("id", "vec_id")),
+                    "vec_id", "left_anti",
+                ),
+                "vec_id", "embedding",
+            ),
+            centers, scales,
+        )
+        cols = ["id", "cell", "qcodes"]
+        a, b = deleted.select(*cols), rebuilt.select(*cols)
+        assert a.exceptAll(b).count() == 0
+        assert b.exceptAll(a).count() == 0
+
+    def test_l8g_gate_row(self, spark, sf_dir):
+        from datafusion_cyberpolka_eda_spark.registry.llm import (
+            l8g_ann_ivf_pq_takedown,
+        )
+
+        row = l8g_ann_ivf_pq_takedown(spark, sf_dir).collect()[0]
+        assert row["n_removed"] > 0
+        assert row["delete_equals_rebuild"] is True
+        assert row["no_removed_in_topk"] is True
+        assert row["recall_after_delete_ge_60pct"] is True
