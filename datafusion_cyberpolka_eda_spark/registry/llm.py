@@ -3353,22 +3353,23 @@ def _l38_oracle() -> str:
     cut AS (
       SELECT CAST(FLOOR(0.8 * (MAX(doc_id) + 1)) AS BIGINT) AS c FROM documents
     ),
-    opairs AS (
+    opairs AS MATERIALIZED (
       SELECT id_a, id_b FROM mh
       WHERE id_a < (SELECT c FROM cut) AND id_b < (SELECT c FROM cut)
     ),
-    oedges AS (SELECT id_a AS a, id_b AS b FROM opairs
+    oedges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM opairs
                UNION SELECT id_b, id_a FROM opairs),
     oreach(id, r) AS (
       SELECT a, a FROM oedges
       UNION
       SELECT e.b, o.r FROM oreach o JOIN oedges e ON e.a = o.id
     ),
-    olab AS (SELECT id, MIN(r) AS comp FROM oreach GROUP BY id),
-    removed AS (SELECT id FROM olab WHERE id % 7 = 3),
+    olab AS MATERIALIZED (SELECT id, MIN(r) AS comp FROM oreach GROUP BY id),
+    removed AS MATERIALIZED (SELECT id FROM olab WHERE id % 7 = 3),
     aff AS (SELECT DISTINCT comp FROM olab WHERE id % 7 = 3),
-    members AS (SELECT o.id, o.comp FROM olab o JOIN aff a ON a.comp = o.comp),
-    remaining AS (
+    members AS MATERIALIZED (
+      SELECT o.id, o.comp FROM olab o JOIN aff a ON a.comp = o.comp),
+    remaining AS MATERIALIZED (
       SELECT m.id, m.comp FROM members m
       WHERE m.id NOT IN (SELECT id FROM removed)
     ),
@@ -3377,15 +3378,15 @@ def _l38_oracle() -> str:
       JOIN remaining ra ON ra.id = p.id_a
       JOIN remaining rb ON rb.id = p.id_b
     ),
-    redges AS (SELECT id_a AS a, id_b AS b FROM rpairs
+    redges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM rpairs
                UNION SELECT id_b, id_a FROM rpairs),
     rreach(id, r) AS (
       SELECT a, a FROM redges
       UNION
       SELECT e.b, x.r FROM rreach x JOIN redges e ON e.a = x.id
     ),
-    rlab AS (SELECT id, MIN(r) AS comp FROM rreach GROUP BY id),
-    surv AS (
+    rlab AS MATERIALIZED (SELECT id, MIN(r) AS comp FROM rreach GROUP BY id),
+    surv AS MATERIALIZED (
       SELECT m.id, m.comp AS old_comp, COALESCE(r.comp, m.id) AS new_comp
       FROM remaining m LEFT JOIN rlab r ON r.id = m.id
     ),
@@ -3669,3 +3670,263 @@ def l8g_ann_ivf_pq_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_removed bigint, delete_equals_rebuild boolean, "
         "no_removed_in_topk boolean, recall_after_delete_ge_60pct boolean",
     )
+
+
+# ---- composed takedown pipeline (l40) ----
+
+
+def _l40_oracle() -> str:
+    from datafusion_cyberpolka_eda_spark.operators.dedup import (
+        minhash_banded_portable_oracle,
+    )
+
+    inner = minhash_banded_portable_oracle(
+        n=3, num_hashes=32, bands=8, est_threshold=0.45
+    )
+    return f"""
+    WITH RECURSIVE mh AS (
+      {inner}
+    ),
+    cut AS (
+      SELECT CAST(FLOOR(0.8 * (MAX(doc_id) + 1)) AS BIGINT) AS c FROM documents
+    ),
+    tok AS MATERIALIZED (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    opairs AS MATERIALIZED (
+      SELECT id_a, id_b FROM mh
+      WHERE id_a < (SELECT c FROM cut) AND id_b < (SELECT c FROM cut)
+    ),
+    oedges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM opairs
+               UNION SELECT id_b, id_a FROM opairs),
+    oreach(id, r) AS (
+      SELECT a, a FROM oedges
+      UNION
+      SELECT e.b, o.r FROM oreach o JOIN oedges e ON e.a = o.id
+    ),
+    olab AS MATERIALIZED (SELECT id, MIN(r) AS comp FROM oreach GROUP BY id),
+    removed AS MATERIALIZED (SELECT id FROM olab WHERE id % 7 = 3),
+    aff AS (SELECT DISTINCT comp FROM olab WHERE id % 7 = 3),
+    members AS MATERIALIZED (SELECT o.id, o.comp FROM olab o JOIN aff a ON a.comp = o.comp),
+    remaining AS MATERIALIZED (
+      SELECT m.id, m.comp FROM members m
+      WHERE m.id NOT IN (SELECT id FROM removed)
+    ),
+    rpairs AS (
+      SELECT p.id_a, p.id_b FROM opairs p
+      JOIN remaining ra ON ra.id = p.id_a
+      JOIN remaining rb ON rb.id = p.id_b
+    ),
+    redges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM rpairs
+               UNION SELECT id_b, id_a FROM rpairs),
+    rreach(id, r) AS (
+      SELECT a, a FROM redges
+      UNION
+      SELECT e.b, x.r FROM rreach x JOIN redges e ON e.a = x.id
+    ),
+    rlab AS MATERIALIZED (SELECT id, MIN(r) AS comp FROM rreach GROUP BY id),
+    surv AS MATERIALIZED (
+      SELECT m.id, m.comp AS old_comp, COALESCE(r.comp, m.id) AS new_comp
+      FROM remaining m LEFT JOIN rlab r ON r.id = m.id
+    ),
+    opick AS (
+      SELECT l.comp, l.id,
+             ROW_NUMBER() OVER (PARTITION BY l.comp
+               ORDER BY t.n_tokens DESC, l.id ASC) AS rn
+      FROM olab l JOIN tok t ON t.doc_id = l.id
+    ),
+    osurv AS MATERIALIZED (SELECT comp, id AS picked_id FROM opick WHERE rn = 1),
+    npick AS (
+      SELECT s.new_comp, s.old_comp, s.id, t.n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY s.new_comp
+               ORDER BY t.n_tokens DESC, s.id ASC) AS rn
+      FROM surv s JOIN tok t ON t.doc_id = s.id
+    ),
+    nsurv AS MATERIALIZED (
+      SELECT new_comp, old_comp, id AS picked_id, n_tokens
+      FROM npick WHERE rn = 1
+    ),
+    remtok AS MATERIALIZED (
+      SELECT r.id, t.n_tokens, d.source
+      FROM removed r
+      JOIN tok t ON t.doc_id = r.id
+      JOIN documents d ON d.doc_id = r.id
+    )
+    SELECT 'request' AS stage, 'n_removed' AS metric,
+           CAST((SELECT COUNT(*) FROM removed) AS BIGINT) AS value
+    UNION ALL SELECT 'request', 'n_affected_clusters',
+           CAST((SELECT COUNT(*) FROM aff) AS BIGINT)
+    UNION ALL SELECT 'components', 'survivor_rows',
+           CAST((SELECT COUNT(*) FROM surv) AS BIGINT)
+    UNION ALL SELECT 'components', 'relabeled',
+           CAST((SELECT COUNT(*) FROM surv WHERE new_comp <> old_comp) AS BIGINT)
+    UNION ALL SELECT 'components', 'unchanged',
+           CAST((SELECT COUNT(*) FROM surv WHERE new_comp = old_comp) AS BIGINT)
+    UNION ALL SELECT 'components', 'clusters_after',
+           CAST((SELECT COUNT(DISTINCT new_comp) FROM surv) AS BIGINT)
+    UNION ALL SELECT 'survivors', 'picks',
+           CAST((SELECT COUNT(*) FROM nsurv) AS BIGINT)
+    UNION ALL SELECT 'survivors', 'picks_changed',
+           CAST((SELECT COUNT(*) FROM nsurv n
+                 JOIN osurv o ON o.comp = n.old_comp
+                 WHERE n.picked_id <> o.picked_id) AS BIGINT)
+    UNION ALL SELECT 'survivors', 'picked_tokens_total',
+           CAST((SELECT COALESCE(SUM(n_tokens), 0) FROM nsurv) AS BIGINT)
+    UNION ALL SELECT 'ledger', 'tokens_removed',
+           CAST((SELECT COALESCE(SUM(n_tokens), 0) FROM remtok) AS BIGINT)
+    UNION ALL SELECT 'ledger', 'sources_touched',
+           CAST((SELECT COUNT(DISTINCT source) FROM remtok) AS BIGINT)
+    """
+
+
+def _takedown_ledger_rows(
+    docs: DataFrame, removed: DataFrame, stats: DataFrame
+) -> DataFrame:
+    """Ledger decrement rows for a takedown batch: (doc_id, n_tokens,
+    source) per removed doc. Token counts come from the persisted stats
+    ledger; the ONLY documents access is a column-pruned
+    (doc_id, source) broadcast side — the text column must never appear
+    in the scan's ReadSchema (pinned by tests/test_takedown.py)."""
+    srcs = docs.select("doc_id", "source")
+    return (
+        removed.withColumnRenamed("id", "doc_id")
+        .join(stats, "doc_id")
+        .join(F.broadcast(srcs), "doc_id")
+    )
+
+
+@register("l40_takedown_pipeline", _l40_oracle())
+def l40_takedown_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE takedown pipeline in one call — the delete-side
+    counterpart of l37's incremental daily pipeline: a removal batch
+    (clustered day-1 docs with doc_id % 7 == 3, the l38 request stand-in)
+    is propagated through every persisted store — component re-derivation
+    over remaining members (l38), survivor re-pick for affected clusters
+    from the stats ledger (the removed doc may BE the survivor), and
+    corpus-ledger decrement accounting (docs/tokens/sources removed) —
+    emitting one (stage, metric, value) row per outcome.
+
+    No-rescan contract: connectivity is rebuilt purely from the signature
+    store and token counts come from the stats ledger; the ONLY documents
+    access is a column-pruned (doc_id, source) read for the ledger stage
+    — the text column is never scanned (a plan test pins the pruned
+    ReadSchema).
+
+    The DuckDB oracle replays all stages from scratch in one statement
+    (portable MinHash, day-1 CC, takedown CC over remaining members, both
+    window picks, ledger sums), so the composed delete flow — not just
+    l38 alone — is value-hash-checked end-to-end."""
+    docs = load_table(spark, sf_dir, "documents")
+    cutoff, sig_path = _incremental_store(spark, sf_dir)
+    labels_path = _incremental_cc_store(spark, sf_dir)
+    stats_path, surv_path = _incremental_surv_store(spark, sf_dir)
+    store = spark.read.parquet(sig_path)
+    labels = spark.read.parquet(labels_path)
+    removed = labels.filter(F.col("id") % 7 == 3).select("id")
+
+    def edges_fn(remaining: DataFrame) -> DataFrame:
+        sub = store.join(F.broadcast(remaining.select("id")), "id", "semi")
+        return D.banded_pairs_from_signatures(
+            sub, num_hashes=32, est_threshold=0.45
+        ).select("id_a", "id_b")
+
+    delta = D.takedown_components(labels, removed, edges_fn).localCheckpoint(
+        eager=True
+    )
+    surv = delta.filter(F.col("comp").isNotNull())
+
+    def rows(stage: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(stage).alias("stage"),
+            F.col("metric"),
+            F.col("value").cast("bigint").alias("value"),
+        )
+
+    def scalar(stage: str, metric: str, agg_df: DataFrame) -> DataFrame:
+        return rows(stage, agg_df.withColumn("metric", F.lit(metric)))
+
+    request = scalar(
+        "request", "n_removed", removed.agg(F.count(F.lit(1)).alias("value"))
+    ).unionByName(
+        scalar(
+            "request",
+            "n_affected_clusters",
+            labels.join(F.broadcast(removed), "id")
+            .agg(F.countDistinct("comp").alias("value")),
+        )
+    )
+
+    components = (
+        scalar("components", "survivor_rows", surv.agg(F.count(F.lit(1)).alias("value")))
+        .unionByName(
+            scalar(
+                "components",
+                "relabeled",
+                surv.filter(F.col("comp") != F.col("old_comp"))
+                .agg(F.count(F.lit(1)).alias("value")),
+            )
+        )
+        .unionByName(
+            scalar(
+                "components",
+                "unchanged",
+                surv.filter(F.col("comp") == F.col("old_comp"))
+                .agg(F.count(F.lit(1)).alias("value")),
+            )
+        )
+        .unionByName(
+            scalar(
+                "components",
+                "clusters_after",
+                surv.agg(F.countDistinct("comp").alias("value")),
+            )
+        )
+    )
+
+    stats = spark.read.parquet(stats_path)
+    picks = _pick_survivors(surv.select("id", "comp"), stats)
+    parent = surv.select("comp", "old_comp").distinct()
+    old_surv = spark.read.parquet(surv_path).select(
+        F.col("comp").alias("old_comp"), F.col("picked_id").alias("old_picked_id")
+    )
+    picks_j = picks.join(F.broadcast(parent), "comp").join(
+        F.broadcast(old_surv), "old_comp", "left"
+    ).localCheckpoint(eager=True)
+    survivors = (
+        scalar("survivors", "picks", picks_j.agg(F.count(F.lit(1)).alias("value")))
+        .unionByName(
+            scalar(
+                "survivors",
+                "picks_changed",
+                picks_j.filter(F.col("picked_id") != F.col("old_picked_id"))
+                .agg(F.count(F.lit(1)).alias("value")),
+            )
+        )
+        .unionByName(
+            scalar(
+                "survivors",
+                "picked_tokens_total",
+                picks_j.agg(
+                    F.coalesce(F.sum("picked_n_tokens"), F.lit(0)).alias("value")
+                ),
+            )
+        )
+    )
+
+    remtok = _takedown_ledger_rows(docs, removed, stats).localCheckpoint(
+        eager=True
+    )
+    ledger = scalar(
+        "ledger",
+        "tokens_removed",
+        remtok.agg(F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("value")),
+    ).unionByName(
+        scalar(
+            "ledger",
+            "sources_touched",
+            remtok.agg(F.countDistinct("source").alias("value")),
+        )
+    )
+
+    return request.unionByName(components).unionByName(survivors).unionByName(ledger)

@@ -190,5 +190,80 @@ class TestTakedownNoRescan:
         )
 
 
+class TestTakedownPipeline:
+    """l40: the composed delete-side daily pipeline (components ->
+    survivor re-pick -> ledger decrement) over the persisted stores."""
+
+    def test_ledger_scan_is_column_pruned(self, spark, sf_dir):
+        """The ledger stage's documents access must be column-pruned to
+        (doc_id, source): the text column must not appear in the
+        documents scan's ReadSchema — token counts come from the stats
+        ledger, so a text scan would break the no-rescan contract."""
+        from datafusion_cyberpolka_eda_spark.registry import llm as L
+
+        docs = load_table(spark, sf_dir, "documents")
+        removed = spark.createDataFrame([(3,), (10,)], "id bigint")
+        stats = spark.createDataFrame(
+            [(3, 50), (10, 82)], "doc_id bigint, n_tokens bigint"
+        )
+        df = L._takedown_ledger_rows(docs, removed, stats)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain(mode="formatted")
+        plan = buf.getvalue()
+        doc_scans = [
+            b
+            for b in plan.split("\n\n")
+            if "documents.parquet" in b and "ReadSchema" in b
+        ]
+        assert doc_scans, "expected a documents scan block in the plan"
+        for b in doc_scans:
+            schema_line = next(
+                ln for ln in b.splitlines() if "ReadSchema" in ln
+            )
+            assert "doc_id" in schema_line and "source" in schema_line
+            assert "text" not in schema_line, (
+                "ledger stage scanned documents.text:\n" + schema_line
+            )
+
+    def test_pipeline_invariants_and_ledger_truth(self, spark, sf_dir):
+        """End-to-end at test scale: stage arithmetic must be internally
+        consistent, and the ledger decrement must equal an independent
+        recomputation from the stats store for the same removed set."""
+        from datafusion_cyberpolka_eda_spark.registry import llm as L
+
+        got = {
+            (r["stage"], r["metric"]): r["value"]
+            for r in L.l40_takedown_pipeline(spark, sf_dir).collect()
+        }
+        assert len(got) == 11
+        assert got[("request", "n_removed")] > 0
+        assert got[("components", "survivor_rows")] == (
+            got[("components", "relabeled")]
+            + got[("components", "unchanged")]
+        )
+        assert (
+            got[("survivors", "picks")]
+            == got[("components", "clusters_after")]
+        )
+        assert (
+            got[("survivors", "picks_changed")]
+            <= got[("survivors", "picks")]
+        )
+
+        # independent ledger truth from the persisted stats store
+        removed = (
+            spark.read.parquet(L._incremental_cc_store(spark, sf_dir))
+            .filter(F.col("id") % 7 == 3)
+            .select(F.col("id").alias("doc_id"))
+        )
+        stats_path, _ = L._incremental_surv_store(spark, sf_dir)
+        stats = spark.read.parquet(stats_path)
+        want_tokens = (
+            removed.join(stats, "doc_id").agg(F.sum("n_tokens")).collect()
+        )[0][0]
+        assert got[("ledger", "tokens_removed")] == want_tokens
+
+
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-x", "-q"]))
