@@ -262,6 +262,7 @@ def embedding_neardup_bucketed(
         _LITERAL_CELL_CAP,
         adaptive_n_centroids,
         assign_cells_arrow,
+        assign_cells_literal,
         dot_expr,
         unit_vec_df,
     )
@@ -291,37 +292,13 @@ def embedding_neardup_bucketed(
             scored, [r["unit_arr"] for r in cent_rows], n_probe
         ).localCheckpoint(eager=True)
     else:
-        def dot_lit(vec) -> Column:
-            arr = F.array(*[F.lit(float(x)) for x in vec])
-            return F.aggregate(
-                F.zip_with(F.col("unit_arr"), arr, lambda a, b: a * b),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-
-        scored = unit.withColumn(
-            "cdots", F.array(*[dot_lit(r["unit_arr"]) for r in cent_rows])
-        ).localCheckpoint(eager=True)  # cut the 8x dot lineage before reuse
-        # peel off the top-n_probe cells: argmax, mask with -2 (< any
-        # cosine), repeat — array_position's first-occurrence is the
-        # lowest-index tiebreak
-        def mask_at(cell_col: str) -> Column:
-            return F.transform(
-                "cdots",
-                lambda x, i: F.when(i == F.col(cell_col), F.lit(-2.0)).otherwise(x),
-            )
-
-        cells = scored
-        picked = []
-        for j in range(n_probe):
-            cells = cells.withColumn(
-                f"c{j}",
-                (F.array_position("cdots", F.array_max("cdots")) - 1).cast("int"),
-            ).withColumn("cdots", mask_at(f"c{j}"))
-            picked.append(f"c{j}")
-        cells = cells.select(
-            "id", F.explode(F.array(*[F.col(c) for c in picked])).alias("cell")
-        )
+        # checkpoint BOTH: scored feeds the verify joins twice, cells is
+        # self-joined as both candidate sides — without the cuts the
+        # n_centroids dot expressions would re-derive per reference
+        scored = unit.localCheckpoint(eager=True)
+        cells = assign_cells_literal(
+            scored, [r["unit_arr"] for r in cent_rows], n_probe
+        ).localCheckpoint(eager=True)
     cand = (
         cells.alias("a")
         .join(cells.alias("b"), "cell")

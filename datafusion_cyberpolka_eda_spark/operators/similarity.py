@@ -335,6 +335,53 @@ def ann_ivf_fixed_topk_multi(
 _LITERAL_CELL_CAP = 32
 
 
+def assign_cells_literal(
+    unit: DataFrame,
+    centers,
+    n_probe: int = 1,
+    id_col: str = "id",
+    vec_col: str = "unit_arr",
+) -> DataFrame:
+    """Top-``n_probe`` quantizer-cell assignment with every centroid
+    inlined as a literal array expression — the whole-stage-codegen path
+    for <= _LITERAL_CELL_CAP cells (past that, codegen grows
+    O(cells x dim); use assign_cells_arrow). First-max tiebreak = lowest
+    centroid index via array_position's first-occurrence rule, matching
+    the Arrow path's stable argsort, so either path emits the same
+    (id, cell) multiset. Callers that self-join or reuse the result
+    should localCheckpoint it — the masking loop re-derives all
+    ``len(centers)`` dots per reference otherwise."""
+    p = min(n_probe, len(centers))
+
+    def dot_lit(vec) -> Column:
+        arr = F.array(*[F.lit(float(x)) for x in vec])
+        return F.aggregate(
+            F.zip_with(F.col(vec_col), arr, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    out = unit.withColumn("_cdots", F.array(*[dot_lit(c) for c in centers]))
+
+    def mask_at(cell_col: str) -> Column:
+        return F.transform(
+            "_cdots",
+            lambda x, i: F.when(i == F.col(cell_col), F.lit(-2.0)).otherwise(x),
+        )
+
+    picked = []
+    for j in range(p):
+        out = out.withColumn(
+            f"_c{j}",
+            (F.array_position("_cdots", F.array_max("_cdots")) - 1).cast("int"),
+        ).withColumn("_cdots", mask_at(f"_c{j}"))
+        picked.append(f"_c{j}")
+    return out.select(
+        F.col(id_col),
+        F.explode(F.array(*[F.col(c) for c in picked])).alias("cell"),
+    )
+
+
 def assign_cells_arrow(
     unit: DataFrame,
     centers,

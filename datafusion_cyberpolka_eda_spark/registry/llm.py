@@ -3930,3 +3930,157 @@ def l40_takedown_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return request.unionByName(components).unionByName(survivors).unionByName(ledger)
+
+
+# ---- incremental embedding (semantic) dedup (l41) ----
+# (session, sf_dir, embeddings fingerprint) -> (cutoff, units, cells,
+# centers parquet paths): the persisted day-1 semantic store.
+_SEM_STORE_CACHE: dict[str, tuple] = {}
+
+
+def _semantic_store(spark: SparkSession, sf_dir: str) -> tuple:
+    """Build ONCE per (session, data) the persisted day-1 SEMANTIC store
+    for incremental embedding dedup: unit vectors, frozen-quantizer cell
+    assignments (top-4 probes against the 8 smallest day-1 ids — the
+    offline-trained-quantizer stand-in, same parameters as l10), and the
+    centroid table itself, each written to parquet the way a daily
+    semantic-dedup job persists them. Returns
+    (cutoff, units_path, cells_path, centers_path); keyed by the
+    embeddings-table fingerprint so testdata regeneration invalidates
+    it. Persisting the CENTROIDS is what freezes the quantizer: day-2
+    assignment must use day-1's cells, never re-derive its own."""
+    key = (
+        f"{spark.sparkContext.applicationId}:{sf_dir}:"
+        f"{_table_fingerprint(sf_dir, 'embeddings')}"
+    )
+    if key in _SEM_STORE_CACHE:
+        return _SEM_STORE_CACHE[key]
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
+    max_id = emb.agg(F.max("vec_id")).collect()[0][0]
+    cutoff = int(0.8 * (max_id + 1))
+    day1 = emb.filter(F.col("vec_id") < cutoff)
+    unit = SIM.unit_vec_df(day1, "vec_id", "embedding").localCheckpoint(
+        eager=True
+    )
+    cent_rows = sorted(
+        unit.orderBy("id").limit(8).collect(), key=lambda r: r["id"]
+    )
+    centers = [list(r["unit_arr"]) for r in cent_rows]
+    cells = SIM.assign_cells_literal(unit, centers, n_probe=4)
+    out = tempfile.mkdtemp(prefix="semantic_store_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    units_path = os.path.join(out, "units.parquet")
+    cells_path = os.path.join(out, "cells.parquet")
+    centers_path = os.path.join(out, "centers.parquet")
+    unit.write.mode("overwrite").parquet(units_path)
+    cells.write.mode("overwrite").parquet(cells_path)
+    spark.createDataFrame(
+        [(i, v) for i, v in enumerate(centers)], "cid int, unit_arr array<double>"
+    ).write.mode("overwrite").parquet(centers_path)
+    _SEM_STORE_CACHE[key] = (cutoff, units_path, cells_path, centers_path)
+    return _SEM_STORE_CACHE[key]
+
+
+_L41_ORACLE = """
+    WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0),
+    cut AS (SELECT CAST(FLOOR(0.8 * (MAX(vec_id) + 1)) AS BIGINT) AS c FROM v),
+    e AS (SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS val,
+                 generate_subscripts(embedding, 1) AS i FROM v),
+    n AS (SELECT vec_id, SQRT(SUM(val * val)) AS nrm FROM e GROUP BY vec_id),
+    u AS (SELECT e.vec_id, e.i, e.val / n.nrm AS uval FROM e JOIN n USING (vec_id)),
+    c AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, vec_id AS cvid
+          FROM (SELECT vec_id FROM v ORDER BY vec_id LIMIT 8)),
+    cvec AS (SELECT c.cid, u.i, u.uval AS cval FROM c JOIN u ON u.vec_id = c.cvid),
+    dots AS (SELECT u.vec_id, cv.cid, SUM(u.uval * cv.cval) AS d
+             FROM u JOIN cvec cv USING (i) GROUP BY u.vec_id, cv.cid),
+    cells AS (SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cid ASC) AS rk
+                FROM dots) WHERE rk <= 4),
+    cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+             FROM cells a JOIN cells b USING (cid) WHERE a.vec_id < b.vec_id),
+    pairdot AS (SELECT cand.id_a, cand.id_b, SUM(ua.uval * ub.uval) AS cosine
+                FROM cand
+                JOIN u ua ON ua.vec_id = cand.id_a
+                JOIN u ub ON ub.vec_id = cand.id_b AND ub.i = ua.i
+                GROUP BY cand.id_a, cand.id_b)
+    SELECT id_a, id_b, ROUND(cosine, 6) AS cosine,
+           CASE WHEN id_a >= (SELECT c FROM cut)
+                THEN 'new_new' ELSE 'new_old' END AS kind
+    FROM pairdot
+    WHERE cosine >= 0.25 AND id_b >= (SELECT c FROM cut)
+"""
+
+
+@register("l41_incremental_embedding_dedup", _L41_ORACLE)
+def l41_incremental_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SEMANTIC (embedding) dedup — the embedding-space
+    counterpart of l31's MinHash incremental shape: day-1 unit vectors +
+    frozen-quantizer cell assignments are PERSISTED (_semantic_store);
+    the day-2 increment is normalized and cell-assigned under the SAME
+    frozen centroids (read from the store — the quantizer is never
+    retrained), and candidates come from joining ONLY the increment's
+    cells against store+increment cells. Old vectors are never
+    re-normalized or re-assigned; the embeddings scan carries a pushed
+    vec_id >= cutoff predicate (no-rescan plan test pins it).
+
+    Because cell assignment is per-row deterministic under a frozen
+    quantizer, the incremental pair set equals the full from-scratch
+    build (l10 semantics, same centroids/probes/threshold) restricted to
+    pairs with >= 1 new id — exactly what the DuckDB oracle computes, so
+    the incremental path is value-hash-checked against from-scratch
+    semantics. Scale shape: store grows by |increment| rows/day; shuffle
+    volume tracks increment cell rows + colliding store cells (persist
+    the store bucketed by cell at 100 TB so the join prunes to colliding
+    buckets)."""
+    cutoff, units_path, cells_path, centers_path = _semantic_store(spark, sf_dir)
+    store_units = spark.read.parquet(units_path)
+    store_cells = spark.read.parquet(cells_path)
+    centers = [
+        list(r["unit_arr"])
+        for r in sorted(
+            spark.read.parquet(centers_path).collect(), key=lambda r: r["cid"]
+        )
+    ]
+    new = load_table(spark, sf_dir, "embeddings").filter(
+        (F.col("vec_id") % 5 == 0) & (F.col("vec_id") >= cutoff)
+    )
+    new_units = SIM.unit_vec_df(new, "vec_id", "embedding").localCheckpoint(
+        eager=True
+    )
+    new_cells = SIM.assign_cells_literal(
+        new_units, centers, n_probe=4
+    ).localCheckpoint(eager=True)
+    all_cells = store_cells.unionByName(new_cells)
+    cand = (
+        new_cells.alias("a")
+        .join(all_cells.alias("b"), "cell")
+        .filter(F.col("a.id") != F.col("b.id"))
+        .select(
+            F.least("a.id", "b.id").alias("id_a"),
+            F.greatest("a.id", "b.id").alias("id_b"),
+        )
+        .distinct()
+    )
+    all_units = store_units.unionByName(new_units)
+    ua = all_units.select(F.col("id").alias("id_a"), F.col("unit_arr").alias("arr_a"))
+    ub = all_units.select(F.col("id").alias("id_b"), F.col("unit_arr").alias("arr_b"))
+    return (
+        cand.join(ua, "id_a")
+        .join(ub, "id_b")
+        .withColumn("cosine", SIM.dot_expr("arr_a", "arr_b"))
+        .filter(F.col("cosine") >= 0.25)
+        .select(
+            "id_a",
+            "id_b",
+            F.round("cosine", 6).alias("cosine"),
+            F.when(F.col("id_a") >= F.lit(cutoff), "new_new")
+            .otherwise("new_old")
+            .alias("kind"),
+        )
+    )
