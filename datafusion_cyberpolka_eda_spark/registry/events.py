@@ -439,3 +439,47 @@ def j16_stream_quality_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"j16_{_os.path.basename(_os.path.normpath(sf_dir)).replace('.', '_')}",
     )
     return stream_quality_routing(spark, docs, scratch)
+
+
+def _j17_oracle() -> str:
+    # sequential epoch takedowns must reproduce the one-shot batch
+    # answer — l38's from-scratch replay oracle, verbatim
+    from datafusion_cyberpolka_eda_spark.registry.llm import _l38_oracle
+
+    return _l38_oracle()
+
+
+@register("j17_stream_takedown", _j17_oracle())
+def j17_stream_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming takedown propagation — the continuous-request shape of
+    l38: the removal list arrives as 3 forced micro-batches; each epoch
+    re-derives only the components its requests touch against the
+    CURRENT label store (edge rebuilds slice the fixed day-1 signature
+    store), writes the next store version, and appends tombstones.
+    Because deletion only splits components and labels are min member
+    ids, sequential application is order-independent and the final
+    store equals the one-shot batch takedown — so the rollup is
+    value-hash-checked against l38's from-scratch DuckDB replay."""
+    import os as _os
+
+    from datafusion_cyberpolka_eda_spark.registry.llm import (
+        _incremental_cc_store,
+        _incremental_store,
+    )
+    from datafusion_cyberpolka_eda_spark.streaming.documents import (
+        stream_takedown,
+    )
+
+    _, sig_path = _incremental_store(spark, sf_dir)
+    labels_path = _incremental_cc_store(spark, sf_dir)
+    requests = (
+        spark.read.parquet(labels_path)
+        .filter(F.col("id") % 7 == 3)
+        .select("id")
+    )
+    scratch = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+        ".scratch",
+        f"j17_{_os.path.basename(_os.path.normpath(sf_dir)).replace('.', '_')}",
+    )
+    return stream_takedown(spark, requests, labels_path, sig_path, scratch)

@@ -196,3 +196,116 @@ def stream_quality_routing(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("n_tokens"),
     )
+
+
+def stream_takedown(
+    spark: SparkSession,
+    requests: DataFrame,
+    labels_path: str,
+    sig_store_path: str,
+    scratch_dir: str,
+    *,
+    num_hashes: int = 32,
+    est_threshold: float = 0.45,
+    n_files: int = 3,
+) -> DataFrame:
+    """Streaming takedown / right-to-be-forgotten — the continuous shape
+    of the l38 batch operator: removal requests arrive as micro-batches
+    (maxFilesPerTrigger=1 over ``n_files`` request files — the queue
+    stand-in) and each epoch applies dedup.takedown_components against
+    the CURRENT label store, re-deriving only the components that
+    epoch's requests touch (edge rebuilds slice the FIXED day-1
+    signature store; old text is never re-read). The epoch then writes
+    the next store version — survivors relabeled, removed ids deleted —
+    and appends its tombstones, so each epoch is the bounded
+    delete-transaction a 100 TB pipeline commits per request batch.
+
+    Sequential epoch application is ORDER-INDEPENDENT: deletion only
+    splits components, final remaining-graph connectivity depends on
+    the final removed set alone, and labels are min member ids — so the
+    final store equals the one-shot batch takedown of all requests. The
+    returned rollup (per-member statuses vs the ORIGINAL day-1 labels +
+    new cluster sizes) therefore equals l38's answer, and l38's
+    from-scratch DuckDB replay is the oracle.
+
+    Returns rows shaped like l38: (doc_id, old_component, new_component,
+    status, new_cluster_size)."""
+    src_dir = os.path.join(scratch_dir, "req_src")
+    tomb_dir = os.path.join(scratch_dir, "tombstones")
+    stores_dir = os.path.join(scratch_dir, "label_stores")
+    for d in (src_dir, tomb_dir, stores_dir):
+        shutil.rmtree(d, ignore_errors=True)
+
+    requests.select("id").repartitionByRange(n_files, "id").write.parquet(src_dir)
+    spark.createDataFrame([], "id bigint").write.parquet(tomb_dir)
+    # version 0 of the mutable store = the persisted day-1 labels
+    day1 = spark.read.parquet(labels_path)
+    v0 = os.path.join(stores_dir, "v0")
+    day1.write.parquet(v0)
+    cur_path = [v0]
+    sig_store = spark.read.parquet(sig_store_path)
+
+    def edges_fn(remaining: DataFrame) -> DataFrame:
+        sub = sig_store.join(
+            F.broadcast(remaining.select("id")), "id", "semi"
+        )
+        return D.banded_pairs_from_signatures(
+            sub, num_hashes=num_hashes, est_threshold=est_threshold
+        ).select("id_a", "id_b")
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        cur = spark.read.parquet(cur_path[0])
+        removed = batch_df.select("id")
+        delta = D.takedown_components(cur, removed, edges_fn).localCheckpoint(
+            eager=True
+        )
+        survivors = delta.filter(F.col("comp").isNotNull()).select("id", "comp")
+        untouched = cur.join(delta.select("id"), "id", "left_anti")
+        nxt = os.path.join(stores_dir, f"v{int(epoch_id) + 1}")
+        untouched.unionByName(survivors).write.parquet(nxt)
+        cur_path[0] = nxt
+        delta.filter(F.col("comp").isNull()).select("id").write.mode(
+            "append"
+        ).parquet(tomb_dir)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = stream.writeStream.foreachBatch(handle).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    removed_all = spark.read.parquet(tomb_dir)
+    final = spark.read.parquet(cur_path[0])
+    aff = day1.join(F.broadcast(removed_all), "id").select("comp").distinct()
+    members = day1.join(F.broadcast(aff), "comp")
+    surv = (
+        members.join(F.broadcast(removed_all), "id", "left_anti")
+        .select("id", F.col("comp").alias("old_comp"))
+        .join(final.withColumnRenamed("comp", "new_comp"), "id", "left")
+        .select("id", "old_comp", F.coalesce("new_comp", "id").alias("new_comp"))
+    )
+    sizes = surv.groupBy("new_comp").agg(
+        F.count(F.lit(1)).alias("new_cluster_size")
+    )
+    surv_rows = surv.join(F.broadcast(sizes), "new_comp").select(
+        F.col("id").alias("doc_id"),
+        F.col("old_comp").alias("old_component"),
+        F.col("new_comp").alias("new_component"),
+        F.when(F.col("new_comp") != F.col("old_comp"), F.lit("relabeled"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+        "new_cluster_size",
+    )
+    tomb_rows = members.join(F.broadcast(removed_all), "id").select(
+        F.col("id").alias("doc_id"),
+        F.col("comp").alias("old_component"),
+        F.lit(None).cast("long").alias("new_component"),
+        F.lit("removed").alias("status"),
+        F.lit(None).cast("long").alias("new_cluster_size"),
+    )
+    return surv_rows.unionByName(tomb_rows)
