@@ -4084,3 +4084,109 @@ def l41_incremental_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFra
             .alias("kind"),
         )
     )
+
+
+# ---- bigram LM quality scoring (l42) ----
+
+
+_L42_ORACLE = """
+    WITH t AS (SELECT doc_id, lang, string_split(text, ' ') w FROM documents),
+    tk AS (SELECT doc_id, lang, unnest(w) AS tok FROM t),
+    uni AS (SELECT tok, COUNT(*) AS c1 FROM tk GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n FROM tk),
+    bg AS (
+      SELECT doc_id, lang, w[i] AS w1, w[i+1] AS w2
+      FROM t, LATERAL (SELECT unnest(generate_series(1, greatest(len(w) - 1, 1))) AS i) s
+      WHERE w[i+1] IS NOT NULL
+    ),
+    bgc AS (SELECT w1, w2, COUNT(*) AS cb FROM bg GROUP BY 1, 2),
+    scored AS (
+      SELECT bg.doc_id, bg.lang,
+             -ln(0.75 * CAST(bgc.cb AS DOUBLE) / u1.c1
+                 + 0.25 * CAST(u2.c1 AS DOUBLE) / n.n) AS nll
+      FROM bg
+      JOIN bgc ON bgc.w1 = bg.w1 AND bgc.w2 = bg.w2
+      JOIN uni u1 ON u1.tok = bg.w1
+      JOIN uni u2 ON u2.tok = bg.w2
+      CROSS JOIN n
+    ),
+    per AS (
+      SELECT doc_id, lang, AVG(nll) AS doc_nll, COUNT(*) AS n_bigrams
+      FROM scored GROUP BY 1, 2
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_bigrams) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(doc_nll), 6) AS avg_doc_nll,
+           CAST(SUM(CAST(doc_nll > 3.55 AS INT)) AS BIGINT) AS n_flagged
+    FROM per GROUP BY lang
+"""
+
+
+def bigram_doc_nll(
+    docs: DataFrame, lam: float = 0.75
+) -> DataFrame:
+    """Per-doc interpolated bigram negative log-likelihood:
+    (doc_id, lang, doc_nll, n_bigrams) with
+    P(w2|w1) = lam * c(w1 w2)/c(w1) + (1-lam) * c(w2)/N trained on the
+    given corpus itself (every observed bigram has count >= 1, so no
+    extra smoothing is needed). Docs with < 2 tokens emit no row."""
+    t = docs.select("doc_id", "lang", F.split("text", " ").alias("w"))
+    tk = t.select("doc_id", "lang", F.explode("w").alias("tok"))
+    uni = tk.groupBy("tok").agg(F.count(F.lit(1)).alias("c1"))
+    n = tk.agg(F.count(F.lit(1)).alias("n"))
+    bg = t.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.arrays_zip(
+                F.expr("slice(w, 1, greatest(size(w) - 1, 0))").alias("w1"),
+                F.expr("slice(w, 2, greatest(size(w) - 1, 0))").alias("w2"),
+            )
+        ).alias("p"),
+    ).select("doc_id", "lang", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    bgc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("c1").alias("c1_w1"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("c1").alias("c1_w2"))
+    nll = -F.log(
+        F.lit(lam) * F.col("cb").cast("double") / F.col("c1_w1")
+        + F.lit(1.0 - lam) * F.col("c1_w2").cast("double") / F.col("n")
+    )
+    return (
+        bg.join(bgc, ["w1", "w2"])
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .join(F.broadcast(n))
+        .groupBy("doc_id", "lang")
+        .agg(F.avg(nll).alias("doc_nll"), F.count(F.lit(1)).alias("n_bigrams"))
+    )
+
+
+@register("l42_bigram_lm_score", _L42_ORACLE)
+def l42_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained interpolated bigram LM quality score — the
+    KenLM-lite perplexity filter every large-scale text pipeline runs
+    (l24's unigram surprisal catches vocabulary-level gibberish; the
+    bigram model also catches shuffled/unnatural word ORDER):
+    P(w2|w1) = 0.75 * c(w1 w2)/c(w1) + 0.25 * c(w2)/N from exact
+    integer counts over one corpus pass, per-doc mean negative
+    log-likelihood, per-language rollup with a count of docs past a
+    3.55-nats flag threshold (the sparse upper tail of this corpus —
+    far from the dense mass, so ULP-level engine differences in the
+    per-doc mean cannot flip the comparison).
+
+    Scale shape: bigrams via slice-zip (no window, no per-doc state),
+    ONE map-side-combined groupBy for the bigram table and one for the
+    vocab; scoring joins token streams to the model tables — the vocab
+    side is Zipf-small (broadcastable), the bigram join shuffles on
+    hashed pair keys and AQE handles stopword-pair skew (at 100 TB swap
+    string keys for xxhash64 as in l13). ln agrees across engines to
+    ulps; per-lang means over thousands of docs round identically at
+    6 dp (l24/l25 precedent)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    per = bigram_doc_nll(docs)
+    return per.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bigrams").alias("n_bigrams"),
+        F.round(F.avg("doc_nll"), 6).alias("avg_doc_nll"),
+        F.sum((F.col("doc_nll") > 3.55).cast("int")).cast("bigint").alias("n_flagged"),
+    )

@@ -107,3 +107,39 @@ def test_hash_sample_key_stable_and_monotonic(spark, keys):
     assert take(df1, 10) == take(df2, 10)
     assert take(df1, 10) <= take(df1, 20)
     assert take(df1, 100) == set(keys)
+
+
+class TestBigramLmScore:
+    def test_hand_computed_tiny_corpus(self, spark):
+        """l42's scorer on 'a b a b' + 'a a': counts N=6, c(a)=4, c(b)=2,
+        c(a b)=2, c(b a)=1, c(a a)=1 — per-doc NLLs verified by hand."""
+        import math
+
+        from datafusion_cyberpolka_eda_spark.registry.llm import bigram_doc_nll
+
+        docs = spark.createDataFrame(
+            [(1, "en", "a b a b"), (2, "en", "a a")],
+            "doc_id bigint, lang string, text string",
+        )
+        got = {
+            r["doc_id"]: (r["doc_nll"], r["n_bigrams"])
+            for r in bigram_doc_nll(docs).collect()
+        }
+        p_ab = 0.75 * 2 / 4 + 0.25 * 2 / 6
+        p_ba = 0.75 * 1 / 2 + 0.25 * 4 / 6
+        p_aa = 0.75 * 1 / 4 + 0.25 * 4 / 6
+        want1 = (-math.log(p_ab) * 2 - math.log(p_ba)) / 3
+        want2 = -math.log(p_aa)
+        assert got[1][1] == 3 and got[2][1] == 1
+        assert abs(got[1][0] - want1) < 1e-12
+        assert abs(got[2][0] - want2) < 1e-12
+
+    def test_single_token_doc_emits_no_row(self, spark):
+        from datafusion_cyberpolka_eda_spark.registry.llm import bigram_doc_nll
+
+        docs = spark.createDataFrame(
+            [(1, "en", "solo"), (2, "en", "two tokens")],
+            "doc_id bigint, lang string, text string",
+        )
+        got = {r["doc_id"] for r in bigram_doc_nll(docs).collect()}
+        assert got == {2}
