@@ -4190,3 +4190,108 @@ def l42_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("doc_nll"), 6).alias("avg_doc_nll"),
         F.sum((F.col("doc_nll") > 3.55).cast("int")).cast("bigint").alias("n_flagged"),
     )
+
+
+# ---- cross-doc duplicated span coverage (l43) ----
+
+
+def _l43_oracle() -> str:
+    gram = " || ' ' || ".join(f"w[i+{j}]" for j in range(8))
+    return f"""
+    WITH t AS (SELECT doc_id, lang, string_split(text, ' ') w FROM documents),
+    base AS (
+      SELECT doc_id, lang, CAST(len(w) AS BIGINT) AS n_tokens, w
+      FROM t WHERE len(w) >= 8
+    ),
+    g AS (
+      SELECT doc_id, lang, n_tokens, i AS pos, {gram} AS gram
+      FROM base, LATERAL (SELECT unnest(generate_series(1, len(w) - 7)) AS i) s
+    ),
+    dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+    occ AS (SELECT g.doc_id, g.lang, g.n_tokens, g.pos FROM g JOIN dup USING (gram)),
+    cov AS (
+      SELECT DISTINCT doc_id, lang, n_tokens, pos + j AS cp
+      FROM occ, LATERAL (SELECT unnest(generate_series(0, 7)) AS j) s2
+    ),
+    per AS (
+      SELECT doc_id, lang, n_tokens, COUNT(*) AS covered FROM cov GROUP BY 1, 2, 3
+    ),
+    alldocs AS (
+      SELECT b.doc_id, b.lang, b.n_tokens, COALESCE(p.covered, 0) AS covered
+      FROM base b LEFT JOIN per p USING (doc_id)
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(covered > 0 AS INT)) AS BIGINT) AS n_docs_with_dup,
+           ROUND(AVG(CAST(covered AS DOUBLE) / n_tokens), 6) AS avg_coverage,
+           CAST(SUM(covered) AS BIGINT) AS dup_token_positions,
+           CAST(SUM(CAST(CAST(covered AS DOUBLE) / n_tokens > 0.2 AS INT)) AS BIGINT)
+             AS n_flagged
+    FROM alldocs GROUP BY lang
+    """
+
+
+def dup_span_doc_coverage(docs: DataFrame, k: int = 8) -> DataFrame:
+    """Per-doc duplicated-span coverage rows
+    (doc_id, lang, n_tokens, covered): for every k-token gram appearing
+    in >= 2 DISTINCT docs, its token positions count as covered; covered
+    = |union| of those spans (overlapping occurrences are
+    distinct-counted once — a test pins the union semantics). Docs with
+    fewer than k tokens are excluded; untouched docs emit covered=0."""
+    scanned = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    ).filter(F.col("n_tokens") >= k)
+    g = docs.select(
+        "doc_id",
+        F.posexplode(T.shingles("text", k)).alias("pos", "gram"),
+    )
+    dup = (
+        g.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    occ = g.join(dup, "gram", "semi")
+    per = (
+        occ.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+            ).alias("cp"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("covered"))
+    )
+    return scanned.join(per, "doc_id", "left").fillna(0, ["covered"])
+
+
+@register("l43_dup_span_coverage", _l43_oracle())
+def l43_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span coverage — the exact-substring
+    dedup signal (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better"): for every 8-token gram appearing in >= 2
+    DISTINCT docs, mark its token positions covered; per doc, the
+    fraction of tokens lying inside such spans (union of overlapping
+    occurrences, not a sum — positions are distinct-counted). Docs with
+    high coverage are templated/boilerplate even when no whole-doc
+    near-dup fires. Per-lang rollup + a 20%-coverage flag count.
+
+    Scale shape: one shingle slice-zip pass (no window), ONE
+    groupBy(gram) with distinct-doc count, a semi-join back (only
+    duplicated occurrences explode their 8 positions — bounded by dup
+    volume, not corpus size), distinct + two rollups. At 100 TB hash
+    grams to 64-bit before the groupBy (l13 pattern) and the shuffle
+    carries fixed-width keys. Coverage ratios are exact rationals in
+    double — the 0.2 comparison is engine-stable."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    alldocs = dup_span_doc_coverage(docs)
+    coverage = F.col("covered").cast("double") / F.col("n_tokens")
+    return alldocs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("covered") > 0).cast("int")).cast("bigint").alias("n_docs_with_dup"),
+        F.round(F.avg(coverage), 6).alias("avg_coverage"),
+        F.sum("covered").cast("bigint").alias("dup_token_positions"),
+        F.sum((coverage > 0.2).cast("int")).cast("bigint").alias("n_flagged"),
+    )

@@ -143,3 +143,46 @@ class TestBigramLmScore:
         )
         got = {r["doc_id"] for r in bigram_doc_nll(docs).collect()}
         assert got == {2}
+
+
+class TestDupSpanCoverage:
+    def test_union_of_overlapping_spans(self, spark):
+        """Two docs sharing a 9-token prefix have exactly two duplicated
+        8-grams whose spans overlap on positions 1..8 — covered must be
+        the UNION (9 positions), not the sum (16)."""
+        from datafusion_cyberpolka_eda_spark.registry.llm import (
+            dup_span_doc_coverage,
+        )
+
+        shared = "a b c d e f g h i"
+        docs = spark.createDataFrame(
+            [
+                (1, "en", shared + " j k l"),
+                (2, "en", shared + " z1 z2 z3"),
+                (3, "en", "p q r s t u v w x y"),
+            ],
+            "doc_id bigint, lang string, text string",
+        )
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["covered"])
+            for r in dup_span_doc_coverage(docs).collect()
+        }
+        assert got == {1: (12, 9), 2: (12, 9), 3: (10, 0)}
+
+    def test_within_doc_repeats_not_counted(self, spark):
+        """A gram repeated inside ONE doc is not a cross-doc duplicate —
+        the distinct-doc count must gate it out."""
+        from datafusion_cyberpolka_eda_spark.registry.llm import (
+            dup_span_doc_coverage,
+        )
+
+        rep = "a b c d e f g h " * 2  # same 8-gram twice in one doc
+        docs = spark.createDataFrame(
+            [(1, "en", rep.strip()), (2, "en", "q r s t u v w x y z")],
+            "doc_id bigint, lang string, text string",
+        )
+        got = {
+            r["doc_id"]: r["covered"]
+            for r in dup_span_doc_coverage(docs).collect()
+        }
+        assert got == {1: 0, 2: 0}
