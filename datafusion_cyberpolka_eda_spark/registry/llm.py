@@ -4295,3 +4295,249 @@ def l43_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("covered").cast("bigint").alias("dup_token_positions"),
         F.sum((coverage > 0.2).cast("int")).cast("bigint").alias("n_flagged"),
     )
+
+
+# ---- composed training-export pipeline (l44) ----
+
+
+_L44_ORACLE = """
+    WITH RECURSIVE q AS MATERIALIZED (
+      SELECT doc_id, source, text,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CASE WHEN len(string_split(text, ' ')) < 8 THEN 'reject_short'
+                  WHEN len(list_distinct(string_split(text, ' '))) * 2
+                       < len(string_split(text, ' ')) THEN 'reject_repetitive'
+                  ELSE 'accept' END AS sink
+      FROM documents
+    ),
+    acc AS MATERIALIZED (SELECT * FROM q WHERE sink = 'accept'),
+    nrm AS MATERIALIZED (
+      SELECT *, TRIM(regexp_replace(regexp_replace(LOWER(text), '[^a-z0-9 ]', '', 'g'),
+                     ' +', ' ', 'g')) AS ntext
+      FROM acc
+    ),
+    ded AS MATERIALIZED (
+      SELECT doc_id, source, n_tokens FROM (
+        SELECT doc_id, source, n_tokens,
+               ROW_NUMBER() OVER (PARTITION BY ntext ORDER BY doc_id) AS rn
+        FROM nrm) WHERE rn = 1
+    ),
+    mix AS MATERIALIZED (
+      SELECT doc_id, source, n_tokens, budget,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM (
+        SELECT *, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h,
+               CAST(FLOOR((CASE source WHEN 'src0' THEN 0.35
+                                       WHEN 'src1' THEN 0.25
+                                       ELSE 0.05 END) * 50000) AS BIGINT) AS budget
+        FROM ded)
+    ),
+    kept AS MATERIALIZED (SELECT doc_id, source, n_tokens FROM mix WHERE cum <= budget),
+    d AS MATERIALIZED (
+      SELECT doc_id % 8 AS shard, doc_id, n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+      FROM kept
+    ),
+    pack AS (
+      SELECT shard, rn, n_tokens, CAST(0 AS BIGINT) AS bin_id, n_tokens AS run
+      FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.shard, d.rn, d.n_tokens,
+             CASE WHEN p.run + d.n_tokens > 256 THEN p.bin_id + 1
+                  ELSE p.bin_id END,
+             CASE WHEN p.run + d.n_tokens > 256 THEN d.n_tokens
+                  ELSE p.run + d.n_tokens END
+      FROM pack p JOIN d ON d.shard = p.shard AND d.rn = p.rn + 1
+    ),
+    bins AS MATERIALIZED (
+      SELECT shard, bin_id, COUNT(*) AS n_docs, SUM(n_tokens) AS tt
+      FROM pack GROUP BY 1, 2
+    )
+    SELECT 'quality' AS stage, 'n_input' AS metric,
+           CAST((SELECT COUNT(*) FROM q) AS BIGINT) AS value
+    UNION ALL SELECT 'quality', 'n_accepted',
+           CAST((SELECT COUNT(*) FROM acc) AS BIGINT)
+    UNION ALL SELECT 'quality', 'n_reject_short',
+           CAST((SELECT COUNT(*) FROM q WHERE sink = 'reject_short') AS BIGINT)
+    UNION ALL SELECT 'quality', 'n_reject_repetitive',
+           CAST((SELECT COUNT(*) FROM q WHERE sink = 'reject_repetitive') AS BIGINT)
+    UNION ALL SELECT 'dedup', 'n_unique',
+           CAST((SELECT COUNT(*) FROM ded) AS BIGINT)
+    UNION ALL SELECT 'dedup', 'n_collapsed',
+           CAST((SELECT (SELECT COUNT(*) FROM acc) - COUNT(*) FROM ded) AS BIGINT)
+    UNION ALL SELECT 'mixture', 'n_docs_kept',
+           CAST((SELECT COUNT(*) FROM kept) AS BIGINT)
+    UNION ALL SELECT 'mixture', 'tokens_kept',
+           CAST((SELECT COALESCE(SUM(n_tokens), 0) FROM kept) AS BIGINT)
+    UNION ALL SELECT 'mixture', 'n_sources_with_kept',
+           CAST((SELECT COUNT(DISTINCT source) FROM kept) AS BIGINT)
+    UNION ALL SELECT 'pack', 'n_bins',
+           CAST((SELECT COUNT(*) FROM bins) AS BIGINT)
+    UNION ALL SELECT 'pack', 'n_docs_packed',
+           CAST((SELECT COALESCE(SUM(n_docs), 0) FROM bins) AS BIGINT)
+    UNION ALL SELECT 'pack', 'tokens_packed',
+           CAST((SELECT COALESCE(SUM(tt), 0) FROM bins) AS BIGINT)
+    UNION ALL SELECT 'pack', 'n_over_cap',
+           CAST((SELECT COUNT(*) FROM bins WHERE tt > 256 AND n_docs > 1) AS BIGINT)
+    UNION ALL SELECT 'shards', 'n_shards_used',
+           CAST((SELECT COUNT(DISTINCT shard) FROM bins) AS BIGINT)
+    UNION ALL SELECT 'shards', 'max_shard_tokens',
+           CAST((SELECT COALESCE(MAX(st), 0) FROM
+                 (SELECT SUM(tt) AS st FROM bins GROUP BY shard)) AS BIGINT)
+    UNION ALL SELECT 'shards', 'min_shard_tokens',
+           CAST((SELECT COALESCE(MIN(st), 0) FROM
+                 (SELECT SUM(tt) AS st FROM bins GROUP BY shard)) AS BIGINT)
+"""
+
+
+@register("l44_training_export_pipeline", _L44_ORACLE)
+def l44_training_export_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE training-data EXPORT pipeline in one call — the
+    write path a daily training job runs after corpus maintenance, each
+    stage an already-verified operator: quality gate (j16's
+    integer-exact rules) -> normalized exact dedup keeping the lowest
+    doc_id per collapsed text (l17's normalization) -> source-weighted
+    mixture sampling under per-source token budgets (l22's portable-hash
+    order) -> greedy 256-token sequence packing sharded by doc_id % 8
+    (l19's operator) -> shard manifest. Emits one (stage, metric, value)
+    row per outcome — the export manifest a run would log.
+
+    All arithmetic is exact-integer end-to-end, and the DuckDB oracle
+    replays every stage in one MATERIALIZED-CTE statement (quality
+    rules, normalization window pick, budget window, the recursive
+    greedy-packing CTE, shard rollups) — so the composed flow, not just
+    the stages, is value-hash-checked. Scale: each stage keeps its
+    standalone entry's plan shape (the packing stays shard-parallel
+    applyInPandas; everything else is expressions + windows partitioned
+    by source/ntext)."""
+    from datafusion_cyberpolka_eda_spark.functions.hashing import md5_hash64
+    from datafusion_cyberpolka_eda_spark.operators.packing import (
+        pack_greedy_by_shard,
+    )
+    from datafusion_cyberpolka_eda_spark.streaming.documents import (
+        quality_sink_col,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        T.token_count("text").cast("bigint").alias("n_tokens"),
+        quality_sink_col().alias("sink"),
+    ).localCheckpoint(eager=True)
+    acc = scored.filter(F.col("sink") == "accept")
+    ntext = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    w_ded = Window.partitionBy("ntext").orderBy("doc_id")
+    ded = (
+        acc.withColumn("ntext", ntext)
+        .withColumn("rn", F.row_number().over(w_ded))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "source", "n_tokens")
+        .localCheckpoint(eager=True)
+    )
+    budget = F.floor(
+        F.when(F.col("source") == "src0", F.lit(0.35))
+        .when(F.col("source") == "src1", F.lit(0.25))
+        .otherwise(F.lit(0.05))
+        * 50000
+    ).cast("bigint")
+    w_mix = Window.partitionBy("source").orderBy("h", "doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    kept = (
+        ded.withColumn("h", md5_hash64(F.col("doc_id").cast("string")))
+        .withColumn("budget", budget)
+        .withColumn("cum", F.sum("n_tokens").over(w_mix))
+        .filter(F.col("cum") <= F.col("budget"))
+        .select("doc_id", "source", "n_tokens")
+        .localCheckpoint(eager=True)
+    )
+    bins = pack_greedy_by_shard(
+        kept, "doc_id", "n_tokens", cap=256, n_shards=8
+    ).localCheckpoint(eager=True)
+    shard_tokens = bins.groupBy("shard").agg(F.sum("total_tokens").alias("st"))
+
+    def scalar(stage: str, metric: str, agg_df: DataFrame) -> DataFrame:
+        return agg_df.select(
+            F.lit(stage).alias("stage"),
+            F.lit(metric).alias("metric"),
+            F.col("value").cast("bigint").alias("value"),
+        )
+
+    cnt = lambda df: df.agg(F.count(F.lit(1)).alias("value"))  # noqa: E731
+    parts = [
+        scalar("quality", "n_input", cnt(scored)),
+        scalar("quality", "n_accepted", cnt(acc)),
+        scalar(
+            "quality",
+            "n_reject_short",
+            cnt(scored.filter(F.col("sink") == "reject_short")),
+        ),
+        scalar(
+            "quality",
+            "n_reject_repetitive",
+            cnt(scored.filter(F.col("sink") == "reject_repetitive")),
+        ),
+        scalar("dedup", "n_unique", cnt(ded)),
+        scalar(
+            "dedup",
+            "n_collapsed",
+            acc.agg((F.count(F.lit(1))).alias("a")).crossJoin(
+                ded.agg(F.count(F.lit(1)).alias("b"))
+            ).select((F.col("a") - F.col("b")).alias("value")),
+        ),
+        scalar("mixture", "n_docs_kept", cnt(kept)),
+        scalar(
+            "mixture",
+            "tokens_kept",
+            kept.agg(F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("value")),
+        ),
+        scalar(
+            "mixture",
+            "n_sources_with_kept",
+            kept.agg(F.countDistinct("source").alias("value")),
+        ),
+        scalar("pack", "n_bins", cnt(bins)),
+        scalar(
+            "pack",
+            "n_docs_packed",
+            bins.agg(F.coalesce(F.sum("n_docs"), F.lit(0)).alias("value")),
+        ),
+        scalar(
+            "pack",
+            "tokens_packed",
+            bins.agg(F.coalesce(F.sum("total_tokens"), F.lit(0)).alias("value")),
+        ),
+        scalar(
+            "pack",
+            "n_over_cap",
+            cnt(bins.filter((F.col("total_tokens") > 256) & (F.col("n_docs") > 1))),
+        ),
+        scalar(
+            "shards",
+            "n_shards_used",
+            bins.agg(F.countDistinct("shard").alias("value")),
+        ),
+        scalar(
+            "shards",
+            "max_shard_tokens",
+            shard_tokens.agg(F.coalesce(F.max("st"), F.lit(0)).alias("value")),
+        ),
+        scalar(
+            "shards",
+            "min_shard_tokens",
+            shard_tokens.agg(F.coalesce(F.min("st"), F.lit(0)).alias("value")),
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -148,3 +148,38 @@ class TestIncrementalPipelineComposition:
 
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-x", "-q"]))
+
+
+class TestTrainingExportPipeline:
+    def test_stage_arithmetic_is_consistent(self, spark, sf_dir):
+        """l44: the export manifest's stages must reconcile — every doc
+        routed exactly once, dedup+mixture monotone, packing conserves
+        the kept docs/tokens, no multi-doc bin over the cap."""
+        from datafusion_cyberpolka_eda_spark.registry.llm import (
+            l44_training_export_pipeline,
+        )
+
+        got = {
+            (r["stage"], r["metric"]): r["value"]
+            for r in l44_training_export_pipeline(spark, sf_dir).collect()
+        }
+        assert len(got) == 16
+        q = got
+        assert q[("quality", "n_input")] == (
+            q[("quality", "n_accepted")]
+            + q[("quality", "n_reject_short")]
+            + q[("quality", "n_reject_repetitive")]
+        )
+        assert q[("dedup", "n_unique")] + q[("dedup", "n_collapsed")] == q[
+            ("quality", "n_accepted")
+        ]
+        assert q[("mixture", "n_docs_kept")] <= q[("dedup", "n_unique")]
+        assert q[("pack", "n_docs_packed")] == q[("mixture", "n_docs_kept")]
+        assert q[("pack", "tokens_packed")] == q[("mixture", "tokens_kept")]
+        assert q[("pack", "n_over_cap")] == 0
+        assert q[("pack", "n_bins")] >= q[("shards", "n_shards_used")]
+        assert (
+            q[("shards", "max_shard_tokens")]
+            >= q[("shards", "min_shard_tokens")]
+            > 0
+        )
