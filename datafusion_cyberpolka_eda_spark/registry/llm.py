@@ -4541,3 +4541,285 @@ def l44_training_export_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---- context-window chunking (l45) ----
+
+
+def chunk_docs(docs: DataFrame, window: int = 32, stride: int = 24, min_len: int = 8) -> DataFrame:
+    """Sliding-window token chunking rows
+    (doc_id, lang, n_tokens, chunk_id, start_tok, chunk_tokens): chunk
+    starts at 0, stride, 2*stride, ... < n_tokens; each chunk carries
+    min(window, n_tokens - start) tokens. Trailing chunks shorter than
+    min_len are dropped UNLESS they are the doc's only chunk (chunk_id 0),
+    so every doc emits >= 1 chunk. Pure map-side explode — per-doc fanout
+    is ceil(n/stride), no shuffle here at all."""
+    n = F.col("n_tokens")
+    ch = docs.select(
+        "doc_id",
+        "lang",
+        T.token_count("text").cast("long").alias("n_tokens"),
+    ).select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.posexplode(
+            F.sequence(F.lit(0).cast("long"), n - 1, F.lit(stride).cast("long"))
+        ).alias("chunk_id", "start_tok"),
+    )
+    ch = ch.withColumn(
+        "chunk_tokens", F.least(F.lit(window).cast("long"), n - F.col("start_tok"))
+    )
+    return ch.filter(
+        (F.col("chunk_tokens") >= min_len) | (F.col("chunk_id") == 0)
+    )
+
+
+@register(
+    "l45_doc_chunking",
+    """
+    WITH d AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      FROM documents
+    ),
+    ch AS (
+      SELECT doc_id, lang, n, i AS start_tok,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS chunk_id,
+             LEAST(32, n - i) AS clen
+      FROM d, LATERAL (SELECT unnest(generate_series(0, n - 1, 24)) AS i) s
+    ),
+    kept AS (SELECT * FROM ch WHERE clen >= 8 OR chunk_id = 0),
+    per AS (
+      SELECT doc_id, lang, COUNT(*) AS c, SUM(clen) AS tk,
+             SUM((start_tok * 8191 + clen) * (doc_id % 97 + 1)) AS cs
+      FROM kept GROUP BY doc_id, lang
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(c) AS BIGINT) AS n_chunks,
+           CAST(SUM(tk) AS BIGINT) AS total_chunk_tokens,
+           CAST(MAX(c) AS BIGINT) AS max_chunks_per_doc,
+           CAST(SUM(cs) AS BIGINT) AS boundary_checksum
+    FROM per GROUP BY lang
+    """,
+)
+def l45_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking — the step l19's packing deliberately does
+    NOT do: SPLIT long documents into fixed-size overlapping training
+    windows (window=32 tokens, stride=24, i.e. 8-token overlap), the
+    standard way a pretraining pipeline fits documents longer than the
+    model context. Trailing fragments under 8 tokens are dropped unless
+    they are the doc's only chunk (short docs still emit one chunk).
+    Per-lang rollup carries exact chunk/token counts AND an exact integer
+    boundary checksum sum((start*8191 + len) * (doc_id%97 + 1)), so the
+    oracle value-checks every chunk boundary, not just totals.
+
+    Scale shape: the chunk table is produced by a map-side
+    sequence+posexplode (fanout ceil(n/stride) per doc, no window
+    function, no shuffle); the only exchanges are the per-doc and per-lang
+    hash aggregations. At 100 TB chunking streams through executors and
+    the shuffle carries one row per doc, then one per lang.
+    Ref parity: north-star training-data extension (SURVEY.md §2 L)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    ch = chunk_docs(docs)
+    cs = (F.col("start_tok") * 8191 + F.col("chunk_tokens")) * (
+        F.col("doc_id") % 97 + 1
+    )
+    per = ch.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum("chunk_tokens").alias("tk"),
+        F.sum(cs).alias("cs"),
+    )
+    return per.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("c").cast("bigint").alias("n_chunks"),
+        F.sum("tk").cast("bigint").alias("total_chunk_tokens"),
+        F.max("c").cast("bigint").alias("max_chunks_per_doc"),
+        F.sum("cs").cast("bigint").alias("boundary_checksum"),
+    )
+
+
+# ---- distributed embedding covariance / Gram matrix (l46) ----
+
+
+def embedding_gram_partials(emb: DataFrame, dim: int = 64) -> DataFrame:
+    """Per-Arrow-batch Gram partials over an `embedding array<float>`
+    column: each batch yields ONE row holding the flattened
+    [count, column-sums (dim), X^T X (dim*dim)] statistics vector
+    (length 1 + dim + dim^2), computed as a float64 numpy matmul.
+
+    This is THE distributed-linear-algebra shape for PCA / whitening /
+    linear probes at 100 TB: raw vectors never shuffle — every executor
+    reduces its batches to a fixed-size O(dim^2) state and only those
+    tiny partials move. Downstream element-wise summation is exact in
+    structure (float64 adds in engine-dependent order; consumers round)."""
+    import numpy as np
+    import pandas as pd
+
+    width = 1 + dim + dim * dim
+
+    def gen(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            st = np.empty(width, dtype=np.float64)
+            st[0] = float(len(M))
+            st[1 : 1 + dim] = M.sum(axis=0)
+            st[1 + dim :] = (M.T @ M).reshape(-1)
+            yield pd.DataFrame({"st": [st.tolist()]})
+
+    return emb.select("embedding").mapInPandas(gen, schema="st array<double>")
+
+
+@register(
+    "l46_embedding_covariance",
+    """
+    WITH e AS (
+      SELECT vec_id, i - 1 AS i, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings,
+           LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) s
+    ),
+    stats AS (SELECT i, SUM(x) AS si, COUNT(*) AS n FROM e GROUP BY i),
+    g AS (
+      SELECT a.i AS i, b.i AS j, SUM(a.x * b.x) AS gij
+      FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY a.i, b.i
+    )
+    SELECT g.i, g.j,
+           ROUND(gij / sa.n - (sa.si / sa.n) * (sb.si / sb.n), 6) AS cov
+    FROM g JOIN stats sa ON g.i = sa.i JOIN stats sb ON g.j = sb.i
+    """,
+)
+def l46_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed covariance matrix over the embedding column — the
+    Gram-matrix substrate every large-scale vector pipeline needs for PCA,
+    whitening, OPQ rotation training, and linear probes. Spark side runs
+    the scalable plan: mapInPandas reduces each Arrow batch to one
+    fixed-size partial [n, sum(x), X^T X] (float64 matmul, vectors never
+    shuffle), a single posexplode+groupBy sums the partials element-wise
+    (4161 doubles per batch — tiny), and the biased covariance
+    cov(i,j) = G_ij/n - mean_i*mean_j materializes the full upper
+    triangle (2080 rows at dim=64). The oracle replays the same statistic
+    relationally (unnest + self-join on vec_id) — quadratic in dim but
+    exact, feasible at oracle scale only; both sides round to 6 dp.
+
+    Scale shape: communication is O(n_batches * dim^2) regardless of row
+    count; no shuffle touches a raw vector. At dim too large for dim^2
+    state, the same pattern shards column blocks.
+    Ref parity: north-star similarity/embedding extension (SURVEY §2 L)."""
+    dim = 64
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    part = embedding_gram_partials(emb, dim=dim)
+    flat = (
+        part.select(F.posexplode("st").alias("idx", "v"))
+        .groupBy("idx")
+        .agg(F.sum("v").alias("v"))
+    )
+    n_df = flat.filter(F.col("idx") == 0).select(F.col("v").alias("n"))
+    s_df = flat.filter((F.col("idx") >= 1) & (F.col("idx") <= dim)).select(
+        (F.col("idx") - 1).alias("i"), F.col("v").alias("si")
+    )
+    g_df = (
+        flat.filter(F.col("idx") > dim)
+        .select(
+            F.floor((F.col("idx") - dim - 1) / dim).cast("int").alias("i"),
+            ((F.col("idx") - dim - 1) % dim).cast("int").alias("j"),
+            F.col("v").alias("gij"),
+        )
+        .filter(F.col("i") <= F.col("j"))
+    )
+    out = (
+        g_df.join(s_df, "i")
+        .join(s_df.select(F.col("i").alias("j"), F.col("si").alias("sj")), "j")
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            "i",
+            "j",
+            (
+                F.col("gij") / F.col("n")
+                - (F.col("si") / F.col("n")) * (F.col("sj") / F.col("n"))
+            ).alias("cov"),
+        )
+    )
+    return _round_cols(out, ["cov"]).select("i", "j", "cov")
+
+
+# ---- per-source cap rebalancing (l47) ----
+
+
+@register(
+    "l47_source_cap_rebalance",
+    """
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      FROM documents
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY n DESC, doc_id) AS rn
+      FROM d
+    ),
+    per AS (
+      SELECT source,
+             COUNT(*) AS nb, SUM(n) AS tb,
+             SUM(CASE WHEN rn <= 15 THEN 1 ELSE 0 END) AS nk,
+             SUM(CASE WHEN rn <= 15 THEN n ELSE 0 END) AS tk
+      FROM r GROUP BY source
+    ),
+    tot AS (SELECT SUM(tb) AS gtb, SUM(tk) AS gtk FROM per)
+    SELECT source,
+           CAST(nb AS BIGINT) AS n_docs_before,
+           CAST(nk AS BIGINT) AS n_docs_kept,
+           CAST(tb AS BIGINT) AS tokens_before,
+           CAST(tk AS BIGINT) AS tokens_kept,
+           ROUND(CAST(tb AS DOUBLE) / gtb, 6) AS share_before,
+           ROUND(CAST(tk AS DOUBLE) / gtk, 6) AS share_after
+    FROM per, tot
+    """,
+)
+def l47_source_cap_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document caps — the C4/Gopher-style curation rule that
+    stops one over-crawled domain from dominating the mixture: keep at
+    most 15 docs per source, picked by token count descending with
+    doc_id as the deterministic tie-break, and account the token SHARE
+    each source holds before vs after the cap (the number a mixture
+    designer actually reads). Counts and token sums are exact integers;
+    shares are exact rationals rounded at 6 dp.
+
+    Scale shape: one window ranked per source partition (the same
+    bounded-per-group top-k shape as g3; a skewed mega-source is handled
+    by AQE or the two-pass salted top-k documented in SCALE.md), one
+    per-source hash agg, and a broadcast of the 2-value global total.
+    No global sort, no driver loop.
+    Ref parity: north-star training-data extension (SURVEY §2 L)."""
+    cap = 15
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "source", T.token_count("text").cast("long").alias("n")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("n"), F.asc("doc_id"))
+    r = docs.withColumn("rn", F.row_number().over(w))
+    kept = F.col("rn") <= cap
+    per = r.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs_before"),
+        F.sum(kept.cast("long")).cast("bigint").alias("n_docs_kept"),
+        F.sum("n").cast("bigint").alias("tokens_before"),
+        F.sum(F.when(kept, F.col("n")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("tokens_kept"),
+    )
+    tot = per.agg(
+        F.sum("tokens_before").alias("gtb"), F.sum("tokens_kept").alias("gtk")
+    )
+    out = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs_before",
+        "n_docs_kept",
+        "tokens_before",
+        "tokens_kept",
+        (F.col("tokens_before").cast("double") / F.col("gtb")).alias("share_before"),
+        (F.col("tokens_kept").cast("double") / F.col("gtk")).alias("share_after"),
+    )
+    return _round_cols(out, ["share_before", "share_after"])

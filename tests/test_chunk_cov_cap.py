@@ -1,0 +1,140 @@
+"""Round-7 additions: l45 context-window chunking, l46 distributed
+embedding covariance (Gram partials), l47 per-source cap rebalancing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+class TestChunkDocs:
+    """chunk_docs boundary semantics vs hand-computed expectations
+    (window=32, stride=24, min_len=8)."""
+
+    def _chunks(self, spark, texts):
+        from datafusion_cyberpolka_eda_spark.registry.llm import chunk_docs
+
+        docs = spark.createDataFrame(
+            [(i, "en", " ".join(["w"] * n)) for i, n in enumerate(texts)],
+            "doc_id long, lang string, text string",
+        )
+        rows = chunk_docs(docs).collect()
+        return {
+            doc_id: sorted(
+                (r.chunk_id, r.start_tok, r.chunk_tokens)
+                for r in rows
+                if r.doc_id == doc_id
+            )
+            for doc_id in {r.doc_id for r in rows}
+        }
+
+    def test_hand_computed_boundaries(self, spark):
+        got = self._chunks(spark, [10, 33, 25, 32, 1, 80])
+        # n=10: single short chunk survives via the chunk_id==0 escape
+        assert got[0] == [(0, 0, 10)]
+        # n=33: full window + 9-token tail (>= min_len, kept)
+        assert got[1] == [(0, 0, 32), (1, 24, 9)]
+        # n=25: tail chunk at 24 has 1 token < 8 -> dropped
+        assert got[2] == [(0, 0, 25)]
+        # n=32: tail at 24 has exactly 8 tokens -> kept (boundary)
+        assert got[3] == [(0, 0, 32), (1, 24, 8)]
+        # n=1: minimal doc still emits one chunk
+        assert got[4] == [(0, 0, 1)]
+        # n=80: starts 0,24,48,72; lens 32,32,32,8 (all kept)
+        assert got[5] == [(0, 0, 32), (1, 24, 32), (2, 48, 32), (3, 72, 8)]
+
+    def test_every_doc_emits_at_least_one_chunk(self, spark, sf_dir):
+        from datafusion_cyberpolka_eda_spark.registry.llm import chunk_docs
+        from datafusion_cyberpolka_eda_spark.sources.catalog import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        n_docs = docs.count()
+        n_chunked = chunk_docs(docs).select("doc_id").distinct().count()
+        assert n_chunked == n_docs
+
+
+class TestEmbeddingCovariance:
+    def test_matches_numpy_cov(self, spark):
+        from datafusion_cyberpolka_eda_spark.registry.llm import (
+            embedding_gram_partials,
+        )
+
+        rng = np.random.default_rng(7)
+        dim, n = 5, 40
+        X = rng.normal(size=(n, dim)).astype(np.float64)
+        emb = spark.createDataFrame(
+            [(i, X[i].tolist()) for i in range(n)],
+            "vec_id long, embedding array<float>",
+        )
+        # float32 storage: recompute the truth from the float32-rounded X
+        X32 = X.astype(np.float32).astype(np.float64)
+        truth = np.cov(X32, rowvar=False, bias=True)
+
+        part = embedding_gram_partials(emb, dim=dim)
+        flat = (
+            part.select(F.posexplode("st").alias("idx", "v"))
+            .groupBy("idx")
+            .agg(F.sum("v").alias("v"))
+        )
+        vals = {r.idx: r.v for r in flat.collect()}
+        assert vals[0] == n
+        s = np.array([vals[1 + i] for i in range(dim)])
+        G = np.array(
+            [[vals[1 + dim + i * dim + j] for j in range(dim)] for i in range(dim)]
+        )
+        cov = G / n - np.outer(s / n, s / n)
+        assert np.allclose(cov, truth, atol=1e-9)
+        # Gram state symmetric by construction
+        assert np.allclose(G, G.T)
+
+    def test_partials_are_fixed_size(self, spark):
+        """Each Arrow batch reduces to exactly one row of width
+        1 + dim + dim^2 — the property that makes the pattern scale."""
+        from datafusion_cyberpolka_eda_spark.registry.llm import (
+            embedding_gram_partials,
+        )
+
+        emb = spark.createDataFrame(
+            [(i, [float(i), 1.0]) for i in range(100)],
+            "vec_id long, embedding array<float>",
+        ).repartition(4)
+        rows = embedding_gram_partials(emb, dim=2).collect()
+        assert 1 <= len(rows) <= 8
+        assert all(len(r.st) == 1 + 2 + 4 for r in rows)
+        total_n = sum(r.st[0] for r in rows)
+        assert total_n == 100
+
+
+class TestSourceCapRebalance:
+    def test_cap_and_tiebreak(self, spark, sf_dir, monkeypatch, tmp_path):
+        """Toy corpus: 20 docs in srcA (ties on n -> doc_id tie-break),
+        3 docs in srcB (under cap, untouched); shares re-normalize."""
+        docs = [
+            (i, "en", " ".join(["w"] * (10 if i < 18 else 50)), "srcA")
+            for i in range(20)
+        ] + [(100 + i, "en", " ".join(["w"] * 30), "srcB") for i in range(3)]
+        df = spark.createDataFrame(
+            docs, "doc_id long, lang string, text string, source string"
+        )
+        df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+        from datafusion_cyberpolka_eda_spark.registry.llm import (
+            l47_source_cap_rebalance,
+        )
+
+        out = {
+            r.source: r
+            for r in l47_source_cap_rebalance(spark, str(tmp_path)).collect()
+        }
+        a, b = out["srcA"], out["srcB"]
+        assert (a.n_docs_before, a.n_docs_kept) == (20, 15)
+        # kept = the two 50-token docs (18,19) + thirteen 10-token docs
+        # (tie-break: lowest doc_id first -> ids 0..12)
+        assert a.tokens_kept == 2 * 50 + 13 * 10
+        assert (b.n_docs_before, b.n_docs_kept) == (3, 3)
+        gtb = a.tokens_before + b.tokens_before
+        gtk = a.tokens_kept + b.tokens_kept
+        assert a.share_before == pytest.approx(a.tokens_before / gtb, abs=1e-6)
+        assert a.share_after == pytest.approx(a.tokens_kept / gtk, abs=1e-6)
+        # the over-represented source's share strictly drops
+        assert a.share_after < a.share_before
