@@ -4724,8 +4724,8 @@ def l46_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     g_df = (
         flat.filter(F.col("idx") > dim)
         .select(
-            F.floor((F.col("idx") - dim - 1) / dim).cast("int").alias("i"),
-            ((F.col("idx") - dim - 1) % dim).cast("int").alias("j"),
+            F.floor((F.col("idx") - dim - 1) / dim).cast("long").alias("i"),
+            ((F.col("idx") - dim - 1) % dim).cast("long").alias("j"),
             F.col("v").alias("gij"),
         )
         .filter(F.col("i") <= F.col("j"))
