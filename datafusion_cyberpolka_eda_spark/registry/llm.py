@@ -4823,3 +4823,155 @@ def l47_source_cap_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("tokens_kept").cast("double") / F.col("gtk")).alias("share_after"),
     )
     return _round_cols(out, ["share_before", "share_after"])
+
+
+# ---- sparse TF-IDF cosine self-join with posting-list pruning (l48) ----
+
+
+@register(
+    "l48_sparse_cosine_pairs",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    g AS (
+      SELECT doc_id, w[i] || ' ' || w[i+1] AS term
+      FROM t, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) s
+      WHERE len(w) >= 2
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM g GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tf),
+    v AS (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * ln(CAST((SELECT n FROM n) AS DOUBLE) / df.df) AS wgt
+      FROM tf JOIN df USING (term) WHERE df.df <= 50
+    ),
+    nrm AS (SELECT doc_id, sqrt(SUM(wgt * wgt)) AS nm FROM v GROUP BY doc_id),
+    dots AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.wgt * b.wgt) AS dp
+      FROM v a JOIN v b ON a.term = b.term AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, ROUND(dp / (na.nm * nb.nm), 6) AS cosine
+    FROM dots JOIN nrm na ON id_a = na.doc_id JOIN nrm nb ON id_b = nb.doc_id
+    WHERE dp / (na.nm * nb.nm) >= 0.5
+    """,
+)
+def l48_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine similarity self-join over word-BIGRAM vectors
+    with posting-list pruning — the sparse-vector counterpart of the dense
+    ANN family (l7/l8) and the set-Jaccard family (l2/l3): docs sharing
+    RARE bigrams score high, the signal a boilerplate/near-dup reviewer
+    reads when embeddings are unavailable. Terms with document frequency
+    above 50 are dropped from the vector space (sklearn's max_df rule):
+    that is BOTH the statistical stop-term filter and the scale bound —
+    the term self-join fanout is sum(df^2) <= 50 * sum(df), linear in
+    corpus size, never the quadratic blowup an unpruned stop-term posting
+    list would produce (at sf0.1 the cap is what makes the candidate set
+    1k pairs instead of 12.5M). idf = ln(N/df), the l13 convention; pairs
+    emitted at cosine >= 0.5, rounded 6 dp.
+
+    Scale shape: two hash aggs (doc-term tf, term df), a broadcast of the
+    pruned df table, ONE term-keyed equi-join whose per-term fanout is
+    capped, then a pair-keyed agg. No window, no cross join; at 100 TB
+    hash terms to 64-bit before the join (l13 note) and AQE splits any
+    residual hot term. Ref parity: north-star dedup/similarity extension
+    (SURVEY §2 L)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    g = docs.select(
+        "doc_id", F.explode(T.shingles("text", 2)).alias("term")
+    )
+    tf = g.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = tf.select("doc_id").distinct().count()
+    v = tf.join(
+        F.broadcast(df.filter(F.col("df") <= 50)), "term"
+    ).select(
+        "doc_id",
+        "term",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("wgt"),
+    )
+    nrm = v.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("wgt") * F.col("wgt"))).alias("nm"))
+    a = v.select(F.col("doc_id").alias("id_a"), "term", F.col("wgt").alias("wa"))
+    b = v.select(F.col("doc_id").alias("id_b"), "term", F.col("wgt").alias("wb"))
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dp"))
+    )
+    cos = (
+        dots.join(nrm.select(F.col("doc_id").alias("id_a"), F.col("nm").alias("na")), "id_a")
+        .join(nrm.select(F.col("doc_id").alias("id_b"), F.col("nm").alias("nb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("dp") / (F.col("na") * F.col("nb"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.5)
+    )
+    return _round_cols(cos, ["cosine"]).select("id_a", "id_b", "cosine")
+
+
+# ---- deterministic multi-epoch shuffle (l49) ----
+
+
+@register(
+    "l49_epoch_shuffle",
+    """
+    WITH d AS (SELECT doc_id FROM documents),
+    ks AS (
+      SELECT e.epoch, d.doc_id,
+             ((d.doc_id + 1) * 1103515245 + e.epoch * 12345) % 2147483647 AS h
+      FROM d, (SELECT unnest([0, 1, 2]) AS epoch) e
+    ),
+    sh AS (
+      SELECT epoch, doc_id, h, h % 16 AS shard,
+             ROW_NUMBER() OVER (
+               PARTITION BY epoch, h % 16 ORDER BY h, doc_id) AS rnk
+      FROM ks
+    )
+    SELECT epoch, CAST(shard AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(h) AS BIGINT) AS key_sum,
+           CAST(SUM(rnk * doc_id) AS BIGINT) AS order_checksum
+    FROM sh GROUP BY epoch, shard
+    """,
+)
+def l49_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic multi-epoch training shuffle — how a 100 TB corpus is
+    re-ordered per epoch WITHOUT a global sort: every (epoch, doc) gets a
+    portable LCG key h = ((doc_id+1)*1103515245 + epoch*12345) mod 2^31-1,
+    the key's low bits pick one of 16 shards (the shard-level shuffle),
+    and ranking happens only WITHIN a shard (the local order) — the exact
+    two-level scheme data loaders use, reproducible from (doc_id, epoch)
+    alone with no stored permutation. Output per (epoch, shard) carries
+    the doc count, the key sum, and sum(rank*doc_id) — an exact integer
+    checksum that pins the entire within-shard order, so the oracle
+    value-checks all three epoch permutations, not just counts.
+
+    Scale shape: the epoch fanout is a 3-row broadcast, shard assignment
+    is map-side arithmetic, and each window sorts ONE shard of ONE epoch
+    (1/48th of the data) — no global sort, no skew (LCG keys are
+    uniform). Ref parity: north-star training-data extension (SURVEY §2
+    L)."""
+    docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id")
+    ks = docs.select(
+        "doc_id",
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("epoch"),
+    ).select(
+        "epoch",
+        "doc_id",
+        (
+            ((F.col("doc_id") + 1) * F.lit(1103515245).cast("long")
+             + F.col("epoch") * 12345)
+            % F.lit(2147483647).cast("long")
+        ).alias("h"),
+    )
+    sh = ks.withColumn("shard", (F.col("h") % 16).cast("bigint"))
+    w = Window.partitionBy("epoch", "shard").orderBy("h", "doc_id")
+    ranked = sh.withColumn("rnk", F.row_number().over(w).cast("long"))
+    return ranked.groupBy("epoch", "shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("h").cast("bigint").alias("key_sum"),
+        F.sum(F.col("rnk") * F.col("doc_id")).cast("bigint").alias("order_checksum"),
+    )

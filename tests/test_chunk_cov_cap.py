@@ -138,3 +138,89 @@ class TestSourceCapRebalance:
         assert a.share_after == pytest.approx(a.tokens_kept / gtk, abs=1e-6)
         # the over-represented source's share strictly drops
         assert a.share_after < a.share_before
+
+
+class TestSparseCosinePairs:
+    def _run(self, spark, tmp_path, docs):
+        df = spark.createDataFrame(
+            docs, "doc_id long, lang string, text string, source string"
+        )
+        df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+        from datafusion_cyberpolka_eda_spark.registry.llm import (
+            l48_sparse_cosine_pairs,
+        )
+
+        return {
+            (r.id_a, r.id_b): r.cosine
+            for r in l48_sparse_cosine_pairs(spark, str(tmp_path)).collect()
+        }
+
+    def test_stop_terms_pruned_rare_pair_scores(self, spark, tmp_path):
+        # 60 docs all share the bigram "the end" -> df=60 > 50 cap, pruned:
+        # no pair may arise from it. Docs 100/101 share the rare bigram
+        # "rare gem" (plus their own unique bigrams).
+        docs = [(i, "en", "the end", "s") for i in range(60)]
+        docs += [
+            (100, "en", "rare gem alpha", "s"),
+            (101, "en", "rare gem alpha beta", "s"),
+        ]
+        got = self._run(spark, tmp_path, docs)
+        assert set(got) == {(100, 101)}
+        # hand-computed: shared bigrams {rare gem, gem alpha} (df=2),
+        # doc 101's extra {alpha beta} (df=1); N = 62 docs with bigrams.
+        import math
+
+        n = 62
+        w2 = math.log(n / 2)
+        w1 = math.log(n / 1)
+        cos = (2 * w2 * w2) / (
+            math.sqrt(2 * w2 * w2) * math.sqrt(2 * w2 * w2 + w1 * w1)
+        )
+        assert cos >= 0.5  # the pair clears the emission threshold
+        assert got[(100, 101)] == pytest.approx(cos, abs=1e-6)
+
+    def test_identical_docs_cosine_one(self, spark, tmp_path):
+        docs = [
+            (0, "en", "lorem ipsum dolor sit", "s"),
+            (1, "en", "lorem ipsum dolor sit", "s"),
+            (2, "en", "completely different words here", "s"),
+        ]
+        got = self._run(spark, tmp_path, docs)
+        assert got[(0, 1)] == pytest.approx(1.0, abs=1e-6)
+        assert (0, 2) not in got and (1, 2) not in got
+
+
+class TestEpochShuffle:
+    def test_deterministic_and_epochs_distinct(self, spark, sf_dir):
+        from datafusion_cyberpolka_eda_spark.registry.llm import l49_epoch_shuffle
+        from datafusion_cyberpolka_eda_spark.sources.catalog import load_table
+
+        rows1 = sorted(tuple(r) for r in l49_epoch_shuffle(spark, sf_dir).collect())
+        rows2 = sorted(tuple(r) for r in l49_epoch_shuffle(spark, sf_dir).collect())
+        assert rows1 == rows2  # reproducible from (doc_id, epoch) alone
+        n_docs = load_table(spark, sf_dir, "documents").count()
+        per_epoch = {}
+        for epoch, shard, n, ks, oc in rows1:
+            per_epoch.setdefault(epoch, [0, []])
+            per_epoch[epoch][0] += n
+            per_epoch[epoch][1].append((shard, oc))
+        assert set(per_epoch) == {0, 1, 2}
+        for epoch, (tot, _) in per_epoch.items():
+            assert tot == n_docs  # every doc appears exactly once per epoch
+        # different epochs produce different shard orders
+        assert per_epoch[0][1] != per_epoch[1][1] != per_epoch[2][1]
+
+    def test_key_formula_spot_check(self, spark, tmp_path):
+        docs = [(7, "en", "x", "s")]
+        df = spark.createDataFrame(
+            docs, "doc_id long, lang string, text string, source string"
+        )
+        df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+        from datafusion_cyberpolka_eda_spark.registry.llm import l49_epoch_shuffle
+
+        rows = l49_epoch_shuffle(spark, str(tmp_path)).collect()
+        for r in rows:
+            h = ((7 + 1) * 1103515245 + r.epoch * 12345) % 2147483647
+            assert r.key_sum == h
+            assert r.shard == h % 16
+            assert r.order_checksum == 1 * 7  # single doc, rank 1
