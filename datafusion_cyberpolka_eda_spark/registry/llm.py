@@ -4880,7 +4880,18 @@ def l48_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = docs.select(
         "doc_id", F.explode(T.shingles("text", 2)).alias("term")
     )
-    tf = g.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # The weighted-postings table feeds FOUR consumers (df, norms, both
+    # join sides); without a lineage cut Spark re-scans and re-tokenizes
+    # the corpus once per consumer (6 parquet scans in the naive plan).
+    # localCheckpoint materializes tf once — executor-local is fine here
+    # (recompute-on-loss is one scan); at cluster scale with flaky
+    # executors use the reliable checkpoint_dir pattern (dedup.py
+    # connected_components).
+    tf = (
+        g.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
+    )
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = tf.select("doc_id").distinct().count()
     v = tf.join(
