@@ -4986,3 +4986,94 @@ def l49_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("h").cast("bigint").alias("key_sum"),
         F.sum(F.col("rnk") * F.col("doc_id")).cast("bigint").alias("order_checksum"),
     )
+
+
+# ---- quantile-calibrated quality keep (l50) ----
+
+
+@register(
+    "l50_quality_calibrated_keep",
+    """
+    WITH t AS (SELECT doc_id, lang, string_split(text, ' ') w FROM documents),
+    tk AS (SELECT doc_id, lang, unnest(w) AS tok FROM t),
+    uni AS (SELECT tok, COUNT(*) AS c1 FROM tk GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n FROM tk),
+    bg AS (
+      SELECT doc_id, lang, w[i] AS w1, w[i+1] AS w2
+      FROM t, LATERAL (SELECT unnest(generate_series(1, greatest(len(w) - 1, 1))) AS i) s
+      WHERE w[i+1] IS NOT NULL
+    ),
+    bgc AS (SELECT w1, w2, COUNT(*) AS cb FROM bg GROUP BY 1, 2),
+    scored AS (
+      SELECT bg.doc_id, bg.lang,
+             -ln(0.75 * CAST(bgc.cb AS DOUBLE) / u1.c1
+                 + 0.25 * CAST(u2.c1 AS DOUBLE) / n.n) AS nll
+      FROM bg
+      JOIN bgc ON bgc.w1 = bg.w1 AND bgc.w2 = bg.w2
+      JOIN uni u1 ON u1.tok = bg.w1
+      JOIN uni u2 ON u2.tok = bg.w2
+      CROSS JOIN n
+    ),
+    per AS (
+      SELECT doc_id, lang, ROUND(AVG(nll), 6) AS q, COUNT(*) AS n_bigrams
+      FROM scored GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY q, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS cnt
+      FROM per
+    ),
+    marked AS (
+      SELECT *, rn <= CAST(CEIL(0.9 * cnt) AS BIGINT) AS kept FROM ranked
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN kept THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum,
+           CAST(SUM(CASE WHEN kept THEN n_bigrams ELSE 0 END) AS BIGINT) AS kept_bigrams,
+           MAX(CASE WHEN kept THEN q END) AS kept_nll_cutoff
+    FROM marked GROUP BY lang
+    """,
+)
+def l50_quality_calibrated_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality CALIBRATION — the fix for the classic
+    multilingual-filter bug where one absolute threshold (l42's flag)
+    keeps 99% of English and 40% of a low-resource language: keep the
+    best 90% of docs WITHIN each language by corpus-trained bigram-LM
+    NLL. Selection is rank-based on the 6 dp-ROUNDED score with doc_id
+    as the tie-break, so the kept set is engine-deterministic (an
+    unrounded float threshold could flip boundary docs on ulp-level ln
+    differences); kept_id_sum pins the exact kept set, not just counts.
+    Population = scoreable docs (>= 2 tokens — bigram_doc_nll's domain).
+
+    Scale shape: the LM scoring reuses l42's one-shuffle-per-table
+    joins; calibration adds ONE per-lang window (rank + count in the
+    same partition pass). Languages are the partition key — bounded
+    cardinality, each partition sorts independently; a 100 TB English
+    partition falls back to the two-pass quantile cutoff (e10's GK
+    sketch picks the rank-90% score, one filter pass applies it) if a
+    single sort partition ever binds. Ref parity: north-star
+    training-data extension (SURVEY §2 L)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    per = bigram_doc_nll(docs).select(
+        "doc_id", "lang", F.round("doc_nll", 6).alias("q"), "n_bigrams"
+    )
+    wl = Window.partitionBy("lang")
+    ranked = per.select(
+        "*",
+        F.row_number().over(wl.orderBy("q", "doc_id")).alias("rn"),
+        F.count(F.lit(1)).over(wl).alias("cnt"),
+    )
+    kept = F.col("rn") <= F.ceil(0.9 * F.col("cnt")).cast("bigint")
+    return ranked.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(kept.cast("long")).cast("bigint").alias("n_kept"),
+        F.sum(F.when(kept, F.col("doc_id")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("kept_id_sum"),
+        F.sum(F.when(kept, F.col("n_bigrams")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("kept_bigrams"),
+        F.max(F.when(kept, F.col("q"))).alias("kept_nll_cutoff"),
+    )

@@ -224,3 +224,32 @@ class TestEpochShuffle:
             assert r.key_sum == h
             assert r.shard == h % 16
             assert r.order_checksum == 1 * 7  # single doc, rank 1
+
+
+class TestQualityCalibratedKeep:
+    def test_keeps_best_ninety_percent_per_lang(self, spark, tmp_path):
+        # 10 'en' docs: 9 natural repeats of the same text (low NLL) and
+        # one scrambled doc (high NLL) -> the scrambled one is dropped.
+        # 1 'de' doc: ceil(0.9*1)=1 -> kept. A 1-token doc is unscoreable
+        # and excluded from the population entirely.
+        docs = [(i, "en", "a b a b a b", "s") for i in range(9)]
+        docs.append((9, "en", "b b a a b a", "s"))  # rare bigrams: b b, a a
+        docs.append((20, "de", "x y x y", "s"))
+        docs.append((30, "fr", "solo", "s"))  # single token: no bigrams
+        df = spark.createDataFrame(
+            docs, "doc_id long, lang string, text string, source string"
+        )
+        df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+        from datafusion_cyberpolka_eda_spark.registry.llm import (
+            l50_quality_calibrated_keep,
+        )
+
+        out = {
+            r.lang: r for r in l50_quality_calibrated_keep(spark, str(tmp_path)).collect()
+        }
+        assert "fr" not in out  # unscoreable doc is outside the population
+        en, de = out["en"], out["de"]
+        assert (en.n_docs, en.n_kept) == (10, 9)
+        assert en.kept_id_sum == sum(range(9))  # doc 9 (scrambled) dropped
+        assert (de.n_docs, de.n_kept) == (1, 1)
+        assert de.kept_id_sum == 20
