@@ -5077,3 +5077,138 @@ def l50_quality_calibrated_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("kept_bigrams"),
         F.max(F.when(kept, F.col("q"))).alias("kept_nll_cutoff"),
     )
+
+
+# ---- incremental covariance store (l51) ----
+
+_GRAM_STORE_CACHE: dict[str, tuple[int, str]] = {}
+
+
+def _gram_store(spark: SparkSession, sf_dir: str, dim: int = 64) -> tuple[int, str]:
+    """Build ONCE per (session, data) the persisted day-1 GRAM-STATE store
+    for incremental covariance: the element-wise-summed
+    [n, column-sums, X^T X] statistics of all day-1 vectors
+    (vec_id < cutoff = int(0.8 * (max_id + 1))), written as a tiny
+    (idx, v) parquet table — 1 + dim + dim^2 rows TOTAL regardless of
+    corpus size. Keyed by the embeddings-table fingerprint so testdata
+    regeneration invalidates it. This is the d20-mergeable-sketch
+    pattern applied to linear algebra: the persisted state is
+    commutative/associative, so tomorrow's update is an element-wise
+    add, never a day-1 rescan."""
+    key = (
+        f"{spark.sparkContext.applicationId}:{sf_dir}:"
+        f"{_table_fingerprint(sf_dir, 'embeddings')}"
+    )
+    if key in _GRAM_STORE_CACHE:
+        return _GRAM_STORE_CACHE[key]
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    max_id = emb.agg(F.max("vec_id")).collect()[0][0]
+    cutoff = int(0.8 * (max_id + 1))
+    day1 = emb.filter(F.col("vec_id") < cutoff)
+    flat = (
+        embedding_gram_partials(day1, dim=dim)
+        .select(F.posexplode("st").alias("idx", "v"))
+        .groupBy("idx")
+        .agg(F.sum("v").alias("v"))
+    )
+    out = tempfile.mkdtemp(prefix="gram_store_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    path = os.path.join(out, "gram_state.parquet")
+    flat.write.mode("overwrite").parquet(path)
+    _GRAM_STORE_CACHE[key] = (cutoff, path)
+    return _GRAM_STORE_CACHE[key]
+
+
+@register(
+    "l51_incremental_covariance",
+    """
+    WITH mx AS (SELECT MAX(vec_id) AS m FROM embeddings),
+    e AS (
+      SELECT vec_id, i - 1 AS i, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings,
+           LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) s
+    ),
+    stats AS (
+      SELECT i, SUM(x) AS si, SUM(x * x) AS sxx, COUNT(*) AS n
+      FROM e GROUP BY i
+    ),
+    cnt AS (
+      SELECT COUNT(*) AS nt,
+             SUM(CASE WHEN vec_id <
+                   CAST(FLOOR(0.8 * ((SELECT m FROM mx) + 1)) AS BIGINT)
+                 THEN 1 ELSE 0 END) AS ns
+      FROM embeddings
+    )
+    SELECT s.i,
+           ROUND(si / n, 6) AS mean,
+           ROUND(sxx / n - (si / n) * (si / n), 6) AS var,
+           CAST(ns AS BIGINT) AS n_store,
+           CAST(nt - ns AS BIGINT) AS n_new
+    FROM stats s, cnt
+    """,
+)
+def l51_incremental_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL covariance maintenance — l46's Gram state treated the
+    way a daily pipeline treats it: day-1's [n, sum, X^T X] statistics
+    live in a persisted (idx, v) store of 1+dim+dim^2 rows (fixed size,
+    independent of corpus size); the day-2 increment computes partials
+    over ONLY vec_id >= cutoff (pushed scan predicate — day-1 vectors
+    are never re-read as vectors) and the update is an element-wise
+    UNION+sum, exactly the d20 mergeable-sketch shape applied to linear
+    algebra. Emits per-dimension (mean, variance) from the merged state
+    plus the store/increment row provenance. The oracle replays the same
+    statistics from scratch over all vectors — valid because the merged
+    linear state is exactly the from-scratch state (addition is
+    commutative; both sides round at 6 dp).
+
+    Scale shape: daily cost is O(increment) scan + a 4161-row merge;
+    the covariance of a 100 TB embedding corpus stays current without
+    ever touching yesterday's vectors. Ref parity: north-star
+    incremental-maintenance extension (SURVEY §2 L)."""
+    dim = 64
+    cutoff, path = _gram_store(spark, sf_dir, dim=dim)
+    store = spark.read.parquet(path)
+    inc = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") >= cutoff
+    )
+    inc_flat = embedding_gram_partials(inc, dim=dim).select(
+        F.posexplode("st").alias("idx", "v")
+    )
+    merged = (
+        store.unionByName(inc_flat).groupBy("idx").agg(F.sum("v").alias("v"))
+    )
+    n_df = merged.filter(F.col("idx") == 0).select(F.col("v").alias("n"))
+    ns_df = store.filter(F.col("idx") == 0).select(
+        F.col("v").cast("bigint").alias("n_store")
+    )
+    s_df = merged.filter((F.col("idx") >= 1) & (F.col("idx") <= dim)).select(
+        (F.col("idx") - 1).cast("long").alias("i"), F.col("v").alias("si")
+    )
+    diag = merged.filter(F.col("idx") > dim).select(
+        F.floor((F.col("idx") - dim - 1) / dim).cast("long").alias("i"),
+        ((F.col("idx") - dim - 1) % dim).cast("long").alias("j"),
+        F.col("v").alias("gij"),
+    ).filter(F.col("i") == F.col("j")).select("i", F.col("gij").alias("sxx"))
+    out = (
+        s_df.join(diag, "i")
+        .crossJoin(F.broadcast(n_df))
+        .crossJoin(F.broadcast(ns_df))
+        .select(
+            "i",
+            (F.col("si") / F.col("n")).alias("mean"),
+            (
+                F.col("sxx") / F.col("n")
+                - (F.col("si") / F.col("n")) * (F.col("si") / F.col("n"))
+            ).alias("var"),
+            "n_store",
+            (F.col("n").cast("bigint") - F.col("n_store")).alias("n_new"),
+        )
+    )
+    return _round_cols(out, ["mean", "var"]).select(
+        "i", "mean", "var", "n_store", "n_new"
+    )

@@ -253,3 +253,40 @@ class TestQualityCalibratedKeep:
         assert en.kept_id_sum == sum(range(9))  # doc 9 (scrambled) dropped
         assert (de.n_docs, de.n_kept) == (1, 1)
         assert de.kept_id_sum == 20
+
+
+class TestIncrementalCovariance:
+    def test_merged_equals_from_scratch(self, spark, sf_dir):
+        """The merged store+increment state must equal l46's from-scratch
+        covariance diagonal (same vectors, same statistic)."""
+        from datafusion_cyberpolka_eda_spark.registry.llm import (
+            l46_embedding_covariance,
+            l51_incremental_covariance,
+        )
+
+        inc = {
+            r.i: (r.mean, r.var)
+            for r in l51_incremental_covariance(spark, sf_dir).collect()
+        }
+        full_diag = {
+            r.i: r.cov
+            for r in l46_embedding_covariance(spark, sf_dir).collect()
+            if r.i == r.j
+        }
+        assert set(inc) == set(full_diag) == set(range(64))
+        for i in range(64):
+            assert inc[i][1] == pytest.approx(full_diag[i], abs=2e-6)
+
+    def test_store_is_fixed_size_and_increment_scan_pushed(self, spark, sf_dir):
+        from datafusion_cyberpolka_eda_spark.registry.llm import (
+            _gram_store,
+            l51_incremental_covariance,
+        )
+
+        cutoff, path = _gram_store(spark, sf_dir)
+        store = spark.read.parquet(path)
+        assert store.count() == 1 + 64 + 64 * 64  # fixed, corpus-independent
+        # memoized: second call returns the same store, no rebuild
+        assert _gram_store(spark, sf_dir) == (cutoff, path)
+        plan = l51_incremental_covariance(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "GreaterThanOrEqual(vec_id" in plan  # increment-only scan
