@@ -483,3 +483,36 @@ def j17_stream_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"j17_{_os.path.basename(_os.path.normpath(sf_dir)).replace('.', '_')}",
     )
     return stream_takedown(spark, requests, labels_path, sig_path, scratch)
+
+
+def _j18_oracle() -> str:
+    # streamed chunk accumulation must equal the batch chunking of the
+    # whole corpus — l45's oracle, verbatim
+    from datafusion_cyberpolka_eda_spark import registry as _r
+
+    return _r.oracle_sql()["l45_doc_chunking"]
+
+
+@register("j18_stream_chunking", _j18_oracle())
+def j18_stream_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming context-window chunking — the continuous shape of l45:
+    each forced micro-batch is chunked by the same map-side
+    sequence+posexplode chunker and appended to the chunk sink; the
+    per-lang rollup (exact integer boundary checksum included) must
+    equal batch chunking of the whole corpus, proving exactly-once
+    chunk emission across epochs. The ingest stage between the quality
+    gate (j16) and sequence packing (l19) in the streaming pipeline."""
+    import os as _os
+
+    from datafusion_cyberpolka_eda_spark.sources.catalog import load_table
+    from datafusion_cyberpolka_eda_spark.streaming.documents import (
+        stream_chunking,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scratch = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+        ".scratch",
+        f"j18_{_os.path.basename(_os.path.normpath(sf_dir)).replace('.', '_')}",
+    )
+    return stream_chunking(spark, docs, scratch)

@@ -309,3 +309,77 @@ def stream_takedown(
         F.lit(None).cast("long").alias("new_cluster_size"),
     )
     return surv_rows.unionByName(tomb_rows)
+
+
+def stream_chunking(
+    spark: SparkSession,
+    docs: DataFrame,
+    scratch_dir: str,
+    n_files: int = 3,
+) -> DataFrame:
+    """Streaming context-window chunking — the continuous-ingest shape of
+    the l45 batch chunker: documents arrive as micro-batches
+    (maxFilesPerTrigger=1 over ``n_files`` files, the queue stand-in) and
+    each epoch's foreachBatch runs the SAME map-side chunker
+    (registry.llm.chunk_docs) over only that micro-batch and appends the
+    chunk rows to one parquet sink. Chunking is per-row deterministic
+    (no cross-doc state), so the streamed accumulation must equal the
+    batch chunking of the whole corpus — the returned per-lang rollup
+    (including the exact boundary checksum) is compared against l45's
+    batch oracle, proving no doc is lost, duplicated, or re-chunked
+    differently across epochs.
+
+    At 100 TB this is the tokenize-and-chunk ingest stage that runs
+    between the quality gate (j16) and sequence packing: each epoch
+    commits one bounded append of ceil(n/stride) rows per doc, the
+    chunker stays JVM-side expression-only, and the sink is the
+    partitioned chunk table downstream packing jobs read."""
+    import os
+    import shutil
+
+    from datafusion_cyberpolka_eda_spark.registry.llm import chunk_docs
+
+    src_dir = os.path.join(scratch_dir, "docs_src")
+    chunks_dir = os.path.join(scratch_dir, "chunks")
+    for d in (src_dir, chunks_dir):
+        shutil.rmtree(d, ignore_errors=True)
+
+    slim = docs.select("doc_id", "lang", "text")
+    slim.repartitionByRange(n_files, "doc_id").write.parquet(src_dir)
+    chunk_schema = (
+        "doc_id bigint, lang string, n_tokens bigint, "
+        "chunk_id int, start_tok bigint, chunk_tokens bigint"
+    )
+    spark.createDataFrame([], chunk_schema).write.parquet(chunks_dir)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        chunk_docs(batch_df).write.mode("append").parquet(chunks_dir)
+
+    q = stream.writeStream.foreachBatch(handle).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    ch = spark.read.parquet(chunks_dir)
+    cs = (F.col("start_tok") * 8191 + F.col("chunk_tokens")) * (
+        F.col("doc_id") % 97 + 1
+    )
+    per = ch.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum("chunk_tokens").alias("tk"),
+        F.sum(cs).alias("cs"),
+    )
+    return per.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("c").cast("bigint").alias("n_chunks"),
+        F.sum("tk").cast("bigint").alias("total_chunk_tokens"),
+        F.max("c").cast("bigint").alias("max_chunks_per_doc"),
+        F.sum("cs").cast("bigint").alias("boundary_checksum"),
+    )

@@ -290,3 +290,46 @@ class TestIncrementalCovariance:
         assert _gram_store(spark, sf_dir) == (cutoff, path)
         plan = l51_incremental_covariance(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         assert "GreaterThanOrEqual(vec_id" in plan  # increment-only scan
+
+
+class TestStreamChunking:
+    def test_streamed_equals_batch(self, spark, tmp_path):
+        """Chunks accumulated across 3 forced micro-batch epochs must
+        equal one batch chunking pass — exactly once, no doc lost."""
+        from datafusion_cyberpolka_eda_spark.registry.llm import chunk_docs
+        from datafusion_cyberpolka_eda_spark.streaming.documents import (
+            stream_chunking,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, "en" if i % 2 else "de", " ".join(["w"] * (5 + 7 * i)), "s")
+             for i in range(12)],
+            "doc_id long, lang string, text string, source string",
+        )
+        out = {
+            r.lang: tuple(r)[1:]
+            for r in stream_chunking(
+                spark, docs, str(tmp_path / "scratch")
+            ).collect()
+        }
+        cs = (F.col("start_tok") * 8191 + F.col("chunk_tokens")) * (
+            F.col("doc_id") % 97 + 1
+        )
+        per = chunk_docs(docs).groupBy("doc_id", "lang").agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum("chunk_tokens").alias("tk"),
+            F.sum(cs).alias("cs"),
+        )
+        batch = {
+            r.lang: tuple(r)[1:]
+            for r in per.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("c").cast("bigint").alias("n_chunks"),
+                F.sum("tk").cast("bigint").alias("total_chunk_tokens"),
+                F.max("c").cast("bigint").alias("max_chunks_per_doc"),
+                F.sum("cs").cast("bigint").alias("boundary_checksum"),
+            )
+            .collect()
+        }
+        assert out == batch
