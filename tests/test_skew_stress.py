@@ -201,3 +201,52 @@ class TestAqeSkewJoinFires:
                         pass
                 else:
                     spark.conf.set(k, v)
+
+
+class TestChunkingMegaDoc:
+    def test_mega_doc_chunks_correctly_and_boundedly(self, spark):
+        """A single 100k-token document (the Zipf tail of real corpora —
+        one book among tweets) must chunk to exactly the arithmetic
+        count with bounded per-chunk size, via the map-side explode (no
+        window state, so a mega-doc costs one task's CPU, not a spilled
+        sort): ceil fanout = floor((n-1)/stride)+1, every non-final
+        chunk exactly `window` tokens."""
+        from datafusion_cyberpolka_eda_spark.registry.llm import chunk_docs
+
+        n = 100_000
+        mega = spark.createDataFrame(
+            [(1, "en", " ".join(["w"] * n))],
+            "doc_id long, lang string, text string",
+        )
+        ch = chunk_docs(mega).collect()
+        starts = sorted(r.start_tok for r in ch)
+        # starts 0, 24, 48, ... ; last start <= n-1; tails < 8 dropped
+        expected = [s for s in range(0, n, 24) if min(32, n - s) >= 8 or s == 0]
+        assert starts == expected
+        assert all(r.chunk_tokens <= 32 for r in ch)
+        total = sum(r.chunk_tokens for r in ch)
+        # overlap-adjusted coverage: every token covered at least once
+        assert total >= n
+
+
+class TestSparseCosineHotTerm:
+    def test_hot_term_is_pruned_not_joined(self, spark, tmp_path):
+        """A stopword-grade bigram shared by EVERY doc must contribute
+        zero candidate pairs (df > cap prunes it before the self-join) —
+        the property that keeps the term-join fanout linear at 100 TB.
+        200 docs all containing 'the end' but otherwise unique: without
+        the prune the join would emit 19,900 candidate pairs; with it,
+        none."""
+        from datafusion_cyberpolka_eda_spark.registry.llm import (
+            l48_sparse_cosine_pairs,
+        )
+
+        docs = [
+            (i, "en", f"u{i} v{i} the end w{i} x{i}", "s") for i in range(200)
+        ]
+        df = spark.createDataFrame(
+            docs, "doc_id long, lang string, text string, source string"
+        )
+        df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+        out = l48_sparse_cosine_pairs(spark, str(tmp_path)).collect()
+        assert out == []

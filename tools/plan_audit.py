@@ -239,6 +239,29 @@ def main() -> int:
     # no longer contains the documents scan at all.)
     check("l31_incremental_dedup", absent=["CartesianProduct"])
 
+    # chunking is a map-side explode: no window function and no join may
+    # appear; exchanges only for the two rollup aggregations
+    check(
+        "l45_doc_chunking",
+        absent=["CartesianProduct", "Window", "Join"],
+    )
+    # sparse cosine: pruned df table broadcasts; the lineage cut keeps
+    # the corpus to ONE scan (the checkpointed postings replace parquet
+    # re-scans downstream, so no parquet scan survives in the final plan)
+    check(
+        "l48_sparse_cosine_pairs",
+        contains=["BroadcastHashJoin"],
+        absent=["CartesianProduct", "Scan parquet"],
+    )
+    # incremental covariance: the increment scan must carry the pushed
+    # vec_id >= cutoff predicate (day-1 vectors never re-read as vectors)
+    p = plan_of(qs["l51_incremental_covariance"](spark, sf_dir))
+    if "GreaterThanOrEqual(vec_id" not in p:
+        failures.append("l51_incremental_covariance: pushed cutoff predicate absent")
+    if "CartesianProduct" in p:
+        failures.append("l51_incremental_covariance: CartesianProduct")
+    print(f"[{'OK' if not failures else '??'}] l51_incremental_covariance pushed increment scan")
+
     # AQE skew-join split (executed, not just planned: AQE finalizes at
     # runtime): a deliberately skewed SMJ must come back with skew=true
     # in the final adaptive plan — the automatic counterpart of the
