@@ -5212,3 +5212,83 @@ def l51_incremental_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_cols(out, ["mean", "var"]).select(
         "i", "mean", "var", "n_store", "n_new"
     )
+
+
+# ---- chunk-then-pack composition (l52) ----
+
+
+@register(
+    "l52_chunk_then_pack",
+    """
+    WITH RECURSIVE dd AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      FROM documents
+    ),
+    ch AS (
+      SELECT doc_id, i AS start_tok,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS chunk_id,
+             LEAST(32, n - i) AS clen
+      FROM dd, LATERAL (SELECT unnest(generate_series(0, n - 1, 24)) AS i) s
+    ),
+    kept AS (
+      SELECT doc_id * 8191 + chunk_id AS ckey, clen
+      FROM ch WHERE clen >= 8 OR chunk_id = 0
+    ),
+    d AS (
+      SELECT ckey % 16 AS shard, ckey, clen,
+             ROW_NUMBER() OVER (PARTITION BY ckey % 16 ORDER BY ckey) AS rn
+      FROM kept
+    ),
+    pack AS (
+      SELECT shard, rn, clen, CAST(0 AS BIGINT) AS bin_id, clen AS run
+      FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.shard, d.rn, d.clen,
+             CASE WHEN p.run + d.clen > 128 THEN p.bin_id + 1
+                  ELSE p.bin_id END,
+             CASE WHEN p.run + d.clen > 128 THEN d.clen
+                  ELSE p.run + d.clen END
+      FROM pack p JOIN d ON d.shard = p.shard AND d.rn = p.rn + 1
+    )
+    SELECT CAST(shard AS BIGINT) AS shard, bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(clen) AS BIGINT) AS total_tokens,
+           (SUM(clen) <= 128 OR COUNT(*) = 1) AS within_cap
+    FROM pack GROUP BY shard, bin_id
+    """,
+)
+def l52_chunk_then_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-THEN-pack — the realistic pretraining write path l19
+    approximates with whole documents: long docs are first split into
+    32-token context windows (the l45 chunker, stride 24), then the
+    CHUNKS are greedily packed into 128-token training bins, sharded by
+    the chunk key ckey = doc_id*8191 + chunk_id (8191 odd and coprime to 16, so
+    shards stay uniform over doc_ids instead of collapsing onto the low
+    chunk_ids); 16 shards also bound the oracle's recursion depth. The DuckDB oracle replays BOTH stages — the
+    generate_series chunk boundaries and the exact greedy recurrence as
+    a recursive CTE — so bin boundaries of the composed pipeline are
+    value-hash checked end-to-end.
+
+    Scale shape: map-side chunk explode (no shuffle), ONE exchange on
+    the shard key, shard-parallel applyInPandas packing (Python loop is
+    O(chunks/shard), Arrow-batched). Composing does not widen any
+    shuffle beyond the standalone l45/l19 entries. Ref parity:
+    north-star training-data extension (SURVEY §2 L)."""
+    from datafusion_cyberpolka_eda_spark.operators.packing import (
+        pack_greedy_by_shard,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_docs(docs).select(
+        (F.col("doc_id") * 8191 + F.col("chunk_id")).alias("ckey"),
+        "chunk_tokens",
+    )
+    out = pack_greedy_by_shard(chunks, "ckey", "chunk_tokens", cap=128, n_shards=16)
+    return out.select(
+        "shard",
+        "bin_id",
+        F.col("n_docs").alias("n_chunks"),
+        "total_tokens",
+        "within_cap",
+    )

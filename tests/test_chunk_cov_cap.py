@@ -333,3 +333,27 @@ class TestStreamChunking:
             .collect()
         }
         assert out == batch
+
+
+class TestChunkThenPack:
+    def test_bin_arithmetic_reconciles(self, spark, sf_dir):
+        """Composed invariants: total packed tokens == total chunk tokens;
+        every bin within cap or a lone oversized chunk (impossible here:
+        chunks are <= 32 <= 128, so within_cap must be ALL true); chunk
+        count conserved."""
+        from datafusion_cyberpolka_eda_spark.registry.llm import (
+            chunk_docs,
+            l52_chunk_then_pack,
+        )
+        from datafusion_cyberpolka_eda_spark.sources.catalog import load_table
+
+        bins = l52_chunk_then_pack(spark, sf_dir).collect()
+        ch = chunk_docs(load_table(spark, sf_dir, "documents")).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("chunk_tokens").alias("tk")
+        ).collect()[0]
+        assert sum(b.n_chunks for b in bins) == ch.n
+        assert sum(b.total_tokens for b in bins) == ch.tk
+        assert all(b.within_cap for b in bins)
+        assert all(b.total_tokens <= 128 for b in bins)
+        # shards actually spread (the 8191 multiplier property)
+        assert len({b.shard for b in bins}) == 16
