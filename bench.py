@@ -30,6 +30,7 @@ import json
 import os
 import statistics
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -248,7 +249,18 @@ def main() -> None:
 
         from datafusion_cyberpolka_eda_spark.registry import oracle_sql
 
+        # the JVM is done (nothing below touches spark) — release its
+        # heap before the oracle phase so DuckDB's big materialized
+        # replays (l37: ~300 s, peak tens of GiB) don't race a live
+        # 128-GiB-box tenant for memory; one run OOM'd exactly there
+        try:
+            spark.stop()
+        except Exception as exc:
+            print(f"WARNING: spark.stop failed: {exc!r}", file=sys.stderr)
         con = duckdb.connect()
+        # explicit budget + spill dir: prefer spilling to dying
+        con.sql("SET memory_limit='64GB'")
+        con.sql(f"SET temp_directory='{tempfile.mkdtemp(prefix='bench_duck_')}'")
         for t in (
             "region nation customer supplier part orders lineitem "
             "events documents embeddings"
