@@ -4643,17 +4643,28 @@ def l45_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---- distributed embedding covariance / Gram matrix (l46) ----
 
 
+GRAM_QSCALE = 100_000  # component quantization scale shared with the oracles
+
+
 def embedding_gram_partials(emb: DataFrame, dim: int = 64) -> DataFrame:
     """Per-Arrow-batch Gram partials over an `embedding array<float>`
     column: each batch yields ONE row holding the flattened
     [count, column-sums (dim), X^T X (dim*dim)] statistics vector
-    (length 1 + dim + dim^2), computed as a float64 numpy matmul.
+    (length 1 + dim + dim^2), computed as an int64 numpy matmul over
+    FLOOR-quantized components q = floor(x * GRAM_QSCALE).
 
     This is THE distributed-linear-algebra shape for PCA / whitening /
     linear probes at 100 TB: raw vectors never shuffle — every executor
     reduces its batches to a fixed-size O(dim^2) state and only those
-    tiny partials move. Downstream element-wise summation is exact in
-    structure (float64 adds in engine-dependent order; consumers round)."""
+    tiny partials move. Quantizing to scaled integers makes every
+    downstream sum EXACT and order-independent (the l16/l22 exact-
+    arithmetic pattern), so rounded consumer output can never flip with
+    partitioning or engine summation order. floor() is tie-free and
+    bit-identical between numpy and SQL engines on the same doubles.
+    Overflow headroom: |q| <= ~6e4 here, so G_ij partial sums stay
+    < 2^53 (exact in int64 AND in the final double division) up to
+    ~1e6 rows per statistic; beyond that, shard column blocks or widen
+    to decimal — state size is O(dim^2) either way."""
     import numpy as np
     import pandas as pd
 
@@ -4664,20 +4675,23 @@ def embedding_gram_partials(emb: DataFrame, dim: int = 64) -> DataFrame:
             if len(pdf) == 0:
                 continue
             M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            st = np.empty(width, dtype=np.float64)
-            st[0] = float(len(M))
-            st[1 : 1 + dim] = M.sum(axis=0)
-            st[1 + dim :] = (M.T @ M).reshape(-1)
+            Q = np.floor(M * float(GRAM_QSCALE)).astype(np.int64)
+            st = np.empty(width, dtype=np.int64)
+            st[0] = len(Q)
+            st[1 : 1 + dim] = Q.sum(axis=0)
+            st[1 + dim :] = (Q.T @ Q).reshape(-1)
             yield pd.DataFrame({"st": [st.tolist()]})
 
-    return emb.select("embedding").mapInPandas(gen, schema="st array<double>")
+    return emb.select("embedding").mapInPandas(gen, schema="st array<long>")
 
 
 @register(
     "l46_embedding_covariance",
     """
     WITH e AS (
-      SELECT vec_id, i - 1 AS i, CAST(embedding[i] AS DOUBLE) AS x
+      SELECT vec_id, i - 1 AS i,
+             CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 100000.0) AS BIGINT)
+               AS x
       FROM embeddings,
            LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) s
     ),
@@ -4688,7 +4702,8 @@ def embedding_gram_partials(emb: DataFrame, dim: int = 64) -> DataFrame:
       GROUP BY a.i, b.i
     )
     SELECT g.i, g.j,
-           ROUND(gij / sa.n - (sa.si / sa.n) * (sb.si / sb.n), 6) AS cov
+           ROUND((gij / sa.n - (sa.si / sa.n) * (sb.si / sb.n)) / 1.0e10, 6)
+             AS cov
     FROM g JOIN stats sa ON g.i = sa.i JOIN stats sb ON g.j = sb.i
     """,
 )
@@ -4699,11 +4714,16 @@ def l46_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scalable plan: mapInPandas reduces each Arrow batch to one
     fixed-size partial [n, sum(x), X^T X] (float64 matmul, vectors never
     shuffle), a single posexplode+groupBy sums the partials element-wise
-    (4161 doubles per batch — tiny), and the biased covariance
-    cov(i,j) = G_ij/n - mean_i*mean_j materializes the full upper
-    triangle (2080 rows at dim=64). The oracle replays the same statistic
-    relationally (unnest + self-join on vec_id) — quadratic in dim but
-    exact, feasible at oracle scale only; both sides round to 6 dp.
+    (4161 int64s per batch — tiny), and the biased covariance
+    cov(i,j) = (G_ij/n - mean_i*mean_j) / QSCALE^2 materializes the full
+    upper triangle (2080 rows at dim=64). Components are floor-quantized
+    to scaled integers FIRST (q = floor(x*1e5)) so every distributed sum
+    is exact integer arithmetic — order-independent, hash-stable under
+    any partitioning (fixes the r7 rounding-boundary flake). The oracle
+    replays the identical quantized statistic relationally (unnest +
+    self-join on vec_id) — quadratic in dim but exact, feasible at
+    oracle scale only; both sides divide/round identically (same IEEE
+    op sequence on identical exact integers).
 
     Scale shape: communication is O(n_batches * dim^2) regardless of row
     count; no shuffle touches a raw vector. At dim too large for dim^2
@@ -4738,8 +4758,11 @@ def l46_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "i",
             "j",
             (
-                F.col("gij") / F.col("n")
-                - (F.col("si") / F.col("n")) * (F.col("sj") / F.col("n"))
+                (
+                    F.col("gij") / F.col("n")
+                    - (F.col("si") / F.col("n")) * (F.col("sj") / F.col("n"))
+                )
+                / F.lit(float(GRAM_QSCALE) * float(GRAM_QSCALE))
             ).alias("cov"),
         )
     )
@@ -5129,7 +5152,9 @@ def _gram_store(spark: SparkSession, sf_dir: str, dim: int = 64) -> tuple[int, s
     """
     WITH mx AS (SELECT MAX(vec_id) AS m FROM embeddings),
     e AS (
-      SELECT vec_id, i - 1 AS i, CAST(embedding[i] AS DOUBLE) AS x
+      SELECT vec_id, i - 1 AS i,
+             CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 100000.0) AS BIGINT)
+               AS x
       FROM embeddings,
            LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) s
     ),
@@ -5145,8 +5170,8 @@ def _gram_store(spark: SparkSession, sf_dir: str, dim: int = 64) -> tuple[int, s
       FROM embeddings
     )
     SELECT s.i,
-           ROUND(si / n, 6) AS mean,
-           ROUND(sxx / n - (si / n) * (si / n), 6) AS var,
+           ROUND((si / n) / 1.0e5, 6) AS mean,
+           ROUND((sxx / n - (si / n) * (si / n)) / 1.0e10, 6) AS var,
            CAST(ns AS BIGINT) AS n_store,
            CAST(nt - ns AS BIGINT) AS n_new
     FROM stats s, cnt
@@ -5161,10 +5186,13 @@ def l51_incremental_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     are never re-read as vectors) and the update is an element-wise
     UNION+sum, exactly the d20 mergeable-sketch shape applied to linear
     algebra. Emits per-dimension (mean, variance) from the merged state
-    plus the store/increment row provenance. The oracle replays the same
-    statistics from scratch over all vectors — valid because the merged
-    linear state is exactly the from-scratch state (addition is
-    commutative; both sides round at 6 dp).
+    plus the store/increment row provenance. State is integer-quantized
+    (floor(x*1e5), see embedding_gram_partials) so the merged sums are
+    EXACT — merge order and partitioning can never flip the rounded
+    output. The oracle replays the same quantized statistics from
+    scratch over all vectors — valid because the merged integer state
+    is exactly the from-scratch state (integer addition is commutative
+    and exact).
 
     Scale shape: daily cost is O(increment) scan + a 4161-row merge;
     the covariance of a 100 TB embedding corpus stays current without
@@ -5200,10 +5228,13 @@ def l51_incremental_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(ns_df))
         .select(
             "i",
-            (F.col("si") / F.col("n")).alias("mean"),
+            ((F.col("si") / F.col("n")) / F.lit(1.0e5)).alias("mean"),
             (
-                F.col("sxx") / F.col("n")
-                - (F.col("si") / F.col("n")) * (F.col("si") / F.col("n"))
+                (
+                    F.col("sxx") / F.col("n")
+                    - (F.col("si") / F.col("n")) * (F.col("si") / F.col("n"))
+                )
+                / F.lit(1.0e10)
             ).alias("var"),
             "n_store",
             (F.col("n").cast("bigint") - F.col("n_store")).alias("n_new"),

@@ -60,6 +60,8 @@ class TestEmbeddingCovariance:
             embedding_gram_partials,
         )
 
+        from datafusion_cyberpolka_eda_spark.registry.llm import GRAM_QSCALE
+
         rng = np.random.default_rng(7)
         dim, n = 5, 40
         X = rng.normal(size=(n, dim)).astype(np.float64)
@@ -67,9 +69,13 @@ class TestEmbeddingCovariance:
             [(i, X[i].tolist()) for i in range(n)],
             "vec_id long, embedding array<float>",
         )
-        # float32 storage: recompute the truth from the float32-rounded X
+        # float32 storage + floor-quantization: the truth is the exact
+        # integer Gram of q = floor(float32(x) * QSCALE), scaled back.
         X32 = X.astype(np.float32).astype(np.float64)
-        truth = np.cov(X32, rowvar=False, bias=True)
+        Q = np.floor(X32 * float(GRAM_QSCALE)).astype(np.int64)
+        truth = np.cov(
+            Q.astype(np.float64) / float(GRAM_QSCALE), rowvar=False, bias=True
+        )
 
         part = embedding_gram_partials(emb, dim=dim)
         flat = (
@@ -79,14 +85,59 @@ class TestEmbeddingCovariance:
         )
         vals = {r.idx: r.v for r in flat.collect()}
         assert vals[0] == n
-        s = np.array([vals[1 + i] for i in range(dim)])
+        # partial sums are exact integers: compare == against numpy int64
+        assert all(isinstance(vals[k], int) for k in vals)
+        s_true = Q.sum(axis=0)
+        G_true = Q.T @ Q
+        s = np.array([vals[1 + i] for i in range(dim)], dtype=np.int64)
         G = np.array(
-            [[vals[1 + dim + i * dim + j] for j in range(dim)] for i in range(dim)]
+            [[vals[1 + dim + i * dim + j] for j in range(dim)] for i in range(dim)],
+            dtype=np.int64,
         )
-        cov = G / n - np.outer(s / n, s / n)
+        assert (s == s_true).all()
+        assert (G == G_true).all()
+        cov = (
+            G.astype(np.float64) / n
+            - np.outer(s / n, s / n)
+        ) / float(GRAM_QSCALE) ** 2
         assert np.allclose(cov, truth, atol=1e-9)
         # Gram state symmetric by construction
-        assert np.allclose(G, G.T)
+        assert (G == G.T).all()
+
+    def test_cov_bit_identical_under_partitioning(self, spark, sf_dir):
+        """The r7 flake killer: l46's rounded covariance must be
+        BIT-IDENTICAL whether the input arrives as 1 partition or 32 —
+        integer-quantized partials make every sum exact, so summation
+        order can't move any value across a rounding boundary."""
+        from datafusion_cyberpolka_eda_spark.registry.llm import (
+            l46_embedding_covariance,
+        )
+        from datafusion_cyberpolka_eda_spark.sources import catalog
+
+        base = catalog.load_table(spark, sf_dir, "embeddings")
+
+        def run(nparts):
+            orig = catalog.load_table
+
+            def patched(sp, d, name):
+                t = orig(sp, d, name)
+                return t.repartition(nparts) if name == "embeddings" else t
+
+            catalog.load_table = patched
+            # the registry module binds load_table at import; patch there too
+            import datafusion_cyberpolka_eda_spark.registry.llm as llm
+
+            saved = llm.load_table
+            llm.load_table = patched
+            try:
+                rows = l46_embedding_covariance(spark, sf_dir).collect()
+            finally:
+                catalog.load_table = orig
+                llm.load_table = saved
+            return sorted((r.i, r.j, r.cov) for r in rows)
+
+        a, b = run(1), run(32)
+        assert a == b  # exact equality, not allclose
 
     def test_partials_are_fixed_size(self, spark):
         """Each Arrow batch reduces to exactly one row of width
