@@ -896,3 +896,59 @@ def ivf_pq_add(
         )
         .select("id", "cell", "qcodes", "unit_arr")
     )
+
+
+def pca_rotation(cov):
+    """PCA rotation from a dim x dim covariance matrix — the driver-side
+    half of OPQ-style rotated product quantization (r7 verdict task 3):
+    eigendecompose the covariance (64x64 here — the E1->F2 driver-matrix
+    boundary: O(dim^2) state, never O(rows)), order eigenvectors by
+    descending eigenvalue, and return the orthogonal matrix R whose
+    COLUMNS are the principal axes. Rotating vectors as v' = R^T v
+    aligns residual energy with the quantization grid (the standard
+    recall lever for PQ: Ge et al., "Optimized Product Quantization",
+    CVPR 2013 — the non-parametric init is exactly this PCA rotation).
+
+    Rotation preserves dot products and norms exactly (R orthogonal), so
+    exact cosine neighbors are invariant; only the quantizer's residual
+    distribution improves. Deterministic: eigh is LAPACK-deterministic
+    for identical input (the integer-exact Gram state guarantees that),
+    and each eigenvector's sign is fixed by making its largest-magnitude
+    component positive."""
+    import numpy as np
+
+    cov = np.asarray(cov, dtype=np.float64)
+    w, U = np.linalg.eigh(cov)
+    R = U[:, np.argsort(w)[::-1]]
+    for j in range(R.shape[1]):
+        i = int(np.argmax(np.abs(R[:, j])))
+        if R[i, j] < 0:
+            R[:, j] = -R[:, j]
+    return R
+
+
+def rotate_vectors(df, id_col: str, vec_col: str, R) -> DataFrame:
+    """Apply v' = R^T v to every vector with ONE numpy matmul per Arrow
+    batch (mapInPandas) — the rotation that would be a 64x64-literal
+    expression tree stays a vectorized BLAS call; the dim x dim matrix
+    ships to executors inside the serialized closure (16 KB at dim=64),
+    never as a join. Output schema (id, vec array<double>). Scale: pure
+    map-side, no shuffle, O(batch x dim^2) flops per batch."""
+    import numpy as np
+    import pandas as pd
+
+    R = np.asarray(R, dtype=np.float64)
+
+    def gen(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            V = M @ R  # row i = (R^T v_i)^T
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), vec_col: list(V)}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        gen, schema=f"{id_col} bigint, {vec_col} array<double>"
+    )
