@@ -252,7 +252,20 @@ def main() -> None:
         # the JVM is done (nothing below touches spark) — release its
         # heap before the oracle phase so DuckDB's big materialized
         # replays (l37: ~300 s, peak tens of GiB) don't race a live
-        # 128-GiB-box tenant for memory; one run OOM'd exactly there
+        # 128-GiB-box tenant for memory; one run OOM'd exactly there.
+        # The JVM's shutdown hooks write a thread-pool stack trace to
+        # fd 2, which the driver's output tail captures ahead of the
+        # metrics line — silence fd 2 at the OS level from here on
+        # (Python-side warnings below keep a duplicate of the original
+        # stderr, so real failures stay attributable)
+        try:
+            saved_stderr_fd = os.dup(2)
+            sys.stderr = os.fdopen(saved_stderr_fd, "w")
+            devnull = os.open(os.devnull, os.O_WRONLY)
+            os.dup2(devnull, 2)
+            os.close(devnull)
+        except Exception:
+            pass
         try:
             spark.stop()
         except Exception as exc:

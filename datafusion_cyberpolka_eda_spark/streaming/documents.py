@@ -20,6 +20,58 @@ from pyspark.sql import functions as F
 from datafusion_cyberpolka_eda_spark.operators import dedup as D
 
 
+def _epoch_dir(root: str, epoch_id: int) -> str:
+    return os.path.join(root, f"epoch_{int(epoch_id)}")
+
+
+_TEST_REPLAY = False  # tests flip this to deliver every epoch twice
+
+
+def _deliver(handle):
+    """At-least-once delivery shim: production passes the handler
+    through untouched; tests flip ``_TEST_REPLAY`` to invoke every epoch
+    TWICE with the same epoch_id — exactly what a foreachBatch replay
+    after a transient failure looks like — so the idempotency of the
+    epoch-keyed overwrite writes is asserted, not just claimed."""
+    if not _TEST_REPLAY:
+        return handle
+
+    def replayed(batch_df: DataFrame, epoch_id: int) -> None:
+        handle(batch_df, epoch_id)
+        handle(batch_df, epoch_id)
+
+    return replayed
+
+
+def _read_epochs(
+    spark: SparkSession, root: str, schema, below: int | None = None
+) -> DataFrame:
+    """Read the union of per-epoch output directories under ``root``
+    (optionally only epochs strictly below ``below``). Returns an empty
+    frame with ``schema`` when no epoch has committed yet.
+
+    Epoch-keyed subdirectories + mode('overwrite') are what makes the
+    foreachBatch handlers in this module idempotent: Structured
+    Streaming guarantees at-least-once foreachBatch delivery with a
+    STABLE epoch_id, so a replayed epoch overwrites its own directory
+    with identically-recomputed content instead of appending duplicates
+    (blind `mode('append')` was the r7 ADVICE finding). The driver-side
+    glob is bounded by epoch count; at cluster scale the same contract
+    is a manifest/metadata table instead of a directory listing."""
+    import glob
+
+    dirs = sorted(glob.glob(os.path.join(root, "epoch_*")))
+    if below is not None:
+        dirs = [
+            d
+            for d in dirs
+            if int(os.path.basename(d).rsplit("_", 1)[1]) < below
+        ]
+    if not dirs:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*dirs)
+
+
 def stream_incremental_dedup(
     spark: SparkSession,
     increment: DataFrame,
@@ -66,12 +118,6 @@ def stream_incremental_dedup(
     # tests can place near-dup partners in different epochs on purpose
     increment.repartitionByRange(n_files, "doc_id").write.parquet(src_dir)
     base_store = spark.read.parquet(store_path)
-    # seed the append + pairs dirs with empty frames so every epoch (and
-    # the final rollup) can read them unconditionally
-    spark.createDataFrame([], base_store.schema).write.parquet(appended_dir)
-    spark.createDataFrame(
-        [], "id_a bigint, id_b bigint, est_jaccard double, kind string"
-    ).write.parquet(pairs_dir)
 
     stream = (
         spark.readStream.schema(spark.read.parquet(src_dir).schema)
@@ -80,29 +126,34 @@ def stream_incremental_dedup(
     )
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        eid = int(epoch_id)
         sigs = D.minhash_signatures_portable(
             batch_df, "doc_id", "text", n=n, num_hashes=num_hashes,
             bands=bands,
         ).localCheckpoint(eager=True)
-        store = base_store.unionByName(spark.read.parquet(appended_dir))
+        # the store view is pinned to epochs STRICTLY below this one: a
+        # replayed epoch recomputes the same pairs against the same
+        # store (its own earlier partial output is excluded) and the
+        # epoch-keyed overwrite replaces — never duplicates — them
+        store = base_store.unionByName(
+            _read_epochs(spark, appended_dir, base_store.schema, below=eid)
+        )
         pairs = D.incremental_minhash_pairs(
             sigs, store, num_hashes=num_hashes, est_threshold=est_threshold
         )
-        # pairs MUST materialize before this epoch's signatures land in
-        # the appended store — otherwise the lazy store scan would pick
-        # up the batch's own rows and re-emit its pairs via the
-        # new-old path
-        pairs.write.mode("append").parquet(pairs_dir)
-        sigs.write.mode("append").parquet(appended_dir)
+        pairs.write.mode("overwrite").parquet(_epoch_dir(pairs_dir, eid))
+        sigs.write.mode("overwrite").parquet(_epoch_dir(appended_dir, eid))
 
-    q = stream.writeStream.foreachBatch(handle).start()
+    q = stream.writeStream.foreachBatch(_deliver(handle)).start()
     try:
         q.processAllAvailable()
     finally:
         q.stop()
 
     both_new = (F.col("id_a") >= cutoff) & (F.col("id_b") >= cutoff)
-    return spark.read.parquet(pairs_dir).select(
+    return _read_epochs(
+        spark, pairs_dir, "id_a bigint, id_b bigint, est_jaccard double"
+    ).select(
         "id_a",
         "id_b",
         F.round("est_jaccard", 6).alias("est_jaccard"),
@@ -161,8 +212,6 @@ def stream_quality_routing(
     slim = docs.select("doc_id", "lang", "text")
     slim.repartitionByRange(n_files, "doc_id").write.parquet(src_dir)
     routed_schema = "doc_id bigint, lang string, n_tokens bigint"
-    for d in sink_dirs.values():
-        spark.createDataFrame([], routed_schema).write.parquet(d)
 
     stream = (
         spark.readStream.schema(spark.read.parquet(src_dir).schema)
@@ -171,18 +220,21 @@ def stream_quality_routing(
     )
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        eid = int(epoch_id)
         scored = batch_df.select(
             "doc_id",
             "lang",
             F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
             quality_sink_col().alias("sink"),
         ).localCheckpoint(eager=True)
+        # epoch-keyed overwrite per sink: a replayed epoch re-routes the
+        # same batch into the same directories idempotently
         for s, d in sink_dirs.items():
             scored.filter(F.col("sink") == s).drop("sink").write.mode(
-                "append"
-            ).parquet(d)
+                "overwrite"
+            ).parquet(_epoch_dir(d, eid))
 
-    q = stream.writeStream.foreachBatch(handle).start()
+    q = stream.writeStream.foreachBatch(_deliver(handle)).start()
     try:
         q.processAllAvailable()
     finally:
@@ -190,7 +242,9 @@ def stream_quality_routing(
 
     routed = None
     for s, d in sink_dirs.items():
-        part = spark.read.parquet(d).withColumn("sink", F.lit(s))
+        part = _read_epochs(spark, d, routed_schema).withColumn(
+            "sink", F.lit(s)
+        )
         routed = part if routed is None else routed.unionByName(part)
     return routed.groupBy("sink", "lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -237,7 +291,6 @@ def stream_takedown(
         shutil.rmtree(d, ignore_errors=True)
 
     requests.select("id").repartitionByRange(n_files, "id").write.parquet(src_dir)
-    spark.createDataFrame([], "id bigint").write.parquet(tomb_dir)
     # version 0 of the mutable store = the persisted day-1 labels
     day1 = spark.read.parquet(labels_path)
     v0 = os.path.join(stores_dir, "v0")
@@ -254,32 +307,39 @@ def stream_takedown(
         ).select("id_a", "id_b")
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
-        cur = spark.read.parquet(cur_path[0])
+        # replay-safe version chain: the CURRENT store is derived from
+        # the stable epoch_id (v{eid}, immutable once written), the next
+        # version and this epoch's tombstones are written with
+        # overwrite — a re-delivered epoch recomputes v{eid+1} from the
+        # same v{eid} + batch and replaces it byte-for-byte instead of
+        # throwing path-exists or double-appending tombstones
+        eid = int(epoch_id)
+        cur = spark.read.parquet(os.path.join(stores_dir, f"v{eid}"))
         removed = batch_df.select("id")
         delta = D.takedown_components(cur, removed, edges_fn).localCheckpoint(
             eager=True
         )
         survivors = delta.filter(F.col("comp").isNotNull()).select("id", "comp")
         untouched = cur.join(delta.select("id"), "id", "left_anti")
-        nxt = os.path.join(stores_dir, f"v{int(epoch_id) + 1}")
-        untouched.unionByName(survivors).write.parquet(nxt)
+        nxt = os.path.join(stores_dir, f"v{eid + 1}")
+        untouched.unionByName(survivors).write.mode("overwrite").parquet(nxt)
         cur_path[0] = nxt
         delta.filter(F.col("comp").isNull()).select("id").write.mode(
-            "append"
-        ).parquet(tomb_dir)
+            "overwrite"
+        ).parquet(_epoch_dir(tomb_dir, eid))
 
     stream = (
         spark.readStream.schema(spark.read.parquet(src_dir).schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src_dir)
     )
-    q = stream.writeStream.foreachBatch(handle).start()
+    q = stream.writeStream.foreachBatch(_deliver(handle)).start()
     try:
         q.processAllAvailable()
     finally:
         q.stop()
 
-    removed_all = spark.read.parquet(tomb_dir)
+    removed_all = _read_epochs(spark, tomb_dir, "id bigint")
     final = spark.read.parquet(cur_path[0])
     aff = day1.join(F.broadcast(removed_all), "id").select("comp").distinct()
     members = day1.join(F.broadcast(aff), "comp")
@@ -350,7 +410,6 @@ def stream_chunking(
         "doc_id bigint, lang string, n_tokens bigint, "
         "chunk_id int, start_tok bigint, chunk_tokens bigint"
     )
-    spark.createDataFrame([], chunk_schema).write.parquet(chunks_dir)
 
     stream = (
         spark.readStream.schema(spark.read.parquet(src_dir).schema)
@@ -359,15 +418,19 @@ def stream_chunking(
     )
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
-        chunk_docs(batch_df).write.mode("append").parquet(chunks_dir)
+        # chunking is per-row deterministic, so epoch-keyed overwrite
+        # makes a replayed epoch a byte-identical rewrite
+        chunk_docs(batch_df).write.mode("overwrite").parquet(
+            _epoch_dir(chunks_dir, int(epoch_id))
+        )
 
-    q = stream.writeStream.foreachBatch(handle).start()
+    q = stream.writeStream.foreachBatch(_deliver(handle)).start()
     try:
         q.processAllAvailable()
     finally:
         q.stop()
 
-    ch = spark.read.parquet(chunks_dir)
+    ch = _read_epochs(spark, chunks_dir, chunk_schema)
     cs = (F.col("start_tok") * 8191 + F.col("chunk_tokens")) * (
         F.col("doc_id") % 97 + 1
     )

@@ -1,0 +1,156 @@
+"""At-least-once replay idempotency (r7 ADVICE): Structured Streaming
+may re-deliver a foreachBatch epoch with the SAME epoch_id after a
+transient failure. Every handler in streaming/documents.py writes
+epoch-keyed directories with mode('overwrite'), so a replayed epoch must
+rewrite — never duplicate, never throw path-exists. These tests flip the
+module's _TEST_REPLAY shim so EVERY epoch is delivered twice, then
+assert the accumulated result still equals the batch answer."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_cyberpolka_eda_spark.operators import dedup as D
+from datafusion_cyberpolka_eda_spark.sources.catalog import load_table
+from datafusion_cyberpolka_eda_spark.streaming import documents as SD
+
+
+@pytest.fixture()
+def replay_every_epoch():
+    SD._TEST_REPLAY = True
+    try:
+        yield
+    finally:
+        SD._TEST_REPLAY = False
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+class TestReplayIdempotency:
+    def test_incremental_dedup_replay(
+        self, spark, sf_dir, tmp_path, replay_every_epoch
+    ):
+        docs = load_table(spark, sf_dir, "documents")
+        max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+        cutoff = int(0.8 * (max_id + 1))
+        store_path = str(tmp_path / "store.parquet")
+        D.minhash_signatures_portable(
+            docs.filter(F.col("doc_id") < cutoff), "doc_id", "text",
+            n=3, num_hashes=32, bands=8,
+        ).write.parquet(store_path)
+        inc = docs.filter(F.col("doc_id") >= cutoff)
+
+        streamed = SD.stream_incremental_dedup(
+            spark, inc, store_path, str(tmp_path / "scratch"), cutoff
+        )
+        want = D.incremental_minhash_pairs(
+            D.minhash_signatures_portable(
+                inc, "doc_id", "text", n=3, num_hashes=32, bands=8
+            ),
+            spark.read.parquet(store_path),
+            num_hashes=32,
+            est_threshold=0.45,
+        ).select(
+            "id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")
+        )
+        got = streamed.select("id_a", "id_b", "est_jaccard")
+        assert _rows(got) == _rows(want)
+        # no duplicates despite every epoch delivered twice
+        assert streamed.count() == streamed.select(
+            "id_a", "id_b"
+        ).distinct().count()
+
+    def test_quality_routing_replay(
+        self, spark, sf_dir, tmp_path, replay_every_epoch
+    ):
+        docs = load_table(spark, sf_dir, "documents")
+        streamed = SD.stream_quality_routing(
+            spark, docs, str(tmp_path / "scratch")
+        )
+        batch = (
+            docs.select(
+                "doc_id",
+                "lang",
+                F.size(F.split(F.col("text"), " "))
+                .cast("bigint")
+                .alias("n_tokens"),
+                SD.quality_sink_col().alias("sink"),
+            )
+            .groupBy("sink", "lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_tokens").alias("n_tokens"),
+            )
+        )
+        assert _rows(streamed) == _rows(batch)
+
+    def test_chunking_replay(
+        self, spark, sf_dir, tmp_path, replay_every_epoch
+    ):
+        from datafusion_cyberpolka_eda_spark.registry.llm import chunk_docs
+
+        docs = load_table(spark, sf_dir, "documents")
+        streamed = SD.stream_chunking(spark, docs, str(tmp_path / "scratch"))
+        ch = chunk_docs(docs)
+        cs = (F.col("start_tok") * 8191 + F.col("chunk_tokens")) * (
+            F.col("doc_id") % 97 + 1
+        )
+        per = ch.groupBy("doc_id", "lang").agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum("chunk_tokens").alias("tk"),
+            F.sum(cs).alias("cs"),
+        )
+        batch = per.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("c").cast("bigint").alias("n_chunks"),
+            F.sum("tk").cast("bigint").alias("total_chunk_tokens"),
+            F.max("c").cast("bigint").alias("max_chunks_per_doc"),
+            F.sum("cs").cast("bigint").alias("boundary_checksum"),
+        )
+        assert _rows(streamed) == _rows(batch)
+
+    def test_takedown_replay(
+        self, spark, sf_dir, tmp_path, replay_every_epoch
+    ):
+        """Replayed takedown epochs must neither double-append tombstones
+        nor throw path-exists on the version-chain write (the exact r7
+        ADVICE failure modes)."""
+        docs = load_table(spark, sf_dir, "documents")
+        sig_store_path = str(tmp_path / "sigs.parquet")
+        sigs = D.minhash_signatures_portable(
+            docs, "doc_id", "text", n=3, num_hashes=32, bands=8
+        ).withColumnRenamed("doc_id", "id")
+        sigs.write.parquet(sig_store_path)
+        edges = D.banded_pairs_from_signatures(
+            spark.read.parquet(sig_store_path),
+            num_hashes=32,
+            est_threshold=0.45,
+        ).select("id_a", "id_b")
+        labels = D.connected_components(edges, "id_a", "id_b")
+        labels_path = str(tmp_path / "labels.parquet")
+        labels.write.parquet(labels_path)
+        # remove a few members of real components so relabeling happens
+        comp_of = {r["id"]: r["comp"] for r in labels.collect()}
+        multi = [
+            i for i, c in comp_of.items()
+            if sum(1 for v in comp_of.values() if v == c) > 1
+        ]
+        removed_ids = sorted(multi)[:3] or sorted(comp_of)[:3]
+        requests = spark.createDataFrame(
+            [(i,) for i in removed_ids], "id bigint"
+        )
+
+        streamed = SD.stream_takedown(
+            spark, requests, labels_path, sig_store_path,
+            str(tmp_path / "scratch"),
+        )
+        rows = streamed.collect()
+        removed_rows = [r for r in rows if r["status"] == "removed"]
+        # each removed id appears EXACTLY once (no tombstone duplication)
+        assert sorted(r["doc_id"] for r in removed_rows) == removed_ids
+        # survivors unique per doc
+        ids = [r["doc_id"] for r in rows]
+        assert len(ids) == len(set(ids))

@@ -256,11 +256,23 @@ def main() -> int:
     # incremental covariance: the increment scan must carry the pushed
     # vec_id >= cutoff predicate (day-1 vectors never re-read as vectors)
     p = plan_of(qs["l51_incremental_covariance"](spark, sf_dir))
-    if "GreaterThanOrEqual(vec_id" not in p:
-        failures.append("l51_incremental_covariance: pushed cutoff predicate absent")
+    local_fails = []
+    # plan-format-tolerant pushed-predicate match: accept either the
+    # Catalyst filter rendering (vec_id >= N / GreaterThanOrEqual) or
+    # the datasource PushedFilters rendering, any literal value
+    import re as _re
+
+    if not _re.search(r"(GreaterThanOrEqual\(vec_id|vec_id\s*>=\s*\d)", p):
+        local_fails.append(
+            "l51_incremental_covariance: pushed cutoff predicate absent"
+        )
     if "CartesianProduct" in p:
-        failures.append("l51_incremental_covariance: CartesianProduct")
-    print(f"[{'OK' if not failures else '??'}] l51_incremental_covariance pushed increment scan")
+        local_fails.append("l51_incremental_covariance: CartesianProduct")
+    failures.extend(local_fails)
+    print(
+        f"[{'OK' if not local_fails else '??'}] "
+        "l51_incremental_covariance pushed increment scan"
+    )
 
     # AQE skew-join split (executed, not just planned: AQE finalizes at
     # runtime): a deliberately skewed SMJ must come back with skew=true
