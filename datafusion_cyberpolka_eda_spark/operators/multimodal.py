@@ -3,10 +3,13 @@ L): image/audio/video payloads travel as opaque `binary` columns alongside a
 typed metadata struct; decode / feature-extract / resize / frame-sample run
 as Arrow-batched `mapInPandas` operators.
 
-The actual media codecs are NOT available in this container, so the decode
-step is stubbed (deterministic fake features, or NotImplementedError for
-the real-codec path) — but the Spark-side plumbing is real and tested:
-schema, partition-parallel batch iteration, UDF signatures, batch shapes.
+PPM (P6) decodes FOR REAL — encode_ppm/decode_ppm below are a complete
+pure-stdlib netpbm codec, oracle-verified end-to-end by the l9b entry.
+Other media codecs (JPEG/ffmpeg/torchaudio) are not in this container, so
+those formats keep the deterministic sha256 stub (or NotImplementedError
+on the real-codec path); the Spark-side plumbing — schema, partition-
+parallel batch iteration, UDF signatures, batch shapes — is identical
+either way and fully tested.
 """
 
 from __future__ import annotations
@@ -85,10 +88,35 @@ def extract_features(assets: DataFrame, real_codecs: bool = False) -> DataFrame:
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if real_codecs:
-                raise NotImplementedError(
-                    "media codecs (PIL/ffmpeg/torchaudio) are not installed in "
-                    "this container; the deterministic stub covers the plumbing"
+                # PPM decodes for real (pure-stdlib parser below); every
+                # other format still needs codecs this container lacks
+                mimes = set(pdf["meta"].map(lambda m: m["mime"] if m else None))
+                if mimes - {PPM_MIME}:
+                    raise NotImplementedError(
+                        "only image/x-portable-pixmap decodes without "
+                        "external codecs (PIL/ffmpeg/torchaudio are not "
+                        "installed); got " + repr(sorted(mimes - {PPM_MIME}))
+                    )
+                rows = []
+                for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                    w, h, arr = decode_ppm(bytes(payload))
+                    flat = arr.reshape(-1).astype("float64") / 255.0
+                    head = flat[:8].tolist()
+                    head += [0.0] * (8 - len(head))
+                    rows.append((aid, w * h * 3, head))
+                yield pd.DataFrame(
+                    {
+                        "asset_id": [r[0] for r in rows],
+                        "modality": pdf["modality"],
+                        "byte_len": pdf["payload"].map(len).astype("int64"),
+                        "checksum": pdf["payload"].map(
+                            lambda b: hashlib.sha256(bytes(b)).hexdigest()[:16]
+                        ),
+                        "feat_dim": [r[1] for r in rows],
+                        "feature_head": [r[2] for r in rows],
+                    }
                 )
+                continue
             payloads = pdf["payload"]
             feats = payloads.map(lambda b: _fake_decode_features(bytes(b)))
             yield pd.DataFrame(
@@ -105,3 +133,146 @@ def extract_features(assets: DataFrame, real_codecs: bool = False) -> DataFrame:
             )
 
     return assets.mapInPandas(op, schema=FEATURE_SCHEMA)
+
+
+# ---- real PPM (P6) codec — pure stdlib, no external media libs ----
+
+PPM_MIME = "image/x-portable-pixmap"
+
+
+def encode_ppm(width: int, height: int, rgb_bytes: bytes, comment: str = "") -> bytes:
+    """Binary PPM (P6) encoder: header (magic, optional comment line,
+    dimensions, maxval) + raw interleaved RGB rows. Pure stdlib."""
+    if len(rgb_bytes) != width * height * 3:
+        raise ValueError("rgb payload length != width*height*3")
+    c = f"# {comment}\n" if comment else ""
+    return f"P6\n{c}{width} {height}\n255\n".encode("ascii") + rgb_bytes
+
+
+def decode_ppm(payload: bytes):
+    """REAL binary-PPM (P6) decoder, pure stdlib + numpy (r7 verdict
+    task 6 — the env-gate is gone for this format): tokenizes the header
+    per the netpbm spec (arbitrary whitespace between tokens, '#'
+    comment lines anywhere in the header), validates magic/maxval,
+    and returns (width, height, uint8 ndarray [height, width, 3]).
+    Raises ValueError on malformed or truncated payloads."""
+    import numpy as np
+
+    if payload[:2] != b"P6":
+        raise ValueError(f"not a binary PPM (magic {payload[:2]!r})")
+    i, vals = 2, []
+    n = len(payload)
+    while len(vals) < 3:
+        while i < n and payload[i : i + 1].isspace():
+            i += 1
+        if i < n and payload[i : i + 1] == b"#":
+            while i < n and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < n and not payload[j : j + 1].isspace():
+            j += 1
+        if j == i:
+            raise ValueError("truncated PPM header")
+        vals.append(int(payload[i:j]))
+        i = j
+    w, h, maxval = vals
+    if maxval != 255:
+        raise ValueError(f"unsupported maxval {maxval} (8-bit only)")
+    i += 1  # exactly one whitespace byte separates header from raster
+    data = payload[i : i + w * h * 3]
+    if len(data) != w * h * 3:
+        raise ValueError("truncated PPM raster")
+    return w, h, np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
+
+
+def synth_pixel_expr_doc(doc_id: int, k):
+    """The closed-form synthetic pixel generator shared with the DuckDB
+    oracle: byte k of doc `doc_id`'s raster is
+    (doc_id * 2654435761 + k * 40503) % 256 — a pure function of
+    (doc_id, k), so SQL can recompute every pixel with generate_series
+    and no decoder. Magnitudes stay far below 2^63."""
+    return (doc_id * 2654435761 + k * 40503) % 256
+
+
+def make_ppm_assets(docs: DataFrame) -> DataFrame:
+    """Synthesize a REAL binary PPM payload per document (the testdata
+    ships no media): width = 4 + doc_id%5, height = 3 + doc_id%4, raster
+    bytes from synth_pixel_expr_doc. The encoder emits a '#' comment
+    line so the decoder's comment handling is exercised on every asset.
+    Arrow-batched, map-side only; payload stays a binary column in the
+    ASSET_SCHEMA convention."""
+    import numpy as np
+
+    from datafusion_cyberpolka_eda_spark.sources.catalog import spread
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 4 + d % 5, 3 + d % 4
+                k = np.arange(w * h * 3, dtype=np.int64)
+                v = ((d * 2654435761 + k * 40503) % 256).astype(np.uint8)
+                payloads.append(
+                    encode_ppm(w, h, v.tobytes(), comment=f"synthetic {d}")
+                )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "modality": "image",
+                    "payload": payloads,
+                    "mime": PPM_MIME,
+                }
+            )
+
+    return spread(docs.select("doc_id")).mapInPandas(
+        op,
+        schema="asset_id long, modality string, payload binary, mime string",
+    )
+
+
+PPM_STATS_SCHEMA = (
+    "asset_id long, width bigint, height bigint, n_pix_bytes bigint, "
+    "pix_sum bigint, pix_weighted bigint, r_sum bigint, g_sum bigint, "
+    "b_sum bigint"
+)
+
+
+def decode_ppm_stats(assets: DataFrame) -> DataFrame:
+    """Decode every PPM payload with the REAL parser and emit exact
+    integer raster statistics: total/weighted pixel checksums (the
+    weighted sum catches any header-offset or byte-order misparse) and
+    per-channel sums. All int64 — order-independent, oracle-exact.
+    Arrow-batched mapInPandas; at 100 TB this is the decode+stats pass
+    of an image-corpus QA job (payloads never shuffle, one Python
+    worker per partition, O(batch) memory)."""
+    import numpy as np
+
+    from datafusion_cyberpolka_eda_spark.sources.catalog import spread
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                w, h, arr = decode_ppm(bytes(payload))
+                flat = arr.reshape(-1).astype(np.int64)
+                k1 = np.arange(1, flat.size + 1, dtype=np.int64)
+                ch = arr.reshape(-1, 3).astype(np.int64)
+                rows.append(
+                    (
+                        int(aid), w, h, flat.size,
+                        int(flat.sum()), int((k1 * flat).sum()),
+                        int(ch[:, 0].sum()), int(ch[:, 1].sum()),
+                        int(ch[:, 2].sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "width", "height", "n_pix_bytes",
+                    "pix_sum", "pix_weighted", "r_sum", "g_sum", "b_sum",
+                ],
+            )
+
+    return spread(assets).mapInPandas(op, schema=PPM_STATS_SCHEMA)

@@ -816,3 +816,74 @@ class TestIvfPqTakedown:
         assert row["delete_equals_rebuild"] is True
         assert row["no_removed_in_topk"] is True
         assert row["recall_after_delete_ge_60pct"] is True
+
+
+class TestPpmCodec:
+    """Real stdlib PPM codec (r7 verdict task 6): roundtrip, header
+    tokenizer edge cases, malformed-payload rejection, and the
+    real_codecs=True extract_features path actually decoding."""
+
+    def test_roundtrip_with_comments_and_whitespace(self):
+        import numpy as np
+
+        from datafusion_cyberpolka_eda_spark.operators.multimodal import (
+            decode_ppm,
+            encode_ppm,
+        )
+
+        raw = bytes([(7 * i) % 256 for i in range(5 * 4 * 3)])
+        w, h, arr = decode_ppm(encode_ppm(5, 4, raw, comment="x # y"))
+        assert (w, h) == (5, 4)
+        assert arr.shape == (4, 5, 3)
+        assert arr.tobytes() == raw
+        # hand-built header: multi-whitespace + comment between tokens
+        hand = b"P6\n# c1\n  5\t4 # trailing\n# c2\n255\n" + raw
+        w2, h2, arr2 = decode_ppm(hand)
+        assert (w2, h2, arr2.tobytes()) == (5, 4, raw)
+
+    def test_malformed_payloads_raise(self):
+        import pytest as _pytest
+
+        from datafusion_cyberpolka_eda_spark.operators.multimodal import (
+            decode_ppm,
+            encode_ppm,
+        )
+
+        raw = bytes(2 * 2 * 3)
+        good = encode_ppm(2, 2, raw)
+        with _pytest.raises(ValueError):
+            decode_ppm(b"P5" + good[2:])  # wrong magic
+        with _pytest.raises(ValueError):
+            decode_ppm(good[:-1])  # truncated raster
+        with _pytest.raises(ValueError):
+            decode_ppm(b"P6\n2 2\n65535\n" + raw * 2)  # 16-bit maxval
+
+    def test_real_codecs_path_decodes_ppm(self, spark, sf_dir):
+        from datafusion_cyberpolka_eda_spark.operators.multimodal import (
+            extract_features,
+            make_ppm_assets,
+        )
+        from datafusion_cyberpolka_eda_spark.sources.catalog import load_table
+
+        docs = load_table(spark, sf_dir, "documents").limit(10)
+        assets = make_ppm_assets(docs).select(
+            "asset_id",
+            "modality",
+            "payload",
+            F.struct(
+                F.col("mime"),
+                F.lit(None).cast("int").alias("width"),
+                F.lit(None).cast("int").alias("height"),
+                F.lit(None).cast("long").alias("duration_ms"),
+            ).alias("meta"),
+        )
+        rows = extract_features(assets, real_codecs=True).collect()
+        assert len(rows) == 10
+        for r in rows:
+            # feat_dim is the decoded pixel count — matches the generator
+            d = r["asset_id"]
+            assert r["feat_dim"] == (4 + d % 5) * (3 + d % 4) * 3
+            # first feature = first decoded byte / 255 = (d*2654435761)%256/255
+            assert abs(
+                r["feature_head"][0] - ((d * 2654435761) % 256) / 255.0
+            ) < 1e-12
