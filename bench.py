@@ -199,6 +199,8 @@ def main() -> None:
     # the same operator work there.
     core_ops: dict[str, float] = {}
     try:
+        from pyspark.sql import functions as F
+
         from datafusion_cyberpolka_eda_spark.operators import dedup as D
         from datafusion_cyberpolka_eda_spark.sources.catalog import load_table
 
@@ -215,8 +217,24 @@ def main() -> None:
             "embedding_neardup_bucketed": lambda: D.embedding_neardup_bucketed(
                 emb, "vec_id", "embedding", threshold=0.95
             ),
-            "minhash_lsh_pairs_ml": lambda: D.minhash_lsh_pairs(
-                docs, "doc_id", "text", n=3, jaccard_distance_threshold=0.8
+            # the pyspark.ml MinHashLSH twin was demoted from core_ops in
+            # r8 (r7 verdict task 5): its featurization swings 3x
+            # run-to-run (1.4-4.7 s across committed vs driver runs,
+            # documented since r1) despite the persist inside the op,
+            # polluting the production trend line. The portable
+            # expression path (minhash_banded_pairs, slot 1) IS the
+            # production default; the ml twin stays timed + correctness-
+            # gated via the l3_minhash_lsh_pairs registry entry.
+            "incremental_minhash_pairs": lambda: D.incremental_minhash_pairs(
+                D.minhash_signatures_portable(
+                    docs.filter(F.col("doc_id") % 5 == 0), "doc_id",
+                    "text", n=3, num_hashes=32, bands=8,
+                ),
+                D.minhash_signatures_portable(
+                    docs.filter(F.col("doc_id") % 5 != 0), "doc_id",
+                    "text", n=3, num_hashes=32, bands=8,
+                ),
+                num_hashes=32, est_threshold=0.45,
             ),
         }
         for nm, fn in core.items():
