@@ -156,34 +156,8 @@ def decode_ppm(payload: bytes):
     comment lines anywhere in the header), validates magic/maxval,
     and returns (width, height, uint8 ndarray [height, width, 3]).
     Raises ValueError on malformed or truncated payloads."""
-    import numpy as np
-
-    if payload[:2] != b"P6":
-        raise ValueError(f"not a binary PPM (magic {payload[:2]!r})")
-    i, vals = 2, []
-    n = len(payload)
-    while len(vals) < 3:
-        while i < n and payload[i : i + 1].isspace():
-            i += 1
-        if i < n and payload[i : i + 1] == b"#":
-            while i < n and payload[i] != 0x0A:
-                i += 1
-            continue
-        j = i
-        while j < n and not payload[j : j + 1].isspace():
-            j += 1
-        if j == i:
-            raise ValueError("truncated PPM header")
-        vals.append(int(payload[i:j]))
-        i = j
-    w, h, maxval = vals
-    if maxval != 255:
-        raise ValueError(f"unsupported maxval {maxval} (8-bit only)")
-    i += 1  # exactly one whitespace byte separates header from raster
-    data = payload[i : i + w * h * 3]
-    if len(data) != w * h * 3:
-        raise ValueError("truncated PPM raster")
-    return w, h, np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
+    w, h, arr, _off = decode_ppm_at(payload, 0)
+    return w, h, arr
 
 
 def synth_pixel_expr_doc(doc_id: int, k):
@@ -276,3 +250,131 @@ def decode_ppm_stats(assets: DataFrame) -> DataFrame:
             )
 
     return spread(assets).mapInPandas(op, schema=PPM_STATS_SCHEMA)
+
+
+def decode_ppm_at(payload: bytes, offset: int):
+    """Decode one P6 image starting at ``offset`` inside a multi-image
+    payload; returns (width, height, ndarray, next_offset). This is the
+    container-walking primitive frame-sampling needs — decode_ppm is the
+    single-image special case."""
+    import numpy as np
+
+    view = payload[offset:]
+    if view[:2] != b"P6":
+        raise ValueError(f"not a binary PPM at offset {offset}")
+    i, vals = 2, []
+    n = len(view)
+    while len(vals) < 3:
+        while i < n and view[i : i + 1].isspace():
+            i += 1
+        if i < n and view[i : i + 1] == b"#":
+            while i < n and view[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < n and not view[j : j + 1].isspace():
+            j += 1
+        if j == i:
+            raise ValueError("truncated PPM header")
+        vals.append(int(view[i:j]))
+        i = j
+    w, h, maxval = vals
+    if maxval != 255:
+        raise ValueError(f"unsupported maxval {maxval} (8-bit only)")
+    i += 1
+    data = view[i : i + w * h * 3]
+    if len(data) != w * h * 3:
+        raise ValueError("truncated PPM raster")
+    arr = np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
+    return w, h, arr, offset + i + w * h * 3
+
+
+def make_ppm_video_assets(docs: DataFrame) -> DataFrame:
+    """Synthesize a multi-frame 'video' per document: 2 + doc_id%3 PPM
+    frames concatenated back-to-back (the simplest real container: each
+    frame is a complete self-delimiting P6 image). Frame j's raster byte
+    k is (doc_id*2654435761 + j*7919 + k*40503) % 256 — closed-form, so
+    the oracle recomputes sampled-frame statistics with no decoder."""
+    import numpy as np
+
+    from datafusion_cyberpolka_eda_spark.sources.catalog import spread
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, n_frames = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h, f = 4 + d % 5, 3 + d % 4, 2 + d % 3
+                k = np.arange(w * h * 3, dtype=np.int64)
+                frames = []
+                for j in range(f):
+                    v = (
+                        (d * 2654435761 + j * 7919 + k * 40503) % 256
+                    ).astype(np.uint8)
+                    frames.append(
+                        encode_ppm(w, h, v.tobytes(), comment=f"frame {j}")
+                    )
+                payloads.append(b"".join(frames))
+                n_frames.append(f)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "modality": "video",
+                    "payload": payloads,
+                    "n_frames": n_frames,
+                }
+            )
+
+    return spread(docs.select("doc_id")).mapInPandas(
+        op,
+        schema="asset_id long, modality string, payload binary, n_frames int",
+    )
+
+
+FRAME_STATS_SCHEMA = (
+    "asset_id long, n_frames bigint, n_sampled bigint, width bigint, "
+    "height bigint, sampled_pix_sum bigint, sampled_weighted bigint"
+)
+
+
+def sample_frame_stats(assets: DataFrame, stride: int = 2) -> DataFrame:
+    """Frame-sampling over multi-frame binary payloads: walk the
+    container with the REAL parser (decode_ppm_at advances a byte
+    offset frame by frame), keep every ``stride``-th frame, and emit
+    exact int64 raster checksums over the sampled frames only. Note the
+    walk DECODES every frame header to find the next offset but only
+    accumulates stats for sampled frames — exactly how frame-sampling
+    over a real codec works (parse cheap, feature-extract expensive).
+    Arrow-batched map-side pass; payloads never shuffle."""
+    import numpy as np
+
+    from datafusion_cyberpolka_eda_spark.sources.catalog import spread
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                b = bytes(payload)
+                off, j = 0, 0
+                n_sampled = pix = wgt = 0
+                width = height = 0
+                while off < len(b):
+                    w, h, arr, off = decode_ppm_at(b, off)
+                    width, height = w, h
+                    if j % stride == 0:
+                        flat = arr.reshape(-1).astype(np.int64)
+                        k1 = np.arange(1, flat.size + 1, dtype=np.int64)
+                        n_sampled += 1
+                        pix += int(flat.sum())
+                        wgt += int((k1 * flat).sum())
+                    j += 1
+                rows.append((int(aid), j, n_sampled, width, height, pix, wgt))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "n_frames", "n_sampled", "width", "height",
+                    "sampled_pix_sum", "sampled_weighted",
+                ],
+            )
+
+    return spread(assets).mapInPandas(op, schema=FRAME_STATS_SCHEMA)

@@ -5485,3 +5485,391 @@ def l9b_multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return decode_ppm_stats(make_ppm_assets(docs))
+
+
+# ---- temperature-based mixture sampling (l53) ----
+
+
+@register(
+    "l53_mixture_temperature",
+    """
+    WITH d AS (
+      SELECT source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+      FROM documents
+    ),
+    per AS (
+      SELECT source, COUNT(*) AS n_docs, SUM(nt) AS tokens
+      FROM d GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS t FROM per),
+    w AS (
+      SELECT source, n_docs, tokens,
+             CAST(FLOOR(SQRT(CAST(tokens AS DOUBLE) / t) * 1.0e9) AS BIGINT)
+               AS wq
+      FROM per, tot
+    ),
+    ws AS (SELECT SUM(wq) AS sw FROM w)
+    SELECT w.source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(tokens AS BIGINT) AS tokens,
+           ROUND(CAST(tokens AS DOUBLE) / t, 6) AS raw_share,
+           ROUND(CAST(wq AS DOUBLE) / sw, 6) AS sampled_share,
+           ROUND((CAST(wq AS DOUBLE) / sw) * t / tokens, 6) AS epochs
+    FROM w, ws, tot
+    """,
+)
+def l53_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture sampling weights (tau = 0.5, the
+    square-root scaling multilingual/multi-source training mixes use to
+    up-weight small sources without letting any source dominate): per-
+    source token masses -> sqrt of the raw share -> renormalized sampling
+    share -> expected epochs per source under a one-epoch total budget
+    (the over-sampling factor small sources pay in repeated data).
+
+    Determinism discipline (the r8 theme): the sqrt weights are FLOOR-
+    quantized to 1e-9 integers before normalization, so the normalizer is
+    an EXACT integer sum — no cross-row float accumulation whose order
+    could flip a 6 dp round (sqrt/division on identical exact inputs are
+    single correctly-rounded IEEE ops, identical on both engines).
+
+    Scale shape: one scan + one per-source agg (20 rows here; thousands
+    at 100 TB — trivially small), weights computed on the agg result, no
+    second corpus pass. Ref parity: north-star training-data extension
+    (SURVEY §2 L; mixture family l27/l36)."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = (
+        spread(docs)
+        .select("source", T.token_count("text").cast("bigint").alias("nt"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("tokens"),
+        )
+    )
+    tot = per.agg(F.sum("tokens").alias("t"))
+    w = per.crossJoin(F.broadcast(tot)).withColumn(
+        "wq",
+        F.floor(
+            F.sqrt(F.col("tokens").cast("double") / F.col("t")) * F.lit(1.0e9)
+        ).cast("bigint"),
+    )
+    ws = w.agg(F.sum("wq").alias("sw"))
+    out = w.crossJoin(F.broadcast(ws)).select(
+        "source",
+        "n_docs",
+        "tokens",
+        (F.col("tokens").cast("double") / F.col("t")).alias("raw_share"),
+        (F.col("wq").cast("double") / F.col("sw")).alias("sampled_share"),
+        (
+            (F.col("wq").cast("double") / F.col("sw"))
+            * F.col("t")
+            / F.col("tokens")
+        ).alias("epochs"),
+    )
+    return _round_cols(out, ["raw_share", "sampled_share", "epochs"])
+
+
+# ---- curriculum difficulty bins (l54) ----
+
+
+@register(
+    "l54_curriculum_bins",
+    """
+    WITH d AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+               AS ndis
+      FROM documents
+    ),
+    b AS (
+      SELECT lang, nt, ndis,
+             NTILE(4) OVER (PARTITION BY lang ORDER BY nt, doc_id) AS stage
+      FROM d
+    )
+    SELECT lang, CAST(stage AS BIGINT) AS stage,
+           COUNT(*) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS tokens,
+           CAST(MIN(nt) AS BIGINT) AS min_tok,
+           CAST(MAX(nt) AS BIGINT) AS max_tok,
+           CAST(SUM(CASE WHEN nt >= 8 AND ndis * 2 >= nt THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_quality
+    FROM b GROUP BY lang, stage
+    """,
+)
+def l54_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum staging: per-language difficulty quartiles (ntile over
+    (token count, doc_id) — deterministic total order) with per-stage
+    token budgets and the count of docs passing the integer-exact quality
+    rules (the j16 routing predicate: length floor + distinct-token
+    ratio). This is the table a curriculum scheduler consumes: stage 1 =
+    shortest quartile per language, each stage's token budget and quality
+    yield precomputed.
+
+    Scale shape: the window partitions by language (bounded cardinality),
+    so each sort handles one language's rows — no global-order window
+    (the ntile_bucket 100 TB caveat); counts and budgets are exact
+    integers. Ref parity: D7/E11 decile machinery applied to the
+    training-data extension family (SURVEY §2 L)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    d = spread(docs).select(
+        "doc_id",
+        "lang",
+        F.size(toks).cast("bigint").alias("nt"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("ndis"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.asc("nt"), F.asc("doc_id"))
+    b = d.withColumn("stage", F.ntile(4).over(w).cast("bigint"))
+    return b.groupBy("lang", "stage").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nt").alias("tokens"),
+        F.min("nt").alias("min_tok"),
+        F.max("nt").alias("max_tok"),
+        F.sum(
+            F.when(
+                (F.col("nt") >= 8) & (F.col("ndis") * 2 >= F.col("nt")), 1
+            ).otherwise(0)
+        ).cast("bigint").alias("n_quality"),
+    )
+
+
+# ---- per-source template/boilerplate detection (l55) ----
+
+
+@register(
+    "l55_template_prefix",
+    """
+    WITH p AS (
+      SELECT doc_id, source,
+             array_to_string(string_split(text, ' ')[1:3], ' ') AS prefix,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+      FROM documents
+    ),
+    c AS (
+      SELECT source, prefix, COUNT(*) AS cnt
+      FROM p GROUP BY source, prefix
+    ),
+    m AS (
+      SELECT source, prefix AS modal_prefix, cnt AS modal_count
+      FROM (
+        SELECT source, prefix, cnt,
+               ROW_NUMBER() OVER (
+                 PARTITION BY source ORDER BY cnt DESC, prefix ASC) AS rn
+        FROM c
+      ) WHERE rn = 1
+    )
+    SELECT p.source,
+           COUNT(*) AS n_docs,
+           m.modal_prefix,
+           CAST(MAX(m.modal_count) AS BIGINT) AS modal_count,
+           CAST(SUM(CASE WHEN p.prefix = m.modal_prefix THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_templated,
+           CAST(SUM(CASE WHEN p.prefix = m.modal_prefix
+                         THEN LEAST(nt, 3) ELSE 0 END) AS BIGINT)
+             AS boilerplate_tokens,
+           ROUND(CAST(SUM(CASE WHEN p.prefix = m.modal_prefix
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS templated_frac
+    FROM p JOIN m ON p.source = m.source
+    GROUP BY p.source, m.modal_prefix
+    """,
+)
+def l55_template_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source template/boilerplate detection — the screen that
+    catches scraped sources whose documents share a generated opening
+    ('Terms of service for ...'): the modal 3-token prefix per source
+    (count desc, prefix asc tie-break — deterministic mode, the D13
+    pattern), every doc matching it flagged as templated, and the
+    strip-candidate token mass (min(nt,3) per templated doc) priced out.
+    A real pipeline strips or down-weights prefixes whose templated_frac
+    is high; this emits exactly that decision table.
+
+    Scale shape: one scan -> (source, prefix) count shuffle (cardinality
+    = distinct prefixes, far below rows) -> per-source top-1 window over
+    the COUNT table (not the corpus) -> broadcast modal table joined
+    back for the flag pass. Exact integers everywhere; the one fraction
+    is a single division of exact counts. Ref parity: D13 group-mode +
+    the quality-screen extension family (SURVEY §2 L)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    p = spread(docs).select(
+        "doc_id",
+        "source",
+        F.concat_ws(" ", F.slice(toks, 1, 3)).alias("prefix"),
+        F.size(toks).cast("bigint").alias("nt"),
+    )
+    c = p.groupBy("source", "prefix").agg(F.count(F.lit(1)).alias("cnt"))
+    wm = Window.partitionBy("source").orderBy(
+        F.desc("cnt"), F.asc("prefix")
+    )
+    m = (
+        c.withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") == 1)
+        .select(
+            "source",
+            F.col("prefix").alias("modal_prefix"),
+            F.col("cnt").alias("modal_count"),
+        )
+    )
+    hit = F.col("prefix") == F.col("modal_prefix")
+    return (
+        p.join(F.broadcast(m), "source")
+        .groupBy("source", "modal_prefix")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("modal_count").cast("bigint").alias("modal_count"),
+            F.sum(F.when(hit, 1).otherwise(0)).cast("bigint").alias(
+                "n_templated"
+            ),
+            F.sum(F.when(hit, F.least(F.col("nt"), F.lit(3))).otherwise(0))
+            .cast("bigint")
+            .alias("boilerplate_tokens"),
+            (
+                F.sum(F.when(hit, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("templated_frac"),
+        )
+        .select(
+            "source", "n_docs", "modal_prefix", "modal_count",
+            "n_templated", "boilerplate_tokens",
+            F.round("templated_frac", 6).alias("templated_frac"),
+        )
+    )
+
+
+# ---- deterministic stratified eval holdout (l56) ----
+
+
+@register(
+    "l56_stratified_holdout",
+    """
+    WITH k AS (
+      SELECT doc_id, source, lang,
+             ((doc_id + 1) * 1103515245 + 99991) % 2147483647 AS h
+      FROM documents
+    ),
+    r AS (
+      SELECT source, lang, doc_id, h,
+             ROW_NUMBER() OVER (
+               PARTITION BY source, lang ORDER BY h, doc_id) AS rnk,
+             COUNT(*) OVER (PARTITION BY source, lang) AS n_stratum
+      FROM k
+    )
+    SELECT source, lang,
+           CAST(MAX(n_stratum) AS BIGINT) AS n_docs,
+           CAST(MAX(n_stratum) // 10 AS BIGINT) AS n_eval,
+           CAST(SUM(CASE WHEN rnk <= n_stratum // 10 THEN doc_id
+                         ELSE 0 END) AS BIGINT) AS eval_id_sum,
+           CAST(SUM(CASE WHEN rnk <= n_stratum // 10 THEN rnk * doc_id
+                         ELSE 0 END) AS BIGINT) AS eval_order_checksum
+    FROM r GROUP BY source, lang
+    """,
+)
+def l56_stratified_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified train/eval holdout — every training run
+    needs one, and it must be reproducible from ids alone: within each
+    (source, lang) stratum, docs are ranked by a portable LCG key (the
+    l49 shuffle key — no engine hash, no stored split) and the first
+    floor(n/10) become eval. Emits per-stratum sizes plus EXACT integer
+    checksums of the selected set and its order, so the oracle pins
+    membership and ranking, not just counts.
+
+    Scale shape: one scan, one window partitioned by stratum (bounded
+    per-partition work, no global sort), map-side key arithmetic.
+    Adding tomorrow's docs leaves yesterday's membership unchanged for
+    existing ids (the key is a pure function of doc_id) — the property
+    that keeps eval sets stable across snapshot grows. Ref parity: B6
+    key-stable sampler generalized to stratified quotas (SURVEY §2 L)."""
+    docs = load_table(spark, sf_dir, "documents")
+    k = spread(docs).select(
+        "doc_id",
+        "source",
+        "lang",
+        (
+            ((F.col("doc_id") + 1) * F.lit(1103515245) + F.lit(99991))
+            % F.lit(2147483647)
+        ).alias("h"),
+    )
+    w = Window.partitionBy("source", "lang").orderBy(
+        F.asc("h"), F.asc("doc_id")
+    )
+    wc = Window.partitionBy("source", "lang")
+    r = k.withColumn("rnk", F.row_number().over(w)).withColumn(
+        "n_stratum", F.count(F.lit(1)).over(wc)
+    )
+    sel = F.col("rnk") <= F.floor(F.col("n_stratum") / 10)
+    return r.groupBy("source", "lang").agg(
+        F.max("n_stratum").cast("bigint").alias("n_docs"),
+        F.floor(F.max("n_stratum") / 10).cast("bigint").alias("n_eval"),
+        F.sum(F.when(sel, F.col("doc_id")).otherwise(0))
+        .cast("bigint")
+        .alias("eval_id_sum"),
+        F.sum(F.when(sel, F.col("rnk") * F.col("doc_id")).otherwise(0))
+        .cast("bigint")
+        .alias("eval_order_checksum"),
+    )
+
+
+# ---- frame-sampled video decode (l9c) ----
+
+
+@register(
+    "l9c_multimodal_frame_sample",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             CAST(4 + doc_id % 5 AS BIGINT) AS w,
+             CAST(3 + doc_id % 4 AS BIGINT) AS h,
+             CAST(2 + doc_id % 3 AS BIGINT) AS f
+      FROM documents
+    ),
+    fr AS (
+      SELECT doc_id, w, h, f, j
+      FROM d, LATERAL (SELECT unnest(generate_series(0, f - 1)) AS j) s
+    ),
+    px AS (
+      SELECT doc_id, w, h, f, j, k,
+             (doc_id * 2654435761 + j * 7919 + k * 40503) % 256 AS v
+      FROM fr,
+           LATERAL (SELECT unnest(generate_series(0, w * h * 3 - 1)) AS k) s
+      WHERE j % 2 = 0
+    )
+    SELECT doc_id AS asset_id,
+           MAX(f) AS n_frames,
+           COUNT(DISTINCT j) AS n_sampled,
+           MAX(w) AS width,
+           MAX(h) AS height,
+           CAST(SUM(v) AS BIGINT) AS sampled_pix_sum,
+           CAST(SUM((k + 1) * v) AS BIGINT) AS sampled_weighted
+    FROM px GROUP BY doc_id
+    """,
+)
+def l9c_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling over multi-frame binary assets — the video half of
+    the multimodal family, done with the REAL parser: every document gets
+    a genuine multi-image container (2 + doc_id%3 complete P6 frames
+    concatenated; each frame self-delimiting), and sample_frame_stats
+    WALKS the container byte-exactly (decode_ppm_at advances the offset
+    frame by frame), keeps every 2nd frame, and emits exact int64 raster
+    checksums over the sampled frames only — parse-every / featurize-some,
+    the actual shape of video frame-sampling over real codecs. The DuckDB
+    oracle recomputes the sampled statistics straight from the closed-form
+    generator (two nested generate_series, j % 2 = 0), so the container
+    walk, frame boundaries, and stride selection are all value-checked.
+
+    Scale shape: one Arrow-batched map-side pass, payloads never shuffle,
+    per-asset state is O(frame). Ref parity: north-star multimodal
+    extension (SURVEY §2 L; frame-sample was the listed stub)."""
+    from datafusion_cyberpolka_eda_spark.operators.multimodal import (
+        make_ppm_video_assets,
+        sample_frame_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = sample_frame_stats(make_ppm_video_assets(docs), stride=2)
+    return stats.select(
+        "asset_id", "n_frames", "n_sampled", "width", "height",
+        "sampled_pix_sum", "sampled_weighted",
+    )

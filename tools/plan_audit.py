@@ -253,6 +253,30 @@ def main() -> int:
         contains=["BroadcastHashJoin"],
         absent=["CartesianProduct", "Scan parquet"],
     )
+    # --- r8 entries ---
+    # multimodal decode/frame-sample are pure map-side passes: payloads
+    # must never meet a join or window (spread()'s Exchange is the only
+    # allowed shuffle)
+    check(
+        "l9b_multimodal_ppm_decode",
+        absent=["CartesianProduct", "Window", "Join"],
+    )
+    check(
+        "l9c_multimodal_frame_sample",
+        absent=["CartesianProduct", "Window", "Join"],
+    )
+    # template detection: the modal table (one row per source) must come
+    # back as a broadcast join, and nothing may go all-pairs
+    check(
+        "l55_template_prefix",
+        contains=["BroadcastHashJoin"],
+        absent=["CartesianProduct"],
+    )
+    check("l53_mixture_temperature", absent=["CartesianProduct"])
+    check("l54_curriculum_bins", absent=["CartesianProduct"])
+    check("l56_stratified_holdout", absent=["CartesianProduct"])
+    check("l8h_ann_ivf_pq_rotated", absent=["CartesianProduct"])
+
     # incremental covariance: the increment scan must carry the pushed
     # vec_id >= cutoff predicate (day-1 vectors never re-read as vectors)
     p = plan_of(qs["l51_incremental_covariance"](spark, sf_dir))
