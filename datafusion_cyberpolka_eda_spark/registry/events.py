@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datafusion_cyberpolka_eda_spark.registry import _dec_sum, register
+from datafusion_cyberpolka_eda_spark.registry import llm as _llm
 from datafusion_cyberpolka_eda_spark.sources.catalog import load_table
 from datafusion_cyberpolka_eda_spark.streaming.events import (
     session_stats,
@@ -516,3 +517,30 @@ def j18_stream_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"j18_{_os.path.basename(_os.path.normpath(sf_dir)).replace('.', '_')}",
     )
     return stream_chunking(spark, docs, scratch)
+
+
+@register("j19_stream_psi_drift", _llm._L39_ORACLE)
+def j19_stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming PSI drift monitor — l39's distribution check fed by the
+    ingest queue: day-1 reference counts computed once, the day-2
+    increment streamed in forced micro-batches, per-epoch bounded count
+    deltas committed replay-safe (epoch-keyed overwrite), PSI folded from
+    the MERGED exact integer counts through the same math as l39. The
+    streamed answer must equal the batch answer bit-for-bit (integer
+    merges commute), so l39's from-scratch DuckDB replay is the oracle —
+    the monitoring leg of the streaming pipeline (j16 gate -> j15 dedup
+    -> j19 drift) done continuously."""
+    import os as _os
+
+    from datafusion_cyberpolka_eda_spark.sources.catalog import load_table
+    from datafusion_cyberpolka_eda_spark.streaming.documents import (
+        stream_psi_drift,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scratch = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+        ".scratch",
+        f"j19_{_os.path.basename(_os.path.normpath(sf_dir)).replace('.', '_')}",
+    )
+    return stream_psi_drift(spark, docs, scratch)

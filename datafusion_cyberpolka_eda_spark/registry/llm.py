@@ -3504,6 +3504,61 @@ FROM c2
 """
 
 
+def psi_feature_buckets(docs: DataFrame, *extra_cols) -> DataFrame:
+    """The l39/j19 shared 4-feature unpivot: one explode turns each doc
+    row into (feature, bucket) rows for lang, source, banded n_chars and
+    banded token count. ``extra_cols`` (aliased Columns) ride along."""
+    sel = docs.select(
+        *extra_cols,
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("lang").alias("feature"), F.col("lang").alias("bucket")
+                ),
+                F.struct(
+                    F.lit("source").alias("feature"),
+                    F.col("source").alias("bucket"),
+                ),
+                F.struct(
+                    F.lit("len_band").alias("feature"),
+                    F.least(F.floor(F.col("n_chars") / 64), F.lit(8))
+                    .cast("string")
+                    .alias("bucket"),
+                ),
+                F.struct(
+                    F.lit("tok_band").alias("feature"),
+                    F.least(F.floor(T.token_count("text") / 16), F.lit(6))
+                    .cast("string")
+                    .alias("bucket"),
+                ),
+            )
+        ).alias("fb"),
+    )
+    names = [f.name for f in sel.schema.fields if f.name != "fb"]
+    return sel.select(*names, "fb.feature", "fb.bucket")
+
+
+def psi_from_counts(counts: DataFrame) -> DataFrame:
+    """Fold (feature, bucket, day1_n, day2_n) EXACT integer counts into
+    the PSI output shape (add-one smoothing over the union bucket set,
+    per-bucket contributions + per-feature PSI, 6 dp). Shared by l39
+    (batch) and j19 (streaming merge) — the float math runs once, on
+    identical merged integers, so both paths hash identically."""
+    w = Window.partitionBy("feature")
+    k = F.count(F.lit(1)).over(w)
+    p = (F.col("day1_n") + 1.0) / (F.sum("day1_n").over(w) + k)
+    q = (F.col("day2_n") + 1.0) / (F.sum("day2_n").over(w) + k)
+    contrib = (p - q) * F.log(p / q)
+    return counts.withColumn("contrib", contrib).select(
+        "feature",
+        "bucket",
+        "day1_n",
+        "day2_n",
+        F.round("contrib", 6).alias("psi_contrib"),
+        F.round(F.sum("contrib").over(w), 6).alias("psi"),
+    )
+
+
 @register("l39_psi_drift", _L39_ORACLE)
 def l39_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population-stability-index drift monitor between the day-1 corpus
@@ -3529,52 +3584,14 @@ def l39_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     max_id = docs.agg(F.max("doc_id")).collect()[0][0]
     cutoff = int(0.8 * (max_id + 1))
-    base = docs.select(
-        (F.col("doc_id") < cutoff).alias("day1"),
-        F.explode(
-            F.array(
-                F.struct(
-                    F.lit("lang").alias("feature"), F.col("lang").alias("bucket")
-                ),
-                F.struct(
-                    F.lit("source").alias("feature"),
-                    F.col("source").alias("bucket"),
-                ),
-                F.struct(
-                    F.lit("len_band").alias("feature"),
-                    F.least(F.floor(F.col("n_chars") / 64), F.lit(8))
-                    .cast("string")
-                    .alias("bucket"),
-                ),
-                F.struct(
-                    F.lit("tok_band").alias("feature"),
-                    F.least(F.floor(T.token_count("text") / 16), F.lit(6))
-                    .cast("string")
-                    .alias("bucket"),
-                ),
-            )
-        ).alias("fb"),
-    ).select("day1", "fb.feature", "fb.bucket")
+    base = psi_feature_buckets(
+        docs, (F.col("doc_id") < cutoff).alias("day1")
+    )
     counts = base.groupBy("feature", "bucket").agg(
         F.sum(F.when(F.col("day1"), 1).otherwise(0)).alias("day1_n"),
         F.sum(F.when(~F.col("day1"), 1).otherwise(0)).alias("day2_n"),
     )
-    w = Window.partitionBy("feature")
-    k = F.count(F.lit(1)).over(w)
-    p = (F.col("day1_n") + 1.0) / (F.sum("day1_n").over(w) + k)
-    q = (F.col("day2_n") + 1.0) / (F.sum("day2_n").over(w) + k)
-    contrib = (p - q) * F.log(p / q)
-    return (
-        counts.withColumn("contrib", contrib)
-        .select(
-            "feature",
-            "bucket",
-            "day1_n",
-            "day2_n",
-            F.round("contrib", 6).alias("psi_contrib"),
-            F.round(F.sum("contrib").over(w), 6).alias("psi"),
-        )
-    )
+    return psi_from_counts(counts)
 
 
 @register(

@@ -446,3 +446,85 @@ def stream_chunking(
         F.max("c").cast("bigint").alias("max_chunks_per_doc"),
         F.sum("cs").cast("bigint").alias("boundary_checksum"),
     )
+
+
+def stream_psi_drift(
+    spark: SparkSession,
+    docs: DataFrame,
+    scratch_dir: str,
+    n_files: int = 3,
+) -> DataFrame:
+    """Streaming PSI drift monitor — the continuous-ingest shape of l39:
+    the day-1 reference counts (doc_id < the 80% cutoff) are computed
+    once batch-side, the day-2 increment streams in as micro-batches,
+    and each epoch's foreachBatch counts ONLY its batch per
+    (feature, bucket), committing an epoch-keyed overwrite (replay-safe
+    like every handler in this module). The final PSI folds the MERGED
+    exact integer counts through the same psi_from_counts math as l39 —
+    integer merges are order/epoch-independent, so the streamed answer
+    equals the batch answer bit-for-bit and l39's from-scratch DuckDB
+    replay is the oracle.
+
+    At 100 TB this is the drift dashboard fed by the ingest queue: each
+    epoch contributes a bounded count delta (buckets, not rows), the
+    reference profile stays put, and PSI is recomputed from merged
+    state — no epoch ever re-reads the day-1 corpus."""
+    from datafusion_cyberpolka_eda_spark.registry.llm import (
+        psi_feature_buckets,
+        psi_from_counts,
+    )
+
+    src_dir = os.path.join(scratch_dir, "psi_src")
+    counts_dir = os.path.join(scratch_dir, "psi_counts")
+    for d in (src_dir, counts_dir):
+        shutil.rmtree(d, ignore_errors=True)
+
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    cutoff = int(0.8 * (max_id + 1))
+    day1_counts = (
+        psi_feature_buckets(docs.filter(F.col("doc_id") < cutoff))
+        .groupBy("feature", "bucket")
+        .agg(F.count(F.lit(1)).alias("day1_n"))
+        .localCheckpoint(eager=True)
+    )
+    inc = docs.filter(F.col("doc_id") >= cutoff).select(
+        "doc_id", "lang", "source", "n_chars", "text"
+    )
+    inc.repartitionByRange(n_files, "doc_id").write.parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            psi_feature_buckets(batch_df)
+            .groupBy("feature", "bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .write.mode("overwrite")
+            .parquet(_epoch_dir(counts_dir, int(epoch_id)))
+        )
+
+    q = stream.writeStream.foreachBatch(_deliver(handle)).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    day2_counts = (
+        _read_epochs(spark, counts_dir, "feature string, bucket string, n bigint")
+        .groupBy("feature", "bucket")
+        .agg(F.sum("n").alias("day2_n"))
+    )
+    counts = (
+        day1_counts.join(day2_counts, ["feature", "bucket"], "full")
+        .select(
+            "feature",
+            "bucket",
+            F.coalesce("day1_n", F.lit(0)).cast("bigint").alias("day1_n"),
+            F.coalesce("day2_n", F.lit(0)).cast("bigint").alias("day2_n"),
+        )
+    )
+    return psi_from_counts(counts)

@@ -154,3 +154,14 @@ class TestReplayIdempotency:
         # survivors unique per doc
         ids = [r["doc_id"] for r in rows]
         assert len(ids) == len(set(ids))
+
+    def test_psi_drift_replay(self, spark, sf_dir, tmp_path, replay_every_epoch):
+        """Streamed PSI from twice-delivered epochs must equal the batch
+        l39 answer bit-for-bit (integer count merges are replay-proof
+        under epoch-keyed overwrite)."""
+        from datafusion_cyberpolka_eda_spark.registry.llm import l39_psi_drift
+
+        docs = load_table(spark, sf_dir, "documents")
+        streamed = SD.stream_psi_drift(spark, docs, str(tmp_path / "scratch"))
+        batch = l39_psi_drift(spark, sf_dir)
+        assert _rows(streamed) == _rows(batch)
