@@ -400,5 +400,35 @@ def main() -> None:
     print(build_stdout_line(out))
 
 
+def wrapper() -> int:
+    """Run the real bench in a CHILD process and filter its stderr.
+
+    The JVM inherits the process's fd 2 at gateway launch, so no
+    in-process redirect after that point can keep its shutdown stack
+    trace out of the driver-captured output tail (the r7 cosmetic
+    finding — the dup2-before-stop attempt failed for exactly this
+    reason). The wrapper owns the only fds the driver sees: the child's
+    stdout (the metrics line) passes through verbatim; from its stderr
+    only attributable `WARNING:` lines are forwarded, and JVM/log4j
+    noise — including the shutdown trace — is dropped."""
+    import subprocess
+
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--inner"],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        text=True,
+    )
+    out, err = proc.communicate()
+    sys.stdout.write(out)
+    for line in err.splitlines():
+        if line.startswith("WARNING:"):
+            print(line, file=sys.stderr)
+    return proc.returncode
+
+
 if __name__ == "__main__":
-    main()
+    if "--inner" in sys.argv or os.environ.get("SPARK_GRAFT_BENCH_NO_WRAP"):
+        main()
+    else:
+        sys.exit(wrapper())
