@@ -5890,3 +5890,107 @@ def l9c_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "asset_id", "n_frames", "n_sampled", "width", "height",
         "sampled_pix_sum", "sampled_weighted",
     )
+
+
+# ---- real WAV decode (l9d) and nearest-neighbor resize (l9e) ----
+
+
+@register(
+    "l9d_multimodal_wav_decode",
+    """
+    WITH d AS (
+      SELECT doc_id, CAST(100 + doc_id % 50 AS BIGINT) AS n FROM documents
+    ),
+    sm AS (
+      SELECT doc_id, n, k,
+             (doc_id * 48271 + k * 16807) % 65536 - 32768 AS s
+      FROM d, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS k) t
+    )
+    SELECT doc_id AS asset_id,
+           CAST(16000 AS BIGINT) AS framerate,
+           COUNT(*) AS n_samples,
+           CAST(SUM(s) AS BIGINT) AS sample_sum,
+           CAST(SUM((k + 1) * s) AS BIGINT) AS sample_weighted,
+           CAST(MIN(s) AS BIGINT) AS sample_min,
+           CAST(MAX(s) AS BIGINT) AS sample_max
+    FROM sm GROUP BY doc_id
+    """,
+)
+def l9d_multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode — the stdlib `wave` module is a genuine RIFF
+    container codec, so the audio modality needs no stub at all: every
+    document gets a real mono 16-bit PCM WAV (100 + doc_id%50 samples
+    from the closed form ((doc_id*48271 + k*16807) % 65536) - 32768),
+    and decode_wav parses the RIFF/fmt/data chunks back, validating
+    channel count and sample width. The emitted exact int64 PCM
+    statistics (position-weighted sum breaks on any chunk-offset or
+    byte-order misparse; min/max pin the value range incl. negatives)
+    are recomputed by the DuckDB oracle straight from the generator —
+    encoder -> RIFF parser -> stats verified value-exact.
+
+    Scale shape: encode and decode are Arrow-batched map-side passes;
+    payloads never shuffle. With PPM (l9b), multi-frame containers
+    (l9c), and WAV here, all three listed media modalities decode for
+    real. Ref parity: north-star multimodal extension (SURVEY §2 L)."""
+    from datafusion_cyberpolka_eda_spark.operators.multimodal import (
+        decode_wav_stats,
+        make_wav_assets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_wav_stats(make_wav_assets(docs))
+
+
+@register(
+    "l9e_multimodal_resize",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             CAST(4 + doc_id % 5 AS BIGINT) AS w,
+             CAST(3 + doc_id % 4 AS BIGINT) AS h
+      FROM documents
+    ),
+    cell AS (
+      SELECT doc_id, w, h, r, c, ch,
+             ((r * h // 2) * w + (c * w // 3)) * 3 + ch AS k
+      FROM d,
+           LATERAL (SELECT unnest(generate_series(0, 1)) AS r) t1,
+           LATERAL (SELECT unnest(generate_series(0, 2)) AS c) t2,
+           LATERAL (SELECT unnest(generate_series(0, 2)) AS ch) t3
+    ),
+    px AS (
+      SELECT doc_id, w, h, r, c, ch,
+             (doc_id * 2654435761 + k * 40503) % 256 AS v
+      FROM cell
+    )
+    SELECT doc_id AS asset_id,
+           MAX(w) AS in_w, MAX(h) AS in_h,
+           CAST(3 AS BIGINT) AS out_w, CAST(2 AS BIGINT) AS out_h,
+           CAST(SUM(v) AS BIGINT) AS out_pix_sum,
+           CAST(SUM(((r * 3 + c) * 3 + ch + 1) * v) AS BIGINT)
+             AS out_weighted
+    FROM px GROUP BY doc_id
+    """,
+)
+def l9e_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image RESIZE — the last verb of the multimodal family (decode /
+    feature-extract / resize / frame-sample) made real: decode each
+    synthetic PPM with the real parser, nearest-neighbor downscale to
+    3x2 (source pixel (r*in_h // out_h, c*in_w // out_w) — pure integer
+    arithmetic, so the resampling grid is EXACT and the DuckDB oracle
+    replays it in closed form: target cell -> source raster index k ->
+    generator byte), and emit exact int64 checksums of the resized
+    raster (the position-weighted sum breaks on any grid-mapping or
+    channel-order error).
+
+    Scale shape: one Arrow-batched map-side pass (decode + fancy-index
+    slice per image — the thumbnail/normalization stage before vision
+    featurization at 100 TB); payloads never shuffle. Ref parity:
+    north-star multimodal extension (SURVEY §2 L)."""
+    from datafusion_cyberpolka_eda_spark.operators.multimodal import (
+        make_ppm_assets,
+        resize_ppm_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_ppm_stats(make_ppm_assets(docs), out_w=3, out_h=2)

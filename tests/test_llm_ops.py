@@ -887,3 +887,50 @@ class TestPpmCodec:
             assert abs(
                 r["feature_head"][0] - ((d * 2654435761) % 256) / 255.0
             ) < 1e-12
+
+
+class TestWavResizeCodecs:
+    def test_wav_roundtrip_and_validation(self):
+        import numpy as np
+        import pytest as _pytest
+
+        from datafusion_cyberpolka_eda_spark.operators.multimodal import (
+            decode_wav,
+            encode_wav,
+        )
+
+        s = ((np.arange(257) * 16807 + 11 * 48271) % 65536 - 32768).astype(
+            np.int64
+        )
+        fr, got = decode_wav(encode_wav(s, framerate=8000))
+        assert fr == 8000
+        assert (got == s).all()
+        # stereo payload rejected by the mono-PCM validator
+        import io
+        import wave
+
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(2)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(b"\x00\x00" * 8)
+        with _pytest.raises(ValueError):
+            decode_wav(buf.getvalue())
+
+    def test_resize_nearest_neighbor_grid(self):
+        """Hand-checkable 4x4 -> 2x2: source rows (0,2), cols (0,2)."""
+        import numpy as np
+
+        from datafusion_cyberpolka_eda_spark.operators.multimodal import (
+            decode_ppm,
+            encode_ppm,
+        )
+
+        arr = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+        w, h, back = decode_ppm(encode_ppm(4, 4, arr.tobytes()))
+        rr = (np.arange(2, dtype=np.int64) * h) // 2
+        cc = (np.arange(2, dtype=np.int64) * w) // 2
+        small = back[rr][:, cc]
+        expect = arr[[0, 2]][:, [0, 2]]
+        assert (small == expect).all()

@@ -265,6 +265,14 @@ def main() -> int:
         "l9c_multimodal_frame_sample",
         absent=["CartesianProduct", "Window", "Join"],
     )
+    check(
+        "l9d_multimodal_wav_decode",
+        absent=["CartesianProduct", "Window", "Join"],
+    )
+    check(
+        "l9e_multimodal_resize",
+        absent=["CartesianProduct", "Window", "Join"],
+    )
     # template detection: the modal table (one row per source) must come
     # back as a broadcast join, and nothing may go all-pairs
     check(
