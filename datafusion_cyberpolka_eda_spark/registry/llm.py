@@ -5994,3 +5994,143 @@ def l9e_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return resize_ppm_stats(make_ppm_assets(docs), out_w=3, out_h=2)
+
+
+# ---- per-source semantic drift (l57) ----
+
+
+@register(
+    "l57_semantic_drift",
+    """
+    WITH mx AS (
+      SELECT CAST(FLOOR(0.8 * (MAX(vec_id) + 1)) AS BIGINT) AS c
+      FROM embeddings
+    ),
+    e AS (
+      SELECT vec_id, i - 1 AS i,
+             CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 100000.0) AS BIGINT)
+               AS q
+      FROM embeddings,
+           LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) s
+    ),
+    j AS (
+      SELECT e.vec_id, e.i, e.q, d.source,
+             e.vec_id < (SELECT c FROM mx) AS day1
+      FROM e JOIN documents d ON e.vec_id = d.doc_id
+    ),
+    s AS (
+      SELECT source, i,
+             SUM(CASE WHEN day1 THEN q ELSE 0 END) AS s1,
+             SUM(CASE WHEN day1 THEN 0 ELSE q END) AS s2
+      FROM j GROUP BY source, i
+    ),
+    c AS (
+      SELECT source,
+             SUM(s1 * s2) AS dot, SUM(s1 * s1) AS a, SUM(s2 * s2) AS b
+      FROM s GROUP BY source
+    ),
+    n AS (
+      SELECT d.source,
+             SUM(CASE WHEN em.vec_id < (SELECT c FROM mx)
+                 THEN 1 ELSE 0 END) AS n_day1,
+             SUM(CASE WHEN em.vec_id < (SELECT c FROM mx)
+                 THEN 0 ELSE 1 END) AS n_day2
+      FROM embeddings em JOIN documents d ON em.vec_id = d.doc_id
+      GROUP BY d.source
+    )
+    SELECT c.source,
+           CAST(n_day1 AS BIGINT) AS n_day1,
+           CAST(n_day2 AS BIGINT) AS n_day2,
+           CASE WHEN a = 0 OR b = 0 THEN NULL
+                ELSE ROUND(CAST(dot AS DOUBLE)
+                           / (SQRT(CAST(a AS DOUBLE))
+                              * SQRT(CAST(b AS DOUBLE))), 6)
+           END AS mean_cosine
+    FROM c JOIN n ON c.source = n.source
+    """,
+)
+def l57_semantic_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC drift monitor — the embedding-space sibling of l39's
+    distributional PSI: per source, the cosine between the day-1 and
+    day-2 SUM embedding vectors (== cosine of the means; scale cancels).
+    A source whose new crawl drifted semantically shows a falling
+    mean-direction cosine before any distributional feature moves.
+
+    Determinism discipline (the r8 theme end-to-end): components are
+    floor-quantized to 1e-5 integers (the l46 Gram pattern), per-
+    (source, dim) day sums are EXACT int64, and dot/norms are exact
+    integer aggregates of those sums (magnitudes < 2^60 here) — the
+    single final division/sqrt/round runs on identical exact integers in
+    both engines. Zero-vector sides emit NULL rather than an
+    engine-specific inf/NaN.
+
+    Scale shape: one embeddings scan joined to the (projected) documents
+    table for source labels, one posexplode shuffle keyed (source, dim)
+    — cardinality sources x 64, not rows; day sums merge like the l51
+    Gram store, so the incremental-maintenance extension is the same
+    union+sum. Ref parity: north-star drift/monitoring extension
+    (SURVEY §2 L)."""
+    dim = 64
+    cutq = GRAM_QSCALE
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "source"
+    )
+    max_id = emb.agg(F.max("vec_id")).collect()[0][0]
+    cutoff = int(0.8 * (max_id + 1))
+    e = (
+        spread(emb)
+        .join(docs, "vec_id")
+        .select(
+            "source",
+            (F.col("vec_id") < cutoff).alias("day1"),
+            F.posexplode("embedding").alias("i", "x"),
+        )
+        .select(
+            "source",
+            "day1",
+            "i",
+            F.floor(F.col("x").cast("double") * F.lit(float(cutq)))
+            .cast("bigint")
+            .alias("q"),
+        )
+    )
+    s = e.groupBy("source", "i").agg(
+        F.sum(F.when(F.col("day1"), F.col("q")).otherwise(0)).alias("s1"),
+        F.sum(F.when(~F.col("day1"), F.col("q")).otherwise(0)).alias("s2"),
+    )
+    c = s.groupBy("source").agg(
+        F.sum(F.col("s1") * F.col("s2")).alias("dot"),
+        F.sum(F.col("s1") * F.col("s1")).alias("a"),
+        F.sum(F.col("s2") * F.col("s2")).alias("b"),
+    )
+    n = (
+        emb.select("vec_id")
+        .join(docs, "vec_id")
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("vec_id") < cutoff, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_day1"),
+            F.sum(F.when(F.col("vec_id") < cutoff, 0).otherwise(1))
+            .cast("bigint")
+            .alias("n_day2"),
+        )
+    )
+    out = c.join(n, "source").select(
+        "source",
+        "n_day1",
+        "n_day2",
+        F.when(
+            (F.col("a") == 0) | (F.col("b") == 0), F.lit(None).cast("double")
+        )
+        .otherwise(
+            F.col("dot").cast("double")
+            / (
+                F.sqrt(F.col("a").cast("double"))
+                * F.sqrt(F.col("b").cast("double"))
+            )
+        )
+        .alias("mean_cosine"),
+    )
+    return _round_cols(out, ["mean_cosine"])
