@@ -421,6 +421,11 @@ def wrapper() -> int:
     )
     out, err = proc.communicate()
     sys.stdout.write(out)
+    if proc.returncode != 0:
+        # a crashed child must stay attributable: forward its stderr
+        # tail verbatim (the filter below is for the SUCCESS path only)
+        sys.stderr.write(err[-4000:])
+        return proc.returncode
     for line in err.splitlines():
         if line.startswith("WARNING:"):
             print(line, file=sys.stderr)
