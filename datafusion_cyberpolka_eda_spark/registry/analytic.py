@@ -507,7 +507,7 @@ def g8_analytic_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH obs AS (
       SELECT user_id AS key, date_trunc('hour', ts) AS bucket,
-             ROUND(AVG(value), 6) AS v
+             ROUND(AVG(value), 6) + 0 AS v
       FROM events WHERE user_id < 10 AND event_type = 'purchase'
       GROUP BY 1, 2
     ), b AS (

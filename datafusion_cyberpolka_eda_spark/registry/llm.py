@@ -419,7 +419,7 @@ _COSINE_TOPK_ORACLE = """
       SELECT qid AS query_id, cid AS candidate_id,
              CAST(ROW_NUMBER() OVER (PARTITION BY qid
                ORDER BY ROUND(dot/(SQRT(qq)*SQRT(cc)), 6) DESC, cid ASC) AS BIGINT) AS rank,
-             ROUND(dot/(SQRT(qq)*SQRT(cc)), 6) AS cosine
+             ROUND(dot/(SQRT(qq)*SQRT(cc)), 6) + 0 AS cosine
       FROM pairs
     )
     SELECT query_id, candidate_id, rank, cosine FROM scored WHERE rank <= 3
@@ -662,7 +662,7 @@ def l8c_ann_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
                JOIN u uq ON uq.vec_id = cand.query_id
                JOIN u uc ON uc.vec_id = cand.cid AND uc.i = uq.i
                GROUP BY cand.query_id, cand.cid),
-    ranked AS (SELECT query_id, cid AS neighbor_id, ROUND(cosine, 6) AS cosine,
+    ranked AS (SELECT query_id, cid AS neighbor_id, ROUND(cosine, 6) + 0 AS cosine,
                       ROW_NUMBER() OVER (PARTITION BY query_id
                                          ORDER BY ROUND(cosine, 6) DESC, cid ASC) AS rank
                FROM scored)
@@ -4719,8 +4719,12 @@ def embedding_gram_partials(emb: DataFrame, dim: int = 64) -> DataFrame:
       GROUP BY a.i, b.i
     )
     SELECT g.i, g.j,
+           -- + 0 normalizes -0.0 -> +0.0 (IEEE): DuckDB ROUND keeps the
+           -- sign of a tiny negative while Spark F.round (BigDecimal)
+           -- drops it; the values are ==-equal but byte/hash-different
+           -- (the r8 driver red). A no-op for every other value.
            ROUND((gij / sa.n - (sa.si / sa.n) * (sb.si / sb.n)) / 1.0e10, 6)
-             AS cov
+             + 0 AS cov
     FROM g JOIN stats sa ON g.i = sa.i JOIN stats sb ON g.j = sb.i
     """,
 )
@@ -4740,7 +4744,10 @@ def l46_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays the identical quantized statistic relationally (unnest +
     self-join on vec_id) — quadratic in dim but exact, feasible at
     oracle scale only; both sides divide/round identically (same IEEE
-    op sequence on identical exact integers).
+    op sequence on identical exact integers), and the oracle adds `+ 0`
+    after ROUND to normalize -0.0 -> +0.0: DuckDB ROUND preserves the
+    sign of a tiny negative while Spark F.round (BigDecimal) drops it —
+    ==-equal but hash-different (the r8 driver red, one cell at sf0.01).
 
     Scale shape: communication is O(n_batches * dim^2) regardless of row
     count; no shuffle touches a raw vector. At dim too large for dim^2
@@ -5187,8 +5194,9 @@ def _gram_store(spark: SparkSession, sf_dir: str, dim: int = 64) -> tuple[int, s
       FROM embeddings
     )
     SELECT s.i,
-           ROUND((si / n) / 1.0e5, 6) AS mean,
-           ROUND((sxx / n - (si / n) * (si / n)) / 1.0e10, 6) AS var,
+           -- + 0: -0.0 -> +0.0 sign normalization (see l46 oracle)
+           ROUND((si / n) / 1.0e5, 6) + 0 AS mean,
+           ROUND((sxx / n - (si / n) * (si / n)) / 1.0e10, 6) + 0 AS var,
            CAST(ns AS BIGINT) AS n_store,
            CAST(nt - ns AS BIGINT) AS n_new
     FROM stats s, cnt
@@ -6042,9 +6050,10 @@ def l9e_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(n_day1 AS BIGINT) AS n_day1,
            CAST(n_day2 AS BIGINT) AS n_day2,
            CASE WHEN a = 0 OR b = 0 THEN NULL
+                -- + 0: -0.0 -> +0.0 sign normalization (see l46 oracle)
                 ELSE ROUND(CAST(dot AS DOUBLE)
                            / (SQRT(CAST(a AS DOUBLE))
-                              * SQRT(CAST(b AS DOUBLE))), 6)
+                              * SQRT(CAST(b AS DOUBLE))), 6) + 0
            END AS mean_cosine
     FROM c JOIN n ON c.source = n.source
     """,

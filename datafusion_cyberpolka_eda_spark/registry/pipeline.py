@@ -123,7 +123,7 @@ def _oracle() -> str:
       SELECT (SELECT COUNT(*) FROM {tm}) AS n_train,
              (SELECT COUNT(*) FROM {te}) AS n_test
     )
-    SELECT metric, ROUND(value, 6) AS value FROM (
+    SELECT metric, ROUND(value, 6) + 0 AS value FROM (
       SELECT 'rows_train' AS metric, (SELECT CAST(n_train AS DOUBLE) FROM n) AS value
       UNION ALL SELECT 'rows_test', (SELECT CAST(n_test AS DOUBLE) FROM n)
       UNION ALL SELECT 'n_targets',
@@ -275,7 +275,10 @@ def _artifacts_oracle() -> str:
       {pair_union}
     ),
     {_screen_oracle_ctes()}
-    SELECT artifact, row_key, metric, ROUND(value, 6) AS value FROM (
+    -- + 0 normalizes -0.0 -> +0.0: DuckDB ROUND keeps the sign of a tiny
+    -- negative (2 pearson_corr cells at sf0.01), Spark F.round drops it;
+    -- ==-equal but hash-different under the driver's byte compare.
+    SELECT artifact, row_key, metric, ROUND(value, 6) + 0 AS value FROM (
       {stats_union}
       UNION ALL {pairs_long}
       UNION ALL {miss_union}

@@ -27,7 +27,8 @@ def _pairs(cols: list[str]) -> list[tuple[str, str]]:
 @register(
     "e1_corr_matrix",
     "\nUNION ALL\n".join(
-        f"SELECT '{a}' AS x, '{b}' AS y, ROUND(corr({a}, {b}), 6) AS corr FROM lineitem"
+        f"SELECT '{a}' AS x, '{b}' AS y, ROUND(corr({a}, {b}), 6) + 0 AS corr"
+        " FROM lineitem"
         for a, b in _pairs(_LI_NUM)
     ),
 )
@@ -128,7 +129,7 @@ _SCREEN_YS = {
     "e5_feature_target_screen",
     "\nUNION ALL\n".join(
         f"SELECT '{x}' AS feature, '{yname}' AS target,"
-        f" ROUND(corr({x}, {yexpr}), 6) AS pearson_corr,"
+        f" ROUND(corr({x}, {yexpr}), 6) + 0 AS pearson_corr,"
         f" ROUND(ABS(corr({x}, {yexpr})), 6) AS abs_corr FROM lineitem"
         for x in _LI_NUM
         for yname, yexpr in _SCREEN_YS.items()
@@ -160,11 +161,11 @@ def e5_feature_target_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "e6_point_biserial",
     """
-    SELECT ROUND(corr(CAST(o_orderstatus = 'F' AS INT), o_totalprice), 6) AS r,
+    SELECT ROUND(corr(CAST(o_orderstatus = 'F' AS INT), o_totalprice), 6) + 0 AS r,
            ROUND(corr(CAST(o_orderstatus = 'F' AS INT), o_totalprice)
                  * SQRT((COUNT(*) - 2)
                         / (1 - POW(corr(CAST(o_orderstatus = 'F' AS INT), o_totalprice), 2))),
-                 6) AS t_stat,
+                 6) + 0 AS t_stat,
            COUNT(*) AS n
     FROM orders
     """,
@@ -492,7 +493,7 @@ _FLAGS = {
     "e2_e4_pair_lift",
     "\nUNION ALL\n".join(
         f"""SELECT '{a}' AS target_a, '{b}' AS target_b,
-           ROUND(corr({ea}, {eb}), 6) AS corr,
+           ROUND(corr({ea}, {eb}), 6) + 0 AS corr,
            CAST(SUM({ea} * {eb}) AS BIGINT) AS co_count,
            ROUND(CAST(SUM({ea} * {eb}) AS DOUBLE) / COUNT(*), 6) AS co_rate,
            ROUND((CAST(SUM({ea}) AS DOUBLE) / COUNT(*)) * (CAST(SUM({eb}) AS DOUBLE) / COUNT(*)), 6) AS expected_rate,
@@ -1088,7 +1089,7 @@ def e27_ks_shift_test(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(x) AS DOUBLE) AS total_bal,
            ROUND(2.0 * CAST(SUM(i * x) AS DOUBLE)
                    / (MIN(n) * CAST(SUM(x) AS DOUBLE))
-                 - (MIN(n) + 1.0) / MIN(n), 6) AS gini
+                 - (MIN(n) + 1.0) / MIN(n), 6) + 0 AS gini
     FROM r GROUP BY 1
     """,
 )

@@ -6,6 +6,7 @@ tolerance the driver might apply)."""
 from __future__ import annotations
 
 import math
+import struct
 
 import pandas as pd
 import pytest
@@ -49,7 +50,14 @@ def _assert_equal(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str):
             if isinstance(a, float) and isinstance(b, float):
                 if math.isnan(a) and math.isnan(b):
                     continue
-                assert a == b, f"{name}.{c}[{i}]: {a!r} != {b!r} (diff {a - b!r})"
+                # BITWISE, not ==: the driver's value hash is byte-sensitive
+                # and -0.0 == 0.0 is True — a sign-of-zero divergence (DuckDB
+                # ROUND preserves the sign of a tiny negative, Spark F.round
+                # drops it) shipped twice because this compare was sign-blind
+                # (r8 verdict task 2).
+                assert struct.pack("<d", a) == struct.pack("<d", b), (
+                    f"{name}.{c}[{i}]: {a!r} != {b!r} bitwise (diff {a - b!r})"
+                )
             else:
                 assert a == b, f"{name}.{c}[{i}]: {a!r} != {b!r}"
 

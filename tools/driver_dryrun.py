@@ -3,7 +3,8 @@
 Runs entry() as a smoke check, then the first N queries() entries (the
 driver's ~50-slot window) in a PLAIN SparkSession against their DuckDB
 oracles at the driver's sweep scale, with the driver's compare shape
-(column-name sort, NaN-aware float equality). Use before a round ends to
+(column-name sort, BITWISE NaN-normalized float64 equality — strictly
+at-least-as-strict as the driver's byte hash). Use before a round ends to
 catch would-be CORRECTNESS failures without waiting for the driver.
 
 Usage: python tools/driver_dryrun.py [n_window] [sf_dir] [artifact.json]
@@ -90,8 +91,17 @@ def main() -> int:
             for c in s.columns:
                 a, b = s[c].values, o[c].values
                 if a.dtype.kind == "f":
-                    af, bf = a.astype(float), b.astype(float)
-                    good = bool(np.all((a == b) | (np.isnan(af) & np.isnan(bf))))
+                    # BITWISE float compare (r8 verdict task 2): `a == b` is
+                    # sign-blind (-0.0 == 0.0), but the driver's value hash
+                    # is byte-sensitive — a -0.0/+0.0 divergence shipped
+                    # twice because this gate could not see it. Normalize
+                    # NaN payloads to the canonical quiet NaN, then compare
+                    # the raw float64 bytes.
+                    af = a.astype(np.float64).copy()
+                    bf = b.astype(np.float64).copy()
+                    af[np.isnan(af)] = np.float64("nan")
+                    bf[np.isnan(bf)] = np.float64("nan")
+                    good = af.tobytes() == bf.tobytes()
                 else:
                     good = bool(np.all(a == b))
                 if not good:
