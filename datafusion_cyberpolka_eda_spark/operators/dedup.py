@@ -649,14 +649,16 @@ def updated_minhash_store(
     return store_sigs.unionByName(new_sigs)
 
 
-def simhash_near_pairs(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
+def fingerprint_near_pairs(
+    fp: DataFrame,
     max_hamming: int = 3,
+    n_bits: int = 63,
 ) -> DataFrame:
-    """SimHash near-dup pairs within a hamming-distance budget, found
-    without O(n^2) comparisons: split the 63-bit fingerprint into
+    """Near-dup pairs within a hamming-distance budget over ANY
+    (id, fp) fingerprint table — the banding engine shared by SimHash
+    text dedup and perceptual image dedup (r8 verdict task 3: same
+    machinery, different fingerprint function). Found without O(n^2)
+    comparisons: split the ``n_bits``-bit fingerprint into
     ``max_hamming + 1`` bands — by pigeonhole, any pair within
     ``max_hamming`` differing bits agrees exactly on at least one band —
     equi-join on (band_idx, band_bits) carrying the full fingerprint on
@@ -666,16 +668,16 @@ def simhash_near_pairs(
     bands collide on a large fraction of all pairs, and deduping millions
     of false candidates costs far more than the map-side xor filter.
     Shuffles: band join + distinct over true near-pairs only. Skewed
-    band buckets (one bucket ≫ others) are AQE skew-join territory."""
-    from datafusion_cyberpolka_eda_spark.functions.text import N_SIMHASH_BITS, simhash
+    band buckets (one bucket ≫ others) are AQE skew-join territory.
 
+    ``fp`` must have columns (id, fp) and should be checkpointed/cached
+    by the caller if its computation is expensive (it feeds both join
+    sides). Returns (id_a, id_b, hamming) with id_a < id_b."""
     n_bands = max_hamming + 1
-    base = N_SIMHASH_BITS // n_bands
-    widths = [base + (1 if i < N_SIMHASH_BITS % n_bands else 0) for i in range(n_bands)]
+    base = n_bits // n_bands
+    widths = [base + (1 if i < n_bits % n_bands else 0) for i in range(n_bands)]
     offsets = [sum(widths[:i]) for i in range(n_bands)]
 
-    fp = spread(df).select(F.col(id_col).alias("id"), simhash(text_col).alias("fp"))
-    fp = fp.localCheckpoint(eager=True)  # computed once, reused by both join sides
     band_cols = [
         F.shiftright(F.col("fp"), offsets[i]).bitwiseAND(F.lit((1 << widths[i]) - 1)).alias(f"b{i}")
         for i in range(n_bands)
@@ -691,6 +693,22 @@ def simhash_near_pairs(
         .select("id_a", "id_b", "hamming")
         .distinct()
     )
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs within a hamming-distance budget: the
+    63-bit text SimHash fed through the shared pigeonhole banding engine
+    (see fingerprint_near_pairs for the plan shape and scale notes)."""
+    from datafusion_cyberpolka_eda_spark.functions.text import N_SIMHASH_BITS, simhash
+
+    fp = spread(df).select(F.col(id_col).alias("id"), simhash(text_col).alias("fp"))
+    fp = fp.localCheckpoint(eager=True)  # computed once, reused by both join sides
+    return fingerprint_near_pairs(fp, max_hamming=max_hamming, n_bits=N_SIMHASH_BITS)
 
 
 def connected_components(

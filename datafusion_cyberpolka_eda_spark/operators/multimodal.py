@@ -539,3 +539,116 @@ def resize_ppm_stats(
             )
 
     return spread(assets).mapInPandas(op, schema=RESIZE_STATS_SCHEMA)
+
+
+# ---- perceptual (average-hash) image fingerprints (r8 verdict task 3) ----
+
+# planted-twin id offsets: far above any doc_id at test scale factors,
+# and arithmetic on them recovers the twin kind in both engines
+GRAY_TWIN_OFFSET = 1 << 23  # channel-rotated twin: bytes differ, gray equal
+PERTURB_TWIN_OFFSET = 1 << 24  # byte-0 perturbed twin: gray differs slightly
+
+N_AHASH_BITS = 63  # signed-long-safe, same convention as text SimHash
+
+
+def make_ppm_neardup_assets(docs: DataFrame) -> DataFrame:
+    """make_ppm_assets plus PLANTED near-duplicate twins, the image
+    counterpart of the seeded near-dup pairs the text dedup oracles use:
+
+      - every doc gets its base image (synth_pixel_expr_doc raster);
+      - doc_id % 5 == 0 additionally gets a GRAY-PRESERVING twin
+        (asset_id = doc_id + GRAY_TWIN_OFFSET): each pixel's channels
+        rotated (r,g,b) -> (g,b,r). The payload bytes differ — exact/
+        byte-level dedup (l1) misses it — but per-pixel gray r+g+b is
+        IDENTICAL, so its average-hash fingerprint equals the base's by
+        construction (hamming 0, recall structurally 1.0);
+      - doc_id % 5 == 3 additionally gets a PERTURBED twin
+        (asset_id = doc_id + PERTURB_TWIN_OFFSET): raster byte 0 bumped
+        by +3 mod 256 — a small visual change that flips only the hash
+        bits whose sampled pixel or mean-threshold margin it crosses,
+        exercising the nonzero-hamming band paths.
+
+    Everything is a pure function of doc_id, so the DuckDB oracle
+    replays every pixel, fingerprint, and pair relationally with no
+    codec. Map-side only; payloads never shuffle."""
+    import numpy as np
+
+    from datafusion_cyberpolka_eda_spark.sources.catalog import spread
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 4 + d % 5, 3 + d % 4
+                k = np.arange(w * h * 3, dtype=np.int64)
+                v = ((d * 2654435761 + k * 40503) % 256).astype(np.uint8)
+                ids.append(d)
+                payloads.append(encode_ppm(w, h, v.tobytes(), comment=f"synthetic {d}"))
+                if d % 5 == 0:
+                    twin = np.roll(v.reshape(-1, 3), -1, axis=1).reshape(-1)
+                    ids.append(d + GRAY_TWIN_OFFSET)
+                    payloads.append(
+                        encode_ppm(w, h, twin.tobytes(), comment=f"gray twin {d}")
+                    )
+                if d % 5 == 3:
+                    twin = v.copy()
+                    twin[0] = (int(twin[0]) + 3) % 256
+                    ids.append(d + PERTURB_TWIN_OFFSET)
+                    payloads.append(
+                        encode_ppm(w, h, twin.tobytes(), comment=f"perturbed twin {d}")
+                    )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(ids, dtype="int64"),
+                    "modality": "image",
+                    "payload": payloads,
+                    "mime": PPM_MIME,
+                }
+            )
+
+    return spread(docs.select("doc_id")).mapInPandas(
+        op,
+        schema="asset_id long, modality string, payload binary, mime string",
+    )
+
+
+def ahash63_fingerprints(assets: DataFrame) -> DataFrame:
+    """Average-hash (aHash) perceptual fingerprints over REAL decoded
+    rasters — decode_ppm composed with integer-exact hashing, nothing
+    float anywhere:
+
+      gray(y, x)  = r + g + b                     (int, 0..765)
+      sample k    = gray[(i*h)//8, (j*w)//8]      (nearest-neighbor 8x8
+                    grid, i = k//8, j = k%8 — the l9e resize kernel)
+      bit k       = 1 iff sample_k * (w*h) > sum(gray)   (integer cross-
+                    multiplication: exact "above the mean" with no
+                    division, so the DuckDB oracle replays it bit-for-bit)
+      fp          = sum(bit_k << k) over k = 0..62 (63 bits, signed-long
+                    safe — same convention as the text SimHash)
+
+    Output (id, fp) feeds fingerprint_near_pairs (dedup.py) — the same
+    pigeonhole band join that powers text SimHash dedup. Arrow-batched
+    mapInPandas; at 100 TB this is one decode+hash map pass (payloads
+    never shuffle) and the band join's shuffle carries 16 bytes/row."""
+    import numpy as np
+
+    from datafusion_cyberpolka_eda_spark.sources.catalog import spread
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                w, h, arr = decode_ppm(bytes(payload))
+                gray = arr.astype(np.int64).sum(axis=2)  # (h, w)
+                total = int(gray.sum())
+                n = w * h
+                k = np.arange(N_AHASH_BITS, dtype=np.int64)
+                py = ((k // 8) * h) // 8
+                px = ((k % 8) * w) // 8
+                bits = (gray[py, px] * n > total).astype(np.int64)
+                fp = int((bits << k).sum())
+                rows.append((int(aid), fp))
+            yield pd.DataFrame(rows, columns=["id", "fp"])
+
+    return spread(assets).mapInPandas(op, schema="id long, fp long")

@@ -6143,3 +6143,112 @@ def l57_semantic_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("mean_cosine"),
     )
     return _round_cols(out, ["mean_cosine"])
+
+
+# ---- perceptual image near-dup dedup (l58, r8 verdict task 3) ----
+
+_L58_ORACLE = """
+    WITH d AS (
+      SELECT doc_id AS src, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+      FROM documents
+    ),
+    -- base image per doc + planted twins: gray-preserving channel
+    -- rotation (variant 1 — per-pixel r+g+b is unchanged, so its gray
+    -- below is the SAME expression as the base's) and a byte-0 +3%256
+    -- perturbation (variant 2 — pixel 0's gray shifts by the wrapped
+    -- delta). Offsets 2^23 / 2^24 match the Spark constants.
+    a AS (
+      SELECT src, src AS aid, w, h, 0 AS variant FROM d
+      UNION ALL
+      SELECT src, src + 8388608, w, h, 1 FROM d WHERE src % 5 = 0
+      UNION ALL
+      SELECT src, src + 16777216, w, h, 2 FROM d WHERE src % 5 = 3
+    ),
+    px AS (
+      SELECT a.aid, p.i AS pidx,
+             ((a.src * 2654435761 + (p.i * 3 + 0) * 40503) % 256)
+             + ((a.src * 2654435761 + (p.i * 3 + 1) * 40503) % 256)
+             + ((a.src * 2654435761 + (p.i * 3 + 2) * 40503) % 256)
+             + CASE WHEN a.variant = 2 AND p.i = 0
+                    THEN ((a.src * 2654435761) % 256 + 3) % 256
+                         - (a.src * 2654435761) % 256
+                    ELSE 0 END AS gray
+      FROM a, LATERAL (
+        SELECT unnest(generate_series(0, a.w * a.h - 1)) AS i
+      ) p
+    ),
+    tot AS (SELECT aid, SUM(gray) AS total, COUNT(*) AS n FROM px GROUP BY aid),
+    -- aHash bit k: nearest-neighbor 8x8 sample vs the integer mean,
+    -- as a cross-multiplication (sample * n_pix > total) — no division
+    bits AS (
+      SELECT a.aid, ks.k,
+             CASE WHEN g.gray * t.n > t.total THEN 1 ELSE 0 END AS bit
+      FROM a
+      JOIN tot t ON t.aid = a.aid,
+      LATERAL (SELECT unnest(generate_series(0, 62)) AS k) ks
+      JOIN px g ON g.aid = a.aid
+        AND g.pidx = (((ks.k // 8) * a.h) // 8) * a.w + (((ks.k % 8) * a.w) // 8)
+    ),
+    fp AS (
+      SELECT aid, SUM(bit * (CAST(1 AS BIGINT) << k)) AS fp
+      FROM bits GROUP BY aid
+    )
+    SELECT pa.aid AS id_a, pb.aid AS id_b,
+           CAST(bit_count(xor(pa.fp, pb.fp)) AS BIGINT) AS hamming,
+           CASE WHEN pb.aid - pa.aid = 8388608 THEN 'planted_gray'
+                WHEN pb.aid - pa.aid = 16777216 THEN 'planted_perturbed'
+                ELSE 'organic' END AS kind
+    FROM fp pa JOIN fp pb ON pa.aid < pb.aid
+    WHERE bit_count(xor(pa.fp, pb.fp)) <= 3
+"""
+
+
+@register("l58_image_phash_neardup", _L58_ORACLE)
+def l58_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCEPTUAL image near-dup dedup (r8 verdict task 3): the r8 real
+    PPM decoder composed with the banded-hamming machinery that powers
+    text SimHash dedup — the first thing an image-corpus pipeline needs
+    after decode. Pipeline: synthesize per-doc images + PLANTED twins
+    (gray-preserving channel rotation = byte-different but perceptually
+    identical, hamming 0 by construction; byte-0 perturbation =
+    slightly-different raster exercising nonzero hamming), decode every
+    payload with the REAL netpbm parser, average-hash each raster with
+    integer-exact math (8x8 nearest-neighbor sample vs the integer mean
+    via cross-multiplication — no float anywhere), then find all pairs
+    within hamming <= 3 via the pigeonhole band join
+    (fingerprint_near_pairs — 4 bands over 63 bits, never O(n^2)).
+
+    The oracle replays pixels, fingerprints, and pairs relationally from
+    the closed-form generator (the l9b pattern) and brute-forces the
+    pair join — exactness gate AND completeness gate in one: the banded
+    Spark plan must find every pair the exhaustive oracle finds. Planted
+    gray twins are recall-guaranteed structurally (their fingerprints
+    are equal by construction, not by luck), avoiding the data-pinned
+    recall-boolean trap flagged on l8h.
+
+    Scale shape: decode+hash is one map pass (payloads never shuffle);
+    the band join shuffles 16-byte fingerprint rows; verification is
+    map-side bit_count(xor) before any distinct. 100 TB-safe.
+    Ref parity: SURVEY §2 L multimodal + dedup families."""
+    from datafusion_cyberpolka_eda_spark.operators.multimodal import (
+        GRAY_TWIN_OFFSET,
+        N_AHASH_BITS,
+        PERTURB_TWIN_OFFSET,
+        ahash63_fingerprints,
+        make_ppm_neardup_assets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = make_ppm_neardup_assets(docs)
+    fps = ahash63_fingerprints(assets).localCheckpoint(eager=True)
+    pairs = D.fingerprint_near_pairs(fps, max_hamming=3, n_bits=N_AHASH_BITS)
+    delta = F.col("id_b") - F.col("id_a")
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.col("hamming").cast("bigint").alias("hamming"),
+        F.when(delta == GRAY_TWIN_OFFSET, "planted_gray")
+        .when(delta == PERTURB_TWIN_OFFSET, "planted_perturbed")
+        .otherwise("organic")
+        .alias("kind"),
+    )

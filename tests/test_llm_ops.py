@@ -934,3 +934,72 @@ class TestWavResizeCodecs:
         small = back[rr][:, cc]
         expect = arr[[0, 2]][:, [0, 2]]
         assert (small == expect).all()
+
+
+class TestImagePhashNearDup:
+    """r9: perceptual image near-dup — aHash over real decoded rasters +
+    the shared pigeonhole band join."""
+
+    def test_gray_twin_fingerprint_equal_by_construction(self):
+        """Rotating (r,g,b)->(g,b,r) per pixel preserves gray exactly, so
+        the aHash of the rotated raster MUST equal the base's — the
+        structural recall guarantee (no data-pinned recall boolean)."""
+        import numpy as np
+
+        from datafusion_cyberpolka_eda_spark.operators.multimodal import (
+            decode_ppm,
+            encode_ppm,
+        )
+
+        rng = np.arange(6 * 5 * 3, dtype=np.int64)
+        v = ((7 * 2654435761 + rng * 40503) % 256).astype(np.uint8)
+        twin = np.roll(v.reshape(-1, 3), -1, axis=1).reshape(-1)
+        _, _, a = decode_ppm(encode_ppm(6, 5, v.tobytes()))
+        _, _, b = decode_ppm(encode_ppm(6, 5, twin.tobytes()))
+        assert (a.astype(np.int64).sum(2) == b.astype(np.int64).sum(2)).all()
+
+    def test_planted_gray_recall_is_total(self, spark, docs):
+        """Every doc_id % 5 == 0 must surface as a planted_gray pair at
+        hamming 0 — recall 1.0 against the planted ground truth."""
+        from datafusion_cyberpolka_eda_spark.registry.llm import (
+            l58_image_phash_neardup,
+        )
+
+        out = l58_image_phash_neardup(spark, SF).toPandas()
+        planted = out[out["kind"] == "planted_gray"]
+        expected = {
+            r["doc_id"]
+            for r in docs.filter(F.col("doc_id") % 5 == 0).collect()
+        }
+        assert set(planted["id_a"]) == expected
+        assert (planted["hamming"] == 0).all()
+
+    def test_banded_pairs_equal_bruteforce(self, spark, docs):
+        """Pigeonhole completeness: the banded join finds exactly the
+        pairs an exhaustive all-pairs hamming scan finds."""
+        from datafusion_cyberpolka_eda_spark.operators.dedup import (
+            fingerprint_near_pairs,
+        )
+        from datafusion_cyberpolka_eda_spark.operators.multimodal import (
+            ahash63_fingerprints,
+            make_ppm_neardup_assets,
+        )
+
+        fps = ahash63_fingerprints(
+            make_ppm_neardup_assets(docs.limit(80))
+        ).toPandas()
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in fingerprint_near_pairs(
+                spark.createDataFrame(fps), max_hamming=3
+            ).collect()
+        }
+        import itertools
+
+        want = set()
+        for (ia, fa), (ib, fb) in itertools.combinations(
+            sorted(zip(fps["id"], fps["fp"])), 2
+        ):
+            if bin(int(fa) ^ int(fb)).count("1") <= 3:
+                want.add((ia, ib))
+        assert got == want

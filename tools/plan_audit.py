@@ -284,6 +284,10 @@ def main() -> int:
     check("l54_curriculum_bins", absent=["CartesianProduct"])
     check("l56_stratified_holdout", absent=["CartesianProduct"])
     check("l8h_ann_ivf_pq_rotated", absent=["CartesianProduct"])
+    # --- r9 entries ---
+    # perceptual image near-dup: pigeonhole band equi-join only — never
+    # all-pairs; hamming verification is map-side bit arithmetic
+    check("l58_image_phash_neardup", absent=["CartesianProduct"])
 
     # incremental covariance: the increment scan must carry the pushed
     # vec_id >= cutoff predicate (day-1 vectors never re-read as vectors)
