@@ -952,3 +952,148 @@ def rotate_vectors(df, id_col: str, vec_col: str, R) -> DataFrame:
     return df.select(id_col, vec_col).mapInPandas(
         gen, schema=f"{id_col} bigint, {vec_col} array<double>"
     )
+
+
+# ---- distributed Lloyd k-means (r8 verdict task 4) ----
+
+LLOYD_QSCALE = 100000  # the l46 Gram discipline: floor(x * 1e5) int64
+
+
+def _lloyd_q_vectors(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, q array<long>): components floor-quantized to LLOYD_QSCALE
+    integers, the same quantization l46's Gram state uses — every
+    distributed sum and distance below is exact integer arithmetic,
+    order-independent under any partitioning."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            vec_col, lambda x: F.floor(x * F.lit(100000.0)).cast("long")
+        ).alias("q"),
+    )
+
+
+def _lloyd_dists(cent_q) -> Column:
+    """array<long> of squared integer distances from column `q` to each
+    centroid (a list of int lists) — broadcast in the closure as
+    literals, the l10 literal-expression pattern: no join, no shuffle."""
+    return F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    "q",
+                    F.array(*[F.lit(int(c)).cast("long") for c in cq]),
+                    lambda x, c: (x - c) * (x - c),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+            for cq in cent_q
+        ]
+    )
+
+
+def lloyd_kmeans_distributed(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 3,
+) -> tuple[list[list[int]], DataFrame]:
+    """TRUE distributed Lloyd k-means — the l28b superstep pattern
+    applied to centroid training (r8 verdict task 4), closing the
+    "quantizer trained on a driver-side sample" caveat in the ANN story:
+
+      init    : the k vectors ranked smallest by the portable
+                (md5_hash64(id), id) key — deterministic, engine-
+                replayable, and hash-spread across the data;
+      assign  : argmin over exact INTEGER squared distances (components
+                floor-quantized at LLOYD_QSCALE), ties to the smallest
+                centroid index — no float enters the loop, so the
+                assignment is bit-stable under any partitioning AND
+                replayable relationally by the DuckDB oracle;
+      update  : per-(cluster, dim) exact int64 sums via one
+                posexplode+groupBy per superstep (map-side combined;
+                the driver only ever holds k*dim integers), new
+                component = floor(sum / n) back at LLOYD_QSCALE —
+                floor(exact_int / exact_int) through one correctly-
+                rounded IEEE division, identical in both engines;
+                empty clusters keep their previous centroid.
+
+    Returns (centroids_q, stats_df): the final quantized centroids (k
+    lists of dim ints) and a DataFrame (cluster, n_members, inertia_q)
+    from a final assignment pass — inertia is the exact integer sum of
+    min squared distances, the quantization-error measure the gates
+    compare.
+
+    Scale shape: per superstep, one map pass over the vectors (literal
+    centroid arithmetic, no join) + one groupBy whose output is k*dim
+    rows — communication O(k*dim) regardless of corpus size, exactly
+    like l46's Gram reduction. k supersteps = k scheduled jobs; at 100
+    TB the vector scan dominates and the pattern holds.
+    Ref anchor: similarity.py train_centroids_on_sample (the bounded-
+    sample trainer this complements), SURVEY §2 L ANN family."""
+    import math
+
+    from datafusion_cyberpolka_eda_spark.functions.hashing import md5_hash64
+
+    q = _lloyd_q_vectors(df, id_col, vec_col).localCheckpoint(eager=True)
+    seeds = (
+        q.select("id", "q", md5_hash64(F.col("id").cast("string")).alias("h"))
+        .orderBy("h", "id")
+        .limit(k)
+        .collect()
+    )
+    cent = [list(r["q"]) for r in seeds]
+    dim = len(cent[0])
+    for _ in range(iters):
+        cluster = (
+            F.array_position(F.col("dists"), F.array_min("dists")) - 1
+        ).cast("long")
+        assigned = (
+            q.withColumn("dists", _lloyd_dists(cent))
+            .select(cluster.alias("cluster"), "q")
+        )
+        rows = (
+            assigned.select("cluster", F.posexplode("q").alias("i", "v"))
+            .groupBy("cluster", "i")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        agg = {(r["cluster"], r["i"]): (r["s"], r["n"]) for r in rows}
+        cent = [
+            [
+                math.floor(agg[(j, i)][0] / agg[(j, i)][1])
+                if (j, i) in agg
+                else cent[j][i]
+                for i in range(dim)
+            ]
+            for j in range(k)
+        ]
+    stats = (
+        q.withColumn("dists", _lloyd_dists(cent))
+        .select(
+            (F.array_position(F.col("dists"), F.array_min("dists")) - 1)
+            .cast("long")
+            .alias("cluster"),
+            F.array_min("dists").alias("dmin"),
+        )
+        .groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum("dmin").alias("inertia_q"),
+        )
+    )
+    return cent, stats
+
+
+def lloyd_centroids_unit(cent_q) -> list[list[float]]:
+    """Quantized Lloyd centroids -> L2-normalized float centroids in the
+    shape ivf_pq_index / assign_cells_literal take — the wiring that
+    makes the distributed trainer a drop-in alternative to
+    train_centroids_on_sample."""
+    import numpy as np
+
+    c = np.asarray(cent_q, dtype=np.float64) / float(LLOYD_QSCALE)
+    n = np.linalg.norm(c, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return (c / n).tolist()

@@ -6252,3 +6252,111 @@ def l58_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("organic")
         .alias("kind"),
     )
+
+
+# ---- distributed Lloyd k-means (l59, r8 verdict task 4) ----
+
+
+def _l59_oracle(k: int = 8, iters: int = 3) -> str:
+    """Unrolled MATERIALIZED-CTE replay of the distributed Lloyd loop
+    (the pagerank/l28b unrolling pattern): per superstep, exact integer
+    distances vs the previous centroid table, argmin with ties to the
+    smallest centroid index, then floor(sum/n) centroid updates with
+    empty clusters keeping their previous row. Every intermediate is
+    integer except the single floor-of-division per component — one
+    correctly-rounded IEEE op on exact <2^53 integers, identical in
+    both engines."""
+    ctes = [
+        f"""
+    e AS MATERIALIZED (
+      SELECT vec_id, i - 1 AS i,
+             CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 100000.0) AS BIGINT)
+               AS q
+      FROM embeddings,
+           LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) s
+    ),
+    seeds AS (
+      SELECT vec_id, rk - 1 AS j FROM (
+        SELECT vec_id, ROW_NUMBER() OVER (ORDER BY
+          ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+          vec_id) AS rk
+        FROM embeddings) t WHERE rk <= {k}
+    ),
+    c0 AS MATERIALIZED (SELECT s.j, e.i, e.q AS c FROM seeds s JOIN e USING (vec_id))"""
+    ]
+    for t in range(1, iters + 1):
+        prev = f"c{t - 1}"
+        ctes.append(f"""
+    a{t} AS MATERIALIZED (
+      SELECT vec_id, j FROM (
+        SELECT d.vec_id, d.j,
+               ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY d.d, d.j)
+                 AS rk
+        FROM (SELECT e.vec_id, c.j, SUM((e.q - c.c) * (e.q - c.c)) AS d
+              FROM e JOIN {prev} c USING (i) GROUP BY e.vec_id, c.j) d) t
+      WHERE rk = 1
+    ),
+    c{t} AS MATERIALIZED (
+      SELECT b.j, b.i, COALESCE(u.c, b.c) AS c
+      FROM {prev} b LEFT JOIN (
+        SELECT a.j, e.i,
+               CAST(FLOOR(CAST(SUM(e.q) AS DOUBLE) / COUNT(*)) AS BIGINT)
+                 AS c
+        FROM a{t} a JOIN e ON e.vec_id = a.vec_id GROUP BY a.j, e.i) u
+      ON u.j = b.j AND u.i = b.i
+    )""")
+    final = f"c{iters}"
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f""",
+    fin AS (
+      SELECT vec_id, j, d FROM (
+        SELECT d.vec_id, d.j, d.d,
+               ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY d.d, d.j)
+                 AS rk
+        FROM (SELECT e.vec_id, c.j, SUM((e.q - c.c) * (e.q - c.c)) AS d
+              FROM e JOIN {final} c USING (i) GROUP BY e.vec_id, c.j) d) t
+      WHERE rk = 1
+    ),
+    st AS (SELECT j, COUNT(*) AS n_members, SUM(d) AS inertia FROM fin
+           GROUP BY j)
+    SELECT CAST(c.j AS BIGINT) AS cluster, CAST(c.i AS BIGINT) AS i,
+           CAST(c.c AS BIGINT) AS centroid_q,
+           CAST(COALESCE(st.n_members, 0) AS BIGINT) AS n_members,
+           CAST(COALESCE(st.inertia, 0) AS BIGINT) AS inertia_q
+    FROM {final} c LEFT JOIN st ON st.j = c.j
+    """
+    )
+
+
+@register("l59_distributed_kmeans", _l59_oracle(8, 3))
+def l59_distributed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means over the embedding corpus (r8 verdict
+    task 4) — k supersteps of exact integer assign/update (see
+    similarity.lloyd_kmeans_distributed for the full determinism and
+    scale story). Output is the final centroid table long-form joined
+    with a final-assignment pass's per-cluster stats: (cluster, i,
+    centroid_q, n_members, inertia_q), all exact int64 — inertia is the
+    quantization-error measure, emitted as a MEASURED value rather than
+    a pinned boolean (the l8h lesson). The oracle replays all three
+    supersteps as unrolled materialized CTEs. Ref parity: SURVEY §2 L
+    ANN family; complements the bounded-sample trainer at
+    similarity.py train_centroids_on_sample."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    cent, stats = SIM.lloyd_kmeans_distributed(
+        emb, "vec_id", "embedding", k=8, iters=3
+    )
+    cent_rows = [
+        (j, i, int(c)) for j, vec in enumerate(cent) for i, c in enumerate(vec)
+    ]
+    cdf = small_df(
+        spark, cent_rows, "cluster bigint, i bigint, centroid_q bigint"
+    )
+    return cdf.join(F.broadcast(stats), "cluster", "left").select(
+        "cluster",
+        "i",
+        "centroid_q",
+        F.coalesce(F.col("n_members"), F.lit(0)).cast("bigint").alias("n_members"),
+        F.coalesce(F.col("inertia_q"), F.lit(0)).cast("bigint").alias("inertia_q"),
+    )

@@ -1003,3 +1003,79 @@ class TestImagePhashNearDup:
             if bin(int(fa) ^ int(fb)).count("1") <= 3:
                 want.add((ia, ib))
         assert got == want
+
+
+class TestDistributedLloyd:
+    """r9: distributed Lloyd k-means supersteps (integer-exact)."""
+
+    def test_matches_numpy_replay_exactly(self, spark, emb):
+        """The distributed loop must equal a driver-side numpy replay of
+        the same integer algorithm BIT-FOR-BIT — the exactness gate that
+        a sampled float trainer cannot offer."""
+        import math
+
+        import numpy as np
+
+        got_cent, got_stats = SIM.lloyd_kmeans_distributed(
+            emb, "vec_id", "embedding", k=8, iters=3
+        )
+        rows = emb.select("vec_id", "embedding").collect()
+        ids = np.array([r["vec_id"] for r in rows])
+        x = np.array([r["embedding"] for r in rows], dtype=np.float64)
+        q = np.floor(x * 100000.0).astype(np.int64)
+        # portable md5 rank init
+        import hashlib
+
+        h = np.array(
+            [int(hashlib.md5(str(int(i)).encode()).hexdigest()[:15], 16) for i in ids]
+        )
+        order = np.lexsort((ids, h))
+        cent = q[order[:8]].astype(np.int64).copy()
+        for _ in range(3):
+            d = ((q[:, None, :] - cent[None, :, :]) ** 2).sum(2)
+            a = d.argmin(1)  # ties -> smallest index, same as the plan
+            for j in range(8):
+                m = q[a == j]
+                if len(m):
+                    cent[j] = [
+                        math.floor(s / len(m)) for s in m.sum(0, dtype=np.int64)
+                    ]
+        assert [list(map(int, c)) for c in cent] == got_cent
+        d = ((q[:, None, :] - cent[None, :, :]) ** 2).sum(2)
+        a, dmin = d.argmin(1), d.min(1)
+        want = {
+            int(j): (int((a == j).sum()), int(dmin[a == j].sum()))
+            for j in set(a.tolist())
+        }
+        got = {
+            r["cluster"]: (r["n_members"], r["inertia_q"])
+            for r in got_stats.collect()
+        }
+        assert got == want
+
+    def test_inertia_improves_on_init(self, spark, emb):
+        """Lloyd property: trained centroids fit no worse than the raw
+        seed vectors they started from."""
+        cent3, stats3 = SIM.lloyd_kmeans_distributed(
+            emb, "vec_id", "embedding", k=8, iters=3
+        )
+        cent0, stats0 = SIM.lloyd_kmeans_distributed(
+            emb, "vec_id", "embedding", k=8, iters=0
+        )
+        i3 = sum(r["inertia_q"] for r in stats3.collect())
+        i0 = sum(r["inertia_q"] for r in stats0.collect())
+        assert i3 < i0
+
+    def test_wires_into_ivf_pq_index(self, spark, emb):
+        """lloyd_centroids_unit output is a drop-in `centers` for
+        ivf_pq_index: every vector lands in a cell and codes stay int8."""
+        cent, _ = SIM.lloyd_kmeans_distributed(
+            emb, "vec_id", "embedding", k=8, iters=3
+        )
+        centers = SIM.lloyd_centroids_unit(cent)
+        unit = SIM.unit_vec_df(emb, "vec_id", "embedding")
+        index, scales = SIM.ivf_pq_index(unit, centers)
+        n = emb.count()
+        assert index.count() == n
+        cells = {r["cell"] for r in index.select("cell").distinct().collect()}
+        assert cells <= set(range(8)) and len(cells) > 1

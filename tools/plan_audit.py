@@ -288,6 +288,10 @@ def main() -> int:
     # perceptual image near-dup: pigeonhole band equi-join only — never
     # all-pairs; hamming verification is map-side bit arithmetic
     check("l58_image_phash_neardup", absent=["CartesianProduct"])
+    # distributed Lloyd: the output join is tiny-vs-tiny (centroid table
+    # x per-cluster stats); supersteps are literal-expression map passes
+    # with one k*dim-row groupBy each — never all-pairs
+    check("l59_distributed_kmeans", absent=["CartesianProduct"])
 
     # incremental covariance: the increment scan must carry the pushed
     # vec_id >= cutoff predicate (day-1 vectors never re-read as vectors)
