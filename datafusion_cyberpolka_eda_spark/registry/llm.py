@@ -6360,3 +6360,245 @@ def l59_distributed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_members"), F.lit(0)).cast("bigint").alias("n_members"),
         F.coalesce(F.col("inertia_q"), F.lit(0)).cast("bigint").alias("inertia_q"),
     )
+
+
+# ---- semantic decontamination (l60, r8 verdict task 5) ----
+
+_L60_ORACLE = """
+    WITH v AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+    e AS MATERIALIZED (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+             CAST(UNNEST(embedding) AS DOUBLE) AS val
+      FROM v
+    ),
+    q AS MATERIALIZED (
+      SELECT vec_id, i, CAST(FLOOR(val * 100000.0) AS BIGINT) AS qv FROM e
+    ),
+    nrm AS (SELECT vec_id, SQRT(SUM(val * val)) AS nm FROM e GROUP BY vec_id),
+    u AS MATERIALIZED (
+      SELECT e.vec_id, e.i, e.val / n.nm AS uval FROM e JOIN nrm n USING (vec_id)
+    ),
+    c AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, vec_id AS cvid
+          FROM (SELECT vec_id FROM v ORDER BY vec_id LIMIT 8)),
+    cvec AS MATERIALIZED (
+      SELECT c.cid, u.i, u.uval AS cval FROM c JOIN u ON u.vec_id = c.cvid
+    ),
+    cd AS (SELECT u.vec_id, cv.cid, SUM(u.uval * cv.cval) AS d
+           FROM u JOIN cvec cv USING (i) GROUP BY u.vec_id, cv.cid),
+    corp_cells AS MATERIALIZED (SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cid ASC)
+                 AS rk
+        FROM cd) t WHERE rk <= 2),
+    -- synthetic benchmark split: planted paraphrases (9*q + tiny
+    -- deterministic noise — same direction, byte-different) and clean
+    -- members (component-reversed — unrelated direction)
+    ev AS MATERIALIZED (
+      SELECT vec_id, i,
+             9 * qv + ((vec_id * 31 + i * 17) % 7 - 3) AS ev,
+             'planted' AS ekind
+      FROM q WHERE vec_id % 23 = 5
+      UNION ALL
+      SELECT a.vec_id, a.i, b.qv, 'clean'
+      FROM q a JOIN q b ON b.vec_id = a.vec_id AND b.i = 63 - a.i
+      WHERE a.vec_id % 23 = 11
+    ),
+    nb AS (SELECT vec_id, SUM(ev * ev) AS nb FROM ev GROUP BY vec_id),
+    uev AS (SELECT ev.vec_id, ev.i,
+                   CAST(ev.ev AS DOUBLE) / SQRT(CAST(nb.nb AS DOUBLE)) AS uval
+            FROM ev JOIN nb USING (vec_id)),
+    ed AS (SELECT uev.vec_id, cv.cid, SUM(uev.uval * cv.cval) AS d
+           FROM uev JOIN cvec cv USING (i) GROUP BY uev.vec_id, cv.cid),
+    ev_cells AS MATERIALIZED (SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cid ASC)
+                 AS rk
+        FROM ed) t WHERE rk <= 2),
+    cand AS (SELECT DISTINCT a.vec_id AS eid, b.vec_id AS cid2
+             FROM ev_cells a JOIN corp_cells b USING (cid)),
+    na AS (SELECT vec_id, SUM(qv * qv) AS na FROM q GROUP BY vec_id),
+    dots AS (SELECT cand.eid, cand.cid2, SUM(ev.ev * q.qv) AS dot
+             FROM cand JOIN ev ON ev.vec_id = cand.eid
+                       JOIN q ON q.vec_id = cand.cid2 AND q.i = ev.i
+             GROUP BY cand.eid, cand.cid2),
+    -- exact-integer verify: dot/norms are exact int64; the single
+    -- threshold compare runs the identical IEEE op sequence both sides
+    hits AS (SELECT d.eid,
+                    MAX(CASE WHEN d.dot > 0 AND CAST(d.dot AS DOUBLE) >=
+                          0.98 * (SQRT(CAST(na.na AS DOUBLE))
+                                  * SQRT(CAST(nb.nb AS DOUBLE)))
+                        THEN 1 ELSE 0 END) AS hit
+             FROM dots d JOIN na ON na.vec_id = d.cid2
+                         JOIN nb ON nb.vec_id = d.eid
+             GROUP BY d.eid),
+    base AS (SELECT DISTINCT vec_id, ekind FROM ev),
+    flagged AS (SELECT b.vec_id, b.ekind, COALESCE(h.hit, 0) AS hit
+                FROM base b LEFT JOIN hits h ON h.eid = b.vec_id)
+    SELECT d.lang,
+           COUNT(*) AS n_eval,
+           CAST(SUM(f.hit) AS BIGINT) AS n_contaminated,
+           CAST(SUM(CASE WHEN f.ekind = 'planted' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_planted,
+           CAST(SUM(CASE WHEN f.ekind = 'planted' THEN f.hit ELSE 0 END)
+                AS BIGINT) AS n_planted_caught,
+           ROUND(CAST(SUM(f.hit) AS DOUBLE) / COUNT(*), 6)
+             AS contamination_rate
+    FROM flagged f JOIN documents d ON d.doc_id = f.vec_id
+    GROUP BY d.lang
+"""
+
+
+@register("l60_semantic_decontamination", _L60_ORACLE)
+def l60_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC benchmark decontamination (r8 verdict task 5) — the
+    embedding-space screen that catches paraphrased contamination the
+    n-gram overlap screens (l20/l30/l32) structurally miss. Composes the
+    l41 frozen-quantizer recipe with an exact-integer verify stage:
+
+      benchmark : a synthetic eval split with PLANTED paraphrases
+                  (vec_id % 23 == 5: 9*q + deterministic +-3 noise —
+                  same direction as the corpus row, byte-different) and
+                  clean members (vec_id % 23 == 11: component-reversed —
+                  unrelated direction), both pure functions of the
+                  corpus row so the oracle replays them;
+      candidates: top-2 frozen-quantizer cells per side (the l41
+                  centroid convention: unit vectors of the 8 smallest
+                  vec_ids), eval x corpus cell equi-join — never
+                  all-pairs;
+      verify    : exact int64 dot and squared norms of the quantized
+                  vectors; contaminated iff dot > 0 and
+                  dot >= 0.98 * sqrt(na) * sqrt(nb) — one identical
+                  IEEE compare per pair in both engines, planted pairs
+                  sit at cosine ~1-1e-5 and organic pairs far below, so
+                  the flag is data-robust;
+      report    : per-language counts + contamination rate (the l30
+                  output shape) with planted/caught columns making
+                  recall a MEASURED value, not a pinned boolean.
+
+    Scale shape: the benchmark side is tiny (fits broadcast at any
+    corpus size); corpus work is one quantize+assign map pass and a
+    cell-bucketed join whose volume tracks cell co-occupancy, not
+    corpus^2. 100 TB-safe. Ref anchor: l41 store + l30 output shape."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    q = emb.select(
+        F.col("vec_id").alias("id"),
+        F.transform(
+            "embedding", lambda x: F.floor(x * F.lit(100000.0)).cast("long")
+        ).alias("q"),
+    ).localCheckpoint(eager=True)
+
+    planted = q.filter(F.col("id") % 23 == 5).select(
+        "id",
+        F.transform(
+            "q",
+            lambda x, i: F.lit(9).cast("long") * x
+            + (
+                (F.col("id") * 31 + i.cast("long") * 17) % 7 - 3
+            ).cast("long"),
+        ).alias("ev"),
+        F.lit("planted").alias("ekind"),
+    )
+    clean = q.filter(F.col("id") % 23 == 11).select(
+        "id", F.reverse("q").alias("ev"), F.lit("clean").alias("ekind")
+    )
+    evals = planted.unionByName(clean).localCheckpoint(eager=True)
+
+    unit = SIM.unit_vec_df(emb, "vec_id", "embedding").localCheckpoint(
+        eager=True
+    )
+    cent_rows = sorted(
+        unit.orderBy("id").limit(8).collect(), key=lambda r: r["id"]
+    )
+    centers = [list(r["unit_arr"]) for r in cent_rows]
+    corp_cells = SIM.assign_cells_literal(unit, centers, n_probe=2)
+
+    nb = evals.select(
+        "id",
+        "ev",
+        "ekind",
+        F.aggregate(
+            F.zip_with("ev", "ev", lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("nb"),
+    ).localCheckpoint(eager=True)
+    ev_unit = nb.select(
+        "id",
+        F.transform(
+            "ev",
+            lambda x: x.cast("double") / F.sqrt(F.col("nb").cast("double")),
+        ).alias("unit_arr"),
+    )
+    ev_cells = SIM.assign_cells_literal(ev_unit, centers, n_probe=2)
+
+    cand = (
+        ev_cells.select(F.col("id").alias("eid"), "cell")
+        .join(corp_cells.select(F.col("id").alias("cid2"), "cell"), "cell")
+        .select("eid", "cid2")
+        .distinct()
+    )
+    na = q.select(
+        F.col("id").alias("cid2"),
+        F.aggregate(
+            F.zip_with("q", "q", lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("na"),
+    )
+    dots = (
+        cand.join(nb.select(F.col("id").alias("eid"), "ev", "nb"), "eid")
+        .join(q.select(F.col("id").alias("cid2"), F.col("q").alias("qc")), "cid2")
+        .select(
+            "eid",
+            "cid2",
+            "nb",
+            F.aggregate(
+                F.zip_with("ev", "qc", lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("dot"),
+        )
+    )
+    hit = (
+        (F.col("dot") > 0)
+        & (
+            F.col("dot").cast("double")
+            >= F.lit(0.98)
+            * (
+                F.sqrt(F.col("na").cast("double"))
+                * F.sqrt(F.col("nb").cast("double"))
+            )
+        )
+    ).cast("int")
+    hits = (
+        dots.join(na, "cid2")
+        .select("eid", hit.alias("hit"))
+        .groupBy("eid")
+        .agg(F.max("hit").alias("hit"))
+    )
+    flagged = (
+        evals.select(F.col("id").alias("eid"), "ekind")
+        .join(hits, "eid", "left")
+        .select("eid", "ekind", F.coalesce(F.col("hit"), F.lit(0)).alias("hit"))
+    )
+    out = (
+        flagged.join(docs, flagged["eid"] == docs["doc_id"])
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_eval"),
+            F.sum("hit").cast("bigint").alias("n_contaminated"),
+            F.sum((F.col("ekind") == "planted").cast("int"))
+            .cast("bigint")
+            .alias("n_planted"),
+            F.sum(
+                F.when(F.col("ekind") == "planted", F.col("hit")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_planted_caught"),
+            F.round(
+                F.sum("hit").cast("double") / F.count("*"), 6
+            ).alias("contamination_rate"),
+        )
+    )
+    return out

@@ -1079,3 +1079,21 @@ class TestDistributedLloyd:
         assert index.count() == n
         cells = {r["cell"] for r in index.select("cell").distinct().collect()}
         assert cells <= set(range(8)) and len(cells) > 1
+
+
+class TestSemanticDecontamination:
+    """r9: embedding-space contamination screen (l60)."""
+
+    def test_planted_recall_total_and_clean_unflagged(self, spark):
+        from datafusion_cyberpolka_eda_spark.registry.llm import (
+            l60_semantic_decontamination,
+        )
+
+        out = l60_semantic_decontamination(spark, SF).toPandas()
+        # every planted paraphrase caught (cosine ~ 1 - 1e-5 >> 0.98)
+        assert out["n_planted_caught"].sum() == out["n_planted"].sum() > 0
+        # reversed clean vectors never cross the threshold at this data:
+        # all contamination flags come from the planted family
+        assert out["n_contaminated"].sum() == out["n_planted_caught"].sum()
+        # eval split covers both families
+        assert out["n_eval"].sum() > out["n_planted"].sum()

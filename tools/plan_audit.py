@@ -292,6 +292,10 @@ def main() -> int:
     # x per-cluster stats); supersteps are literal-expression map passes
     # with one k*dim-row groupBy each — never all-pairs
     check("l59_distributed_kmeans", absent=["CartesianProduct"])
+    # semantic decontamination: candidates come from the frozen-quantizer
+    # cell equi-join; verification is a bounded candidate join — never
+    # all-pairs
+    check("l60_semantic_decontamination", absent=["CartesianProduct"])
 
     # incremental covariance: the increment scan must carry the pushed
     # vec_id >= cutoff predicate (day-1 vectors never re-read as vectors)
