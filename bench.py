@@ -409,26 +409,60 @@ def wrapper() -> int:
     finding — the dup2-before-stop attempt failed for exactly this
     reason). The wrapper owns the only fds the driver sees: the child's
     stdout (the metrics line) passes through verbatim; from its stderr
-    only attributable `WARNING:` lines are forwarded, and JVM/log4j
-    noise — including the shutdown trace — is dropped."""
+    attributable lines — `WARNING:`, Python tracebacks, `ERROR`-labeled
+    executor/task messages — are forwarded, and JVM/log4j noise
+    (including the shutdown trace, which carries none of those markers)
+    is dropped. Both streams are pumped LIVE in threads rather than
+    buffered with communicate(), so the ~hour-long run shows progress
+    as it happens (r8 advice)."""
     import subprocess
+    import threading
 
     proc = subprocess.Popen(
         [sys.executable, os.path.abspath(__file__), "--inner"],
         stdout=subprocess.PIPE,
         stderr=subprocess.PIPE,
         text=True,
+        bufsize=1,
     )
-    out, err = proc.communicate()
-    sys.stdout.write(out)
+    err_lines: list[str] = []
+
+    def pump_err():
+        in_tb = False
+        for line in proc.stderr:
+            err_lines.append(line)
+            s = line.rstrip("\n")
+            if s.startswith("WARNING:"):
+                in_tb = False
+                print(s, file=sys.stderr, flush=True)
+            elif s.startswith("Traceback"):
+                in_tb = True
+                print(s, file=sys.stderr, flush=True)
+            elif in_tb:
+                # traceback body: indented frames, then the exception
+                # line (non-indented) terminates the block
+                print(s, file=sys.stderr, flush=True)
+                if s and not s.startswith((" ", "\t")):
+                    in_tb = False
+            elif "ERROR" in s:
+                print(s, file=sys.stderr, flush=True)
+
+    def pump_out():
+        for line in proc.stdout:
+            sys.stdout.write(line)
+            sys.stdout.flush()
+
+    te = threading.Thread(target=pump_err)
+    to = threading.Thread(target=pump_out)
+    te.start()
+    to.start()
+    proc.wait()
+    te.join()
+    to.join()
     if proc.returncode != 0:
         # a crashed child must stay attributable: forward its stderr
-        # tail verbatim (the filter below is for the SUCCESS path only)
-        sys.stderr.write(err[-4000:])
-        return proc.returncode
-    for line in err.splitlines():
-        if line.startswith("WARNING:"):
-            print(line, file=sys.stderr)
+        # tail verbatim (the live filter above may have dropped context)
+        sys.stderr.write("".join(err_lines)[-4000:])
     return proc.returncode
 
 

@@ -5359,7 +5359,7 @@ def l52_chunk_then_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(5 AS BIGINT) AS n_queries,
            TRUE AS rotation_orthogonal,
            TRUE AS neighbors_invariant,
-           TRUE AS recall_ge_unrotated
+           TRUE AS recall_within_tol
     """,
 )
 def l8h_ann_ivf_pq_rotated(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5381,9 +5381,14 @@ def l8h_ann_ivf_pq_rotated(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries computed ON THE ROTATED VECTORS equals the unrotated
         exact truth (orthogonal rotations preserve dot products and
         norms; checked distributed via the same cosine_topk plan);
-      recall_ge_unrotated — mean recall@5 of the rotated IVF-PQ index
-        >= the unrotated l8e index on the same queries vs the same
-        exact truth (the OPQ promise, measured not assumed).
+      recall_within_tol — mean recall@5 of the rotated IVF-PQ index
+        >= the unrotated l8e index minus 0.1 (one neighbor over the 25
+        query-neighbor slots) on the same queries vs the same exact
+        truth. Rotated-index recall from sample-trained centroids is a
+        measured, data-dependent property: the r8 advice flagged that a
+        hard >= pin could go red at another scale factor with no code
+        defect, so the gate tolerates a legitimate one-neighbor tie/
+        loss while still catching a real regression.
 
     Scale shape: rotation adds one map-side pass over the corpus and a
     dim^2 closure constant; covariance state is O(dim^2) via the l46
@@ -5448,9 +5453,9 @@ def l8h_ann_ivf_pq_rotated(spark: SparkSession, sf_dir: str) -> DataFrame:
     rec_rot = mean_recall(rot)
     return small_df(
         spark,
-        [(5, orth, invariant, rec_rot >= rec_base)],
+        [(5, orth, invariant, rec_rot >= rec_base - 0.1)],
         "n_queries bigint, rotation_orthogonal boolean, "
-        "neighbors_invariant boolean, recall_ge_unrotated boolean",
+        "neighbors_invariant boolean, recall_within_tol boolean",
     )
 
 

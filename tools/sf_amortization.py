@@ -135,9 +135,12 @@ def measure(spark, sf_dir: str, label: str, reps: int) -> dict:
         spark.range(2).repartition(2).count()
         floors.append(time.perf_counter() - t0)
     floor = statistics.median(floors)
-    con = duck_connect(sf_dir)
     rows = {}
     for name in QUERIES:
+        # fresh connection per oracle: a late interrupt() (fired between
+        # fetchall() returning and cancel()) can only ever poison THIS
+        # connection, never the next query/rep
+        con = duck_connect(sf_dir)
         rts = []
         for _ in range(reps):
             t0 = time.perf_counter()
@@ -148,16 +151,25 @@ def measure(spark, sf_dir: str, label: str, reps: int) -> dict:
         try:
             # the r7 replay oracles can run for hours at 5x before they
             # hit the spill cap — bound each oracle's wall clock and
-            # record a timeout as DNF (the amortization datapoint)
+            # record a timeout as DNF (the amortization datapoint).
+            # The timer callback is guarded by a done-flag set BEFORE
+            # cancel(): an interrupt firing in the window between
+            # fetchall() returning and timer.cancel() would land on the
+            # shared connection and spuriously DNF the NEXT query/rep.
             import threading
 
-            timer = threading.Timer(
-                ORACLE_TIMEOUT_SEC, getattr(con, "interrupt", lambda: None)
-            )
+            done = threading.Event()
+
+            def _interrupt():
+                if not done.is_set():
+                    getattr(con, "interrupt", lambda: None)()
+
+            timer = threading.Timer(ORACLE_TIMEOUT_SEC, _interrupt)
             timer.start()
             try:
                 con.sql(os_[name]).fetchall()
             finally:
+                done.set()
                 timer.cancel()
             du = time.perf_counter() - t0
         except Exception as ex:  # spill cap / OOM / timeout: DNF, keep going
@@ -170,7 +182,7 @@ def measure(spark, sf_dir: str, label: str, reps: int) -> dict:
             f"duckdb {du if du is None else round(du, 2)}s",
             file=sys.stderr,
         )
-    con.close()
+        con.close()
     return {"floor": floor, "rows": rows}
 
 
