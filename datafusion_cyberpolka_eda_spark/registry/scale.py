@@ -518,18 +518,38 @@ def e10b_approx_quantile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB quantile path (operator E10's scale variant):
     approxQuantile (Greenwald-Khanna, bounded memory, single pass) next
     to the exact percentile, asserting the estimate's RANK error is
-    within the requested epsilon (0.005): the approx p-quantile must lie
-    between the exact (p-eps)- and (p+eps)-quantiles. The oracle pins the
-    exact values and the bound booleans. Exact percentile needs a full
+    within the requested epsilon (0.005) — checked as the theorem states
+    it: some rank of the returned element (they span [count_lt+1,
+    count_le]) must lie within eps*n (+1 slack for floor conventions) of
+    the target rank. The r9 bitwise A/B audit showed the previous check
+    (approx value between the exact (p+-eps)-quantile VALUES) could flip
+    under permuted partitioning: GK's merge order changes which element
+    is returned, and interpolated percentile values make a tighter
+    interval than the rank guarantee actually promises. The rank form
+    holds for ANY layout by the GK bound. The oracle pins the exact
+    values and the bound boolean. Exact percentile needs a full
     sort/collect per group — GK is what survives at scale."""
     o = load_table(spark, sf_dir, "orders")
     eps = 0.005
     exact = o.agg(
-        F.expr("percentile(o_totalprice, array(0.495, 0.5, 0.505, 0.985, 0.99, 0.995))").alias("q")
+        F.expr("percentile(o_totalprice, array(0.5, 0.99))").alias("q")
     ).collect()[0]["q"]
-    p50_lo, p50, p50_hi, p99_lo, p99, p99_hi = [float(x) for x in exact]
+    p50, p99 = [float(x) for x in exact]
     a50, a99 = o.approxQuantile("o_totalprice", [0.5, 0.99], eps)
-    ok = (p50_lo <= a50 <= p50_hi) and (p99_lo <= a99 <= p99_hi)
+    cnt = o.agg(
+        F.count("o_totalprice").alias("n"),
+        F.sum((F.col("o_totalprice") < a50).cast("long")).alias("lt50"),
+        F.sum((F.col("o_totalprice") <= a50).cast("long")).alias("le50"),
+        F.sum((F.col("o_totalprice") < a99).cast("long")).alias("lt99"),
+        F.sum((F.col("o_totalprice") <= a99).cast("long")).alias("le99"),
+    ).collect()[0]
+
+    def rank_ok(p: float, lt: int, le: int, n: int) -> bool:
+        return le >= p * n - eps * n - 1 and lt + 1 <= p * n + eps * n + 1
+
+    ok = rank_ok(0.5, cnt["lt50"], cnt["le50"], cnt["n"]) and rank_ok(
+        0.99, cnt["lt99"], cnt["le99"], cnt["n"]
+    )
     out = small_df(
         spark,
         [(p50, p99, ok)],

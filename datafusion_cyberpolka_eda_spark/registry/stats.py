@@ -541,28 +541,54 @@ def e2_e4_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_cols(df, ["corr", "co_rate", "expected_rate", "pair_lift"])
 
 
+def _quant_moment_sql(c: str) -> str:
+    """Oracle twin of the quantized-moment computation below: the
+    lineitem numerics are <=2-dp decimals, so ROUND(x*100) is an exact
+    integer per row, SUM is exact (DuckDB HUGEINT / Spark decimal), and
+    mean/var reduce to the IDENTICAL correctly-rounded IEEE op sequence
+    on exact inputs — no order-dependent float summation anywhere (the
+    r9 bitwise A/B audit caught l_discount's 6-dp mean sitting on a
+    rounding boundary at sf0.01 under permuted partitioning)."""
+    q = f"CAST(ROUND({c} * 100) AS BIGINT)"
+    m = f"CAST(SUM({q}) AS DOUBLE) / COUNT({c}) / 100.0"
+    v = f"CAST(SUM({q} * {q}) AS DOUBLE) / COUNT({c}) / 10000.0 - ({m}) * ({m})"
+    return (
+        f"ROUND({m}, 6) + 0 AS mean,"
+        f" ROUND(SQRT(GREATEST({v}, 0.0)), 6) + 0 AS std_pop"
+    )
+
+
 @register(
     "e15_e16_standardize_moments",
     "\nUNION ALL\n".join(
-        f"SELECT '{c}' AS column_name,"
-        f" ROUND(AVG({c}), 6) AS mean,"
-        f" ROUND(stddev_pop({c}), 6) AS std_pop FROM lineitem"
+        f"SELECT '{c}' AS column_name, {_quant_moment_sql(c)} FROM lineitem"
         for c in _LI_NUM
     ),
 )
 def e15_e16_standardize_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population-std standardization moments (operators E15/E16; ref
     ddof=0 standardization lines 501-508 — matches exactly, unlike Spark's
-    StandardScaler which uses sample std). Derived from the same moments
-    pass as the correlation engine."""
+    StandardScaler which uses sample std). Moments run on 100x-quantized
+    exact integer sums (decimal accumulators, overflow-proof at any row
+    count) so the 6-dp rounded outputs are partitioning- AND
+    engine-deterministic — see _quant_moment_sql."""
     li = load_table(spark, sf_dir, "lineitem")
-    m = S.cross_moments(li, _LI_NUM, [])
-    n = m["n"]
+    aggs = []
+    for c in _LI_NUM:
+        q = F.round(F.col(c).cast("double") * 100).cast("long")
+        aggs += [
+            F.count(F.col(c)).alias(f"n_{c}"),
+            F.sum(q.cast("decimal(38,0)")).alias(f"s_{c}"),
+            F.sum((q * q).cast("decimal(38,0)")).alias(f"ss_{c}"),
+        ]
+    m = li.agg(*aggs).collect()[0]
     rows = []
-    for i, c in enumerate(_LI_NUM):
-        mean = float(m["sum_x"][i]) / n
-        var = float(m["sumsq_x"][i]) / n - mean * mean
-        rows.append((c, mean, max(var, 0.0) ** 0.5))
+    for c in _LI_NUM:
+        n = m[f"n_{c}"]
+        s, ss = float(m[f"s_{c}"]), float(m[f"ss_{c}"])
+        mean = s / n / 100.0
+        var = ss / n / 10000.0 - mean * mean
+        rows.append((c, mean, max(var, 0.0) ** 0.5 + 0.0))
     df = small_df(spark, rows, "column_name string, mean double, std_pop double")
     return _round_cols(df, ["mean", "std_pop"])
 
@@ -574,8 +600,7 @@ def _profile_oracle() -> str:
         parts.append(
             f"SELECT '{c}' AS column_name, COUNT({c}) AS n,"
             f" CAST(SUM(CAST({c} IS NULL AS BIGINT)) AS BIGINT) AS n_nulls,"
-            f" ROUND(AVG({d}), 6) AS mean,"
-            f" ROUND(stddev_pop({d}), 6) AS std_pop,"
+            f" {_quant_moment_sql(c)},"
             f" MIN({d}) AS min_val, MAX({d}) AS max_val FROM lineitem"
         )
     return "\nUNION ALL\n".join(parts)
@@ -592,15 +617,32 @@ def d16_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggs = []
     for c in _LI_NUM:
         d = F.col(c).cast("double")
+        # quantized exact integer sums (see _quant_moment_sql): the 6-dp
+        # mean/std round identically under any partitioning and engine
+        q = F.round(d * 100).cast("long")
         aggs += [
             F.count(F.col(c)).alias(f"cnt_{c}"),
             F.sum(F.col(c).isNull().cast("bigint")).alias(f"nul_{c}"),
-            F.round(F.avg(d), 6).alias(f"avg_{c}"),
-            F.round(F.stddev_pop(d), 6).alias(f"std_{c}"),
+            F.sum(q.cast("decimal(38,0)")).alias(f"s_{c}"),
+            F.sum((q * q).cast("decimal(38,0)")).alias(f"ss_{c}"),
             F.min(d).alias(f"min_{c}"),
             F.max(d).alias(f"max_{c}"),
         ]
     wide = li.agg(*aggs)
+    moment_cols = []
+    for c in _LI_NUM:
+        mean_raw = (
+            F.col(f"s_{c}").cast("double") / F.col(f"cnt_{c}") / F.lit(100.0)
+        )
+        var_raw = (
+            F.col(f"ss_{c}").cast("double") / F.col(f"cnt_{c}") / F.lit(10000.0)
+            - mean_raw * mean_raw
+        )
+        moment_cols += [
+            F.round(mean_raw, 6).alias(f"avg_{c}"),
+            F.round(F.sqrt(F.greatest(var_raw, F.lit(0.0))), 6).alias(f"std_{c}"),
+        ]
+    wide = wide.select("*", *moment_cols)
     stack_args = ", ".join(
         f"'{c}', cnt_{c}, nul_{c}, avg_{c}, std_{c}, min_{c}, max_{c}"
         for c in _LI_NUM
