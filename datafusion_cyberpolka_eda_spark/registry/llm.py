@@ -6152,8 +6152,9 @@ def l57_semantic_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---- perceptual image near-dup dedup (l58, r8 verdict task 3) ----
 
-_L58_ORACLE = """
-    WITH d AS (
+# shared CTE body: closed-form pixels -> integer aHash fingerprints for
+# the base+twins asset family; used by l58 (pairs) and l61 (pipeline)
+_L58_CTES = """d AS (
       SELECT doc_id AS src, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
       FROM documents
     ),
@@ -6197,7 +6198,12 @@ _L58_ORACLE = """
     fp AS (
       SELECT aid, SUM(bit * (CAST(1 AS BIGINT) << k)) AS fp
       FROM bits GROUP BY aid
-    )
+    )"""
+
+_L58_ORACLE = (
+    "WITH "
+    + _L58_CTES
+    + """
     SELECT pa.aid AS id_a, pb.aid AS id_b,
            CAST(bit_count(xor(pa.fp, pb.fp)) AS BIGINT) AS hamming,
            CASE WHEN pb.aid - pa.aid = 8388608 THEN 'planted_gray'
@@ -6206,6 +6212,7 @@ _L58_ORACLE = """
     FROM fp pa JOIN fp pb ON pa.aid < pb.aid
     WHERE bit_count(xor(pa.fp, pb.fp)) <= 3
 """
+)
 
 
 @register("l58_image_phash_neardup", _L58_ORACLE)
@@ -6607,3 +6614,81 @@ def l60_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+# ---- image dedup pipeline end-to-end (l61) ----
+
+_L61_ORACLE = (
+    "WITH RECURSIVE "
+    + _L58_CTES
+    + """,
+    pairs AS (
+      SELECT pa.aid AS id_a, pb.aid AS id_b
+      FROM fp pa JOIN fp pb ON pa.aid < pb.aid
+      WHERE bit_count(xor(pa.fp, pb.fp)) <= 3
+    ),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(id, r) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, r.r FROM reach r JOIN edges e ON e.a = r.id
+    ),
+    comp AS (SELECT id AS asset_id, MIN(r) AS canonical_id FROM reach
+             GROUP BY id)
+    SELECT c.asset_id, c.canonical_id, cs.cluster_size,
+           c.asset_id = c.canonical_id AS is_survivor
+    FROM comp c
+    JOIN (SELECT canonical_id, COUNT(*) AS cluster_size
+          FROM comp GROUP BY canonical_id) cs USING (canonical_id)
+    """
+)
+
+
+@register("l61_image_dedup_pipeline", _L61_ORACLE)
+def l61_image_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END perceptual image dedup — the image counterpart of the
+    text pipeline (l23): decode -> aHash fingerprints -> banded hamming
+    pairs (l58's stages) -> HashMin connected components -> survivor
+    pick (min asset_id per cluster). This is the job an image-corpus
+    curation pipeline actually runs: the output maps every clustered
+    asset to its canonical survivor, ready for an anti-join drop of the
+    non-survivors. The oracle replays fingerprints closed-form,
+    brute-forces the pair scan, and resolves the transitive closure with
+    a recursive CTE — the iterative Spark component loop is hash-checked
+    end-to-end, not rows-only (the l11 discipline).
+
+    Scale shape: decode+hash map pass, band join on 16-byte rows,
+    HashMin label propagation = iterative join+groupBy-min with lineage
+    cuts (no driver-side graph); survivor pick is one aggregate. Cluster
+    sizes here are small (twins + organic near-dups), the HashMin
+    worst case (a giant component) is bounded by max_iter with the
+    same skew notes as l11. Ref parity: SURVEY §2 L dedup family."""
+    from datafusion_cyberpolka_eda_spark.operators.multimodal import (
+        N_AHASH_BITS,
+        ahash63_fingerprints,
+        make_ppm_neardup_assets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = ahash63_fingerprints(make_ppm_neardup_assets(docs)).localCheckpoint(
+        eager=True
+    )
+    pairs = D.fingerprint_near_pairs(fps, max_hamming=3, n_bits=N_AHASH_BITS)
+    comps = D.connected_components(pairs, "id_a", "id_b")
+    sizes = comps.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        comps.select(
+            F.col("id").alias("asset_id"), F.col("comp").alias("canonical_id")
+        )
+        .join(
+            F.broadcast(sizes.withColumnRenamed("comp", "canonical_id")),
+            "canonical_id",
+        )
+        .select(
+            "asset_id",
+            "canonical_id",
+            "cluster_size",
+            (F.col("asset_id") == F.col("canonical_id")).alias("is_survivor"),
+        )
+    )

@@ -1097,3 +1097,32 @@ class TestSemanticDecontamination:
         assert out["n_contaminated"].sum() == out["n_planted_caught"].sum()
         # eval split covers both families
         assert out["n_eval"].sum() > out["n_planted"].sum()
+
+
+class TestImageDedupPipeline:
+    """r9: end-to-end image dedup (l61) — composition invariants."""
+
+    def test_planted_twins_never_survive(self, spark):
+        """Twin asset ids are base + 2^23/2^24, so the min-id survivor of
+        any planted cluster is always the ORIGINAL asset — the curation
+        guarantee the pipeline exists for."""
+        from datafusion_cyberpolka_eda_spark.operators.multimodal import (
+            GRAY_TWIN_OFFSET,
+            PERTURB_TWIN_OFFSET,
+        )
+        from datafusion_cyberpolka_eda_spark.registry.llm import (
+            l61_image_dedup_pipeline,
+        )
+
+        out = l61_image_dedup_pipeline(spark, SF).toPandas()
+        twins = out[out["asset_id"] >= GRAY_TWIN_OFFSET]
+        assert len(twins) > 0
+        assert not twins["is_survivor"].any()
+        # every gray twin clusters with (at least) its base image
+        gray = out[
+            (out["asset_id"] >= GRAY_TWIN_OFFSET)
+            & (out["asset_id"] < PERTURB_TWIN_OFFSET)
+        ]
+        assert (
+            gray["canonical_id"] <= gray["asset_id"] - GRAY_TWIN_OFFSET
+        ).all()

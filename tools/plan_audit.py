@@ -296,6 +296,9 @@ def main() -> int:
     # cell equi-join; verification is a bounded candidate join — never
     # all-pairs
     check("l60_semantic_decontamination", absent=["CartesianProduct"])
+    # image dedup pipeline: banded pairs + iterative HashMin components —
+    # never all-pairs at any stage
+    check("l61_image_dedup_pipeline", absent=["CartesianProduct"])
 
     # incremental covariance: the increment scan must carry the pushed
     # vec_id >= cutoff predicate (day-1 vectors never re-read as vectors)
