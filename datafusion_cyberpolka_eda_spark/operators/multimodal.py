@@ -652,3 +652,105 @@ def ahash63_fingerprints(assets: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=["id", "fp"])
 
     return spread(assets).mapInPandas(op, schema="id long, fp long")
+
+
+# ---- audio energy fingerprints (the l58 pattern on WAV assets) ----
+
+AUDIO_SWAP_TWIN_OFFSET = 1 << 23  # in-frame pair-swapped twin: energy equal
+AUDIO_ZERO_TWIN_OFFSET = 1 << 24  # sample-0 zeroed twin: frame-0 energy shifts
+
+
+def make_wav_neardup_assets(docs: DataFrame) -> DataFrame:
+    """make_wav_assets plus PLANTED near-duplicate twins:
+
+      - every doc gets its base WAV (the l9d closed-form samples);
+      - doc_id % 3 == 0 additionally gets an ENERGY-PRESERVING twin
+        (asset_id = doc_id + AUDIO_SWAP_TWIN_OFFSET): adjacent sample
+        pairs (2j, 2j+1) are swapped wherever both land in the same
+        fingerprint frame — the payload bytes differ, but every frame's
+        energy is IDENTICAL (a permutation within the frame), so its
+        energy fingerprint equals the base's by construction;
+      - doc_id % 3 == 1 additionally gets a PERTURBED twin
+        (asset_id = doc_id + AUDIO_ZERO_TWIN_OFFSET): sample 0 zeroed —
+        frame 0's energy (and the global mean) shift, flipping only the
+        bits whose margin the shift crosses.
+
+    Pure functions of doc_id end-to-end; the oracle replays every
+    sample, frame energy, fingerprint, and pair relationally."""
+    import numpy as np
+
+    from datafusion_cyberpolka_eda_spark.sources.catalog import spread
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 100 + d % 50
+                k = np.arange(n, dtype=np.int64)
+                s = (d * 48271 + k * 16807) % 65536 - 32768
+                ids.append(d)
+                payloads.append(encode_wav(s))
+                if d % 3 == 0:
+                    partner = k ^ 1  # (2j, 2j+1) mutual partners
+                    same_frame = (partner < n) & (
+                        (k * 63) // n == (partner * 63) // n
+                    )
+                    twin = np.where(same_frame, s[np.minimum(partner, n - 1)], s)
+                    ids.append(d + AUDIO_SWAP_TWIN_OFFSET)
+                    payloads.append(encode_wav(twin))
+                if d % 3 == 1:
+                    twin = s.copy()
+                    twin[0] = 0
+                    ids.append(d + AUDIO_ZERO_TWIN_OFFSET)
+                    payloads.append(encode_wav(twin))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(ids, dtype="int64"),
+                    "modality": "audio",
+                    "payload": payloads,
+                    "mime": WAV_MIME,
+                }
+            )
+
+    return spread(docs.select("doc_id")).mapInPandas(
+        op,
+        schema="asset_id long, modality string, payload binary, mime string",
+    )
+
+
+def wav_energy_fingerprints(assets: DataFrame) -> DataFrame:
+    """63-bit audio energy fingerprints over REAL decoded PCM — the
+    audio sibling of ahash63_fingerprints, all integer math:
+
+      frame(i) = (i * 63) // n_samples          (63 contiguous frames)
+      e_k      = sum of x^2 over frame k        (exact int64)
+      bit k    = 1 iff e_k * n > total * len_k  (energy above the mean
+                 per-sample energy, cross-multiplied — no division)
+      fp       = sum(bit_k << k)
+
+    Output (id, fp) feeds fingerprint_near_pairs — the same pigeonhole
+    band join as text SimHash and image aHash. One decode+hash map pass;
+    payloads never shuffle."""
+    import numpy as np
+
+    from datafusion_cyberpolka_eda_spark.sources.catalog import spread
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                _fr, x = decode_wav(bytes(payload))
+                n = x.size
+                frame = (np.arange(n, dtype=np.int64) * 63) // n
+                e = np.zeros(63, dtype=np.int64)
+                np.add.at(e, frame, x * x)
+                lenk = np.bincount(frame, minlength=63).astype(np.int64)
+                total = int(e.sum())
+                k = np.arange(63, dtype=np.int64)
+                bits = (e * n > total * lenk).astype(np.int64)
+                fp = int((bits << k).sum())
+                rows.append((int(aid), fp))
+            yield pd.DataFrame(rows, columns=["id", "fp"])
+
+    return spread(assets).mapInPandas(op, schema="id long, fp long")

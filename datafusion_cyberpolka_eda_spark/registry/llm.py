@@ -6692,3 +6692,99 @@ def l61_image_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("asset_id") == F.col("canonical_id")).alias("is_survivor"),
         )
     )
+
+
+# ---- audio energy-fingerprint near-dup (l62) ----
+
+_L62_ORACLE = """
+    WITH d AS (SELECT doc_id AS src, 100 + doc_id % 50 AS n FROM documents),
+    a AS (
+      SELECT src, src AS aid, n, 0 AS variant FROM d
+      UNION ALL
+      SELECT src, src + 8388608, n, 1 FROM d WHERE src % 3 = 0
+      UNION ALL
+      SELECT src, src + 16777216, n, 2 FROM d WHERE src % 3 = 1
+    ),
+    -- sample i of each asset: base closed form; variant 1 swaps the
+    -- (2j, 2j+1) partner wherever both land in the same frame (an
+    -- energy-preserving permutation); variant 2 zeroes sample 0
+    s AS (
+      SELECT a.aid, a.n, p.i,
+        CASE
+          WHEN a.variant = 2 AND p.i = 0 THEN 0
+          WHEN a.variant = 1
+               AND (CASE WHEN p.i % 2 = 0 THEN p.i + 1 ELSE p.i - 1 END) < a.n
+               AND ((p.i * 63) // a.n) =
+                   (((CASE WHEN p.i % 2 = 0 THEN p.i + 1 ELSE p.i - 1 END)
+                     * 63) // a.n)
+          THEN ((a.src * 48271
+                 + (CASE WHEN p.i % 2 = 0 THEN p.i + 1 ELSE p.i - 1 END)
+                   * 16807) % 65536) - 32768
+          ELSE ((a.src * 48271 + p.i * 16807) % 65536) - 32768
+        END AS x
+      FROM a, LATERAL (SELECT unnest(generate_series(0, a.n - 1)) AS i) p
+    ),
+    f AS (SELECT aid, (i * 63) // n AS k, SUM(x * x) AS e, COUNT(*) AS c
+          FROM s GROUP BY aid, (i * 63) // n),
+    t AS (SELECT aid, SUM(e) AS total, SUM(c) AS n FROM f GROUP BY aid),
+    bits AS (
+      SELECT f.aid, f.k,
+             CASE WHEN f.e * t.n > t.total * f.c THEN 1 ELSE 0 END AS bit
+      FROM f JOIN t USING (aid)
+    ),
+    fp AS (
+      SELECT aid, SUM(bit * (CAST(1 AS BIGINT) << k)) AS fp
+      FROM bits GROUP BY aid
+    )
+    SELECT pa.aid AS id_a, pb.aid AS id_b,
+           CAST(bit_count(xor(pa.fp, pb.fp)) AS BIGINT) AS hamming,
+           CASE WHEN pb.aid - pa.aid = 8388608 THEN 'planted_swap'
+                WHEN pb.aid - pa.aid = 16777216 THEN 'planted_zeroed'
+                ELSE 'organic' END AS kind
+    FROM fp pa JOIN fp pb ON pa.aid < pb.aid
+    WHERE bit_count(xor(pa.fp, pb.fp)) <= 3
+"""
+
+
+@register("l62_audio_fingerprint_neardup", _L62_ORACLE)
+def l62_audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCEPTUAL audio near-dup dedup — the WAV sibling of l58: decode
+    every payload with the REAL stdlib RIFF parser, fingerprint each
+    clip with 63 integer frame-energy bits (energy above the per-sample
+    mean, cross-multiplied — no float anywhere), and find all pairs
+    within hamming <= 3 through the shared pigeonhole band join.
+    Planted energy-preserving twins (in-frame sample-pair swaps) are
+    byte-different but fingerprint-equal BY CONSTRUCTION — the
+    structural-recall discipline from l58 — and zeroed-sample twins
+    exercise the nonzero-hamming paths. The oracle replays samples,
+    frame energies, fingerprints, and an exhaustive pair scan from the
+    closed-form generator: the banded plan is checked for completeness
+    as well as exactness.
+
+    Scale shape: identical to l58 — one decode+hash map pass, a
+    16-byte-row band join, map-side xor verification. With image
+    (l58), audio (l62), and text (l4b) all feeding
+    fingerprint_near_pairs, one banding engine serves every modality.
+    Ref parity: SURVEY §2 L multimodal + dedup families."""
+    from datafusion_cyberpolka_eda_spark.operators.multimodal import (
+        AUDIO_SWAP_TWIN_OFFSET,
+        AUDIO_ZERO_TWIN_OFFSET,
+        make_wav_neardup_assets,
+        wav_energy_fingerprints,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = wav_energy_fingerprints(make_wav_neardup_assets(docs)).localCheckpoint(
+        eager=True
+    )
+    pairs = D.fingerprint_near_pairs(fps, max_hamming=3, n_bits=63)
+    delta = F.col("id_b") - F.col("id_a")
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.col("hamming").cast("bigint").alias("hamming"),
+        F.when(delta == AUDIO_SWAP_TWIN_OFFSET, "planted_swap")
+        .when(delta == AUDIO_ZERO_TWIN_OFFSET, "planted_zeroed")
+        .otherwise("organic")
+        .alias("kind"),
+    )

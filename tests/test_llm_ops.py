@@ -1126,3 +1126,43 @@ class TestImageDedupPipeline:
         assert (
             gray["canonical_id"] <= gray["asset_id"] - GRAY_TWIN_OFFSET
         ).all()
+
+
+class TestAudioFingerprintNearDup:
+    """r9: audio energy-fingerprint near-dup (l62)."""
+
+    def test_planted_swap_recall_is_total(self, spark, docs):
+        """Every doc_id % 3 == 0 must surface as a planted_swap pair at
+        hamming 0 — the energy-preserving permutation guarantees equal
+        fingerprints structurally."""
+        from datafusion_cyberpolka_eda_spark.registry.llm import (
+            l62_audio_fingerprint_neardup,
+        )
+
+        out = l62_audio_fingerprint_neardup(spark, SF).toPandas()
+        swap = out[out["kind"] == "planted_swap"]
+        expected = {
+            r["doc_id"]
+            for r in docs.filter(F.col("doc_id") % 3 == 0).collect()
+        }
+        assert set(swap["id_a"]) == expected
+        assert (swap["hamming"] == 0).all()
+
+    def test_swap_twin_payload_differs(self):
+        """The twin must be byte-different (else it tests nothing)."""
+        import numpy as np
+
+        from datafusion_cyberpolka_eda_spark.operators.multimodal import (
+            decode_wav,
+            encode_wav,
+        )
+
+        d, n = 6, 106
+        k = np.arange(n, dtype=np.int64)
+        s = (d * 48271 + k * 16807) % 65536 - 32768
+        partner = k ^ 1
+        same = (partner < n) & ((k * 63) // n == (partner * 63) // n)
+        twin = np.where(same, s[np.minimum(partner, n - 1)], s)
+        assert (twin != s).any()
+        _, back = decode_wav(encode_wav(twin))
+        assert (back == twin).all()

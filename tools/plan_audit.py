@@ -299,6 +299,8 @@ def main() -> int:
     # image dedup pipeline: banded pairs + iterative HashMin components —
     # never all-pairs at any stage
     check("l61_image_dedup_pipeline", absent=["CartesianProduct"])
+    # audio near-dup: same shared banding engine — never all-pairs
+    check("l62_audio_fingerprint_neardup", absent=["CartesianProduct"])
 
     # incremental covariance: the increment scan must carry the pushed
     # vec_id >= cutoff predicate (day-1 vectors never re-read as vectors)
