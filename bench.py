@@ -426,12 +426,20 @@ def wrapper() -> int:
         bufsize=1,
     )
     err_lines: list[str] = []
+    fwd_flags: list[bool] = []  # which lines the live filter forwarded
+
+    # executor/task errors only — anchored so JVM shutdown noise
+    # (log4j2 "ERROR StatusLogger ..." lines) stays dropped (r9 advice)
+    import re as _re
+
+    err_re = _re.compile(r"(?:^|\s)ERROR\s+(?!StatusLogger\b)\S")
 
     def pump_err():
         in_tb = False
         for line in proc.stderr:
             err_lines.append(line)
             s = line.rstrip("\n")
+            fwd = True
             if s.startswith("WARNING:"):
                 in_tb = False
                 print(s, file=sys.stderr, flush=True)
@@ -444,8 +452,11 @@ def wrapper() -> int:
                 print(s, file=sys.stderr, flush=True)
                 if s and not s.startswith((" ", "\t")):
                     in_tb = False
-            elif "ERROR" in s:
+            elif err_re.search(s):
                 print(s, file=sys.stderr, flush=True)
+            else:
+                fwd = False
+            fwd_flags.append(fwd)
 
     def pump_out():
         for line in proc.stdout:
@@ -460,9 +471,13 @@ def wrapper() -> int:
     te.join()
     to.join()
     if proc.returncode != 0:
-        # a crashed child must stay attributable: forward its stderr
-        # tail verbatim (the live filter above may have dropped context)
-        sys.stderr.write("".join(err_lines)[-4000:])
+        # a crashed child must stay attributable: forward the stderr
+        # tail the live filter DROPPED (already-forwarded lines are not
+        # re-printed — r9 advice)
+        dropped = [
+            l for l, fwd in zip(err_lines, fwd_flags) if not fwd
+        ] + err_lines[len(fwd_flags):]
+        sys.stderr.write("".join(dropped)[-4000:])
     return proc.returncode
 
 

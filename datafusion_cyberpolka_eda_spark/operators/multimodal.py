@@ -580,6 +580,12 @@ def make_ppm_neardup_assets(docs: DataFrame) -> DataFrame:
             ids, payloads = [], []
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
+                if not (0 <= d < GRAY_TWIN_OFFSET):
+                    raise ValueError(
+                        f"doc_id {d} outside [0, {GRAY_TWIN_OFFSET}): twin "
+                        "asset ids (doc_id + 2^23/2^24) would collide with "
+                        "other docs' ids and corrupt the kind classification"
+                    )
                 w, h = 4 + d % 5, 3 + d % 4
                 k = np.arange(w * h * 3, dtype=np.int64)
                 v = ((d * 2654435761 + k * 40503) % 256).astype(np.uint8)
@@ -686,6 +692,13 @@ def make_wav_neardup_assets(docs: DataFrame) -> DataFrame:
             ids, payloads = [], []
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
+                if not (0 <= d < AUDIO_SWAP_TWIN_OFFSET):
+                    raise ValueError(
+                        f"doc_id {d} outside [0, {AUDIO_SWAP_TWIN_OFFSET}): "
+                        "twin asset ids (doc_id + 2^23/2^24) would collide "
+                        "with other docs' ids and corrupt the kind "
+                        "classification"
+                    )
                 n = 100 + d % 50
                 k = np.arange(n, dtype=np.int64)
                 s = (d * 48271 + k * 16807) % 65536 - 32768

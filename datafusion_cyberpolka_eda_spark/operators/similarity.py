@@ -1060,9 +1060,13 @@ def lloyd_kmeans_distributed(
             .collect()
         )
         agg = {(r["cluster"], r["i"]): (r["s"], r["n"]) for r in rows}
+        # float(s) FIRST, then divide — the oracle computes
+        # CAST(SUM AS DOUBLE) / COUNT, so matching its op order keeps
+        # the update identical even past 2^53 where Python's exact-
+        # rational int/int division would diverge (r9 advice)
         cent = [
             [
-                math.floor(agg[(j, i)][0] / agg[(j, i)][1])
+                math.floor(float(agg[(j, i)][0]) / agg[(j, i)][1])
                 if (j, i) in agg
                 else cent[j][i]
                 for i in range(dim)

@@ -6492,6 +6492,15 @@ def l60_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell-bucketed join whose volume tracks cell co-occupancy, not
     corpus^2. 100 TB-safe. Ref anchor: l41 store + l30 output shape."""
     emb = spread(load_table(spark, sf_dir, "embeddings"))
+    # the oracle replays the component-reversed clean evals with a
+    # hard-coded dim-64 index (b.i = 63 - a.i) while F.reverse below
+    # works for any dim — fail loudly rather than silently diverge if
+    # the embeddings table ever changes dim (r9 advice)
+    dim = emb.select(F.size("embedding").alias("d")).first()["d"]
+    if dim != 64:
+        raise ValueError(
+            f"l60 oracle assumes embedding dim 64, table has {dim}"
+        )
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     q = emb.select(
         F.col("vec_id").alias("id"),

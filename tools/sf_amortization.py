@@ -159,17 +159,24 @@ def measure(spark, sf_dir: str, label: str, reps: int) -> dict:
             import threading
 
             done = threading.Event()
+            # the lock makes check-then-interrupt atomic vs done.set():
+            # without it the timer can pass the is_set() check just as
+            # fetchall() returns, then interrupt() lands on the
+            # connection after the query finished (r9 advice)
+            intr_lock = threading.Lock()
 
             def _interrupt():
-                if not done.is_set():
-                    getattr(con, "interrupt", lambda: None)()
+                with intr_lock:
+                    if not done.is_set():
+                        getattr(con, "interrupt", lambda: None)()
 
             timer = threading.Timer(ORACLE_TIMEOUT_SEC, _interrupt)
             timer.start()
             try:
                 con.sql(os_[name]).fetchall()
             finally:
-                done.set()
+                with intr_lock:
+                    done.set()
                 timer.cancel()
             du = time.perf_counter() - t0
         except Exception as ex:  # spill cap / OOM / timeout: DNF, keep going
