@@ -6705,8 +6705,10 @@ def l61_image_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---- audio energy-fingerprint near-dup (l62) ----
 
-_L62_ORACLE = """
-    WITH d AS (SELECT doc_id AS src, 100 + doc_id % 50 AS n FROM documents),
+# shared CTE body: closed-form PCM samples -> integer frame-energy
+# fingerprints for the base+twins asset family; used by l62 (pairs)
+# and l63 (pipeline) — the _L58_CTES convention for audio
+_L62_CTES = """d AS (SELECT doc_id AS src, 100 + doc_id % 50 AS n FROM documents),
     a AS (
       SELECT src, src AS aid, n, 0 AS variant FROM d
       UNION ALL
@@ -6744,7 +6746,12 @@ _L62_ORACLE = """
     fp AS (
       SELECT aid, SUM(bit * (CAST(1 AS BIGINT) << k)) AS fp
       FROM bits GROUP BY aid
-    )
+    )"""
+
+_L62_ORACLE = (
+    "WITH "
+    + _L62_CTES
+    + """
     SELECT pa.aid AS id_a, pb.aid AS id_b,
            CAST(bit_count(xor(pa.fp, pb.fp)) AS BIGINT) AS hamming,
            CASE WHEN pb.aid - pa.aid = 8388608 THEN 'planted_swap'
@@ -6753,6 +6760,7 @@ _L62_ORACLE = """
     FROM fp pa JOIN fp pb ON pa.aid < pb.aid
     WHERE bit_count(xor(pa.fp, pb.fp)) <= 3
 """
+)
 
 
 @register("l62_audio_fingerprint_neardup", _L62_ORACLE)
@@ -6796,4 +6804,81 @@ def l62_audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame
         .when(delta == AUDIO_ZERO_TWIN_OFFSET, "planted_zeroed")
         .otherwise("organic")
         .alias("kind"),
+    )
+
+
+# ---- audio dedup pipeline end-to-end (l63, r9 verdict task 4a) ----
+
+_L63_ORACLE = (
+    "WITH RECURSIVE "
+    + _L62_CTES
+    + """,
+    pairs AS (
+      SELECT pa.aid AS id_a, pb.aid AS id_b
+      FROM fp pa JOIN fp pb ON pa.aid < pb.aid
+      WHERE bit_count(xor(pa.fp, pb.fp)) <= 3
+    ),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(id, r) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, r.r FROM reach r JOIN edges e ON e.a = r.id
+    ),
+    comp AS (SELECT id AS asset_id, MIN(r) AS canonical_id FROM reach
+             GROUP BY id)
+    SELECT c.asset_id, c.canonical_id, cs.cluster_size,
+           c.asset_id = c.canonical_id AS is_survivor
+    FROM comp c
+    JOIN (SELECT canonical_id, COUNT(*) AS cluster_size
+          FROM comp GROUP BY canonical_id) cs USING (canonical_id)
+    """
+)
+
+
+@register("l63_audio_dedup_pipeline", _L63_ORACLE)
+def l63_audio_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END audio dedup — the WAV counterpart of the image
+    pipeline (l61) and the text pipeline (l23): decode -> frame-energy
+    fingerprints -> banded hamming pairs (l62's stages) -> HashMin
+    connected components -> survivor pick (min asset_id per cluster).
+    Output maps every clustered clip to its canonical survivor, ready
+    for an anti-join drop of the non-survivors. The oracle replays
+    samples/fingerprints closed-form, brute-forces the pair scan, and
+    resolves the transitive closure with a recursive CTE — the
+    iterative Spark component loop is hash-checked end-to-end (the
+    l61/l11 discipline).
+
+    Scale shape: identical to l61 — decode+hash map pass (payloads
+    never shuffle), band join on 16-byte rows, HashMin label
+    propagation with lineage cuts, one aggregate for the survivor
+    pick. With l23 (text), l61 (image), and this entry, every modality
+    has the same three-stage dedup pipeline on the one shared banding
+    engine. Ref parity: SURVEY §2 L dedup + multimodal families."""
+    from datafusion_cyberpolka_eda_spark.operators.multimodal import (
+        make_wav_neardup_assets,
+        wav_energy_fingerprints,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = wav_energy_fingerprints(make_wav_neardup_assets(docs)).localCheckpoint(
+        eager=True
+    )
+    pairs = D.fingerprint_near_pairs(fps, max_hamming=3, n_bits=63)
+    comps = D.connected_components(pairs, "id_a", "id_b")
+    sizes = comps.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        comps.select(
+            F.col("id").alias("asset_id"), F.col("comp").alias("canonical_id")
+        )
+        .join(
+            F.broadcast(sizes.withColumnRenamed("comp", "canonical_id")),
+            "canonical_id",
+        )
+        .select(
+            "asset_id",
+            "canonical_id",
+            "cluster_size",
+            (F.col("asset_id") == F.col("canonical_id")).alias("is_survivor"),
+        )
     )

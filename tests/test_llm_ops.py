@@ -375,6 +375,31 @@ class TestConnectedComponents:
             30: 30, 31: 30,
         }
 
+    def test_long_path_converges_within_log_rounds(self, spark):
+        """A 200-node path (diameter 199) must resolve well inside the
+        default max_iter=25 — the component-rendezvous step makes
+        convergence O(log n) rounds, not O(diameter). Plain HashMin
+        stalled on exactly this shape (a 431-node audio near-dup
+        component at sf0.1, r10); ids are descending so the min label
+        has to travel the full path length."""
+        import pandas as pd
+
+        n = 200
+        edges = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    # path n, n-1, ..., 1, 0: min id at the far end
+                    "id_a": list(range(n, 0, -1)),
+                    "id_b": list(range(n - 1, -1, -1)),
+                }
+            )
+        )
+        comps = {
+            r["id"]: r["comp"]
+            for r in D.connected_components(edges, "id_a", "id_b").collect()
+        }
+        assert comps == {i: 0 for i in range(n + 1)}
+
     def test_edge_order_invariance(self, spark):
         """Reversed/duplicated edges change nothing (undirected semantics)."""
         import pandas as pd

@@ -301,6 +301,9 @@ def main() -> int:
     check("l61_image_dedup_pipeline", absent=["CartesianProduct"])
     # audio near-dup: same shared banding engine — never all-pairs
     check("l62_audio_fingerprint_neardup", absent=["CartesianProduct"])
+    # --- r10 entries ---
+    # audio dedup pipeline: banded pairs + rendezvous HashMin components
+    check("l63_audio_dedup_pipeline", absent=["CartesianProduct"])
 
     # incremental covariance: the increment scan must carry the pushed
     # vec_id >= cutoff predicate (day-1 vectors never re-read as vectors)
