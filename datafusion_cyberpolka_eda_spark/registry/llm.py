@@ -6882,3 +6882,156 @@ def l63_audio_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("asset_id") == F.col("canonical_id")).alias("is_survivor"),
         )
     )
+
+
+# ---- incremental multimodal fingerprint stores (l66/l67, r9 verdict
+# task 3): the l31 persisted-store pattern over the l58/l62
+# fingerprints. (session, sf_dir, modality, data fingerprint) ->
+# (cutoff, persisted parquet path).
+_MM_FP_STORE_CACHE: dict[str, tuple[int, str]] = {}
+
+
+def _mm_fp_store(
+    spark: SparkSession, sf_dir: str, modality: str
+) -> tuple[int, str]:
+    """Build ONCE per (session, data, modality) the persisted day-1
+    fingerprint store — (id, fp) rows for every asset whose SOURCE doc
+    sits below the 80% cutoff, decoded and hashed exactly once and
+    written to parquet the way a daily asset-ingest job persists them.
+    Day-2 calls read the store back instead of re-decoding old
+    payloads — the entire point of the incremental shape. Memoized with
+    the same data fingerprint as the other stores so in-session
+    testdata regeneration invalidates it."""
+    key = (
+        f"{spark.sparkContext.applicationId}:{sf_dir}:{modality}:"
+        f"{_docs_fingerprint(sf_dir)}"
+    )
+    if key in _MM_FP_STORE_CACHE:
+        return _MM_FP_STORE_CACHE[key]
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from datafusion_cyberpolka_eda_spark.operators.multimodal import (
+        ahash63_fingerprints,
+        make_ppm_neardup_assets,
+        make_wav_neardup_assets,
+        wav_energy_fingerprints,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    cutoff = int(0.8 * (max_id + 1))
+    day1 = docs.filter(F.col("doc_id") < cutoff)
+    if modality == "image":
+        fps = ahash63_fingerprints(make_ppm_neardup_assets(day1))
+    elif modality == "audio":
+        fps = wav_energy_fingerprints(make_wav_neardup_assets(day1))
+    else:
+        raise ValueError(f"unknown modality {modality!r}")
+    out = tempfile.mkdtemp(prefix=f"{modality}_fp_store_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    path = os.path.join(out, "store.parquet")
+    fps.write.mode("overwrite").parquet(path)
+    _MM_FP_STORE_CACHE[key] = (cutoff, path)
+    return _MM_FP_STORE_CACHE[key]
+
+
+def _mm_incremental_oracle(ctes: str) -> str:
+    """Full-corpus closed-form fingerprint replay + exhaustive pair
+    scan RESTRICTED to pairs with >= 1 new asset — the l31 oracle shape
+    over a fingerprint CTE family (_L58_CTES or _L62_CTES). An asset is
+    new iff its SOURCE doc id (asset_id mod 2^23 — twin offsets are
+    2^23 and 2^24, both = 0 mod 2^23) is at or above the 80% cutoff."""
+    return (
+        "WITH "
+        + ctes
+        + """,
+    cut AS (
+      SELECT CAST(FLOOR(0.8 * (MAX(doc_id) + 1)) AS BIGINT) AS c
+      FROM documents
+    )
+    SELECT pa.aid AS id_a, pb.aid AS id_b,
+           CAST(bit_count(xor(pa.fp, pb.fp)) AS BIGINT) AS hamming,
+           CASE WHEN pa.aid % 8388608 >= (SELECT c FROM cut)
+                 AND pb.aid % 8388608 >= (SELECT c FROM cut)
+                THEN 'new_new' ELSE 'new_old' END AS kind
+    FROM fp pa JOIN fp pb ON pa.aid < pb.aid
+    WHERE bit_count(xor(pa.fp, pb.fp)) <= 3
+      AND (pa.aid % 8388608 >= (SELECT c FROM cut)
+           OR pb.aid % 8388608 >= (SELECT c FROM cut))
+    """
+    )
+
+
+@register("l66_incremental_image_neardup", _mm_incremental_oracle(_L58_CTES))
+def l66_incremental_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental perceptual image dedup — the l31 daily-pipeline shape
+    over the l58 aHash fingerprints (r9 verdict task 3): day-1 assets
+    (source doc below the 80% cutoff) have their fingerprints PERSISTED
+    to parquet (built once per session — _mm_fp_store); the day-2
+    increment decodes and hashes ONLY its own payloads (the doc_id >=
+    cutoff predicate is pushed into the documents scan; a no-day-1-
+    decode plan test pins this), band-joins increment vs
+    store+increment, and emits every near-dup pair involving >= 1 new
+    asset, tagged new_new/new_old.
+
+    Because a fingerprint is a pure per-asset function, the result
+    equals the full-corpus banded pair set restricted to >= 1 new id —
+    exactly what the oracle computes (closed-form pixel/fingerprint
+    replay + exhaustive pair scan + cutoff classification), so the
+    incremental path is value-hash-checked against the from-scratch
+    semantics it must preserve, completeness included.
+
+    Scale shape: store grows by |increment| rows/day, no old payload is
+    ever re-decoded, and the band join's shuffle carries 16-byte rows
+    (bucket the store by band key at 100 TB). Text (l31), image (this),
+    and audio (l67) increments now all ride the same store discipline.
+    Ref parity: SURVEY §2 L dedup + multimodal families."""
+    from datafusion_cyberpolka_eda_spark.operators.multimodal import (
+        N_AHASH_BITS,
+        ahash63_fingerprints,
+        make_ppm_neardup_assets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    cutoff, store_path = _mm_fp_store(spark, sf_dir, "image")
+    store = spark.read.parquet(store_path)
+    new_docs = docs.filter(F.col("doc_id") >= cutoff)
+    new_fps = ahash63_fingerprints(
+        make_ppm_neardup_assets(new_docs)
+    ).localCheckpoint(eager=True)
+    pairs = D.incremental_fingerprint_pairs(
+        new_fps, store, max_hamming=3, n_bits=N_AHASH_BITS
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming"), "kind"
+    )
+
+
+@register("l67_incremental_audio_neardup", _mm_incremental_oracle(_L62_CTES))
+def l67_incremental_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental audio dedup — the l66 store discipline over the l62
+    frame-energy fingerprints: day-1 clip fingerprints persisted once,
+    the day-2 increment decodes only its own WAV payloads and band-joins
+    against store+increment. Same oracle shape (full closed-form replay
+    restricted to >= 1-new pairs); same scale story. See l66."""
+    from datafusion_cyberpolka_eda_spark.operators.multimodal import (
+        make_wav_neardup_assets,
+        wav_energy_fingerprints,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    cutoff, store_path = _mm_fp_store(spark, sf_dir, "audio")
+    store = spark.read.parquet(store_path)
+    new_docs = docs.filter(F.col("doc_id") >= cutoff)
+    new_fps = wav_energy_fingerprints(
+        make_wav_neardup_assets(new_docs)
+    ).localCheckpoint(eager=True)
+    pairs = D.incremental_fingerprint_pairs(
+        new_fps, store, max_hamming=3, n_bits=63
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming"), "kind"
+    )

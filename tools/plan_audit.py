@@ -304,6 +304,9 @@ def main() -> int:
     # --- r10 entries ---
     # audio dedup pipeline: banded pairs + rendezvous HashMin components
     check("l63_audio_dedup_pipeline", absent=["CartesianProduct"])
+    # incremental fingerprint stores: increment-vs-store band equi-joins
+    check("l66_incremental_image_neardup", absent=["CartesianProduct"])
+    check("l67_incremental_audio_neardup", absent=["CartesianProduct"])
 
     # incremental covariance: the increment scan must carry the pushed
     # vec_id >= cutoff predicate (day-1 vectors never re-read as vectors)
