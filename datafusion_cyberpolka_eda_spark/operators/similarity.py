@@ -1032,11 +1032,37 @@ def lloyd_kmeans_distributed(
     TB the vector scan dominates and the pattern holds.
     Ref anchor: similarity.py train_centroids_on_sample (the bounded-
     sample trainer this complements), SURVEY §2 L ANN family."""
+    q = _lloyd_q_vectors(df, id_col, vec_col).localCheckpoint(eager=True)
+    cent = lloyd_kmeans_q(q, k=k, iters=iters)
+    stats = (
+        q.withColumn("dists", _lloyd_dists(cent))
+        .select(
+            (F.array_position(F.col("dists"), F.array_min("dists")) - 1)
+            .cast("long")
+            .alias("cluster"),
+            F.array_min("dists").alias("dmin"),
+        )
+        .groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum("dmin").alias("inertia_q"),
+        )
+    )
+    return cent, stats
+
+
+def lloyd_kmeans_q(q: DataFrame, k: int = 8, iters: int = 3) -> list[list[int]]:
+    """The Lloyd superstep loop on a PRE-QUANTIZED (id, q array<long>)
+    frame — factored out of lloyd_kmeans_distributed so callers that
+    synthesize quantized vectors directly (SemDeDup's planted twins,
+    l65) train on exactly the same integer-exact machinery. ``q``
+    should be checkpointed by the caller (it is scanned once per
+    superstep). Returns the final quantized centroids; see
+    lloyd_kmeans_distributed for the determinism and scale story."""
     import math
 
     from datafusion_cyberpolka_eda_spark.functions.hashing import md5_hash64
 
-    q = _lloyd_q_vectors(df, id_col, vec_col).localCheckpoint(eager=True)
     seeds = (
         q.select("id", "q", md5_hash64(F.col("id").cast("string")).alias("h"))
         .orderBy("h", "id")
@@ -1073,21 +1099,20 @@ def lloyd_kmeans_distributed(
             ]
             for j in range(k)
         ]
-    stats = (
-        q.withColumn("dists", _lloyd_dists(cent))
-        .select(
-            (F.array_position(F.col("dists"), F.array_min("dists")) - 1)
-            .cast("long")
-            .alias("cluster"),
-            F.array_min("dists").alias("dmin"),
-        )
-        .groupBy("cluster")
-        .agg(
-            F.count("*").alias("n_members"),
-            F.sum("dmin").alias("inertia_q"),
-        )
+    return cent
+
+
+def lloyd_assign_q(q: DataFrame, cent_q) -> DataFrame:
+    """(id, cluster): exact integer argmin assignment of pre-quantized
+    vectors against the given quantized centroids, ties to the smallest
+    centroid index — the same assignment rule the training supersteps
+    use, exposed for post-training cluster bucketing (SemDeDup)."""
+    return q.withColumn("dists", _lloyd_dists(cent_q)).select(
+        "id",
+        (F.array_position(F.col("dists"), F.array_min("dists")) - 1)
+        .cast("long")
+        .alias("cluster"),
     )
-    return cent, stats
 
 
 def lloyd_centroids_unit(cent_q) -> list[list[float]]:

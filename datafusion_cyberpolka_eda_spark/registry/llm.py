@@ -7035,3 +7035,240 @@ def l67_incremental_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame
     return pairs.select(
         "id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming"), "kind"
     )
+
+
+# ---- SemDeDup: cluster-bucketed semantic near-dup pruning (l65,
+# r9 verdict task 2) ----
+
+SEMDEDUP_TWIN_OFFSET = 1 << 23  # planted near-dup twin ids; vec_id domain-checked
+
+
+def _l65_oracle(k: int = 8, iters: int = 3) -> str:
+    """Unrolled MATERIALIZED-CTE replay of the full SemDeDup recipe:
+    the l59 Lloyd unroll over the EXTENDED vector set (corpus union
+    planted epsilon-twins), a final assignment pass, an in-cluster
+    exhaustive pair scan with the exact-integer cosine compare, and the
+    greedy keep-one-per-ball policy (pruned iff a smaller-id in-cluster
+    neighbor sits within the ball). Every intermediate is integer
+    except the floor(sum/count) centroid updates and the one threshold
+    compare per pair — the l59/l60 determinism recipe verbatim."""
+    ctes = [
+        f"""
+    eb AS MATERIALIZED (
+      SELECT vec_id, i - 1 AS i,
+             CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 100000.0) AS BIGINT)
+               AS q
+      FROM embeddings,
+           LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) s
+    ),
+    -- corpus + planted twins: component-wise +-3 deterministic noise,
+    -- same direction (cosine ~ 1 - 1e-9, far above tau); twin ids are
+    -- base + 2^23, matching the Spark constant
+    e AS MATERIALIZED (
+      SELECT vec_id, i, q FROM eb
+      UNION ALL
+      SELECT vec_id + {SEMDEDUP_TWIN_OFFSET}, i,
+             q + ((vec_id * 31 + i * 17) % 7 - 3)
+      FROM eb WHERE vec_id % 9 = 4
+    ),
+    seeds AS (
+      SELECT vec_id, rk - 1 AS j FROM (
+        SELECT vec_id, ROW_NUMBER() OVER (ORDER BY
+          ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+          vec_id) AS rk
+        FROM (SELECT DISTINCT vec_id FROM e) ids) t WHERE rk <= {k}
+    ),
+    c0 AS MATERIALIZED (SELECT s.j, e.i, e.q AS c FROM seeds s JOIN e USING (vec_id))"""
+    ]
+    for t in range(1, iters + 1):
+        prev = f"c{t - 1}"
+        ctes.append(f"""
+    a{t} AS MATERIALIZED (
+      SELECT vec_id, j FROM (
+        SELECT d.vec_id, d.j,
+               ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY d.d, d.j)
+                 AS rk
+        FROM (SELECT e.vec_id, c.j, SUM((e.q - c.c) * (e.q - c.c)) AS d
+              FROM e JOIN {prev} c USING (i) GROUP BY e.vec_id, c.j) d) t
+      WHERE rk = 1
+    ),
+    c{t} AS MATERIALIZED (
+      SELECT b.j, b.i, COALESCE(u.c, b.c) AS c
+      FROM {prev} b LEFT JOIN (
+        SELECT a.j, e.i,
+               CAST(FLOOR(CAST(SUM(e.q) AS DOUBLE) / COUNT(*)) AS BIGINT)
+                 AS c
+        FROM a{t} a JOIN e ON e.vec_id = a.vec_id GROUP BY a.j, e.i) u
+      ON u.j = b.j AND u.i = b.i
+    )""")
+    final = f"c{iters}"
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f""",
+    fin AS MATERIALIZED (
+      SELECT vec_id, j FROM (
+        SELECT d.vec_id, d.j,
+               ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY d.d, d.j)
+                 AS rk
+        FROM (SELECT e.vec_id, c.j, SUM((e.q - c.c) * (e.q - c.c)) AS d
+              FROM e JOIN {final} c USING (i) GROUP BY e.vec_id, c.j) d) t
+      WHERE rk = 1
+    ),
+    n2 AS MATERIALIZED (SELECT vec_id, SUM(q * q) AS n2 FROM e GROUP BY vec_id),
+    -- in-cluster pairs only (the SemDeDup candidate rule), exact
+    -- integer dot, one IEEE threshold compare per pair
+    near AS (
+      SELECT d.id_a, d.id_b FROM (
+        SELECT f1.vec_id AS id_a, f2.vec_id AS id_b,
+               SUM(ea.q * eb2.q) AS dot
+        FROM fin f1 JOIN fin f2 ON f2.j = f1.j AND f2.vec_id > f1.vec_id
+        JOIN e ea ON ea.vec_id = f1.vec_id
+        JOIN e eb2 ON eb2.vec_id = f2.vec_id AND eb2.i = ea.i
+        GROUP BY f1.vec_id, f2.vec_id) d
+      JOIN n2 a ON a.vec_id = d.id_a
+      JOIN n2 b ON b.vec_id = d.id_b
+      WHERE d.dot > 0 AND CAST(d.dot AS DOUBLE) >=
+            0.999 * (SQRT(CAST(a.n2 AS DOUBLE)) * SQRT(CAST(b.n2 AS DOUBLE)))
+    ),
+    pruned AS (SELECT DISTINCT id_b AS vec_id FROM near),
+    members AS (
+      SELECT f.vec_id, f.j AS cluster, p.vec_id IS NULL AS is_kept
+      FROM fin f LEFT JOIN pruned p USING (vec_id)
+    ),
+    cs AS (SELECT cluster, COUNT(*) AS n_members,
+                  SUM(CASE WHEN is_kept THEN 0 ELSE 1 END) AS n_pruned
+           FROM members GROUP BY cluster)
+    SELECT m.vec_id, CAST(m.cluster AS BIGINT) AS cluster,
+           m.vec_id >= {SEMDEDUP_TWIN_OFFSET} AS is_twin, m.is_kept,
+           CAST(cs.n_members AS BIGINT) AS n_members,
+           CAST(cs.n_pruned AS BIGINT) AS n_pruned
+    FROM members m JOIN cs USING (cluster)
+    """
+    )
+
+
+@register("l65_semdedup", _l65_oracle(8, 3))
+def l65_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup — embedding-level corpus pruning over k-means cluster
+    buckets (r9 verdict task 2; the published recipe: cluster the
+    corpus, then keep one document per epsilon-ball WITHIN each
+    cluster). Composes the two pieces the repo already proves out
+    separately: l59's integer-exact distributed Lloyd trainer
+    (similarity.lloyd_kmeans_q on the extended vector set) and the
+    l60-style exact integer cosine verify.
+
+      corpus    : quantized embeddings UNION planted epsilon-twins
+                  (vec_id % 9 == 4 -> twin id = vec_id + 2^23 with
+                  component-wise +-3 deterministic noise — cosine
+                  ~ 1-1e-9 vs base, so twin recall is structural);
+      clusters  : Lloyd k=8 x 3 supersteps over the extended set, then
+                  one exact-argmin assignment pass (lloyd_assign_q);
+      candidates: same-cluster pairs ONLY — candidate volume is
+                  sum(cluster_size^2), never corpus^2, and the
+                  inertia/balance l59 measures is exactly what bounds
+                  it;
+      prune     : exact int64 dot/norms, near iff dot > 0 and
+                  dot >= 0.999 * sqrt(na) * sqrt(nb) (one identical
+                  IEEE compare per pair); greedy keep-one-per-ball =
+                  drop any vector with a smaller-id in-cluster
+                  neighbor within the ball (the l29 min-id survivor
+                  policy, fully relational — no recursion).
+
+    Output: one row per vector (vec_id, cluster, is_twin, is_kept)
+    joined with per-cluster (n_members, n_pruned) — pruning recall is a
+    MEASURED column set, not a pinned boolean. The oracle replays the
+    entire recipe: Lloyd unroll over the extended set, assignment,
+    exhaustive in-cluster pair scan, and the keep policy.
+
+    Scale shape: training is O(k*dim) communication per superstep;
+    assignment is one literal-expression map pass; the pair stage
+    shuffles on the cluster key and carries the quantized vectors once
+    (at 100 TB: repartition by cluster, compute dots within partitions,
+    AQE skew-split for fat clusters). Ref anchor: similarity.py
+    lloyd_kmeans_q; registry l59/l60/l29."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    mx = emb.agg(F.max("vec_id")).first()[0]
+    if mx >= SEMDEDUP_TWIN_OFFSET:
+        raise ValueError(
+            f"max vec_id {mx} >= twin offset {SEMDEDUP_TWIN_OFFSET}: planted "
+            "twin ids would collide with corpus ids"
+        )
+    base = emb.select(
+        F.col("vec_id").alias("id"),
+        F.transform(
+            "embedding", lambda x: F.floor(x * F.lit(100000.0)).cast("long")
+        ).alias("q"),
+    )
+    twins = base.filter(F.col("id") % 9 == 4).select(
+        (F.col("id") + F.lit(SEMDEDUP_TWIN_OFFSET)).alias("id"),
+        F.transform(
+            "q",
+            lambda x, i: x
+            + ((F.col("id") * 31 + i.cast("long") * 17) % 7 - 3).cast("long"),
+        ).alias("q"),
+    )
+    allq = base.unionByName(twins).localCheckpoint(eager=True)
+    cent = SIM.lloyd_kmeans_q(allq, k=8, iters=3)
+    assigned = SIM.lloyd_assign_q(allq, cent).localCheckpoint(eager=True)
+
+    n2 = allq.select(
+        "id",
+        F.aggregate(
+            F.transform("q", lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("n2"),
+    )
+    side = assigned.join(allq, "id").join(n2, "id")
+    a = side.select(
+        F.col("id").alias("id_a"), "cluster",
+        F.col("q").alias("q_a"), F.col("n2").alias("n2_a"),
+    )
+    b = side.select(
+        F.col("id").alias("id_b"), "cluster",
+        F.col("q").alias("q_b"), F.col("n2").alias("n2_b"),
+    )
+    dot = F.aggregate(
+        F.zip_with("q_a", "q_b", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    near = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dot", dot)
+        .filter(
+            (F.col("dot") > 0)
+            & (
+                F.col("dot").cast("double")
+                >= F.lit(0.999)
+                * (
+                    F.sqrt(F.col("n2_a").cast("double"))
+                    * F.sqrt(F.col("n2_b").cast("double"))
+                )
+            )
+        )
+        .select("id_a", "id_b")
+    )
+    pruned = near.select(F.col("id_b").alias("id")).distinct()
+    members = (
+        assigned.join(pruned.withColumn("hit", F.lit(1)), "id", "left")
+        .select(
+            F.col("id").alias("vec_id"),
+            "cluster",
+            F.col("hit").isNull().alias("is_kept"),
+        )
+    )
+    cs = members.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum((~F.col("is_kept")).cast("int")).cast("bigint").alias("n_pruned"),
+    )
+    return members.join(F.broadcast(cs), "cluster").select(
+        "vec_id",
+        "cluster",
+        (F.col("vec_id") >= SEMDEDUP_TWIN_OFFSET).alias("is_twin"),
+        "is_kept",
+        "n_members",
+        "n_pruned",
+    )

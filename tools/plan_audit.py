@@ -307,6 +307,9 @@ def main() -> int:
     # incremental fingerprint stores: increment-vs-store band equi-joins
     check("l66_incremental_image_neardup", absent=["CartesianProduct"])
     check("l67_incremental_audio_neardup", absent=["CartesianProduct"])
+    # SemDeDup: candidates are same-cluster equi-join pairs — never
+    # all-pairs; training supersteps are literal-expression map passes
+    check("l65_semdedup", absent=["CartesianProduct"])
 
     # incremental covariance: the increment scan must carry the pushed
     # vec_id >= cutoff predicate (day-1 vectors never re-read as vectors)
