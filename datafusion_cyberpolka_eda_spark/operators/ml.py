@@ -157,3 +157,105 @@ def silhouette_precomputed(dist: np.ndarray, labels: np.ndarray) -> float:
             b = min(b, dist[i, mask].mean())
         s[i] = (b - a) / max(a, b) if max(a, b) > 0 else 0.0
     return float(s.mean())
+
+
+# ---- distributed integer-quantized logistic-regression trainer
+# (l64, r9 verdict task 1) ----
+
+LOGREG_PSCALE = 1_000_000  # probability/weight scale: p and w ride at 1e6
+
+
+def logreg_train_supersteps(
+    feats: DataFrame,
+    dim: int,
+    iters: int,
+    lr_div: int,
+    precond: list[int],
+) -> list[int]:
+    """TRUE distributed logistic-regression training — the l59 superstep
+    discipline applied to gradient descent (r9 verdict task 1), the
+    model-based quality-filter trainer a DCLM/FineWeb-style pipeline
+    needs:
+
+      model   : hard-sigmoid logistic unit p = clamp(1/2 + z/4, 0, 1)
+                with z = w . x — piecewise-LINEAR, so at the quantized
+                scale every step is p_q = clamp(S/2 + floor(z_q/4), 0, S)
+                in exact integer arithmetic (z_q/4 is a power-of-two
+                division: exact in IEEE, identical in both engines; exp
+                would be neither);
+      grad    : g[j] = sum over rows of (p_q - y*S) * x[j] — exact int64
+                sums, order-independent under any partitioning;
+      update  : w[j] -= floor(float(g[j]) / (n * lr_div * precond[j])) —
+                float-first division matching the oracle's
+                CAST(g AS DOUBLE) / CAST(divisor AS DOUBLE), one
+                correctly-rounded IEEE op per component; ``precond`` is
+                a fixed power-of-two diagonal preconditioner absorbing
+                the feature-scale imbalance a single global lr cannot.
+
+    ``feats`` must have columns (id, y, x array<long> of ``dim``
+    components, feature 0 = the bias 1). Weights start at zero. Returns
+    the final quantized weights (ints at LOGREG_PSCALE).
+
+    Scale shape: per superstep, ONE map pass over the rows (w enters as
+    literal expressions — no join, the _lloyd_dists pattern) + one
+    groupBy whose output is ``dim`` rows — communication O(dim)
+    regardless of corpus size, the driver only ever holds dim integers.
+    |g| <= n * S * max|x| must stay below 2^53 for the exact division
+    (n <= ~4e9 rows at the test feature ranges — assert upstream at
+    extreme scale). Ref anchor: similarity.py lloyd_kmeans_q (superstep
+    discipline), registry/llm.py l60 (planting recipe)."""
+    import math
+
+    n = feats.count()
+    if len(precond) != dim:
+        raise ValueError(f"precond has {len(precond)} entries, dim={dim}")
+    w = [0] * dim
+    s = LOGREG_PSCALE
+    for _ in range(iters):
+        z = F.aggregate(
+            F.zip_with(
+                "x",
+                F.array(*[F.lit(int(c)).cast("long") for c in w]),
+                lambda xv, wv: xv * wv,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        p = F.least(
+            F.greatest(
+                F.lit(s // 2).cast("long")
+                + F.floor(z / F.lit(4.0)).cast("long"),
+                F.lit(0).cast("long"),
+            ),
+            F.lit(s).cast("long"),
+        )
+        e = p - F.col("y").cast("long") * F.lit(s).cast("long")
+        rows = (
+            feats.select(e.alias("e"), "x")
+            .select("e", F.posexplode("x").alias("j", "v"))
+            .groupBy("j")
+            .agg(F.sum(F.col("e") * F.col("v")).alias("g"))
+            .collect()
+        )
+        g = {r["j"]: r["g"] for r in rows}
+        w = [
+            w[j] - math.floor(float(g[j]) / float(n * lr_div * precond[j]))
+            for j in range(dim)
+        ]
+    return w
+
+
+def logreg_score_q(feats: DataFrame, w: list[int]) -> DataFrame:
+    """(id, y, flagged): score rows against trained quantized weights —
+    flagged iff z_q >= 0 (p >= 1/2). Map-side only, weights as
+    literals."""
+    z = F.aggregate(
+        F.zip_with(
+            "x",
+            F.array(*[F.lit(int(c)).cast("long") for c in w]),
+            lambda xv, wv: xv * wv,
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return feats.select("id", "y", (z >= 0).alias("flagged"))

@@ -7272,3 +7272,211 @@ def l65_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_members",
         "n_pruned",
     )
+
+
+# ---- distributed model-based quality classifier (l64, r9 verdict
+# task 1) ----
+
+QC_TWIN_OFFSET = 1 << 23  # planted low-quality twin ids (doc_id domain-checked)
+QC_CENTER = 200  # ttr centering prior: boundary near origin -> fast GD
+QC_LR_DIV = 4  # global learning-rate divisor
+QC_PRECOND = [1, 64, 1024, 1024]  # power-of-2 diagonal preconditioner
+QC_ITERS = 4  # gradient supersteps
+
+
+def _qc_x(text_col: F.Column) -> F.Column:
+    """The 4-feature integer vector [bias, n_tokens, centered type-token
+    ratio, avg word length x100] over any text column — every component
+    an exact int64 via the floor(int*scale / int) recipe (double-divide
+    then floor: ONE correctly-rounded IEEE op, identical in DuckDB)."""
+    toks = F.split(text_col, " ")
+    nt = F.size(toks).cast("long")
+    nd = F.size(F.array_distinct(toks)).cast("long")
+    ln = F.length(text_col).cast("long")
+    ttr = F.floor((nd * F.lit(1000)).cast("double") / nt).cast("long")
+    awl = F.floor(((ln - nt + 1) * F.lit(100)).cast("double") / nt).cast("long")
+    return F.array(F.lit(1).cast("long"), nt, ttr - F.lit(QC_CENTER), awl)
+
+
+def _l64_oracle(iters: int = QC_ITERS) -> str:
+    """Unrolled MATERIALIZED-CTE replay of the full quality-classifier
+    recipe: closed-form planted corruption, integer featurization,
+    every gradient superstep (hard-sigmoid probabilities, exact int64
+    gradient sums, floor-of-double weight updates with the diagonal
+    preconditioner), final scoring, and the per-language confusion
+    report with the final weights as columns — the entire GD trajectory
+    is value-hash-checked, not just the endpoint."""
+    s = 1_000_000
+    ctes = [
+        f"""
+    t AS MATERIALIZED (
+      SELECT doc_id, string_split(text, ' ') AS w, LENGTH(text) AS ln
+      FROM documents
+    ),
+    -- base docs (label 0) + planted low-quality twins (label 1): the
+    -- first token repeated n_tokens times, so the twin's features are
+    -- closed-form functions of the base row (the l60 planting recipe):
+    -- nt unchanged, distinct-token count 1, avg word len = len(token)
+    f AS MATERIALIZED (
+      SELECT doc_id AS id, 0 AS y,
+             CAST(len(w) AS BIGINT) AS nt,
+             CAST(FLOOR(CAST(len(list_distinct(w)) * 1000 AS DOUBLE)
+                        / len(w)) AS BIGINT) - {QC_CENTER} AS ttrc,
+             CAST(FLOOR(CAST((ln - len(w) + 1) * 100 AS DOUBLE)
+                        / len(w)) AS BIGINT) AS awl
+      FROM t
+      UNION ALL
+      SELECT doc_id + {QC_TWIN_OFFSET}, 1,
+             CAST(len(w) AS BIGINT),
+             CAST(FLOOR(CAST(1000 AS DOUBLE) / len(w)) AS BIGINT)
+               - {QC_CENTER},
+             CAST(100 * LENGTH(w[1]) AS BIGINT)
+      FROM t WHERE doc_id % 7 = 2
+    ),
+    fx AS MATERIALIZED (
+      SELECT id, 0 AS j, CAST(1 AS BIGINT) AS v FROM f
+      UNION ALL SELECT id, 1, nt FROM f
+      UNION ALL SELECT id, 2, ttrc FROM f
+      UNION ALL SELECT id, 3, awl FROM f
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM f),
+    pc(j, p) AS (VALUES (0, {QC_PRECOND[0]}), (1, {QC_PRECOND[1]}),
+                        (2, {QC_PRECOND[2]}), (3, {QC_PRECOND[3]})),
+    w0(j, v) AS (VALUES (0, CAST(0 AS BIGINT)), (1, CAST(0 AS BIGINT)),
+                        (2, CAST(0 AS BIGINT)), (3, CAST(0 AS BIGINT)))"""
+    ]
+    for t in range(1, iters + 1):
+        prev = f"w{t - 1}"
+        ctes.append(f"""
+    z{t} AS (SELECT fx.id, SUM(w.v * fx.v) AS z
+             FROM fx JOIN {prev} w USING (j) GROUP BY fx.id),
+    e{t} AS MATERIALIZED (
+      SELECT z.id,
+             LEAST(GREATEST({s // 2} + CAST(FLOOR(z.z / 4.0) AS BIGINT),
+                            0), {s}) - f.y * {s} AS e
+      FROM z{t} z JOIN f ON f.id = z.id
+    ),
+    w{t} AS MATERIALIZED (
+      SELECT w.j,
+             w.v - CAST(FLOOR(CAST(g.g AS DOUBLE) /
+                              CAST(nn.n * {QC_LR_DIV} * pc.p AS DOUBLE))
+                        AS BIGINT) AS v
+      FROM {prev} w
+      JOIN (SELECT fx.j, SUM(e.e * fx.v) AS g
+            FROM e{t} e JOIN fx ON fx.id = e.id GROUP BY fx.j) g USING (j)
+      JOIN pc USING (j) CROSS JOIN nn
+    )""")
+    final = f"w{iters}"
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f""",
+    zf AS (SELECT fx.id, SUM(w.v * fx.v) AS z
+           FROM fx JOIN {final} w USING (j) GROUP BY fx.id),
+    scored AS (SELECT f.id, f.y, zf.z >= 0 AS flagged
+               FROM f JOIN zf ON zf.id = f.id)
+    SELECT d.lang,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN s.flagged THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged,
+           CAST(SUM(s.y) AS BIGINT) AS n_corrupt,
+           CAST(SUM(CASE WHEN s.y = 1 AND s.flagged THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_caught,
+           CAST(SUM(CASE WHEN s.y = 0 AND s.flagged THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_pos,
+           (SELECT v FROM {final} WHERE j = 0) AS w_bias,
+           (SELECT v FROM {final} WHERE j = 1) AS w_ntok,
+           (SELECT v FROM {final} WHERE j = 2) AS w_ttr,
+           (SELECT v FROM {final} WHERE j = 3) AS w_awl
+    FROM scored s JOIN documents d ON d.doc_id = s.id % {QC_TWIN_OFFSET}
+    GROUP BY d.lang
+    """
+    )
+
+
+@register("l64_quality_classifier", _l64_oracle(QC_ITERS))
+def l64_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTED model-based quality filtering (r9 verdict task 1) —
+    the trained-classifier stage a DCLM/FineWeb-Edu-style pipeline runs
+    after the rule-based funnel (l21/l42/l50), and the one operator
+    class the repo lacked:
+
+      labels  : every doc is a label-0 row; docs with doc_id % 7 == 2
+                additionally yield a PLANTED low-quality twin (id +
+                2^23): the ACTUAL corrupted text (first token repeated
+                n_tokens times) is built and featurized in Spark — the
+                pipeline runs for real — while the oracle replays the
+                twin's features closed-form from the base row (the l60
+                planting recipe);
+      features: [bias, n_tokens, centered type-token ratio, avg word
+                length x100] — all exact int64 (_qc_x), the repetition/
+                length signals the existing quality stack scores;
+      training: 4 hard-sigmoid gradient supersteps at integer scale 1e6
+                (ml.logreg_train_supersteps — one map pass + one O(dim)
+                groupBy per superstep, weights enter as literals, the
+                l59 communication discipline);
+      report  : per-language confusion counts (planted recall and false
+                positives are MEASURED columns — perfect 714/714 caught
+                with 0 false positives at sf0.1, but nothing is pinned)
+                plus the final weight vector as columns, so the oracle
+                hash-checks the ENTIRE GD trajectory, not a boolean.
+
+    Scale shape: featurization is map-side expressions; each superstep
+    communicates dim integers regardless of corpus size; scoring is one
+    literal-expression map pass. At 100 TB the row scan dominates and
+    the shape holds — this is the same superstep contract l59 carries.
+    Ref anchor: similarity.py lloyd_kmeans_q; registry l60; SURVEY §2 L
+    quality family."""
+    from datafusion_cyberpolka_eda_spark.operators import ml as ML
+
+    docs = load_table(spark, sf_dir, "documents")
+    mx = docs.agg(F.max("doc_id")).first()[0]
+    if mx >= QC_TWIN_OFFSET:
+        raise ValueError(
+            f"max doc_id {mx} >= twin offset {QC_TWIN_OFFSET}: planted twin "
+            "ids would collide with corpus ids"
+        )
+    base = spread(docs).select(
+        F.col("doc_id").alias("id"),
+        F.lit(0).alias("y"),
+        _qc_x(F.col("text")).alias("x"),
+    )
+    toks = F.split(F.col("text"), " ")
+    ctext = F.array_join(
+        F.array_repeat(F.element_at(toks, 1), F.size(toks)), " "
+    )
+    corrupt = spread(docs.filter(F.col("doc_id") % 7 == 2)).select(
+        (F.col("doc_id") + F.lit(QC_TWIN_OFFSET)).alias("id"),
+        F.lit(1).alias("y"),
+        _qc_x(ctext).alias("x"),
+    )
+    feats = base.unionByName(corrupt).localCheckpoint(eager=True)
+    w = ML.logreg_train_supersteps(
+        feats, dim=4, iters=QC_ITERS, lr_div=QC_LR_DIV, precond=QC_PRECOND
+    )
+    scored = ML.logreg_score_q(feats, w)
+    out = (
+        scored.join(
+            docs.select("doc_id", "lang"),
+            scored["id"] % QC_TWIN_OFFSET == F.col("doc_id"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("flagged").cast("int")).cast("bigint").alias("n_flagged"),
+            F.sum("y").cast("bigint").alias("n_corrupt"),
+            F.sum(((F.col("y") == 1) & F.col("flagged")).cast("int"))
+            .cast("bigint")
+            .alias("n_caught"),
+            F.sum(((F.col("y") == 0) & F.col("flagged")).cast("int"))
+            .cast("bigint")
+            .alias("n_false_pos"),
+        )
+    )
+    return out.select(
+        "*",
+        F.lit(int(w[0])).cast("bigint").alias("w_bias"),
+        F.lit(int(w[1])).cast("bigint").alias("w_ntok"),
+        F.lit(int(w[2])).cast("bigint").alias("w_ttr"),
+        F.lit(int(w[3])).cast("bigint").alias("w_awl"),
+    )

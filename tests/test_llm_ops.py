@@ -1191,3 +1191,108 @@ class TestAudioFingerprintNearDup:
         assert (twin != s).any()
         _, back = decode_wav(encode_wav(twin))
         assert (back == twin).all()
+
+
+class TestQualityClassifier:
+    """r10: distributed integer-quantized logistic-regression trainer."""
+
+    def test_matches_python_replay_exactly(self, spark, docs):
+        """The superstep trainer must equal a driver-side pure-Python
+        replay of the same integer algorithm BIT-FOR-BIT — the l59
+        exactness discipline applied to gradient descent."""
+        import math
+
+        from datafusion_cyberpolka_eda_spark.operators import ml as ML
+        from datafusion_cyberpolka_eda_spark.registry.llm import (
+            QC_CENTER,
+            QC_ITERS,
+            QC_LR_DIV,
+            QC_PRECOND,
+            QC_TWIN_OFFSET,
+            _qc_x,
+        )
+
+        base = docs.select(
+            F.col("doc_id").alias("id"),
+            F.lit(0).alias("y"),
+            _qc_x(F.col("text")).alias("x"),
+        )
+        toks = F.split(F.col("text"), " ")
+        ctext = F.array_join(
+            F.array_repeat(F.element_at(toks, 1), F.size(toks)), " "
+        )
+        corrupt = docs.filter(F.col("doc_id") % 7 == 2).select(
+            (F.col("doc_id") + F.lit(QC_TWIN_OFFSET)).alias("id"),
+            F.lit(1).alias("y"),
+            _qc_x(ctext).alias("x"),
+        )
+        feats = base.unionByName(corrupt).localCheckpoint(eager=True)
+        got_w = ML.logreg_train_supersteps(
+            feats, dim=4, iters=QC_ITERS, lr_div=QC_LR_DIV, precond=QC_PRECOND
+        )
+
+        # pure-Python replay: features from raw text, exact integer GD
+        rows = docs.select("doc_id", "text").collect()
+        X, Y = [], []
+        for r in rows:
+            w_ = r["text"].split(" ")
+            nt, nd, ln = len(w_), len(set(w_)), len(r["text"])
+            X.append(
+                (
+                    1,
+                    nt,
+                    math.floor(float(nd * 1000) / nt) - QC_CENTER,
+                    math.floor(float((ln - nt + 1) * 100) / nt),
+                )
+            )
+            Y.append(0)
+            if r["doc_id"] % 7 == 2:
+                X.append(
+                    (
+                        1,
+                        nt,
+                        math.floor(1000.0 / nt) - QC_CENTER,
+                        100 * len(w_[0]),
+                    )
+                )
+                Y.append(1)
+        S = ML.LOGREG_PSCALE
+        n = len(X)
+        w = [0, 0, 0, 0]
+        for _ in range(QC_ITERS):
+            g = [0, 0, 0, 0]
+            for x, y in zip(X, Y):
+                z = sum(w[j] * x[j] for j in range(4))
+                p = min(max(S // 2 + math.floor(z / 4.0), 0), S)
+                e = p - y * S
+                for j in range(4):
+                    g[j] += e * x[j]
+            w = [
+                w[j]
+                - math.floor(float(g[j]) / float(n * QC_LR_DIV * QC_PRECOND[j]))
+                for j in range(4)
+            ]
+        assert got_w == w
+
+    def test_planted_recall_and_precision_perfect_at_test_sf(
+        self, spark
+    ):
+        """MEASURED gate (not pinned in the entry itself): at the test
+        SFs the trained boundary separates the planted repetition twins
+        perfectly — every corrupt row flagged, zero clean rows lost."""
+        from datafusion_cyberpolka_eda_spark.registry.llm import (
+            l64_quality_classifier,
+        )
+
+        agg = (
+            l64_quality_classifier(spark, SF)
+            .agg(
+                F.sum("n_corrupt").alias("c"),
+                F.sum("n_caught").alias("k"),
+                F.sum("n_false_pos").alias("fp"),
+            )
+            .collect()[0]
+        )
+        assert agg["c"] > 0
+        assert agg["k"] == agg["c"]
+        assert agg["fp"] == 0

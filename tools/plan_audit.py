@@ -310,6 +310,9 @@ def main() -> int:
     # SemDeDup: candidates are same-cluster equi-join pairs — never
     # all-pairs; training supersteps are literal-expression map passes
     check("l65_semdedup", absent=["CartesianProduct"])
+    # quality classifier: supersteps are literal-expression map passes +
+    # O(dim) groupBys; the lang join keys on id arithmetic — never all-pairs
+    check("l64_quality_classifier", absent=["CartesianProduct"])
 
     # incremental covariance: the increment scan must carry the pushed
     # vec_id >= cutoff predicate (day-1 vectors never re-read as vectors)
