@@ -313,6 +313,12 @@ def main() -> int:
     # quality classifier: supersteps are literal-expression map passes +
     # O(dim) groupBys; the lang join keys on id arithmetic — never all-pairs
     check("l64_quality_classifier", absent=["CartesianProduct"])
+    # batch k-NN join: candidates from the two-sided cell equi-join; the
+    # per-query top-k is a partitioned window — never all-pairs, never a
+    # global sort
+    check("l68_knn_join", absent=["CartesianProduct"])
+    # its recall gate deliberately broadcasts the 8-row query side
+    check("l68b_knn_join_recall", contains=["BroadcastNestedLoopJoin"])
 
     # incremental covariance: the increment scan must carry the pushed
     # vec_id >= cutoff predicate (day-1 vectors never re-read as vectors)
