@@ -544,3 +544,53 @@ def j19_stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"j19_{_os.path.basename(_os.path.normpath(sf_dir)).replace('.', '_')}",
     )
     return stream_psi_drift(spark, docs, scratch)
+
+
+def _j20_oracle() -> str:
+    # the streaming asset path must reproduce the batch incremental
+    # answer, which equals the full-corpus banded pair set restricted
+    # to >= 1 new asset — l66's oracle, verbatim
+    from datafusion_cyberpolka_eda_spark.registry.llm import (
+        _L58_CTES,
+        _mm_incremental_oracle,
+    )
+
+    return _mm_incremental_oracle(_L58_CTES)
+
+
+@register("j20_stream_asset_ingest_dedup", _j20_oracle())
+def j20_stream_asset_ingest_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming asset-ingest dedup — the continuous shape of l66 and
+    the binary-asset counterpart of j15 (r9 verdict task 4b): the day-2
+    document increment arrives as 3 forced micro-batches; each epoch
+    synthesizes+DECODES only its batch's image payloads,
+    aHash-fingerprints them map-side, band-joins against the persisted
+    day-1 fingerprint store plus previously-streamed fingerprints,
+    emits near-pairs, and appends its own fingerprints. The accumulated
+    pair set must equal the BATCH incremental answer — l66's
+    full-corpus-replay oracle — so the epoch-at-a-time decode+dedup
+    path is value-hash-checked against from-scratch semantics."""
+    import os as _os
+
+    from datafusion_cyberpolka_eda_spark.registry.llm import _mm_fp_store
+    from datafusion_cyberpolka_eda_spark.sources.catalog import load_table
+    from datafusion_cyberpolka_eda_spark.streaming.documents import (
+        stream_incremental_fingerprint_dedup,
+    )
+
+    cutoff, store_path = _mm_fp_store(spark, sf_dir, "image")
+    docs = load_table(spark, sf_dir, "documents")
+    scratch = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+        ".scratch",
+        f"j20_{_os.path.basename(_os.path.normpath(sf_dir)).replace('.', '_')}",
+    )
+    return stream_incremental_fingerprint_dedup(
+        spark,
+        docs.filter(F.col("doc_id") >= cutoff),
+        store_path,
+        scratch,
+        cutoff,
+    )

@@ -165,3 +165,42 @@ class TestReplayIdempotency:
         streamed = SD.stream_psi_drift(spark, docs, str(tmp_path / "scratch"))
         batch = l39_psi_drift(spark, sf_dir)
         assert _rows(streamed) == _rows(batch)
+
+
+class TestAssetIngestReplay:
+    def test_asset_fingerprint_dedup_replay(
+        self, spark, sf_dir, tmp_path, replay_every_epoch
+    ):
+        """j20's epoch body (decode+hash+band-join+append) must be
+        idempotent under double delivery: the accumulated pair set
+        equals the batch incremental answer with no duplicates."""
+        from datafusion_cyberpolka_eda_spark.operators.multimodal import (
+            N_AHASH_BITS,
+            ahash63_fingerprints,
+            make_ppm_neardup_assets,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+        cutoff = int(0.8 * (max_id + 1))
+        store_path = str(tmp_path / "fp_store.parquet")
+        ahash63_fingerprints(
+            make_ppm_neardup_assets(docs.filter(F.col("doc_id") < cutoff))
+        ).write.parquet(store_path)
+        inc = docs.filter(F.col("doc_id") >= cutoff)
+
+        streamed = SD.stream_incremental_fingerprint_dedup(
+            spark, inc, store_path, str(tmp_path / "scratch"), cutoff
+        )
+        want = D.incremental_fingerprint_pairs(
+            ahash63_fingerprints(make_ppm_neardup_assets(inc)),
+            spark.read.parquet(store_path),
+            max_hamming=3,
+            n_bits=N_AHASH_BITS,
+        ).select("id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming"))
+        got = streamed.select("id_a", "id_b", "hamming")
+        assert _rows(got) == _rows(want)
+        # no duplicates despite every epoch delivered twice
+        assert streamed.count() == streamed.select(
+            "id_a", "id_b"
+        ).distinct().count()
