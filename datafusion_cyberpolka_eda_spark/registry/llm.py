@@ -15,6 +15,10 @@ from datafusion_cyberpolka_eda_spark.operators import dedup as D
 from datafusion_cyberpolka_eda_spark.operators import similarity as SIM
 from datafusion_cyberpolka_eda_spark.registry import _round_cols, register, small_df
 from datafusion_cyberpolka_eda_spark.sources.catalog import load_table, spread
+from datafusion_cyberpolka_eda_spark.registry.llm_base import (  # noqa: F401
+    _doc_gram_hashes,
+    _docs_fingerprint,
+)
 
 
 @register(
@@ -353,344 +357,6 @@ def l17_normalized_text_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "l16_embedding_quantize_int8",
-    """
-    WITH e AS (
-      SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS v FROM embeddings
-    ),
-    s AS (SELECT vec_id, MAX(ABS(v)) AS amax FROM e GROUP BY vec_id),
-    q AS (
-      SELECT e.vec_id, e.v,
-             CAST(ROUND(e.v * 127.0 / s.amax) AS BIGINT) AS qv,
-             127.0 / s.amax AS scale
-      FROM e JOIN s USING (vec_id) WHERE s.amax > 0
-    )
-    SELECT vec_id,
-           CAST(SUM(qv) AS BIGINT) AS q_sum,
-           CAST(SUM(ABS(qv)) AS BIGINT) AS q_l1,
-           CAST(MAX(ABS(qv)) AS BIGINT) AS q_max,
-           ROUND(MAX(ABS(v - qv / scale)), 9) AS max_abs_err
-    FROM q GROUP BY vec_id
-    """,
-)
-def l16_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Symmetric int8 scalar quantization of embeddings (vector-search
-    memory/bandwidth staple: 4x smaller vectors, ~127-level resolution):
-    per vector, scale = 127/max|v|, q_i = round(v_i * scale). Pure per-row
-    JVM array expressions — a linear map with no shuffle, embarrassingly
-    parallel at any scale. Emits integer checksums of the quantized code
-    (exact) plus the max dequantization error, all replayed bit-for-bit
-    by the DuckDB oracle (max/integer sums are order-free, so no float
-    accumulation ambiguity exists)."""
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
-    vd = F.transform("embedding", lambda x: x.cast("double"))
-    amax = F.array_max(F.transform(vd, F.abs))
-    rows = (
-        emb.select("vec_id", vd.alias("v"), amax.alias("amax"))
-        .filter(F.col("amax") > 0)
-        .withColumn("scale", F.lit(127.0) / F.col("amax"))
-    )
-    qv = F.transform(
-        "v", lambda x: F.round(x * F.lit(127.0) / F.col("amax")).cast("bigint")
-    )
-    rows = rows.withColumn("qv", qv)
-    err = F.zip_with("v", "qv", lambda a, b: F.abs(a - b / F.col("scale")))
-    lsum = lambda c: F.aggregate(c, F.lit(0).cast("bigint"), lambda acc, x: acc + x)  # noqa: E731
-    return rows.select(
-        "vec_id",
-        lsum(F.col("qv")).alias("q_sum"),
-        lsum(F.transform("qv", F.abs)).alias("q_l1"),
-        F.array_max(F.transform("qv", F.abs)).alias("q_max"),
-        F.round(F.array_max(err), 9).alias("max_abs_err"),
-    )
-
-
-_COSINE_TOPK_ORACLE = """
-    WITH q AS (SELECT vec_id qid, embedding qe FROM embeddings WHERE vec_id < 5),
-    c AS (SELECT vec_id cid, embedding ce FROM embeddings),
-    pairs AS (
-      SELECT qid, cid,
-        (SELECT SUM(CAST(a AS DOUBLE)*CAST(b AS DOUBLE)) FROM (SELECT UNNEST(qe) a, UNNEST(ce) b) z) dot,
-        (SELECT SUM(CAST(a AS DOUBLE)*CAST(a AS DOUBLE)) FROM (SELECT UNNEST(qe) a) z) qq,
-        (SELECT SUM(CAST(b AS DOUBLE)*CAST(b AS DOUBLE)) FROM (SELECT UNNEST(ce) b) z) cc
-      FROM q, c WHERE qid != cid
-    ),
-    scored AS (
-      SELECT qid AS query_id, cid AS candidate_id,
-             CAST(ROW_NUMBER() OVER (PARTITION BY qid
-               ORDER BY ROUND(dot/(SQRT(qq)*SQRT(cc)), 6) DESC, cid ASC) AS BIGINT) AS rank,
-             ROUND(dot/(SQRT(qq)*SQRT(cc)), 6) + 0 AS cosine
-      FROM pairs
-    )
-    SELECT query_id, candidate_id, rank, cosine FROM scored WHERE rank <= 3
-"""
-
-
-@register("l7_cosine_topk", _COSINE_TOPK_ORACLE)
-def l7_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-k similarity search (exact ANN baseline):
-    broadcast query side, one candidate scan, JVM-side zip_with dot
-    product in double precision. Ties broken on (rounded cosine, id)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    out = SIM.cosine_topk(
-        emb.filter(F.col("vec_id") < 5),
-        emb,
-        id_col="vec_id",
-        vec_col="embedding",
-        k=3,
-    )
-    return _round_cols(out.withColumn("rank", F.col("rank").cast("bigint")), ["cosine"])
-
-
-@register(
-    "l8_ann_lsh_neighbors",
-    "SELECT CAST(0 AS BIGINT) AS query_id, TRUE AS recall_at_5_ge_60pct",
-)
-def l8_ann_lsh_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate nearest neighbors via trained random-projection LSH
-    over L2-normalized embeddings (the similarity-search scale path).
-    The trained model's projections are engine-specific RNG, so the
-    neighbor rows themselves can't be value-hashed cross-engine; instead
-    the registered output is the QUALITY GATE the index must pass —
-    recall@5 vs the exact brute-force cosine top-5 (the l7 baseline)
-    >= 60% — which the oracle asserts as a constant-true row (the l8c
-    pattern). The raw neighbor lists stay covered by the recall asserts
-    in tests/test_llm_ops.py."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    model, transformed = SIM.ann_lsh_model(emb, "vec_id", "embedding")
-    query = transformed.filter(F.col("id") == 0).head()
-    nn = model.approxNearestNeighbors(transformed, query["features"], 6)
-    ann_ids = {r["id"] for r in nn.collect()} - {0}
-    exact_ids = _ann_exact_top5(spark, sf_dir)[0]
-    recall = len(ann_ids & exact_ids) / len(exact_ids)
-    return small_df(
-        spark,
-        [(0, recall >= 0.6)],
-        "query_id bigint, recall_at_5_ge_60pct boolean",
-    )
-
-
-@register(
-    "l10_embedding_neardup",
-    """
-    WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0),
-    e AS (SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS val,
-                 generate_subscripts(embedding, 1) AS i FROM v),
-    n AS (SELECT vec_id, SQRT(SUM(val * val)) AS nrm FROM e GROUP BY vec_id),
-    u AS (SELECT e.vec_id, e.i, e.val / n.nrm AS uval FROM e JOIN n USING (vec_id)),
-    c AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, vec_id AS cvid
-          FROM (SELECT vec_id FROM v ORDER BY vec_id LIMIT 8)),
-    cvec AS (SELECT c.cid, u.i, u.uval AS cval FROM c JOIN u ON u.vec_id = c.cvid),
-    dots AS (SELECT u.vec_id, cv.cid, SUM(u.uval * cv.cval) AS d
-             FROM u JOIN cvec cv USING (i) GROUP BY u.vec_id, cv.cid),
-    cells AS (SELECT vec_id, cid FROM (
-                SELECT vec_id, cid,
-                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cid ASC) AS rk
-                FROM dots) WHERE rk <= 4),
-    cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-             FROM cells a JOIN cells b USING (cid) WHERE a.vec_id < b.vec_id),
-    pairdot AS (SELECT cand.id_a, cand.id_b, SUM(ua.uval * ub.uval) AS cosine
-                FROM cand
-                JOIN u ua ON ua.vec_id = cand.id_a
-                JOIN u ub ON ub.vec_id = cand.id_b AND ub.i = ua.i
-                GROUP BY cand.id_a, cand.id_b)
-    SELECT id_a, id_b, ROUND(cosine, 6) AS cosine
-    FROM pairdot WHERE cosine >= 0.25
-    """,
-)
-def l10_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs via the bucketed scale path: fixed coarse
-    quantizer (unit vectors of the 8 smallest ids), top-4 multi-probe cell
-    assignment (recall 0.99 vs brute force at this threshold, precision
-    1.0), candidates from same-cell equi-joins, exact cosine verify inside
-    buckets — no CartesianProduct anywhere (plan-audited). The DuckDB
-    oracle recomputes the whole pipeline (normalize, centroid dots, cell
-    ranking, candidate distinct, verify) end-to-end in SQL. The
-    brute-force crossJoin twin (embedding_cosine_pairs) survives only as
-    the recall oracle in tests/test_llm_ops.py."""
-    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
-    pairs = D.embedding_neardup_bucketed(
-        emb, "vec_id", "embedding", threshold=0.25, n_centroids=8, n_probe=4
-    )
-    return _round_cols(pairs, ["cosine"])
-
-
-_MULTIMODAL_ORACLE = """
-    WITH f AS (
-      SELECT doc_id,
-             strlen(text) AS byte_len,
-             substr(sha256(text), 1, 16) AS checksum,
-             ('0x' || substr(sha256(text), 1, 8))::BIGINT / 4294967296.0 AS feat0
-      FROM documents
-    )
-    SELECT 'text' AS modality,
-           COUNT(*) AS n_assets,
-           CAST(SUM(byte_len) AS BIGINT) AS total_bytes,
-           CAST(COUNT(DISTINCT checksum) AS BIGINT) AS n_distinct_payloads,
-           ROUND(AVG(feat0), 6) AS avg_feat0
-    FROM f
-"""
-
-
-@register("l9_multimodal_features", _MULTIMODAL_ORACLE)
-def l9_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal binary-column plumbing: payload bytes + typed metadata
-    struct -> Arrow-batched mapInPandas feature extraction (decode step is
-    a deterministic stub; codecs aren't in this container). Returns a
-    per-modality rollup of the extracted features.
-
-    Oracle-checked: the stub featurizer is sha256-based, and DuckDB's
-    sha256 over the same UTF-8 text reproduces byte lengths, checksums,
-    and the leading feature value exactly — so the mapInPandas plumbing
-    (batch iteration, binary payload transport, schema) is verified
-    end-to-end against SQL, not just for stability."""
-    from datafusion_cyberpolka_eda_spark.operators.multimodal import (
-        documents_as_assets,
-        extract_features,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    feats = extract_features(documents_as_assets(docs))
-    return feats.groupBy("modality").agg(
-        F.count(F.lit(1)).alias("n_assets"),
-        F.sum("byte_len").alias("total_bytes"),
-        F.countDistinct("checksum").alias("n_distinct_payloads"),
-        F.round(F.avg(F.element_at("feature_head", 1)), 6).alias("avg_feat0"),
-    )
-
-
-@register(
-    "l8b_ann_ivf_neighbors",
-    "SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS mean_recall_at_5_ge_60pct",
-)
-def l8b_ann_ivf_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed ANN (scale path #2): trained cells over unit vectors,
-    probe the nearest n_probe cells, exact dot product inside. The
-    quantizer is trained faiss-style on a BOUNDED deterministic sample
-    with driver-side Lloyd iterations (train_centroids_on_sample) — the
-    production shape (you train a coarse quantizer on a sample once, not
-    with a distributed fit per index build), and it removes the
-    pyspark.ml per-iteration scheduling noise that made this query's
-    median swing 3-9 s. Trained cells are still data/sample-dependent,
-    so like l8 the registered output is a quality gate the oracle asserts
-    as a constant-true row: MEAN recall@5 over the 5 benchmark queries
-    >= 60% vs the exact cosine top-5 (measured 0.84-1.0 across
-    sf0.001-0.1). The pyspark.ml KMeans variant stays available as
-    ann_ivf_topk/ann_ivf_topk_multi (unit-tested)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    qids = [0, 1, 2, 3, 4]
-    # fixed 16/8 (not the adaptive sqrt-n default): this entry's recall
-    # gate is externally asserted, so it stays on the verified fixed config
-    ann = SIM.ann_ivf_sampled_topk_multi(
-        emb, "vec_id", "embedding", query_ids=qids, k=5, n_centroids=16, n_probe=8
-    )
-    got: dict[int, set] = {}
-    for r in ann.collect():
-        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
-    es = _ann_exact_top5(spark, sf_dir)
-    mean_recall = sum(
-        len(got.get(q, set()) & es[q]) / len(es[q]) for q in qids
-    ) / len(qids)
-    return small_df(
-        spark,
-        [(5, mean_recall >= 0.6)],
-        "n_queries bigint, mean_recall_at_5_ge_60pct boolean",
-    )
-
-
-@register(
-    "l8c_ann_recall_bound",
-    """
-    SELECT q.vec_id AS query_id, TRUE AS recall_ge_60pct
-    FROM embeddings q WHERE q.vec_id < 5
-    """,
-)
-def l8c_ann_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN quality gate, oracle-checked: for each of the 5 benchmark
-    queries, IVF ANN with a fixed coarse quantizer (probing 8 of 16
-    cells) must recover >= 60% of the exact brute-force cosine top-5
-    (recall@5; measured min 0.8 at sf0.001/sf0.01). A KMeans-trained
-    quantizer (l8b) is NOT partition-deterministic (init sampling depends
-    on layout), so the gate uses ann_ivf_fixed_topk_multi — pure
-    arithmetic end-to-end, reproducible under any session config. If a
-    refactor silently degrades the index path, the hash match breaks.
-    The same recall probe is what you run per-shard at 100 TB before
-    trusting an index build."""
-    from datafusion_cyberpolka_eda_spark.operators.similarity import (
-        ann_ivf_fixed_topk_multi,
-        cosine_topk,
-    )
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    exact_sets = _ann_exact_top5(spark, sf_dir)
-    ann = ann_ivf_fixed_topk_multi(
-        emb, "vec_id", "embedding", query_ids=sorted(exact_sets), k=5, n_probe=8
-    )
-    got: dict[int, set] = {}
-    for r in ann.collect():
-        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
-    rows = [
-        (qid, len(got.get(qid, set()) & exact_sets[qid]) / len(exact_sets[qid]) >= 0.6)
-        for qid in sorted(exact_sets)
-    ]
-    return small_df(spark, rows, "query_id bigint, recall_ge_60pct boolean")
-
-
-@register(
-    "l8d_ann_lsh_portable",
-    """
-    WITH v AS (SELECT vec_id, embedding FROM embeddings),
-    e AS (SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS val,
-                 generate_subscripts(embedding, 1) AS i FROM v),
-    n AS (SELECT vec_id, SQRT(SUM(val * val)) AS nrm FROM e GROUP BY vec_id),
-    u AS (SELECT e.vec_id, e.i, e.val / n.nrm AS uval FROM e JOIN n USING (vec_id)),
-    p AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS pid, vec_id AS pvid
-          FROM (SELECT vec_id FROM v ORDER BY vec_id LIMIT 16)),
-    pvec AS (SELECT p.pid, u.i, u.uval AS pval FROM p JOIN u ON u.vec_id = p.pvid),
-    dots AS (SELECT u.vec_id, pv.pid, SUM(u.uval * pv.pval) AS d
-             FROM u JOIN pvec pv USING (i) GROUP BY u.vec_id, pv.pid),
-    bands AS (SELECT vec_id, pid // 4 AS band,
-                     CAST(SUM(CASE WHEN ROUND(d, 9) >= 0 THEN 1 ELSE 0 END
-                              * (1 << (pid % 4))) AS INTEGER) AS bkey
-              FROM dots GROUP BY vec_id, pid // 4),
-    qb AS (SELECT vec_id AS query_id, band, bkey FROM bands WHERE vec_id < 5),
-    cand AS (SELECT DISTINCT qb.query_id, b.vec_id AS cid
-             FROM qb JOIN bands b USING (band, bkey) WHERE b.vec_id != qb.query_id),
-    scored AS (SELECT cand.query_id, cand.cid,
-                      SUM(uq.uval * uc.uval) AS cosine
-               FROM cand
-               JOIN u uq ON uq.vec_id = cand.query_id
-               JOIN u uc ON uc.vec_id = cand.cid AND uc.i = uq.i
-               GROUP BY cand.query_id, cand.cid),
-    ranked AS (SELECT query_id, cid AS neighbor_id, ROUND(cosine, 6) + 0 AS cosine,
-                      ROW_NUMBER() OVER (PARTITION BY query_id
-                                         ORDER BY ROUND(cosine, 6) DESC, cid ASC) AS rank
-               FROM scored)
-    SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
-    FROM ranked WHERE rank <= 5
-    """,
-)
-def l8d_ann_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-projection LSH ANN with fixed data-derived hyperplanes — the
-    DuckDB-replayable twin for the trained-LSH path (l8, rows-only by
-    contract since BRP-LSH projections are engine-specific RNG). The
-    16 hyperplanes are the unit vectors of the 16 smallest vec_ids, split
-    into 4 four-bit band keys; candidates share >= 1 band with a query,
-    exact cosine verifies. The oracle recomputes normalization, plane
-    dots, sign bits, band keys, candidate distinct, scoring, and ranking
-    end-to-end in SQL — every approximate ANN family (MinHash l3c,
-    SimHash l4c, IVF l8c, sign-LSH l8d) now has a hard value-hash check.
-    Ref parity: similarity search is a north-star extension
-    (SURVEY.md §2 L; no reference counterpart file)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    out = SIM.ann_lsh_fixed_topk_multi(
-        emb, "vec_id", "embedding", query_ids=[0, 1, 2, 3, 4],
-        k=5, n_planes=16, n_bands=4,
-    )
-    return _round_cols(out.withColumn("rank", F.col("rank").cast("bigint")), ["cosine"])
-
-
-@register(
     "l18_token_histogram",
     """
     WITH t AS (
@@ -850,62 +516,6 @@ _REG["l3_minhash_lsh_pairs"] = (
 # left-joins ITS OWN operator output against the materialized truth, and
 # the DuckDB oracle recomputes the truth independently every check).
 _GATE_BASE_CACHE: dict[str, tuple] = {}
-
-
-def _table_fingerprint(sf_dir: str, table: str) -> str:
-    """Cheap change detector for a testdata table backing memoized gate
-    truth: max mtime (ns) + total byte size over the parquet file or
-    directory. Regenerated testdata at the same path changes either."""
-    import os
-
-    path = os.path.join(sf_dir, f"{table}.parquet")
-    try:
-        if os.path.isdir(path):
-            stats = [
-                os.stat(os.path.join(r, f))
-                for r, _dirs, files in os.walk(path)
-                for f in files
-            ]
-        else:
-            stats = [os.stat(path)]
-    except OSError:
-        return "missing"
-    if not stats:
-        return "empty"
-    return f"{max(s.st_mtime_ns for s in stats)}:{sum(s.st_size for s in stats)}"
-
-
-def _docs_fingerprint(sf_dir: str) -> str:
-    return _table_fingerprint(sf_dir, "documents")
-
-
-# Exact cosine top-5 neighbor sets for the benchmark queries (vec_id 0-4)
-# — the shared ground truth every l8* recall gate compares against.
-# Memoized per (session, sf_dir, embeddings fingerprint), the
-# _dedup_gate_base pattern the r6 verdict endorsed: the truth is an INPUT
-# to the gate check (each entry still builds and serves ITS OWN index per
-# call, and the oracle pins each gate), so one exact brute-force pass per
-# session serves all five gates instead of five identical recomputes.
-_ANN_TRUTH_CACHE: dict[str, dict[int, set]] = {}
-
-
-def _ann_exact_top5(spark: SparkSession, sf_dir: str) -> dict[int, set]:
-    key = (
-        f"{spark.sparkContext.applicationId}:{sf_dir}:"
-        f"{_table_fingerprint(sf_dir, 'embeddings')}"
-    )
-    if key in _ANN_TRUTH_CACHE:
-        return _ANN_TRUTH_CACHE[key]
-    emb = load_table(spark, sf_dir, "embeddings")
-    exact = SIM.cosine_topk(
-        emb.filter(F.col("vec_id") < 5), emb, id_col="vec_id",
-        vec_col="embedding", k=5,
-    )
-    es: dict[int, set] = {}
-    for r in exact.collect():
-        es.setdefault(r["query_id"], set()).add(r["candidate_id"])
-    _ANN_TRUTH_CACHE[key] = es
-    return es
 
 
 def _dedup_gate_base(spark: SparkSession, sf_dir: str):
@@ -1301,32 +911,6 @@ def l11_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "canonical_id", "cluster_size")
     )
-
-
-def _doc_gram_hashes(docs: DataFrame, n: int = 5) -> DataFrame:
-    """(doc_id, lang, source, h) — one row per word n-gram, h the portable
-    60-bit md5 gram hash (functions/hashing) the DuckDB oracles replay.
-    Shared by the full-corpus screen (l20) and the incremental screen
-    (l32) so both sides hash identically by construction. Explode +
-    hash are map-side; no shuffle is introduced here."""
-    from datafusion_cyberpolka_eda_spark.functions.hashing import md5_hash64
-
-    d = docs.select(
-        "doc_id",
-        "lang",
-        "source",
-        F.split(F.lower(F.col("text")), " ").alias("_toks"),
-    )
-    gram_expr = (
-        f"case when size(_toks) >= {n} then "
-        f"transform(sequence(1, size(_toks) - {n - 1}), "
-        f"i -> array_join(slice(_toks, i, {n}), ' ')) "
-        "else array() end"
-    )
-    return d.select(
-        "doc_id", "lang", "source",
-        F.explode(F.expr(gram_expr)).alias("gram"),
-    ).select("doc_id", "lang", "source", md5_hash64("gram").alias("h"))
 
 
 @register(
@@ -1970,1049 +1554,6 @@ def l30_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---- incremental cross-snapshot dedup (l31) ----
-# (session, sf_dir, data fingerprint) -> (cutoff, persisted store path).
-_INCR_STORE_CACHE: dict[str, tuple[int, str]] = {}
-
-
-def _incremental_store(spark: SparkSession, sf_dir: str) -> tuple[int, str]:
-    """Build ONCE per (session, data) the persisted day-1 MinHash store —
-    minhash_signatures_portable rows for docs below the 80% cutoff,
-    written to parquet exactly the way a daily dedup job persists them —
-    and return (cutoff, path). Subsequent l31 calls (and bench reps) read
-    the store back instead of re-shingling the old corpus, which is the
-    entire point of the incremental shape; the cutoff rides in the memo
-    so steady-state calls pay zero extra aggregation jobs. Memoized with
-    the same data fingerprint as the gate truth so in-session testdata
-    regeneration invalidates it."""
-    key = (
-        f"{spark.sparkContext.applicationId}:{sf_dir}:"
-        f"{_docs_fingerprint(sf_dir)}"
-    )
-    if key in _INCR_STORE_CACHE:
-        return _INCR_STORE_CACHE[key]
-    import atexit
-    import os
-    import shutil
-    import tempfile
-
-    docs = load_table(spark, sf_dir, "documents")
-    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
-    cutoff = int(0.8 * (max_id + 1))
-    day1 = docs.filter(F.col("doc_id") < cutoff)
-    sigs = D.minhash_signatures_portable(
-        day1, "doc_id", "text", n=3, num_hashes=32, bands=8
-    )
-    out = tempfile.mkdtemp(prefix="minhash_store_")
-    atexit.register(shutil.rmtree, out, ignore_errors=True)
-    path = os.path.join(out, "store.parquet")
-    sigs.write.mode("overwrite").parquet(path)
-    _INCR_STORE_CACHE[key] = (cutoff, path)
-    return _INCR_STORE_CACHE[key]
-
-
-def _l31_oracle() -> str:
-    from datafusion_cyberpolka_eda_spark.operators.dedup import (
-        minhash_banded_portable_oracle,
-    )
-
-    inner = minhash_banded_portable_oracle(
-        n=3, num_hashes=32, bands=8, est_threshold=0.45
-    )
-    return f"""
-    WITH mh AS (
-      {inner}
-    ),
-    cut AS (
-      SELECT CAST(FLOOR(0.8 * (MAX(doc_id) + 1)) AS BIGINT) AS c FROM documents
-    )
-    SELECT id_a, id_b, est_jaccard,
-           CASE WHEN id_a >= (SELECT c FROM cut) AND id_b >= (SELECT c FROM cut)
-                THEN 'new_new' ELSE 'new_old' END AS kind
-    FROM mh
-    WHERE id_a >= (SELECT c FROM cut) OR id_b >= (SELECT c FROM cut)
-    """
-
-
-@register("l31_incremental_dedup", _l31_oracle())
-def l31_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental cross-snapshot dedup — the daily-pipeline operator
-    (r6 verdict task 1): the first 80% of doc ids are "day 1" whose
-    MinHash signature/band store is PERSISTED to parquet (built once per
-    session — _incremental_store_dir); the remaining 20% arrive as the
-    "day 2" increment. The query shingles ONLY the increment (the
-    doc_id >= cutoff predicate is pushed into the documents scan; the old
-    corpus enters purely via the signature store — a no-rescan plan test
-    pins this), joins new bands against new+store bands, and emits every
-    near-dup pair involving >= 1 new doc, tagged new_new/new_old.
-
-    Because per-doc signatures are corpus-independent, the result equals
-    the full-corpus banded pair set restricted to >= 1 new id — which is
-    exactly what the DuckDB oracle computes (full portable-hash replay +
-    cutoff classification), so the incremental path is value-hash-checked
-    against the from-scratch semantics it must preserve.
-
-    Scale shape: store grows by |increment| rows/day and is never
-    recomputed; shuffle volume tracks increment band rows + colliding
-    store rows (persist the store bucketed by band_key at 100 TB so the
-    new-old join prunes to colliding buckets). The mergeable-sketch
-    entries (d20/d21) are the same pattern for distinct counts."""
-    docs = load_table(spark, sf_dir, "documents")
-    cutoff, store_path = _incremental_store(spark, sf_dir)
-    store = spark.read.parquet(store_path)
-    new_docs = docs.filter(F.col("doc_id") >= cutoff)
-    new_sigs = D.minhash_signatures_portable(
-        new_docs, "doc_id", "text", n=3, num_hashes=32, bands=8
-    ).localCheckpoint(eager=True)
-    pairs = D.incremental_minhash_pairs(
-        new_sigs, store, num_hashes=32, est_threshold=0.45
-    )
-    return pairs.select(
-        "id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"), "kind"
-    )
-
-
-# ---- incremental component maintenance (l33) ----
-# (session, sf_dir, data fingerprint) -> persisted day-1 label-store path.
-_INCR_CC_CACHE: dict[str, str] = {}
-
-
-def _incremental_cc_store(spark: SparkSession, sf_dir: str) -> str:
-    """Build ONCE per (session, data) the persisted day-1 COMPONENT-LABEL
-    store: day-1 banded pairs rebuilt from the persisted signature store
-    (banded_pairs_from_signatures — day-1 text is never re-shingled),
-    HashMin connected components over them, (id, comp) written to parquet
-    the way a daily dedup job persists its cluster assignment. Returns
-    the parquet path; keyed by the same data fingerprint as the signature
-    store so testdata regeneration invalidates it."""
-    key = (
-        f"{spark.sparkContext.applicationId}:{sf_dir}:"
-        f"{_docs_fingerprint(sf_dir)}"
-    )
-    if key in _INCR_CC_CACHE:
-        return _INCR_CC_CACHE[key]
-    import atexit
-    import os
-    import shutil
-    import tempfile
-
-    _cutoff, sig_path = _incremental_store(spark, sf_dir)
-    sigs = spark.read.parquet(sig_path)
-    pairs = D.banded_pairs_from_signatures(sigs, num_hashes=32, est_threshold=0.45)
-    labels = D.connected_components(pairs, "id_a", "id_b")
-    out = tempfile.mkdtemp(prefix="cc_store_")
-    atexit.register(shutil.rmtree, out, ignore_errors=True)
-    path = os.path.join(out, "labels.parquet")
-    labels.write.mode("overwrite").parquet(path)
-    _INCR_CC_CACHE[key] = path
-    return path
-
-
-def _l33_oracle() -> str:
-    from datafusion_cyberpolka_eda_spark.operators.dedup import (
-        minhash_banded_portable_oracle,
-    )
-
-    inner = minhash_banded_portable_oracle(
-        n=3, num_hashes=32, bands=8, est_threshold=0.45
-    )
-    return f"""
-    WITH RECURSIVE mh AS (
-      {inner}
-    ),
-    cut AS (
-      SELECT CAST(FLOOR(0.8 * (MAX(doc_id) + 1)) AS BIGINT) AS c FROM documents
-    ),
-    opairs AS (
-      SELECT id_a, id_b FROM mh
-      WHERE id_a < (SELECT c FROM cut) AND id_b < (SELECT c FROM cut)
-    ),
-    oedges AS (SELECT id_a AS a, id_b AS b FROM opairs
-               UNION SELECT id_b, id_a FROM opairs),
-    oreach(id, r) AS (
-      SELECT a, a FROM oedges
-      UNION
-      SELECT e.b, o.r FROM oreach o JOIN oedges e ON e.a = o.id
-    ),
-    olab AS (SELECT id, MIN(r) AS comp FROM oreach GROUP BY id),
-    fedges AS (SELECT id_a AS a, id_b AS b FROM mh
-               UNION SELECT id_b, id_a FROM mh),
-    freach(id, r) AS (
-      SELECT a, a FROM fedges
-      UNION
-      SELECT e.b, f.r FROM freach f JOIN fedges e ON e.a = f.id
-    ),
-    flab AS (SELECT id, MIN(r) AS comp FROM freach GROUP BY id),
-    newcomp AS (
-      SELECT DISTINCT comp FROM flab WHERE id >= (SELECT c FROM cut)
-    ),
-    aff AS (SELECT f.id, f.comp FROM flab f JOIN newcomp n ON f.comp = n.comp),
-    sizes AS (SELECT comp, COUNT(*) AS n FROM aff GROUP BY comp)
-    SELECT a.id AS doc_id, a.comp AS component,
-           CASE WHEN a.id >= (SELECT c FROM cut) THEN 'new'
-                WHEN o.comp IS NULL THEN 'first_cluster'
-                WHEN o.comp <> a.comp THEN 'relabeled'
-                ELSE 'unchanged' END AS status,
-           s.n AS cluster_size
-    FROM aff a
-    LEFT JOIN olab o ON o.id = a.id
-    JOIN sizes s ON s.comp = a.comp
-    """
-
-
-@register("l33_incremental_components", _l33_oracle())
-def l33_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental cluster-assignment maintenance — the second half of the
-    daily dedup loop (l31 finds today's near-dup pairs; this merges them
-    into the PERSISTED component-label store without re-running CC over
-    the old corpus). Day-1 labels are built once per session from the
-    persisted signature store (banded_pairs_from_signatures — no
-    re-shingling) and written to parquet; the day-2 increment's pairs
-    (incremental_minhash_pairs) then update only the components they
-    touch via dedup.incremental_components: affected-component pull +
-    star edges + bounded-subgraph HashMin CC.
-
-    Output = the update DELTA a daily job would write back: every member
-    of every affected component with its new label, a status
-    (new / first_cluster / relabeled / unchanged), and the new cluster
-    size. The DuckDB oracle recomputes from-scratch full-graph CC (two
-    recursive CTEs: day-1-only and full) and restricts to components
-    containing >= 1 new doc — the incremental path must reproduce
-    from-scratch semantics exactly, statuses included.
-
-    Scale shape: cost tracks |increment pairs| + |affected components|,
-    never |corpus|; persist the label store partitioned by comp so the
-    member pull is a pruned read."""
-    docs = load_table(spark, sf_dir, "documents")
-    cutoff, sig_path = _incremental_store(spark, sf_dir)
-    labels_path = _incremental_cc_store(spark, sf_dir)
-    store = spark.read.parquet(sig_path)
-    old_labels = spark.read.parquet(labels_path)
-    new_docs = docs.filter(F.col("doc_id") >= cutoff)
-    new_sigs = D.minhash_signatures_portable(
-        new_docs, "doc_id", "text", n=3, num_hashes=32, bands=8
-    ).localCheckpoint(eager=True)
-    new_pairs = (
-        D.incremental_minhash_pairs(new_sigs, store, num_hashes=32, est_threshold=0.45)
-        .select("id_a", "id_b")
-        .localCheckpoint(eager=True)
-    )
-    updated = D.incremental_components(old_labels, new_pairs, "id_a", "id_b")
-    sizes = updated.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return (
-        updated.join(
-            old_labels.select(
-                F.col("id"), F.col("comp").alias("old_comp")
-            ),
-            "id",
-            "left",
-        )
-        .join(F.broadcast(sizes), "comp")
-        .select(
-            F.col("id").alias("doc_id"),
-            F.col("comp").alias("component"),
-            F.when(F.col("id") >= cutoff, F.lit("new"))
-            .when(F.col("old_comp").isNull(), F.lit("first_cluster"))
-            .when(F.col("old_comp") != F.col("comp"), F.lit("relabeled"))
-            .otherwise(F.lit("unchanged"))
-            .alias("status"),
-            "cluster_size",
-        )
-    )
-
-
-# ---- incremental survivor maintenance (l34) ----
-# (session, sf_dir, data fingerprint) -> (day-1 stats path, day-1 survivors path).
-_INCR_SURV_CACHE: dict[str, tuple[str, str]] = {}
-
-
-def _pick_survivors(members: DataFrame, toks: DataFrame) -> DataFrame:
-    """(comp, picked_id, picked_n_tokens): longest-member policy (ties to
-    lowest doc_id) over a (id, comp) membership table joined to per-doc
-    token counts — the same window pick as l29, partitioned by cluster id
-    so there is no global sort."""
-    w = Window.partitionBy("comp").orderBy(F.desc("n_tokens"), F.asc("id"))
-    return (
-        members.join(toks.withColumnRenamed("doc_id", "id"), "id")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "comp",
-            F.col("id").alias("picked_id"),
-            F.col("n_tokens").cast("bigint").alias("picked_n_tokens"),
-        )
-    )
-
-
-def _incremental_surv_store(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
-    """Build ONCE per (session, data) the remaining day-1 stores of the
-    daily dedup loop: the per-doc stats store (doc_id, n_tokens — token
-    counts are computed when a doc FIRST arrives and persisted, so
-    survivor re-picks never re-read old text) and the day-1 survivor
-    store ((comp, picked_id, picked_n_tokens) over the day-1 label
-    store). Returns (stats_path, survivors_path)."""
-    key = (
-        f"{spark.sparkContext.applicationId}:{sf_dir}:"
-        f"{_docs_fingerprint(sf_dir)}"
-    )
-    if key in _INCR_SURV_CACHE:
-        return _INCR_SURV_CACHE[key]
-    import atexit
-    import os
-    import shutil
-    import tempfile
-
-    cutoff, _sig_path = _incremental_store(spark, sf_dir)
-    labels_path = _incremental_cc_store(spark, sf_dir)
-    docs = load_table(spark, sf_dir, "documents")
-    day1_stats = docs.filter(F.col("doc_id") < cutoff).select(
-        "doc_id", T.token_count("text").cast("bigint").alias("n_tokens")
-    )
-    out = tempfile.mkdtemp(prefix="surv_store_")
-    atexit.register(shutil.rmtree, out, ignore_errors=True)
-    stats_path = os.path.join(out, "stats.parquet")
-    day1_stats.write.mode("overwrite").parquet(stats_path)
-
-    labels = spark.read.parquet(labels_path)
-    surv = _pick_survivors(labels, spark.read.parquet(stats_path))
-    surv_path = os.path.join(out, "survivors.parquet")
-    surv.write.mode("overwrite").parquet(surv_path)
-    _INCR_SURV_CACHE[key] = (stats_path, surv_path)
-    return _INCR_SURV_CACHE[key]
-
-
-def _l34_oracle() -> str:
-    from datafusion_cyberpolka_eda_spark.operators.dedup import (
-        minhash_banded_portable_oracle,
-    )
-
-    inner = minhash_banded_portable_oracle(
-        n=3, num_hashes=32, bands=8, est_threshold=0.45
-    )
-    return f"""
-    WITH RECURSIVE mh AS (
-      {inner}
-    ),
-    cut AS (
-      SELECT CAST(FLOOR(0.8 * (MAX(doc_id) + 1)) AS BIGINT) AS c FROM documents
-    ),
-    tok AS (
-      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-      FROM documents
-    ),
-    opairs AS (
-      SELECT id_a, id_b FROM mh
-      WHERE id_a < (SELECT c FROM cut) AND id_b < (SELECT c FROM cut)
-    ),
-    oedges AS (SELECT id_a AS a, id_b AS b FROM opairs
-               UNION SELECT id_b, id_a FROM opairs),
-    oreach(id, r) AS (
-      SELECT a, a FROM oedges
-      UNION
-      SELECT e.b, o.r FROM oreach o JOIN oedges e ON e.a = o.id
-    ),
-    olab AS (SELECT id, MIN(r) AS comp FROM oreach GROUP BY id),
-    opick AS (
-      SELECT l.comp, l.id, t.n_tokens,
-             ROW_NUMBER() OVER (PARTITION BY l.comp
-               ORDER BY t.n_tokens DESC, l.id ASC) AS rn
-      FROM olab l JOIN tok t ON t.doc_id = l.id
-    ),
-    osurv AS (SELECT comp, id AS picked_id FROM opick WHERE rn = 1),
-    fedges AS (SELECT id_a AS a, id_b AS b FROM mh
-               UNION SELECT id_b, id_a FROM mh),
-    freach(id, r) AS (
-      SELECT a, a FROM fedges
-      UNION
-      SELECT e.b, f.r FROM freach f JOIN fedges e ON e.a = f.id
-    ),
-    flab AS (SELECT id, MIN(r) AS comp FROM freach GROUP BY id),
-    newcomp AS (
-      SELECT DISTINCT comp FROM flab WHERE id >= (SELECT c FROM cut)
-    ),
-    aff AS (SELECT f.id, f.comp FROM flab f JOIN newcomp n ON f.comp = n.comp),
-    sizes AS (SELECT comp, COUNT(*) AS n FROM aff GROUP BY comp),
-    fpick AS (
-      SELECT a.comp, a.id, t.n_tokens,
-             ROW_NUMBER() OVER (PARTITION BY a.comp
-               ORDER BY t.n_tokens DESC, a.id ASC) AS rn
-      FROM aff a JOIN tok t ON t.doc_id = a.id
-    )
-    SELECT p.comp AS component, s.n AS cluster_size,
-           p.id AS picked_id, p.n_tokens AS picked_n_tokens,
-           CASE WHEN o.picked_id IS NULL THEN 'new_cluster'
-                WHEN o.picked_id <> p.id THEN 'changed'
-                ELSE 'unchanged' END AS status
-    FROM fpick p
-    JOIN sizes s ON s.comp = p.comp
-    LEFT JOIN osurv o ON o.comp = p.comp
-    WHERE p.rn = 1
-    """
-
-
-@register("l34_incremental_survivors", _l34_oracle())
-def l34_incremental_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental canonical-survivor maintenance — the last step of the
-    daily dedup loop (l31 pairs -> l33 cluster delta -> WHICH doc now
-    survives each affected cluster). Re-picks the longest-member survivor
-    (ties to lowest doc_id) for ONLY the components the day-2 increment
-    touched; token counts for old members come from the persisted per-doc
-    stats store (computed when each doc first arrived — old text is never
-    re-read), and the previous survivor store supplies the
-    new_cluster / changed / unchanged status per cluster.
-
-    The DuckDB oracle replays everything from scratch (portable MinHash
-    pairs, day-1-only + full-graph recursive CC, both window picks) and
-    restricts to affected components, so the incremental path — labels,
-    picks, AND status transitions — is value-hash-checked against
-    from-scratch semantics.
-
-    Scale shape: everything after the (store-bounded) l33 delta is
-    proportional to affected-cluster membership; the stats store is an
-    append-only ledger keyed by doc_id (bucket it by id for the member
-    join); the survivor store is overwritten only on the returned rows."""
-    docs = load_table(spark, sf_dir, "documents")
-    cutoff, sig_path = _incremental_store(spark, sf_dir)
-    labels_path = _incremental_cc_store(spark, sf_dir)
-    stats_path, surv_path = _incremental_surv_store(spark, sf_dir)
-    store = spark.read.parquet(sig_path)
-    old_labels = spark.read.parquet(labels_path)
-    new_docs = docs.filter(F.col("doc_id") >= cutoff)
-    new_sigs = D.minhash_signatures_portable(
-        new_docs, "doc_id", "text", n=3, num_hashes=32, bands=8
-    ).localCheckpoint(eager=True)
-    new_pairs = (
-        D.incremental_minhash_pairs(new_sigs, store, num_hashes=32, est_threshold=0.45)
-        .select("id_a", "id_b")
-        .localCheckpoint(eager=True)
-    )
-    updated = D.incremental_components(old_labels, new_pairs, "id_a", "id_b")
-    toks = spark.read.parquet(stats_path).unionByName(
-        new_docs.select(
-            "doc_id", T.token_count("text").cast("bigint").alias("n_tokens")
-        )
-    )
-    pick = _pick_survivors(updated, toks)
-    sizes = updated.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
-    old_surv = spark.read.parquet(surv_path).select(
-        "comp", F.col("picked_id").alias("old_picked_id")
-    )
-    return (
-        pick.join(F.broadcast(sizes), "comp")
-        .join(old_surv, "comp", "left")
-        .select(
-            F.col("comp").alias("component"),
-            "cluster_size",
-            "picked_id",
-            "picked_n_tokens",
-            F.when(F.col("old_picked_id").isNull(), F.lit("new_cluster"))
-            .when(F.col("old_picked_id") != F.col("picked_id"), F.lit("changed"))
-            .otherwise(F.lit("unchanged"))
-            .alias("status"),
-        )
-    )
-
-
-# ---- incremental mixture refresh (l36) ----
-# (session, sf_dir, data fingerprint) -> (cutoff, persisted ledger path).
-_MIXTURE_STORE_CACHE: dict[str, tuple[int, str]] = {}
-
-
-def _mixture_store(spark: SparkSession, sf_dir: str) -> tuple[int, str]:
-    """Build ONCE per (session, data) the persisted day-1 corpus LEDGER:
-    per-source doc and token totals — the mergeable-exact-aggregate
-    analog of d20/d21's sketches (commutative integer sums, so daily
-    increments merge register-wise without re-reading old text). Returns
-    (cutoff, parquet path)."""
-    key = (
-        f"{spark.sparkContext.applicationId}:{sf_dir}:"
-        f"{_docs_fingerprint(sf_dir)}"
-    )
-    if key in _MIXTURE_STORE_CACHE:
-        return _MIXTURE_STORE_CACHE[key]
-    import atexit
-    import os
-    import shutil
-    import tempfile
-
-    docs = load_table(spark, sf_dir, "documents")
-    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
-    cutoff = int(0.8 * (max_id + 1))
-    ledger = (
-        docs.filter(F.col("doc_id") < cutoff)
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(T.token_count("text")).cast("bigint").alias("n_tokens"),
-        )
-    )
-    out = tempfile.mkdtemp(prefix="mixture_ledger_")
-    atexit.register(shutil.rmtree, out, ignore_errors=True)
-    path = os.path.join(out, "ledger.parquet")
-    ledger.write.mode("overwrite").parquet(path)
-    _MIXTURE_STORE_CACHE[key] = (cutoff, path)
-    return _MIXTURE_STORE_CACHE[key]
-
-
-@register(
-    "l36_incremental_mixture_refresh",
-    """
-    WITH cut AS (
-      SELECT CAST(FLOOR(0.8 * (MAX(doc_id) + 1)) AS BIGINT) AS c FROM documents
-    ),
-    s AS (
-      SELECT source,
-             CAST(COUNT(*) AS BIGINT) AS n_docs,
-             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
-             CAST(SUM(CASE WHEN doc_id >= (SELECT c FROM cut)
-                           THEN len(string_split(text, ' ')) ELSE 0 END)
-                  AS BIGINT) AS inc_tokens
-      FROM documents GROUP BY source
-    ),
-    w AS (
-      SELECT *, POW(CAST(n_tokens AS DOUBLE), 0.7) AS raw FROM s
-    )
-    SELECT source, n_docs, n_tokens, inc_tokens,
-           ROUND(raw / SUM(raw) OVER (), 6) AS weight,
-           ROUND(raw / SUM(raw) OVER () * (SELECT SUM(n_tokens) FROM s), 1)
-             AS expected_tokens
-    FROM w
-    """,
-)
-def l36_incremental_mixture_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental mixture-weight refresh — the corpus-accounting step of
-    the daily loop: a real pipeline recomputes temperature-scaled source
-    weights (l27) as the corpus grows, WITHOUT re-tokenizing old text.
-    Per-source doc/token totals live in a persisted ledger (exact
-    integer sums — the mergeable-aggregate analog of d20/d21's
-    sketches); the day-2 increment aggregates only its own docs (the
-    >= cutoff predicate is pushed into the scan), merges into the ledger
-    with a full-outer coalesce-sum (commutative — a source first seen in
-    the increment just appears), and alpha=0.7 weights are recomputed
-    from the merged totals. The oracle recomputes everything from the
-    full corpus with the same cutoff split, so the merged ledger math is
-    value-hash-checked against from-scratch semantics."""
-    docs = load_table(spark, sf_dir, "documents")
-    cutoff, ledger_path = _mixture_store(spark, sf_dir)
-    ledger = spark.read.parquet(ledger_path).select(
-        "source",
-        F.col("n_docs").alias("d1_docs"),
-        F.col("n_tokens").alias("d1_tokens"),
-    )
-    inc = (
-        docs.filter(F.col("doc_id") >= cutoff)
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("i_docs"),
-            F.sum(T.token_count("text")).cast("bigint").alias("i_tokens"),
-        )
-    )
-    merged = (
-        ledger.join(inc, "source", "full_outer")
-        .select(
-            "source",
-            (F.coalesce("d1_docs", F.lit(0)) + F.coalesce("i_docs", F.lit(0)))
-            .cast("bigint")
-            .alias("n_docs"),
-            (F.coalesce("d1_tokens", F.lit(0)) + F.coalesce("i_tokens", F.lit(0)))
-            .cast("bigint")
-            .alias("n_tokens"),
-            F.coalesce("i_tokens", F.lit(0)).cast("bigint").alias("inc_tokens"),
-        )
-    )
-    w = merged.withColumn(
-        "raw", F.pow(F.col("n_tokens").cast("double"), F.lit(0.7))
-    )
-    win = Window.partitionBy()
-    total_raw = F.sum("raw").over(win)
-    total_tokens = F.sum("n_tokens").over(win)
-    return w.select(
-        "source",
-        "n_docs",
-        "n_tokens",
-        "inc_tokens",
-        F.round(F.col("raw") / total_raw, 6).alias("weight"),
-        F.round(
-            F.col("raw") / total_raw * total_tokens.cast("double"), 1
-        ).alias("expected_tokens"),
-    )
-
-
-@register(
-    "l35_cluster_safe_split",
-    """
-    WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
-    sh AS (
-      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-      FROM t, LATERAL (SELECT unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i) s
-      WHERE w[i+2] IS NOT NULL
-    ),
-    sz AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),
-    inter AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    ),
-    pairs AS (
-      SELECT id_a, id_b
-      FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
-      WHERE CAST(inter AS DOUBLE) / (sa.c + sb.c - inter) >= 0.5
-    ),
-    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
-              UNION SELECT id_b, id_a FROM pairs),
-    reach(id, r) AS (
-      SELECT a, a FROM edges
-      UNION
-      SELECT e.b, r.r FROM reach r JOIN edges e ON e.a = r.id
-    ),
-    comp AS (SELECT id AS doc_id, MIN(r) AS comp FROM reach GROUP BY id),
-    lab AS (
-      SELECT d.doc_id, d.lang,
-             CAST(len(string_split(d.text, ' ')) AS BIGINT) AS nt,
-             COALESCE(c.comp, d.doc_id) AS canonical_id
-      FROM documents d LEFT JOIN comp c USING (doc_id)
-    ),
-    b AS (
-      SELECT *,
-             ('0x' || substr(md5(CAST(canonical_id AS VARCHAR)), 1, 15))::BIGINT
-               % 100 AS bucket
-      FROM lab
-    )
-    SELECT CASE WHEN bucket < 80 THEN 'train'
-                WHEN bucket < 90 THEN 'validation'
-                ELSE 'test' END AS split,
-           lang,
-           COUNT(*) AS n_docs,
-           COUNT(DISTINCT canonical_id) AS n_clusters,
-           CAST(SUM(nt) AS BIGINT) AS n_tokens
-    FROM b GROUP BY 1, 2
-    """,
-)
-def l35_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Leakage-safe train/validation/test split: hash-split by the
-    near-dup CLUSTER's canonical id, never the document id, so two
-    near-duplicate documents can never land in different splits (the
-    classic train/test contamination bug dedup-aware pipelines exist to
-    prevent). Docs in no cluster split by their own id; the split is a
-    pure function of the portable 60-bit hash of the canonical id
-    (80/10/10 by bucket), so it is deterministic, reproducible across
-    engines, and stable under corpus growth for untouched clusters.
-
-    The DuckDB oracle recomputes the exact-Jaccard closure (l11's
-    recursive CTE), the same md5-derived bucket, and the per-(split,
-    lang) doc/cluster/token aggregates — so the entire assignment is
-    value-hash-checked, and a pytest asserts zero near-dup pairs straddle
-    splits. Scale shape: one CC over (already linear) banded pairs + one
-    map-side hash per doc; the aggregation is a plain partial+final
-    hash agg on (split, lang)."""
-    from datafusion_cyberpolka_eda_spark.functions.hashing import md5_hash64
-
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
-    comps = D.connected_components(pairs, "id_a", "id_b")
-    lab = docs.join(
-        comps.withColumnRenamed("id", "doc_id"), "doc_id", "left"
-    ).select(
-        "doc_id",
-        "lang",
-        T.token_count("text").cast("bigint").alias("nt"),
-        F.coalesce(F.col("comp"), F.col("doc_id")).alias("canonical_id"),
-    )
-    bucket = F.pmod(md5_hash64(F.col("canonical_id").cast("string")), F.lit(100))
-    return (
-        lab.withColumn(
-            "split",
-            F.when(bucket < 80, F.lit("train"))
-            .when(bucket < 90, F.lit("validation"))
-            .otherwise(F.lit("test")),
-        )
-        .groupBy("split", "lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.countDistinct("canonical_id").alias("n_clusters"),
-            F.sum("nt").alias("n_tokens"),
-        )
-    )
-
-
-# ---- the composed incremental daily pipeline (l37) ----
-
-
-def _l37_oracle() -> str:
-    from datafusion_cyberpolka_eda_spark.operators.dedup import (
-        minhash_banded_portable_oracle,
-    )
-
-    inner = minhash_banded_portable_oracle(
-        n=3, num_hashes=32, bands=8, est_threshold=0.45
-    )
-    return f"""
-    WITH RECURSIVE mh AS (
-      {inner}
-    ),
-    cut AS (
-      SELECT CAST(FLOOR(0.8 * (MAX(doc_id) + 1)) AS BIGINT) AS c FROM documents
-    ),
-    inc AS (SELECT * FROM documents WHERE doc_id >= (SELECT c FROM cut)),
-    route AS (
-      SELECT CASE WHEN len(string_split(text, ' ')) < 8 THEN 'reject_short'
-                  WHEN len(list_distinct(string_split(text, ' '))) * 2
-                       < len(string_split(text, ' ')) THEN 'reject_repetitive'
-                  ELSE 'accept' END AS sink
-      FROM inc
-    ),
-    npair AS (
-      SELECT CASE WHEN id_a >= (SELECT c FROM cut) AND id_b >= (SELECT c FROM cut)
-                  THEN 'new_new' ELSE 'new_old' END AS kind
-      FROM mh
-      WHERE id_a >= (SELECT c FROM cut) OR id_b >= (SELECT c FROM cut)
-    ),
-    tok AS (
-      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-      FROM documents
-    ),
-    opairs AS (
-      SELECT id_a, id_b FROM mh
-      WHERE id_a < (SELECT c FROM cut) AND id_b < (SELECT c FROM cut)
-    ),
-    oedges AS (SELECT id_a AS a, id_b AS b FROM opairs
-               UNION SELECT id_b, id_a FROM opairs),
-    oreach(id, r) AS (
-      SELECT a, a FROM oedges
-      UNION
-      SELECT e.b, o.r FROM oreach o JOIN oedges e ON e.a = o.id
-    ),
-    olab AS (SELECT id, MIN(r) AS comp FROM oreach GROUP BY id),
-    opick AS (
-      SELECT l.comp, l.id,
-             ROW_NUMBER() OVER (PARTITION BY l.comp
-               ORDER BY t.n_tokens DESC, l.id ASC) AS rn
-      FROM olab l JOIN tok t ON t.doc_id = l.id
-    ),
-    osurv AS (SELECT comp, id AS picked_id FROM opick WHERE rn = 1),
-    fedges AS (SELECT id_a AS a, id_b AS b FROM mh
-               UNION SELECT id_b, id_a FROM mh),
-    freach(id, r) AS (
-      SELECT a, a FROM fedges
-      UNION
-      SELECT e.b, f.r FROM freach f JOIN fedges e ON e.a = f.id
-    ),
-    flab AS (SELECT id, MIN(r) AS comp FROM freach GROUP BY id),
-    newcomp AS (
-      SELECT DISTINCT comp FROM flab WHERE id >= (SELECT c FROM cut)
-    ),
-    aff AS (SELECT f.id, f.comp FROM flab f JOIN newcomp n ON f.comp = n.comp),
-    member_status AS (
-      SELECT a.comp,
-             CASE WHEN a.id >= (SELECT c FROM cut) THEN 'new'
-                  WHEN o.comp IS NULL THEN 'first_cluster'
-                  WHEN o.comp <> a.comp THEN 'relabeled'
-                  ELSE 'unchanged' END AS status
-      FROM aff a LEFT JOIN olab o ON o.id = a.id
-    ),
-    fpick AS (
-      SELECT a.comp, a.id,
-             ROW_NUMBER() OVER (PARTITION BY a.comp
-               ORDER BY t.n_tokens DESC, a.id ASC) AS rn
-      FROM aff a JOIN tok t ON t.doc_id = a.id
-    ),
-    surv_status AS (
-      SELECT CASE WHEN o.picked_id IS NULL THEN 'new_cluster'
-                  WHEN o.picked_id <> p.id THEN 'changed'
-                  ELSE 'unchanged' END AS status
-      FROM fpick p LEFT JOIN osurv o ON o.comp = p.comp
-      WHERE p.rn = 1
-    )
-    SELECT 'route' AS stage, sink AS metric, CAST(COUNT(*) AS BIGINT) AS value
-    FROM route GROUP BY sink
-    UNION ALL
-    SELECT 'pairs', kind, CAST(COUNT(*) AS BIGINT) FROM npair GROUP BY kind
-    UNION ALL
-    SELECT 'components', status, CAST(COUNT(*) AS BIGINT)
-    FROM member_status GROUP BY status
-    UNION ALL
-    SELECT 'components', 'affected_clusters',
-           CAST(COUNT(DISTINCT comp) AS BIGINT) FROM aff
-    UNION ALL
-    SELECT 'survivors', status, CAST(COUNT(*) AS BIGINT)
-    FROM surv_status GROUP BY status
-    UNION ALL
-    SELECT 'mixture', 'inc_tokens',
-           CAST(SUM(CASE WHEN doc_id >= (SELECT c FROM cut)
-                         THEN n_tokens ELSE 0 END) AS BIGINT) FROM tok
-    UNION ALL
-    SELECT 'mixture', 'total_tokens', CAST(SUM(n_tokens) AS BIGINT) FROM tok
-    """
-
-
-@register("l37_incremental_pipeline", _l37_oracle())
-def l37_incremental_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The COMPLETE incremental daily pipeline in one call — the
-    increment-side counterpart of l23's batch dedup pipeline: the day-2
-    shard is quality-routed (j16 rules), near-dup-paired against the
-    persisted signature store (l31), merged into the component-label
-    store (l33), survivor-re-picked from the stats ledger (l34), and
-    accounted into the mixture ledger (l36) — emitting one
-    (stage, metric, value) row per per-stage outcome so the whole daily
-    run is summarized in a dozen scalars. Every store is the persisted
-    day-1 artifact (memoized per session); the increment's text is read
-    once per stage group with the pushed >= cutoff predicate, and NO
-    stage recomputes the old corpus.
-
-    The DuckDB oracle replays all five stages from scratch in a single
-    statement (portable MinHash replay + day-1-only and full recursive
-    CC + both window picks + ledger sums), so the composed pipeline —
-    not just each stage alone — is value-hash-checked end-to-end."""
-    docs = load_table(spark, sf_dir, "documents")
-    cutoff, sig_path = _incremental_store(spark, sf_dir)
-    labels_path = _incremental_cc_store(spark, sf_dir)
-    stats_path, surv_path = _incremental_surv_store(spark, sf_dir)
-    from datafusion_cyberpolka_eda_spark.streaming.documents import (
-        quality_sink_col,
-    )
-
-    inc = docs.filter(F.col("doc_id") >= cutoff)
-    store = spark.read.parquet(sig_path)
-    old_labels = spark.read.parquet(labels_path)
-
-    def rows(stage: str, df: DataFrame) -> DataFrame:
-        return df.select(
-            F.lit(stage).alias("stage"),
-            F.col("metric"),
-            F.col("value").cast("bigint").alias("value"),
-        )
-
-    route = rows(
-        "route",
-        inc.select(quality_sink_col().alias("metric"))
-        .groupBy("metric")
-        .agg(F.count(F.lit(1)).alias("value")),
-    )
-
-    new_sigs = D.minhash_signatures_portable(
-        inc, "doc_id", "text", n=3, num_hashes=32, bands=8
-    ).localCheckpoint(eager=True)
-    new_pairs_full = D.incremental_minhash_pairs(
-        new_sigs, store, num_hashes=32, est_threshold=0.45
-    ).localCheckpoint(eager=True)
-    pairs = rows(
-        "pairs",
-        new_pairs_full.groupBy(F.col("kind").alias("metric")).agg(
-            F.count(F.lit(1)).alias("value")
-        ),
-    )
-
-    new_pairs = new_pairs_full.select("id_a", "id_b")
-    updated = D.incremental_components(
-        old_labels, new_pairs, "id_a", "id_b"
-    ).localCheckpoint(eager=True)
-    member_status = updated.join(
-        old_labels.select("id", F.col("comp").alias("old_comp")), "id", "left"
-    ).select(
-        F.when(F.col("id") >= cutoff, F.lit("new"))
-        .when(F.col("old_comp").isNull(), F.lit("first_cluster"))
-        .when(F.col("old_comp") != F.col("comp"), F.lit("relabeled"))
-        .otherwise(F.lit("unchanged"))
-        .alias("metric")
-    )
-    components = rows(
-        "components",
-        member_status.groupBy("metric").agg(F.count(F.lit(1)).alias("value")),
-    ).unionByName(
-        rows(
-            "components",
-            updated.agg(
-                F.countDistinct("comp").alias("value")
-            ).withColumn("metric", F.lit("affected_clusters")),
-        )
-    )
-
-    toks = spark.read.parquet(stats_path).unionByName(
-        inc.select("doc_id", T.token_count("text").cast("bigint").alias("n_tokens"))
-    )
-    pick = _pick_survivors(updated, toks)
-    old_surv = spark.read.parquet(surv_path).select(
-        "comp", F.col("picked_id").alias("old_picked_id")
-    )
-    survivors = rows(
-        "survivors",
-        pick.join(old_surv, "comp", "left")
-        .select(
-            F.when(F.col("old_picked_id").isNull(), F.lit("new_cluster"))
-            .when(F.col("old_picked_id") != F.col("picked_id"), F.lit("changed"))
-            .otherwise(F.lit("unchanged"))
-            .alias("metric")
-        )
-        .groupBy("metric")
-        .agg(F.count(F.lit(1)).alias("value")),
-    )
-
-    # totals from the SAME per-doc ledger rows the pick stage used
-    # (stats store for day-1 + increment rows): one agg each, no joins
-    mixture = rows(
-        "mixture",
-        inc.agg(F.sum(T.token_count("text")).cast("bigint").alias("value"))
-        .withColumn("metric", F.lit("inc_tokens")),
-    ).unionByName(
-        rows(
-            "mixture",
-            toks.agg(F.sum("n_tokens").cast("bigint").alias("value"))
-            .withColumn("metric", F.lit("total_tokens")),
-        )
-    )
-
-    return (
-        route.unionByName(pairs)
-        .unionByName(components)
-        .unionByName(survivors)
-        .unionByName(mixture)
-    )
-
-
-# ---- incremental cross-snapshot decontamination (l32) ----
-# (session, sf_dir, data fingerprint) -> (cutoff, persisted gram-store path).
-_DECON_STORE_CACHE: dict[str, tuple[int, str]] = {}
-
-# Increment = the last 40% of doc ids (vs l31's 20%): at the driver's
-# sf0.01 sweep scale the 20% tail happens to contain zero contaminated
-# docs, which would make the oracle check trivially all-zero; the 40%
-# tail contains real hits at every sweep scale, so the incremental path
-# is value-checked on nonzero contamination counts.
-_L32_CUTOFF_FRAC = 0.6
-
-
-def _decon_store(spark: SparkSession, sf_dir: str) -> tuple[int, str]:
-    """Build ONCE per (session, data) the persisted benchmark gram store —
-    the DISTINCT portable 60-bit hashes of every benchmark 5-gram
-    (sources src0/src1), written to parquet the way a daily pipeline
-    persists its decontamination blocklist — and return (cutoff, path).
-    Unlike the dedup signature store (which grows by the daily increment,
-    l31), the benchmark store is STATIC between benchmark releases: a new
-    benchmark snapshot unions in and distinct-merges, daily document
-    increments never touch it. Memoized with the data fingerprint so
-    in-session testdata regeneration invalidates it."""
-    key = (
-        f"{spark.sparkContext.applicationId}:{sf_dir}:"
-        f"{_docs_fingerprint(sf_dir)}"
-    )
-    if key in _DECON_STORE_CACHE:
-        return _DECON_STORE_CACHE[key]
-    import atexit
-    import os
-    import shutil
-    import tempfile
-
-    docs = load_table(spark, sf_dir, "documents")
-    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
-    cutoff = int(_L32_CUTOFF_FRAC * (max_id + 1))
-    bench = (
-        _doc_gram_hashes(
-            docs.filter(F.col("source").isin("src0", "src1")), n=5
-        )
-        .select("h")
-        .distinct()
-    )
-    out = tempfile.mkdtemp(prefix="decon_store_")
-    atexit.register(shutil.rmtree, out, ignore_errors=True)
-    path = os.path.join(out, "bench_grams.parquet")
-    bench.write.mode("overwrite").parquet(path)
-    _DECON_STORE_CACHE[key] = (cutoff, path)
-    return _DECON_STORE_CACHE[key]
-
-
-_L32_ORACLE = f"""
-    WITH cut AS (
-      SELECT CAST(FLOOR({_L32_CUTOFF_FRAC} * (MAX(doc_id) + 1)) AS BIGINT) AS c
-      FROM documents
-    ),
-    d AS (
-      SELECT doc_id, lang, source,
-             string_split(lower(text), ' ') AS toks
-      FROM documents
-    ),
-    g AS (
-      SELECT doc_id, lang, source,
-             ('0x' || substr(md5(array_to_string(toks[i:i+4], ' ')), 1, 15))::BIGINT AS h
-      FROM d, UNNEST(range(1, greatest(len(toks) - 3, 1))) AS t(i)
-    ),
-    bench AS (SELECT DISTINCT h FROM g WHERE source IN ('src0', 'src1')),
-    inc AS (
-      SELECT lang, COUNT(*) AS n_docs FROM d
-      WHERE source NOT IN ('src0', 'src1')
-        AND doc_id >= (SELECT c FROM cut)
-      GROUP BY lang
-    ),
-    hit AS (
-      SELECT DISTINCT g.doc_id, g.lang
-      FROM g JOIN bench USING (h)
-      WHERE g.source NOT IN ('src0', 'src1')
-        AND g.doc_id >= (SELECT c FROM cut)
-    ),
-    hc AS (SELECT lang, COUNT(*) AS n_contaminated FROM hit GROUP BY lang)
-    SELECT i.lang,
-           CAST(i.n_docs AS BIGINT) AS n_docs,
-           CAST(COALESCE(hc.n_contaminated, 0) AS BIGINT) AS n_contaminated,
-           ROUND(COALESCE(hc.n_contaminated, 0) * 1.0 / i.n_docs, 6)
-             AS contamination_rate
-    FROM inc i LEFT JOIN hc USING (lang)
-"""
-
-
-@register("l32_incremental_decontamination", _L32_ORACLE)
-def l32_incremental_decontamination(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Incremental decontamination — the daily-shape counterpart of l20,
-    completing the incremental family (l31 dedup store, l8f IVF-PQ add,
-    d20/d21 mergeable sketches): the benchmark's distinct 5-gram hash
-    set is PERSISTED once (per benchmark release — _decon_store), and
-    each day only the NEW document increment (doc_id >= the
-    _L32_CUTOFF_FRAC snapshot cutoff) is tokenized, exploded, and
-    probed against the store. The old corpus
-    is never re-screened and the benchmark is never re-shingled; a plan
-    test pins that every documents scan on the steady-state path carries
-    the pushed increment predicate.
-
-    Because contamination is a per-document property (shares ANY 5-gram
-    with the static benchmark set), the increment screen equals the
-    full-corpus screen (l20) restricted to increment docs — which is
-    exactly what the DuckDB oracle computes (full tokenize/hash/contain
-    replay + cutoff restriction), so the incremental path is
-    value-hash-checked against the from-scratch semantics.
-
-    100 TB design: the gram store is benchmark-sized (MBs — broadcasts),
-    the daily scan is increment-sized, and the probe is the same
-    all-map-side broadcast semi-join as l20; only (lang, doc) survivors
-    shuffle. Steady-state daily cost tracks |increment|, independent of
-    corpus size."""
-    docs = load_table(spark, sf_dir, "documents")
-    cutoff, store_path = _decon_store(spark, sf_dir)
-    bench = spark.read.parquet(store_path)
-    inc = docs.filter(
-        (F.col("doc_id") >= cutoff)
-        & ~F.col("source").isin("src0", "src1")
-    )
-    hits = (
-        _doc_gram_hashes(inc, n=5)
-        .join(F.broadcast(bench), "h", "left_semi")
-        .select("doc_id", "lang")
-        .distinct()
-        .groupBy("lang")
-        .agg(F.count(F.lit(1)).alias("n_contaminated"))
-    )
-    n_docs = inc.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
-    return n_docs.join(hits, "lang", "left").select(
-        "lang",
-        F.col("n_docs").cast("bigint").alias("n_docs"),
-        F.coalesce("n_contaminated", F.lit(0)).cast("bigint").alias(
-            "n_contaminated"
-        ),
-        F.round(
-            F.coalesce("n_contaminated", F.lit(0)) * 1.0 / F.col("n_docs"), 6
-        ).alias("contamination_rate"),
-    )
-
-
 # ---- iterative BPE training (l28b) ----
 
 
@@ -3116,79 +1657,6 @@ def l28b_bpe_train_k_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---- IVF-PQ composed index (l8e) ----
-
-
-@register(
-    "l8e_ann_ivf_pq",
-    """
-    SELECT CAST(5 AS BIGINT) AS n_queries,
-           TRUE AS mean_recall_at_5_ge_60pct,
-           TRUE AS pq_bytes_le_quarter_f32
-    """,
-)
-def l8e_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ composed index (r6 verdict task 4): the l8b coarse
-    quantizer and the l16 int8 quantization COMPOSED — int8-quantized
-    residuals (per-cell scale, so the per-vector payload is exactly
-    dim bytes) stored in the inverted lists; serving scores
-    dot(q, centroid) + dot(q, dequantized residual) without touching the
-    float vectors. This is the standard billion-vector memory story:
-    float32 vectors don't fit executor memory at 100 TB, codes do.
-
-    Like l8b the trained quantizer is sample/data-dependent, so the
-    registered output is the gate row the oracle pins: (a) MEAN recall@5
-    over the 5 benchmark queries vs the exact cosine top-5 >= 60%
-    (measured 1.0 at sf0.001-0.1 — tests/test_llm_ops.py also asserts
-    the per-component quantization error bound); (b) the per-vector
-    payload is MEASURED at <= 1/4 of float32 — one 1-byte code per
-    vector component, checked from the built index itself (schema
-    element type must be ByteType and code count must equal component
-    count), so a refactor that silently widens the code type or pads
-    codes breaks the gate. The quantizer model (16 centroids + 16
-    per-cell scales) is index-level overhead independent of corpus size
-    and amortizes to nothing at the 100 TB target."""
-    from pyspark.sql.types import ByteType
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    qids = [0, 1, 2, 3, 4]
-    unit = SIM.unit_vec_df(emb, "vec_id", "embedding")
-    centers = SIM.train_centroids_on_sample(unit, 16, 2048)
-    index, scales = SIM.ivf_pq_index(unit, centers)
-    ann = SIM.ann_ivf_pq_topk_multi(
-        emb, "vec_id", "embedding", query_ids=qids, k=5,
-        n_probe=8, prebuilt=(index, centers, scales),
-    )
-    got: dict[int, set] = {}
-    for r in ann.collect():
-        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
-    es = _ann_exact_top5(spark, sf_dir)
-    mean_recall = sum(
-        len(got.get(q, set()) & es[q]) / len(es[q]) for q in qids
-    ) / len(qids)
-    codes_are_int8 = isinstance(
-        index.schema["qcodes"].dataType.elementType, ByteType
-    )
-    sizes = index.join(
-        emb.select(F.col("vec_id").alias("id"), F.size("embedding").alias("dim")),
-        "id",
-    ).agg(
-        F.sum("dim").alias("total_dims"),
-        F.sum(F.size("qcodes")).alias("total_codes"),
-    ).collect()[0]
-    # 1 byte/code vs 4 bytes/float32 component: <= 1/4 iff codes are
-    # byte-typed and there is no more than one code per component
-    payload_ok = (
-        codes_are_int8 and int(sizes["total_codes"]) <= int(sizes["total_dims"])
-    )
-    return small_df(
-        spark,
-        [(5, mean_recall >= 0.6, payload_ok)],
-        "n_queries bigint, mean_recall_at_5_ge_60pct boolean, "
-        "pq_bytes_le_quarter_f32 boolean",
-    )
-
-
 @register(
     "l28c_bpe_encode",
     _l28c_oracle(5),
@@ -3224,881 +1692,6 @@ def l28c_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.sum(F.coalesce(F.col("na"), F.lit(0))) * 1.0 / F.sum("nb"), 6
             ).alias("compression"),
-        )
-    )
-
-
-# (session, sf_dir, embeddings fingerprint) -> (cutoff, index_path,
-# centers, scales_path): the persisted day-1 IVF-PQ index — the l31
-# band-store pattern applied to ANN. Incremental semantics MEAN the day-1
-# index is a durable artifact read back from storage, not rebuilt per
-# query; the build runs once per (session, data).
-_IVF_STORE_CACHE: dict[str, tuple] = {}
-
-
-def _ivf_pq_store(spark: SparkSession, sf_dir: str) -> tuple:
-    key = (
-        f"{spark.sparkContext.applicationId}:{sf_dir}:"
-        f"{_table_fingerprint(sf_dir, 'embeddings')}"
-    )
-    if key in _IVF_STORE_CACHE:
-        return _IVF_STORE_CACHE[key]
-    import atexit
-    import os
-    import shutil
-    import tempfile
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    max_id = emb.agg(F.max("vec_id")).collect()[0][0]
-    cutoff = int(0.8 * (max_id + 1))
-    unit1 = SIM.unit_vec_df(
-        emb.filter(F.col("vec_id") < cutoff), "vec_id", "embedding"
-    )
-    centers = SIM.train_centroids_on_sample(unit1, 16, 2048)
-    index1, scales = SIM.ivf_pq_index(unit1, centers)
-    out = tempfile.mkdtemp(prefix="ivf_pq_store_")
-    atexit.register(shutil.rmtree, out, ignore_errors=True)
-    ipath = os.path.join(out, "index.parquet")
-    spath = os.path.join(out, "scales.parquet")
-    index1.write.mode("overwrite").parquet(ipath)
-    scales.write.mode("overwrite").parquet(spath)
-    _IVF_STORE_CACHE[key] = (cutoff, ipath, centers, spath)
-    return _IVF_STORE_CACHE[key]
-
-
-@register(
-    "l8f_ann_ivf_pq_incremental",
-    """
-    SELECT CAST(5 AS BIGINT) AS n_queries,
-           TRUE AS day1_replay_identical,
-           TRUE AS union_recall_at_5_ge_60pct
-    """,
-)
-def l8f_ann_ivf_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INCREMENTAL IVF-PQ index growth (the ANN member of the r7
-    incremental family, next to l31's dedup store and d20/d21's
-    mergeable sketches): the first 80% of vectors build the index and
-    train the quantizer; the remaining 20% arrive later and are ingested
-    with ivf_pq_add — FROZEN centroids + frozen per-cell scales, no
-    retraining, no rescan of indexed vectors.
-
-    The day-1 index is PERSISTED to parquet once per session
-    (_ivf_pq_store — the l31 band-store pattern: incremental means the
-    existing index is a durable artifact read back, not rebuilt), so a
-    steady-state call pays only: read store, ingest increment, serve.
-
-    Oracle-pinned gates: (a) re-ingesting the day-1 vectors through the
-    incremental path reproduces the PERSISTED index EXACTLY (clamp is
-    identity on in-range residuals — a true store-replay equivalence,
-    checked with a symmetric exceptAll in one action); (b) serving over
-    the union index (persisted day-1 + day-2 increment, clamped codes
-    included) keeps mean recall@5 >= 60% vs the exact cosine top-5 over
-    the FULL corpus."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    cutoff, ipath, centers, spath = _ivf_pq_store(spark, sf_dir)
-    index1 = spark.read.parquet(ipath)
-    scales = spark.read.parquet(spath)
-    day1 = emb.filter(F.col("vec_id") < cutoff)
-    day2 = emb.filter(F.col("vec_id") >= cutoff)
-
-    # the replay gate re-ingests day-1 THROUGH the incremental path and
-    # compares against the persisted store — per-call work by design
-    replay = SIM.ivf_pq_add(
-        SIM.unit_vec_df(day1, "vec_id", "embedding"), centers, scales
-    )
-    cmp_cols = ["id", "cell", "qcodes"]
-    a, b = index1.select(*cmp_cols), replay.select(*cmp_cols)
-    # symmetric difference in ONE action (two exceptAll branches unioned)
-    identical = a.exceptAll(b).union(b.exceptAll(a)).count() == 0
-
-    inc = SIM.ivf_pq_add(
-        SIM.unit_vec_df(day2, "vec_id", "embedding"), centers, scales
-    )
-    union_index = index1.unionByName(inc).localCheckpoint(eager=True)
-    qids = [0, 1, 2, 3, 4]
-    ann = SIM.ann_ivf_pq_topk_multi(
-        emb, "vec_id", "embedding", query_ids=qids, k=5, n_probe=8,
-        prebuilt=(union_index, centers, scales),
-    )
-    got: dict[int, set] = {}
-    for r in ann.collect():
-        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
-    es = _ann_exact_top5(spark, sf_dir)
-    mean_recall = sum(
-        len(got.get(q, set()) & es[q]) / len(es[q]) for q in qids
-    ) / len(qids)
-    return small_df(
-        spark,
-        [(5, identical, mean_recall >= 0.6)],
-        "n_queries bigint, day1_replay_identical boolean, "
-        "union_recall_at_5_ge_60pct boolean",
-    )
-
-
-# ---- takedown propagation (l38) ----
-
-
-def _l38_oracle() -> str:
-    from datafusion_cyberpolka_eda_spark.operators.dedup import (
-        minhash_banded_portable_oracle,
-    )
-
-    inner = minhash_banded_portable_oracle(
-        n=3, num_hashes=32, bands=8, est_threshold=0.45
-    )
-    return f"""
-    WITH RECURSIVE mh AS (
-      {inner}
-    ),
-    cut AS (
-      SELECT CAST(FLOOR(0.8 * (MAX(doc_id) + 1)) AS BIGINT) AS c FROM documents
-    ),
-    opairs AS MATERIALIZED (
-      SELECT id_a, id_b FROM mh
-      WHERE id_a < (SELECT c FROM cut) AND id_b < (SELECT c FROM cut)
-    ),
-    oedges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM opairs
-               UNION SELECT id_b, id_a FROM opairs),
-    oreach(id, r) AS (
-      SELECT a, a FROM oedges
-      UNION
-      SELECT e.b, o.r FROM oreach o JOIN oedges e ON e.a = o.id
-    ),
-    olab AS MATERIALIZED (SELECT id, MIN(r) AS comp FROM oreach GROUP BY id),
-    removed AS MATERIALIZED (SELECT id FROM olab WHERE id % 7 = 3),
-    aff AS (SELECT DISTINCT comp FROM olab WHERE id % 7 = 3),
-    members AS MATERIALIZED (
-      SELECT o.id, o.comp FROM olab o JOIN aff a ON a.comp = o.comp),
-    remaining AS MATERIALIZED (
-      SELECT m.id, m.comp FROM members m
-      WHERE m.id NOT IN (SELECT id FROM removed)
-    ),
-    rpairs AS (
-      SELECT p.id_a, p.id_b FROM opairs p
-      JOIN remaining ra ON ra.id = p.id_a
-      JOIN remaining rb ON rb.id = p.id_b
-    ),
-    redges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM rpairs
-               UNION SELECT id_b, id_a FROM rpairs),
-    rreach(id, r) AS (
-      SELECT a, a FROM redges
-      UNION
-      SELECT e.b, x.r FROM rreach x JOIN redges e ON e.a = x.id
-    ),
-    rlab AS MATERIALIZED (SELECT id, MIN(r) AS comp FROM rreach GROUP BY id),
-    surv AS MATERIALIZED (
-      SELECT m.id, m.comp AS old_comp, COALESCE(r.comp, m.id) AS new_comp
-      FROM remaining m LEFT JOIN rlab r ON r.id = m.id
-    ),
-    sizes AS (SELECT new_comp, COUNT(*) AS n FROM surv GROUP BY new_comp)
-    SELECT s.id AS doc_id, s.old_comp AS old_component,
-           s.new_comp AS new_component,
-           CASE WHEN s.new_comp <> s.old_comp THEN 'relabeled'
-                ELSE 'unchanged' END AS status,
-           z.n AS new_cluster_size
-    FROM surv s JOIN sizes z ON z.new_comp = s.new_comp
-    UNION ALL
-    SELECT m.id, m.comp, NULL, 'removed', NULL
-    FROM members m JOIN removed r ON r.id = m.id
-    """
-
-
-@register("l38_takedown_propagation", _l38_oracle())
-def l38_takedown_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Takedown / right-to-be-forgotten propagation — the DELETE half of
-    the incremental-dedup CRUD story (l31/l33 cover inserts). A takedown
-    batch (modeled as the clustered day-1 docs with doc_id % 7 == 3 — a
-    deterministic stand-in for a request list) is removed from the
-    persisted stores, and every cluster that contained one is re-derived
-    over its remaining members via dedup.takedown_components: affected-
-    component pull -> signature-store slice -> banded pair rebuild ->
-    bounded CC. Deletion can SPLIT clusters (the removed doc may have
-    been the only bridge) and retire labels (comp = min member id), so
-    survivors carry relabeled/unchanged statuses and removed docs emit
-    tombstone rows the store write-back turns into deletes.
-
-    Old text is never re-read: connectivity is rebuilt purely from the
-    persisted signature store (banded_pairs_from_signatures over a
-    semi-joined slice — a plan test pins the no-documents-scan shape).
-    The DuckDB oracle replays from scratch: full-corpus portable MinHash,
-    day-1 CC, drop the removed set, re-run CC over the remaining members
-    of affected components — the incremental path must reproduce
-    from-scratch delete semantics exactly, statuses and sizes included.
-
-    Scale shape: cost tracks |request| + |affected components|, never
-    |corpus| — the daily takedown job at 100 TB touches a few thousand
-    clusters, not the store."""
-    cutoff, sig_path = _incremental_store(spark, sf_dir)
-    labels_path = _incremental_cc_store(spark, sf_dir)
-    store = spark.read.parquet(sig_path)
-    labels = spark.read.parquet(labels_path)
-    removed = labels.filter(F.col("id") % 7 == 3).select("id")
-
-    def edges_fn(remaining: DataFrame) -> DataFrame:
-        sub = store.join(F.broadcast(remaining.select("id")), "id", "semi")
-        return D.banded_pairs_from_signatures(
-            sub, num_hashes=32, est_threshold=0.45
-        ).select("id_a", "id_b")
-
-    delta = D.takedown_components(labels, removed, edges_fn)
-    sizes = (
-        delta.filter(F.col("comp").isNotNull())
-        .groupBy("comp")
-        .agg(F.count(F.lit(1)).alias("new_cluster_size"))
-    )
-    return delta.join(F.broadcast(sizes), "comp", "left").select(
-        F.col("id").alias("doc_id"),
-        F.col("old_comp").alias("old_component"),
-        F.col("comp").alias("new_component"),
-        F.when(F.col("comp").isNull(), F.lit("removed"))
-        .when(F.col("comp") != F.col("old_comp"), F.lit("relabeled"))
-        .otherwise(F.lit("unchanged"))
-        .alias("status"),
-        "new_cluster_size",
-    )
-
-
-# ---- corpus drift monitoring (l39) ----
-
-
-_L39_ORACLE = """
-WITH cut AS (
-  SELECT CAST(FLOOR(0.8 * (MAX(doc_id) + 1)) AS BIGINT) AS c FROM documents
-),
-base AS (
-  SELECT doc_id < (SELECT c FROM cut) AS day1,
-         lang, source,
-         CAST(LEAST(n_chars // 64, 8) AS VARCHAR) AS len_band,
-         CAST(LEAST(len(string_split(text, ' ')) // 16, 6) AS VARCHAR) AS tok_band
-  FROM documents
-),
-long AS (
-  SELECT 'lang' AS feature, lang AS bucket, day1 FROM base
-  UNION ALL SELECT 'source', source, day1 FROM base
-  UNION ALL SELECT 'len_band', len_band, day1 FROM base
-  UNION ALL SELECT 'tok_band', tok_band, day1 FROM base
-),
-counts AS (
-  SELECT feature, bucket,
-         SUM(CASE WHEN day1 THEN 1 ELSE 0 END) AS day1_n,
-         SUM(CASE WHEN day1 THEN 0 ELSE 1 END) AS day2_n
-  FROM long GROUP BY 1, 2
-),
-sm AS (
-  SELECT feature, bucket, day1_n, day2_n,
-         (day1_n + 1.0) / (SUM(day1_n) OVER (PARTITION BY feature)
-                           + COUNT(*) OVER (PARTITION BY feature)) AS p,
-         (day2_n + 1.0) / (SUM(day2_n) OVER (PARTITION BY feature)
-                           + COUNT(*) OVER (PARTITION BY feature)) AS q
-  FROM counts
-),
-c2 AS (
-  SELECT feature, bucket, day1_n, day2_n, (p - q) * ln(p / q) AS contrib FROM sm
-)
-SELECT feature, bucket,
-       CAST(day1_n AS BIGINT) AS day1_n,
-       CAST(day2_n AS BIGINT) AS day2_n,
-       ROUND(contrib, 6) AS psi_contrib,
-       ROUND(SUM(contrib) OVER (PARTITION BY feature), 6) AS psi
-FROM c2
-"""
-
-
-def psi_feature_buckets(docs: DataFrame, *extra_cols) -> DataFrame:
-    """The l39/j19 shared 4-feature unpivot: one explode turns each doc
-    row into (feature, bucket) rows for lang, source, banded n_chars and
-    banded token count. ``extra_cols`` (aliased Columns) ride along."""
-    sel = docs.select(
-        *extra_cols,
-        F.explode(
-            F.array(
-                F.struct(
-                    F.lit("lang").alias("feature"), F.col("lang").alias("bucket")
-                ),
-                F.struct(
-                    F.lit("source").alias("feature"),
-                    F.col("source").alias("bucket"),
-                ),
-                F.struct(
-                    F.lit("len_band").alias("feature"),
-                    F.least(F.floor(F.col("n_chars") / 64), F.lit(8))
-                    .cast("string")
-                    .alias("bucket"),
-                ),
-                F.struct(
-                    F.lit("tok_band").alias("feature"),
-                    F.least(F.floor(T.token_count("text") / 16), F.lit(6))
-                    .cast("string")
-                    .alias("bucket"),
-                ),
-            )
-        ).alias("fb"),
-    )
-    names = [f.name for f in sel.schema.fields if f.name != "fb"]
-    return sel.select(*names, "fb.feature", "fb.bucket")
-
-
-def psi_from_counts(counts: DataFrame) -> DataFrame:
-    """Fold (feature, bucket, day1_n, day2_n) EXACT integer counts into
-    the PSI output shape (add-one smoothing over the union bucket set,
-    per-bucket contributions + per-feature PSI, 6 dp). Shared by l39
-    (batch) and j19 (streaming merge) — the float math runs once, on
-    identical merged integers, so both paths hash identically."""
-    w = Window.partitionBy("feature")
-    k = F.count(F.lit(1)).over(w)
-    p = (F.col("day1_n") + 1.0) / (F.sum("day1_n").over(w) + k)
-    q = (F.col("day2_n") + 1.0) / (F.sum("day2_n").over(w) + k)
-    contrib = (p - q) * F.log(p / q)
-    return counts.withColumn("contrib", contrib).select(
-        "feature",
-        "bucket",
-        "day1_n",
-        "day2_n",
-        F.round("contrib", 6).alias("psi_contrib"),
-        F.round(F.sum("contrib").over(w), 6).alias("psi"),
-    )
-
-
-@register("l39_psi_drift", _L39_ORACLE)
-def l39_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Population-stability-index drift monitor between the day-1 corpus
-    and the day-2 increment (same 80% doc_id cutoff as the incremental
-    family) — the daily distribution check a training-data pipeline runs
-    before admitting an increment: a shifted source mix, language mix, or
-    length profile upstream shows up here before it skews the mixture
-    weights (l27/l36) or quality gates.
-
-    Four monitored features — lang and source (categorical) plus banded
-    n_chars and whitespace-token counts — are unpivoted via ONE explode
-    over a single documents scan, counted per (feature, bucket) in one
-    shuffle, then smoothed Laplace-style (add-one over the union bucket
-    set, so buckets present on only one side stay finite) and folded into
-    PSI = sum (p-q)*ln(p/q) with per-bucket contributions exposed.
-    Rule-of-thumb thresholds (<0.1 stable, >0.25 action) apply per
-    feature row.
-
-    Scale shape: one scan + one (feature, bucket) shuffle whose
-    cardinality is buckets (tiny), not rows; window partitions are
-    per-feature bucket lists — O(10) rows each. Exact integer counts;
-    doubles rounded to 6 dp on both sides (registry float convention)."""
-    docs = load_table(spark, sf_dir, "documents")
-    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
-    cutoff = int(0.8 * (max_id + 1))
-    base = psi_feature_buckets(
-        docs, (F.col("doc_id") < cutoff).alias("day1")
-    )
-    counts = base.groupBy("feature", "bucket").agg(
-        F.sum(F.when(F.col("day1"), 1).otherwise(0)).alias("day1_n"),
-        F.sum(F.when(~F.col("day1"), 1).otherwise(0)).alias("day2_n"),
-    )
-    return psi_from_counts(counts)
-
-
-@register(
-    "l8g_ann_ivf_pq_takedown",
-    """
-    WITH cut AS (
-      SELECT CAST(FLOOR(0.8 * (MAX(vec_id) + 1)) AS BIGINT) AS c FROM embeddings
-    )
-    SELECT (SELECT COUNT(*) FROM embeddings
-            WHERE vec_id < (SELECT c FROM cut) AND vec_id % 9 = 2) AS n_removed,
-           TRUE AS delete_equals_rebuild,
-           TRUE AS no_removed_in_topk,
-           TRUE AS recall_after_delete_ge_60pct
-    """,
-)
-def l8g_ann_ivf_pq_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Takedown propagation into the ANN serving index — the vector-side
-    counterpart of l38: when documents are removed from the corpus, their
-    vectors must leave the index too, and because IVF-PQ codes are
-    per-vector independent under a frozen quantizer, deletion is a pure
-    anti-join on the persisted index: O(|request|), no retraining, no
-    rescan of the remaining vectors.
-
-    Three oracle-pinned gates prove delete-by-anti-join is the real
-    semantics, not an approximation (removal set = indexed day-1 vectors
-    with vec_id % 9 == 2, a deterministic request stand-in):
-      (a) delete_equals_rebuild — the anti-joined index is EXACTLY the
-          index rebuilt from scratch over the remaining vectors with the
-          same frozen quantizer/scales (symmetric exceptAll in one
-          action); this is the algebraic identity that makes O(|request|)
-          deletion sound;
-      (b) no_removed_in_topk — serving top-5 from the deleted index never
-          returns a removed id (no ghost results after takedown);
-      (c) recall_after_delete_ge_60pct — mean recall@5 vs the exact
-          cosine top-5 over the REMAINING corpus stays >= 60%: deletion
-          does not degrade serving quality for surviving vectors.
-    n_removed is genuinely recomputed by the oracle from the same cutoff
-    + modulus; the booleans are pinned-TRUE gate outcomes (d19 pattern).
-    """
-    emb = load_table(spark, sf_dir, "embeddings")
-    cutoff, ipath, centers, spath = _ivf_pq_store(spark, sf_dir)
-    index1 = spark.read.parquet(ipath)
-    scales = spark.read.parquet(spath)
-    day1 = emb.filter(F.col("vec_id") < cutoff)
-    removed = day1.filter(F.col("vec_id") % 9 == 2).select(
-        F.col("vec_id").alias("id")
-    )
-    n_removed = removed.count()
-
-    deleted = index1.join(F.broadcast(removed), "id", "left_anti").localCheckpoint(
-        eager=True
-    )
-    rebuilt = SIM.ivf_pq_add(
-        SIM.unit_vec_df(
-            day1.join(F.broadcast(removed.withColumnRenamed("id", "vec_id")),
-                      "vec_id", "left_anti"),
-            "vec_id", "embedding",
-        ),
-        centers,
-        scales,
-    )
-    cmp_cols = ["id", "cell", "qcodes"]
-    a, b = deleted.select(*cmp_cols), rebuilt.select(*cmp_cols)
-    identical = a.exceptAll(b).union(b.exceptAll(a)).count() == 0
-
-    qids = [0, 1, 3, 4, 5]  # query ids chosen outside the removal set
-    ann = SIM.ann_ivf_pq_topk_multi(
-        emb, "vec_id", "embedding", query_ids=qids, k=5, n_probe=8,
-        prebuilt=(deleted, centers, scales),
-    )
-    got: dict[int, set] = {}
-    for r in ann.collect():
-        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
-    removed_ids = {r["id"] for r in removed.collect()}
-    no_ghosts = all(not (s & removed_ids) for s in got.values())
-
-    remaining_day1 = day1.join(
-        F.broadcast(removed.withColumnRenamed("id", "vec_id")), "vec_id", "left_anti"
-    )
-    exact = SIM.cosine_topk(
-        emb.filter(F.col("vec_id").isin(qids)), remaining_day1,
-        id_col="vec_id", vec_col="embedding", k=5,
-    )
-    es: dict[int, set] = {}
-    for r in exact.collect():
-        es.setdefault(r["query_id"], set()).add(r["candidate_id"])
-    mean_recall = sum(
-        len(got.get(q, set()) & es[q]) / len(es[q]) for q in qids
-    ) / len(qids)
-    return small_df(
-        spark,
-        [(n_removed, identical, no_ghosts, mean_recall >= 0.6)],
-        "n_removed bigint, delete_equals_rebuild boolean, "
-        "no_removed_in_topk boolean, recall_after_delete_ge_60pct boolean",
-    )
-
-
-# ---- composed takedown pipeline (l40) ----
-
-
-def _l40_oracle() -> str:
-    from datafusion_cyberpolka_eda_spark.operators.dedup import (
-        minhash_banded_portable_oracle,
-    )
-
-    inner = minhash_banded_portable_oracle(
-        n=3, num_hashes=32, bands=8, est_threshold=0.45
-    )
-    return f"""
-    WITH RECURSIVE mh AS (
-      {inner}
-    ),
-    cut AS (
-      SELECT CAST(FLOOR(0.8 * (MAX(doc_id) + 1)) AS BIGINT) AS c FROM documents
-    ),
-    tok AS MATERIALIZED (
-      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-      FROM documents
-    ),
-    opairs AS MATERIALIZED (
-      SELECT id_a, id_b FROM mh
-      WHERE id_a < (SELECT c FROM cut) AND id_b < (SELECT c FROM cut)
-    ),
-    oedges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM opairs
-               UNION SELECT id_b, id_a FROM opairs),
-    oreach(id, r) AS (
-      SELECT a, a FROM oedges
-      UNION
-      SELECT e.b, o.r FROM oreach o JOIN oedges e ON e.a = o.id
-    ),
-    olab AS MATERIALIZED (SELECT id, MIN(r) AS comp FROM oreach GROUP BY id),
-    removed AS MATERIALIZED (SELECT id FROM olab WHERE id % 7 = 3),
-    aff AS (SELECT DISTINCT comp FROM olab WHERE id % 7 = 3),
-    members AS MATERIALIZED (SELECT o.id, o.comp FROM olab o JOIN aff a ON a.comp = o.comp),
-    remaining AS MATERIALIZED (
-      SELECT m.id, m.comp FROM members m
-      WHERE m.id NOT IN (SELECT id FROM removed)
-    ),
-    rpairs AS (
-      SELECT p.id_a, p.id_b FROM opairs p
-      JOIN remaining ra ON ra.id = p.id_a
-      JOIN remaining rb ON rb.id = p.id_b
-    ),
-    redges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM rpairs
-               UNION SELECT id_b, id_a FROM rpairs),
-    rreach(id, r) AS (
-      SELECT a, a FROM redges
-      UNION
-      SELECT e.b, x.r FROM rreach x JOIN redges e ON e.a = x.id
-    ),
-    rlab AS MATERIALIZED (SELECT id, MIN(r) AS comp FROM rreach GROUP BY id),
-    surv AS MATERIALIZED (
-      SELECT m.id, m.comp AS old_comp, COALESCE(r.comp, m.id) AS new_comp
-      FROM remaining m LEFT JOIN rlab r ON r.id = m.id
-    ),
-    opick AS (
-      SELECT l.comp, l.id,
-             ROW_NUMBER() OVER (PARTITION BY l.comp
-               ORDER BY t.n_tokens DESC, l.id ASC) AS rn
-      FROM olab l JOIN tok t ON t.doc_id = l.id
-    ),
-    osurv AS MATERIALIZED (SELECT comp, id AS picked_id FROM opick WHERE rn = 1),
-    npick AS (
-      SELECT s.new_comp, s.old_comp, s.id, t.n_tokens,
-             ROW_NUMBER() OVER (PARTITION BY s.new_comp
-               ORDER BY t.n_tokens DESC, s.id ASC) AS rn
-      FROM surv s JOIN tok t ON t.doc_id = s.id
-    ),
-    nsurv AS MATERIALIZED (
-      SELECT new_comp, old_comp, id AS picked_id, n_tokens
-      FROM npick WHERE rn = 1
-    ),
-    remtok AS MATERIALIZED (
-      SELECT r.id, t.n_tokens, d.source
-      FROM removed r
-      JOIN tok t ON t.doc_id = r.id
-      JOIN documents d ON d.doc_id = r.id
-    )
-    SELECT 'request' AS stage, 'n_removed' AS metric,
-           CAST((SELECT COUNT(*) FROM removed) AS BIGINT) AS value
-    UNION ALL SELECT 'request', 'n_affected_clusters',
-           CAST((SELECT COUNT(*) FROM aff) AS BIGINT)
-    UNION ALL SELECT 'components', 'survivor_rows',
-           CAST((SELECT COUNT(*) FROM surv) AS BIGINT)
-    UNION ALL SELECT 'components', 'relabeled',
-           CAST((SELECT COUNT(*) FROM surv WHERE new_comp <> old_comp) AS BIGINT)
-    UNION ALL SELECT 'components', 'unchanged',
-           CAST((SELECT COUNT(*) FROM surv WHERE new_comp = old_comp) AS BIGINT)
-    UNION ALL SELECT 'components', 'clusters_after',
-           CAST((SELECT COUNT(DISTINCT new_comp) FROM surv) AS BIGINT)
-    UNION ALL SELECT 'survivors', 'picks',
-           CAST((SELECT COUNT(*) FROM nsurv) AS BIGINT)
-    UNION ALL SELECT 'survivors', 'picks_changed',
-           CAST((SELECT COUNT(*) FROM nsurv n
-                 JOIN osurv o ON o.comp = n.old_comp
-                 WHERE n.picked_id <> o.picked_id) AS BIGINT)
-    UNION ALL SELECT 'survivors', 'picked_tokens_total',
-           CAST((SELECT COALESCE(SUM(n_tokens), 0) FROM nsurv) AS BIGINT)
-    UNION ALL SELECT 'ledger', 'tokens_removed',
-           CAST((SELECT COALESCE(SUM(n_tokens), 0) FROM remtok) AS BIGINT)
-    UNION ALL SELECT 'ledger', 'sources_touched',
-           CAST((SELECT COUNT(DISTINCT source) FROM remtok) AS BIGINT)
-    """
-
-
-def _takedown_ledger_rows(
-    docs: DataFrame, removed: DataFrame, stats: DataFrame
-) -> DataFrame:
-    """Ledger decrement rows for a takedown batch: (doc_id, n_tokens,
-    source) per removed doc. Token counts come from the persisted stats
-    ledger; the ONLY documents access is a column-pruned
-    (doc_id, source) broadcast side — the text column must never appear
-    in the scan's ReadSchema (pinned by tests/test_takedown.py)."""
-    srcs = docs.select("doc_id", "source")
-    return (
-        removed.withColumnRenamed("id", "doc_id")
-        .join(stats, "doc_id")
-        .join(F.broadcast(srcs), "doc_id")
-    )
-
-
-@register("l40_takedown_pipeline", _l40_oracle())
-def l40_takedown_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The COMPLETE takedown pipeline in one call — the delete-side
-    counterpart of l37's incremental daily pipeline: a removal batch
-    (clustered day-1 docs with doc_id % 7 == 3, the l38 request stand-in)
-    is propagated through every persisted store — component re-derivation
-    over remaining members (l38), survivor re-pick for affected clusters
-    from the stats ledger (the removed doc may BE the survivor), and
-    corpus-ledger decrement accounting (docs/tokens/sources removed) —
-    emitting one (stage, metric, value) row per outcome.
-
-    No-rescan contract: connectivity is rebuilt purely from the signature
-    store and token counts come from the stats ledger; the ONLY documents
-    access is a column-pruned (doc_id, source) read for the ledger stage
-    — the text column is never scanned (a plan test pins the pruned
-    ReadSchema).
-
-    The DuckDB oracle replays all stages from scratch in one statement
-    (portable MinHash, day-1 CC, takedown CC over remaining members, both
-    window picks, ledger sums), so the composed delete flow — not just
-    l38 alone — is value-hash-checked end-to-end."""
-    docs = load_table(spark, sf_dir, "documents")
-    cutoff, sig_path = _incremental_store(spark, sf_dir)
-    labels_path = _incremental_cc_store(spark, sf_dir)
-    stats_path, surv_path = _incremental_surv_store(spark, sf_dir)
-    store = spark.read.parquet(sig_path)
-    labels = spark.read.parquet(labels_path)
-    removed = labels.filter(F.col("id") % 7 == 3).select("id")
-
-    def edges_fn(remaining: DataFrame) -> DataFrame:
-        sub = store.join(F.broadcast(remaining.select("id")), "id", "semi")
-        return D.banded_pairs_from_signatures(
-            sub, num_hashes=32, est_threshold=0.45
-        ).select("id_a", "id_b")
-
-    delta = D.takedown_components(labels, removed, edges_fn).localCheckpoint(
-        eager=True
-    )
-    surv = delta.filter(F.col("comp").isNotNull())
-
-    def rows(stage: str, df: DataFrame) -> DataFrame:
-        return df.select(
-            F.lit(stage).alias("stage"),
-            F.col("metric"),
-            F.col("value").cast("bigint").alias("value"),
-        )
-
-    def scalar(stage: str, metric: str, agg_df: DataFrame) -> DataFrame:
-        return rows(stage, agg_df.withColumn("metric", F.lit(metric)))
-
-    request = scalar(
-        "request", "n_removed", removed.agg(F.count(F.lit(1)).alias("value"))
-    ).unionByName(
-        scalar(
-            "request",
-            "n_affected_clusters",
-            labels.join(F.broadcast(removed), "id")
-            .agg(F.countDistinct("comp").alias("value")),
-        )
-    )
-
-    components = (
-        scalar("components", "survivor_rows", surv.agg(F.count(F.lit(1)).alias("value")))
-        .unionByName(
-            scalar(
-                "components",
-                "relabeled",
-                surv.filter(F.col("comp") != F.col("old_comp"))
-                .agg(F.count(F.lit(1)).alias("value")),
-            )
-        )
-        .unionByName(
-            scalar(
-                "components",
-                "unchanged",
-                surv.filter(F.col("comp") == F.col("old_comp"))
-                .agg(F.count(F.lit(1)).alias("value")),
-            )
-        )
-        .unionByName(
-            scalar(
-                "components",
-                "clusters_after",
-                surv.agg(F.countDistinct("comp").alias("value")),
-            )
-        )
-    )
-
-    stats = spark.read.parquet(stats_path)
-    picks = _pick_survivors(surv.select("id", "comp"), stats)
-    parent = surv.select("comp", "old_comp").distinct()
-    old_surv = spark.read.parquet(surv_path).select(
-        F.col("comp").alias("old_comp"), F.col("picked_id").alias("old_picked_id")
-    )
-    picks_j = picks.join(F.broadcast(parent), "comp").join(
-        F.broadcast(old_surv), "old_comp", "left"
-    ).localCheckpoint(eager=True)
-    survivors = (
-        scalar("survivors", "picks", picks_j.agg(F.count(F.lit(1)).alias("value")))
-        .unionByName(
-            scalar(
-                "survivors",
-                "picks_changed",
-                picks_j.filter(F.col("picked_id") != F.col("old_picked_id"))
-                .agg(F.count(F.lit(1)).alias("value")),
-            )
-        )
-        .unionByName(
-            scalar(
-                "survivors",
-                "picked_tokens_total",
-                picks_j.agg(
-                    F.coalesce(F.sum("picked_n_tokens"), F.lit(0)).alias("value")
-                ),
-            )
-        )
-    )
-
-    remtok = _takedown_ledger_rows(docs, removed, stats).localCheckpoint(
-        eager=True
-    )
-    ledger = scalar(
-        "ledger",
-        "tokens_removed",
-        remtok.agg(F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("value")),
-    ).unionByName(
-        scalar(
-            "ledger",
-            "sources_touched",
-            remtok.agg(F.countDistinct("source").alias("value")),
-        )
-    )
-
-    return request.unionByName(components).unionByName(survivors).unionByName(ledger)
-
-
-# ---- incremental embedding (semantic) dedup (l41) ----
-# (session, sf_dir, embeddings fingerprint) -> (cutoff, units, cells,
-# centers parquet paths): the persisted day-1 semantic store.
-_SEM_STORE_CACHE: dict[str, tuple] = {}
-
-
-def _semantic_store(spark: SparkSession, sf_dir: str) -> tuple:
-    """Build ONCE per (session, data) the persisted day-1 SEMANTIC store
-    for incremental embedding dedup: unit vectors, frozen-quantizer cell
-    assignments (top-4 probes against the 8 smallest day-1 ids — the
-    offline-trained-quantizer stand-in, same parameters as l10), and the
-    centroid table itself, each written to parquet the way a daily
-    semantic-dedup job persists them. Returns
-    (cutoff, units_path, cells_path, centers_path); keyed by the
-    embeddings-table fingerprint so testdata regeneration invalidates
-    it. Persisting the CENTROIDS is what freezes the quantizer: day-2
-    assignment must use day-1's cells, never re-derive its own."""
-    key = (
-        f"{spark.sparkContext.applicationId}:{sf_dir}:"
-        f"{_table_fingerprint(sf_dir, 'embeddings')}"
-    )
-    if key in _SEM_STORE_CACHE:
-        return _SEM_STORE_CACHE[key]
-    import atexit
-    import os
-    import shutil
-    import tempfile
-
-    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
-    max_id = emb.agg(F.max("vec_id")).collect()[0][0]
-    cutoff = int(0.8 * (max_id + 1))
-    day1 = emb.filter(F.col("vec_id") < cutoff)
-    unit = SIM.unit_vec_df(day1, "vec_id", "embedding").localCheckpoint(
-        eager=True
-    )
-    cent_rows = sorted(
-        unit.orderBy("id").limit(8).collect(), key=lambda r: r["id"]
-    )
-    centers = [list(r["unit_arr"]) for r in cent_rows]
-    cells = SIM.assign_cells_literal(unit, centers, n_probe=4)
-    out = tempfile.mkdtemp(prefix="semantic_store_")
-    atexit.register(shutil.rmtree, out, ignore_errors=True)
-    units_path = os.path.join(out, "units.parquet")
-    cells_path = os.path.join(out, "cells.parquet")
-    centers_path = os.path.join(out, "centers.parquet")
-    unit.write.mode("overwrite").parquet(units_path)
-    cells.write.mode("overwrite").parquet(cells_path)
-    spark.createDataFrame(
-        [(i, v) for i, v in enumerate(centers)], "cid int, unit_arr array<double>"
-    ).write.mode("overwrite").parquet(centers_path)
-    _SEM_STORE_CACHE[key] = (cutoff, units_path, cells_path, centers_path)
-    return _SEM_STORE_CACHE[key]
-
-
-_L41_ORACLE = """
-    WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0),
-    cut AS (SELECT CAST(FLOOR(0.8 * (MAX(vec_id) + 1)) AS BIGINT) AS c FROM v),
-    e AS (SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS val,
-                 generate_subscripts(embedding, 1) AS i FROM v),
-    n AS (SELECT vec_id, SQRT(SUM(val * val)) AS nrm FROM e GROUP BY vec_id),
-    u AS (SELECT e.vec_id, e.i, e.val / n.nrm AS uval FROM e JOIN n USING (vec_id)),
-    c AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, vec_id AS cvid
-          FROM (SELECT vec_id FROM v ORDER BY vec_id LIMIT 8)),
-    cvec AS (SELECT c.cid, u.i, u.uval AS cval FROM c JOIN u ON u.vec_id = c.cvid),
-    dots AS (SELECT u.vec_id, cv.cid, SUM(u.uval * cv.cval) AS d
-             FROM u JOIN cvec cv USING (i) GROUP BY u.vec_id, cv.cid),
-    cells AS (SELECT vec_id, cid FROM (
-                SELECT vec_id, cid,
-                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cid ASC) AS rk
-                FROM dots) WHERE rk <= 4),
-    cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-             FROM cells a JOIN cells b USING (cid) WHERE a.vec_id < b.vec_id),
-    pairdot AS (SELECT cand.id_a, cand.id_b, SUM(ua.uval * ub.uval) AS cosine
-                FROM cand
-                JOIN u ua ON ua.vec_id = cand.id_a
-                JOIN u ub ON ub.vec_id = cand.id_b AND ub.i = ua.i
-                GROUP BY cand.id_a, cand.id_b)
-    SELECT id_a, id_b, ROUND(cosine, 6) AS cosine,
-           CASE WHEN id_a >= (SELECT c FROM cut)
-                THEN 'new_new' ELSE 'new_old' END AS kind
-    FROM pairdot
-    WHERE cosine >= 0.25 AND id_b >= (SELECT c FROM cut)
-"""
-
-
-@register("l41_incremental_embedding_dedup", _L41_ORACLE)
-def l41_incremental_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental SEMANTIC (embedding) dedup — the embedding-space
-    counterpart of l31's MinHash incremental shape: day-1 unit vectors +
-    frozen-quantizer cell assignments are PERSISTED (_semantic_store);
-    the day-2 increment is normalized and cell-assigned under the SAME
-    frozen centroids (read from the store — the quantizer is never
-    retrained), and candidates come from joining ONLY the increment's
-    cells against store+increment cells. Old vectors are never
-    re-normalized or re-assigned; the embeddings scan carries a pushed
-    vec_id >= cutoff predicate (no-rescan plan test pins it).
-
-    Because cell assignment is per-row deterministic under a frozen
-    quantizer, the incremental pair set equals the full from-scratch
-    build (l10 semantics, same centroids/probes/threshold) restricted to
-    pairs with >= 1 new id — exactly what the DuckDB oracle computes, so
-    the incremental path is value-hash-checked against from-scratch
-    semantics. Scale shape: store grows by |increment| rows/day; shuffle
-    volume tracks increment cell rows + colliding store cells (persist
-    the store bucketed by cell at 100 TB so the join prunes to colliding
-    buckets)."""
-    cutoff, units_path, cells_path, centers_path = _semantic_store(spark, sf_dir)
-    store_units = spark.read.parquet(units_path)
-    store_cells = spark.read.parquet(cells_path)
-    centers = [
-        list(r["unit_arr"])
-        for r in sorted(
-            spark.read.parquet(centers_path).collect(), key=lambda r: r["cid"]
-        )
-    ]
-    new = load_table(spark, sf_dir, "embeddings").filter(
-        (F.col("vec_id") % 5 == 0) & (F.col("vec_id") >= cutoff)
-    )
-    new_units = SIM.unit_vec_df(new, "vec_id", "embedding").localCheckpoint(
-        eager=True
-    )
-    new_cells = SIM.assign_cells_literal(
-        new_units, centers, n_probe=4
-    ).localCheckpoint(eager=True)
-    all_cells = store_cells.unionByName(new_cells)
-    cand = (
-        new_cells.alias("a")
-        .join(all_cells.alias("b"), "cell")
-        .filter(F.col("a.id") != F.col("b.id"))
-        .select(
-            F.least("a.id", "b.id").alias("id_a"),
-            F.greatest("a.id", "b.id").alias("id_b"),
-        )
-        .distinct()
-    )
-    all_units = store_units.unionByName(new_units)
-    ua = all_units.select(F.col("id").alias("id_a"), F.col("unit_arr").alias("arr_a"))
-    ub = all_units.select(F.col("id").alias("id_b"), F.col("unit_arr").alias("arr_b"))
-    return (
-        cand.join(ua, "id_a")
-        .join(ub, "id_b")
-        .withColumn("cosine", SIM.dot_expr("arr_a", "arr_b"))
-        .filter(F.col("cosine") >= 0.25)
-        .select(
-            "id_a",
-            "id_b",
-            F.round("cosine", 6).alias("cosine"),
-            F.when(F.col("id_a") >= F.lit(cutoff), "new_new")
-            .otherwise("new_old")
-            .alias("kind"),
         )
     )
 
@@ -4657,142 +2250,6 @@ def l45_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---- distributed embedding covariance / Gram matrix (l46) ----
-
-
-GRAM_QSCALE = 100_000  # component quantization scale shared with the oracles
-
-
-def embedding_gram_partials(emb: DataFrame, dim: int = 64) -> DataFrame:
-    """Per-Arrow-batch Gram partials over an `embedding array<float>`
-    column: each batch yields ONE row holding the flattened
-    [count, column-sums (dim), X^T X (dim*dim)] statistics vector
-    (length 1 + dim + dim^2), computed as an int64 numpy matmul over
-    FLOOR-quantized components q = floor(x * GRAM_QSCALE).
-
-    This is THE distributed-linear-algebra shape for PCA / whitening /
-    linear probes at 100 TB: raw vectors never shuffle — every executor
-    reduces its batches to a fixed-size O(dim^2) state and only those
-    tiny partials move. Quantizing to scaled integers makes every
-    downstream sum EXACT and order-independent (the l16/l22 exact-
-    arithmetic pattern), so rounded consumer output can never flip with
-    partitioning or engine summation order. floor() is tie-free and
-    bit-identical between numpy and SQL engines on the same doubles.
-    Overflow headroom: |q| <= ~6e4 here, so G_ij partial sums stay
-    < 2^53 (exact in int64 AND in the final double division) up to
-    ~1e6 rows per statistic; beyond that, shard column blocks or widen
-    to decimal — state size is O(dim^2) either way."""
-    import numpy as np
-    import pandas as pd
-
-    width = 1 + dim + dim * dim
-
-    def gen(it):
-        for pdf in it:
-            if len(pdf) == 0:
-                continue
-            M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            Q = np.floor(M * float(GRAM_QSCALE)).astype(np.int64)
-            st = np.empty(width, dtype=np.int64)
-            st[0] = len(Q)
-            st[1 : 1 + dim] = Q.sum(axis=0)
-            st[1 + dim :] = (Q.T @ Q).reshape(-1)
-            yield pd.DataFrame({"st": [st.tolist()]})
-
-    return emb.select("embedding").mapInPandas(gen, schema="st array<long>")
-
-
-@register(
-    "l46_embedding_covariance",
-    """
-    WITH e AS (
-      SELECT vec_id, i - 1 AS i,
-             CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 100000.0) AS BIGINT)
-               AS x
-      FROM embeddings,
-           LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) s
-    ),
-    stats AS (SELECT i, SUM(x) AS si, COUNT(*) AS n FROM e GROUP BY i),
-    g AS (
-      SELECT a.i AS i, b.i AS j, SUM(a.x * b.x) AS gij
-      FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
-      GROUP BY a.i, b.i
-    )
-    SELECT g.i, g.j,
-           -- + 0 normalizes -0.0 -> +0.0 (IEEE): DuckDB ROUND keeps the
-           -- sign of a tiny negative while Spark F.round (BigDecimal)
-           -- drops it; the values are ==-equal but byte/hash-different
-           -- (the r8 driver red). A no-op for every other value.
-           ROUND((gij / sa.n - (sa.si / sa.n) * (sb.si / sb.n)) / 1.0e10, 6)
-             + 0 AS cov
-    FROM g JOIN stats sa ON g.i = sa.i JOIN stats sb ON g.j = sb.i
-    """,
-)
-def l46_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed covariance matrix over the embedding column — the
-    Gram-matrix substrate every large-scale vector pipeline needs for PCA,
-    whitening, OPQ rotation training, and linear probes. Spark side runs
-    the scalable plan: mapInPandas reduces each Arrow batch to one
-    fixed-size partial [n, sum(x), X^T X] (float64 matmul, vectors never
-    shuffle), a single posexplode+groupBy sums the partials element-wise
-    (4161 int64s per batch — tiny), and the biased covariance
-    cov(i,j) = (G_ij/n - mean_i*mean_j) / QSCALE^2 materializes the full
-    upper triangle (2080 rows at dim=64). Components are floor-quantized
-    to scaled integers FIRST (q = floor(x*1e5)) so every distributed sum
-    is exact integer arithmetic — order-independent, hash-stable under
-    any partitioning (fixes the r7 rounding-boundary flake). The oracle
-    replays the identical quantized statistic relationally (unnest +
-    self-join on vec_id) — quadratic in dim but exact, feasible at
-    oracle scale only; both sides divide/round identically (same IEEE
-    op sequence on identical exact integers), and the oracle adds `+ 0`
-    after ROUND to normalize -0.0 -> +0.0: DuckDB ROUND preserves the
-    sign of a tiny negative while Spark F.round (BigDecimal) drops it —
-    ==-equal but hash-different (the r8 driver red, one cell at sf0.01).
-
-    Scale shape: communication is O(n_batches * dim^2) regardless of row
-    count; no shuffle touches a raw vector. At dim too large for dim^2
-    state, the same pattern shards column blocks.
-    Ref parity: north-star similarity/embedding extension (SURVEY §2 L)."""
-    dim = 64
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
-    part = embedding_gram_partials(emb, dim=dim)
-    flat = (
-        part.select(F.posexplode("st").alias("idx", "v"))
-        .groupBy("idx")
-        .agg(F.sum("v").alias("v"))
-    )
-    n_df = flat.filter(F.col("idx") == 0).select(F.col("v").alias("n"))
-    s_df = flat.filter((F.col("idx") >= 1) & (F.col("idx") <= dim)).select(
-        (F.col("idx") - 1).alias("i"), F.col("v").alias("si")
-    )
-    g_df = (
-        flat.filter(F.col("idx") > dim)
-        .select(
-            F.floor((F.col("idx") - dim - 1) / dim).cast("long").alias("i"),
-            ((F.col("idx") - dim - 1) % dim).cast("long").alias("j"),
-            F.col("v").alias("gij"),
-        )
-        .filter(F.col("i") <= F.col("j"))
-    )
-    out = (
-        g_df.join(s_df, "i")
-        .join(s_df.select(F.col("i").alias("j"), F.col("si").alias("sj")), "j")
-        .crossJoin(F.broadcast(n_df))
-        .select(
-            "i",
-            "j",
-            (
-                (
-                    F.col("gij") / F.col("n")
-                    - (F.col("si") / F.col("n")) * (F.col("sj") / F.col("n"))
-                )
-                / F.lit(float(GRAM_QSCALE) * float(GRAM_QSCALE))
-            ).alias("cov"),
-        )
-    )
-    return _round_cols(out, ["cov"]).select("i", "j", "cov")
-
-
 # ---- per-source cap rebalancing (l47) ----
 
 
@@ -4870,104 +2327,6 @@ def l47_source_cap_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("tokens_kept").cast("double") / F.col("gtk")).alias("share_after"),
     )
     return _round_cols(out, ["share_before", "share_after"])
-
-
-# ---- sparse TF-IDF cosine self-join with posting-list pruning (l48) ----
-
-
-@register(
-    "l48_sparse_cosine_pairs",
-    """
-    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-    g AS (
-      SELECT doc_id, w[i] || ' ' || w[i+1] AS term
-      FROM t, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) s
-      WHERE len(w) >= 2
-    ),
-    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM g GROUP BY doc_id, term),
-    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
-    n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tf),
-    v AS (
-      SELECT tf.doc_id, tf.term,
-             tf.tf * ln(CAST((SELECT n FROM n) AS DOUBLE) / df.df) AS wgt
-      FROM tf JOIN df USING (term) WHERE df.df <= 50
-    ),
-    nrm AS (SELECT doc_id, sqrt(SUM(wgt * wgt)) AS nm FROM v GROUP BY doc_id),
-    dots AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.wgt * b.wgt) AS dp
-      FROM v a JOIN v b ON a.term = b.term AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
-    )
-    SELECT id_a, id_b, ROUND(dp / (na.nm * nb.nm), 6) AS cosine
-    FROM dots JOIN nrm na ON id_a = na.doc_id JOIN nrm nb ON id_b = nb.doc_id
-    WHERE dp / (na.nm * nb.nm) >= 0.5
-    """,
-)
-def l48_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sparse TF-IDF cosine similarity self-join over word-BIGRAM vectors
-    with posting-list pruning — the sparse-vector counterpart of the dense
-    ANN family (l7/l8) and the set-Jaccard family (l2/l3): docs sharing
-    RARE bigrams score high, the signal a boilerplate/near-dup reviewer
-    reads when embeddings are unavailable. Terms with document frequency
-    above 50 are dropped from the vector space (sklearn's max_df rule):
-    that is BOTH the statistical stop-term filter and the scale bound —
-    the term self-join fanout is sum(df^2) <= 50 * sum(df), linear in
-    corpus size, never the quadratic blowup an unpruned stop-term posting
-    list would produce (at sf0.1 the cap is what makes the candidate set
-    1k pairs instead of 12.5M). idf = ln(N/df), the l13 convention; pairs
-    emitted at cosine >= 0.5, rounded 6 dp.
-
-    Scale shape: two hash aggs (doc-term tf, term df), a broadcast of the
-    pruned df table, ONE term-keyed equi-join whose per-term fanout is
-    capped, then a pair-keyed agg. No window, no cross join; at 100 TB
-    hash terms to 64-bit before the join (l13 note) and AQE splits any
-    residual hot term. Ref parity: north-star dedup/similarity extension
-    (SURVEY §2 L)."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    g = docs.select(
-        "doc_id", F.explode(T.shingles("text", 2)).alias("term")
-    )
-    # The weighted-postings table feeds FOUR consumers (df, norms, both
-    # join sides); without a lineage cut Spark re-scans and re-tokenizes
-    # the corpus once per consumer (6 parquet scans in the naive plan).
-    # localCheckpoint materializes tf once — executor-local is fine here
-    # (recompute-on-loss is one scan); at cluster scale with flaky
-    # executors use the reliable checkpoint_dir pattern (dedup.py
-    # connected_components).
-    tf = (
-        g.groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint()
-    )
-    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = tf.select("doc_id").distinct().count()
-    v = tf.join(
-        F.broadcast(df.filter(F.col("df") <= 50)), "term"
-    ).select(
-        "doc_id",
-        "term",
-        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("wgt"),
-    )
-    nrm = v.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("wgt") * F.col("wgt"))).alias("nm"))
-    a = v.select(F.col("doc_id").alias("id_a"), "term", F.col("wgt").alias("wa"))
-    b = v.select(F.col("doc_id").alias("id_b"), "term", F.col("wgt").alias("wb"))
-    dots = (
-        a.join(b, "term")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dp"))
-    )
-    cos = (
-        dots.join(nrm.select(F.col("doc_id").alias("id_a"), F.col("nm").alias("na")), "id_a")
-        .join(nrm.select(F.col("doc_id").alias("id_b"), F.col("nm").alias("nb")), "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (F.col("dp") / (F.col("na") * F.col("nb"))).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= 0.5)
-    )
-    return _round_cols(cos, ["cosine"]).select("id_a", "id_b", "cosine")
 
 
 # ---- deterministic multi-epoch shuffle (l49) ----
@@ -5126,150 +2485,6 @@ def l50_quality_calibrated_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---- incremental covariance store (l51) ----
-
-_GRAM_STORE_CACHE: dict[str, tuple[int, str]] = {}
-
-
-def _gram_store(spark: SparkSession, sf_dir: str, dim: int = 64) -> tuple[int, str]:
-    """Build ONCE per (session, data) the persisted day-1 GRAM-STATE store
-    for incremental covariance: the element-wise-summed
-    [n, column-sums, X^T X] statistics of all day-1 vectors
-    (vec_id < cutoff = int(0.8 * (max_id + 1))), written as a tiny
-    (idx, v) parquet table — 1 + dim + dim^2 rows TOTAL regardless of
-    corpus size. Keyed by the embeddings-table fingerprint so testdata
-    regeneration invalidates it. This is the d20-mergeable-sketch
-    pattern applied to linear algebra: the persisted state is
-    commutative/associative, so tomorrow's update is an element-wise
-    add, never a day-1 rescan."""
-    key = (
-        f"{spark.sparkContext.applicationId}:{sf_dir}:"
-        f"{_table_fingerprint(sf_dir, 'embeddings')}"
-    )
-    if key in _GRAM_STORE_CACHE:
-        return _GRAM_STORE_CACHE[key]
-    import atexit
-    import os
-    import shutil
-    import tempfile
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    max_id = emb.agg(F.max("vec_id")).collect()[0][0]
-    cutoff = int(0.8 * (max_id + 1))
-    day1 = emb.filter(F.col("vec_id") < cutoff)
-    flat = (
-        embedding_gram_partials(day1, dim=dim)
-        .select(F.posexplode("st").alias("idx", "v"))
-        .groupBy("idx")
-        .agg(F.sum("v").alias("v"))
-    )
-    out = tempfile.mkdtemp(prefix="gram_store_")
-    atexit.register(shutil.rmtree, out, ignore_errors=True)
-    path = os.path.join(out, "gram_state.parquet")
-    flat.write.mode("overwrite").parquet(path)
-    _GRAM_STORE_CACHE[key] = (cutoff, path)
-    return _GRAM_STORE_CACHE[key]
-
-
-@register(
-    "l51_incremental_covariance",
-    """
-    WITH mx AS (SELECT MAX(vec_id) AS m FROM embeddings),
-    e AS (
-      SELECT vec_id, i - 1 AS i,
-             CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 100000.0) AS BIGINT)
-               AS x
-      FROM embeddings,
-           LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) s
-    ),
-    stats AS (
-      SELECT i, SUM(x) AS si, SUM(x * x) AS sxx, COUNT(*) AS n
-      FROM e GROUP BY i
-    ),
-    cnt AS (
-      SELECT COUNT(*) AS nt,
-             SUM(CASE WHEN vec_id <
-                   CAST(FLOOR(0.8 * ((SELECT m FROM mx) + 1)) AS BIGINT)
-                 THEN 1 ELSE 0 END) AS ns
-      FROM embeddings
-    )
-    SELECT s.i,
-           -- + 0: -0.0 -> +0.0 sign normalization (see l46 oracle)
-           ROUND((si / n) / 1.0e5, 6) + 0 AS mean,
-           ROUND((sxx / n - (si / n) * (si / n)) / 1.0e10, 6) + 0 AS var,
-           CAST(ns AS BIGINT) AS n_store,
-           CAST(nt - ns AS BIGINT) AS n_new
-    FROM stats s, cnt
-    """,
-)
-def l51_incremental_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INCREMENTAL covariance maintenance — l46's Gram state treated the
-    way a daily pipeline treats it: day-1's [n, sum, X^T X] statistics
-    live in a persisted (idx, v) store of 1+dim+dim^2 rows (fixed size,
-    independent of corpus size); the day-2 increment computes partials
-    over ONLY vec_id >= cutoff (pushed scan predicate — day-1 vectors
-    are never re-read as vectors) and the update is an element-wise
-    UNION+sum, exactly the d20 mergeable-sketch shape applied to linear
-    algebra. Emits per-dimension (mean, variance) from the merged state
-    plus the store/increment row provenance. State is integer-quantized
-    (floor(x*1e5), see embedding_gram_partials) so the merged sums are
-    EXACT — merge order and partitioning can never flip the rounded
-    output. The oracle replays the same quantized statistics from
-    scratch over all vectors — valid because the merged integer state
-    is exactly the from-scratch state (integer addition is commutative
-    and exact).
-
-    Scale shape: daily cost is O(increment) scan + a 4161-row merge;
-    the covariance of a 100 TB embedding corpus stays current without
-    ever touching yesterday's vectors. Ref parity: north-star
-    incremental-maintenance extension (SURVEY §2 L)."""
-    dim = 64
-    cutoff, path = _gram_store(spark, sf_dir, dim=dim)
-    store = spark.read.parquet(path)
-    inc = load_table(spark, sf_dir, "embeddings").filter(
-        F.col("vec_id") >= cutoff
-    )
-    inc_flat = embedding_gram_partials(inc, dim=dim).select(
-        F.posexplode("st").alias("idx", "v")
-    )
-    merged = (
-        store.unionByName(inc_flat).groupBy("idx").agg(F.sum("v").alias("v"))
-    )
-    n_df = merged.filter(F.col("idx") == 0).select(F.col("v").alias("n"))
-    ns_df = store.filter(F.col("idx") == 0).select(
-        F.col("v").cast("bigint").alias("n_store")
-    )
-    s_df = merged.filter((F.col("idx") >= 1) & (F.col("idx") <= dim)).select(
-        (F.col("idx") - 1).cast("long").alias("i"), F.col("v").alias("si")
-    )
-    diag = merged.filter(F.col("idx") > dim).select(
-        F.floor((F.col("idx") - dim - 1) / dim).cast("long").alias("i"),
-        ((F.col("idx") - dim - 1) % dim).cast("long").alias("j"),
-        F.col("v").alias("gij"),
-    ).filter(F.col("i") == F.col("j")).select("i", F.col("gij").alias("sxx"))
-    out = (
-        s_df.join(diag, "i")
-        .crossJoin(F.broadcast(n_df))
-        .crossJoin(F.broadcast(ns_df))
-        .select(
-            "i",
-            ((F.col("si") / F.col("n")) / F.lit(1.0e5)).alias("mean"),
-            (
-                (
-                    F.col("sxx") / F.col("n")
-                    - (F.col("si") / F.col("n")) * (F.col("si") / F.col("n"))
-                )
-                / F.lit(1.0e10)
-            ).alias("var"),
-            "n_store",
-            (F.col("n").cast("bigint") - F.col("n_store")).alias("n_new"),
-        )
-    )
-    return _round_cols(out, ["mean", "var"]).select(
-        "i", "mean", "var", "n_store", "n_new"
-    )
-
-
 # ---- chunk-then-pack composition (l52) ----
 
 
@@ -5348,173 +2563,6 @@ def l52_chunk_then_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_tokens",
         "within_cap",
     )
-
-
-# ---- OPQ/PCA-rotated IVF-PQ (l8h, r7 verdict task 3) ----
-
-
-@register(
-    "l8h_ann_ivf_pq_rotated",
-    """
-    SELECT CAST(5 AS BIGINT) AS n_queries,
-           TRUE AS rotation_orthogonal,
-           TRUE AS neighbors_invariant,
-           TRUE AS recall_within_tol
-    """,
-)
-def l8h_ann_ivf_pq_rotated(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OPQ-style PCA rotation COMPOSED into the IVF-PQ index (r7 verdict
-    task 3): l46's integer-exact Gram state -> driver-side 64x64
-    eigendecomposition (the E1->F2 driver-matrix boundary) -> one
-    map-side Arrow-batched rotation pass (v' = R^T v, a BLAS matmul per
-    batch, no shuffle) -> l8e's index build/serve unchanged on the
-    rotated vectors. This is the standard recall lever for product
-    quantization (Ge et al., OPQ, CVPR 2013: PCA is the non-parametric
-    rotation init): aligning residuals with the principal axes
-    concentrates quantization error where the scale has headroom.
-
-    Gate row (oracle-pinned like l8e — the trained quantizer is
-    sample-dependent, the PROPERTIES are not):
-      rotation_orthogonal — max|R R^T - I| < 1e-9 (driver-side check of
-        the 64x64 matrix);
-      neighbors_invariant — exact cosine top-5 of the 5 benchmark
-        queries computed ON THE ROTATED VECTORS equals the unrotated
-        exact truth (orthogonal rotations preserve dot products and
-        norms; checked distributed via the same cosine_topk plan);
-      recall_within_tol — mean recall@5 of the rotated IVF-PQ index
-        >= the unrotated l8e index minus 0.1 (one neighbor over the 25
-        query-neighbor slots) on the same queries vs the same exact
-        truth. Rotated-index recall from sample-trained centroids is a
-        measured, data-dependent property: the r8 advice flagged that a
-        hard >= pin could go red at another scale factor with no code
-        defect, so the gate tolerates a legitimate one-neighbor tie/
-        loss while still catching a real regression.
-
-    Scale shape: rotation adds one map-side pass over the corpus and a
-    dim^2 closure constant; covariance state is O(dim^2) via the l46
-    partials (raw vectors never shuffle); everything downstream is the
-    l8e plan. Ref parity: SURVEY §2 L similarity extension."""
-    import numpy as np
-
-    dim = 64
-    emb = load_table(spark, sf_dir, "embeddings")
-    qids = [0, 1, 2, 3, 4]
-
-    # covariance from the integer-exact Gram partials (l46 substrate)
-    vals = {
-        r["idx"]: r["v"]
-        for r in embedding_gram_partials(emb, dim=dim)
-        .select(F.posexplode("st").alias("idx", "v"))
-        .groupBy("idx")
-        .agg(F.sum("v").alias("v"))
-        .collect()
-    }
-    n = vals[0]
-    s = np.array([vals[1 + i] for i in range(dim)], dtype=np.float64)
-    G = np.array(
-        [[vals[1 + dim + i * dim + j] for j in range(dim)] for i in range(dim)],
-        dtype=np.float64,
-    )
-    cov = (G / n - np.outer(s / n, s / n)) / float(GRAM_QSCALE) ** 2
-    R = SIM.pca_rotation(cov)
-    orth = bool(np.max(np.abs(R @ R.T - np.eye(dim))) < 1e-9)
-
-    rot = SIM.rotate_vectors(emb, "vec_id", "embedding", R).localCheckpoint(
-        eager=True
-    )
-
-    # exact truth (unrotated, cached) and the rotated exact top-5
-    es = _ann_exact_top5(spark, sf_dir)
-    exact_rot = SIM.cosine_topk(
-        rot.filter(F.col("vec_id") < 5), rot, id_col="vec_id",
-        vec_col="embedding", k=5,
-    )
-    er: dict[int, set] = {}
-    for r in exact_rot.collect():
-        er.setdefault(r["query_id"], set()).add(r["candidate_id"])
-    invariant = all(er.get(q, set()) == es[q] for q in qids)
-
-    def mean_recall(src: DataFrame) -> float:
-        unit = SIM.unit_vec_df(src, "vec_id", "embedding")
-        centers = SIM.train_centroids_on_sample(unit, 16, 2048)
-        index, scales = SIM.ivf_pq_index(unit, centers)
-        ann = SIM.ann_ivf_pq_topk_multi(
-            src, "vec_id", "embedding", query_ids=qids, k=5,
-            n_probe=8, prebuilt=(index, centers, scales),
-        )
-        got: dict[int, set] = {}
-        for r in ann.collect():
-            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
-        return sum(
-            len(got.get(q, set()) & es[q]) / len(es[q]) for q in qids
-        ) / len(qids)
-
-    rec_base = mean_recall(emb)
-    rec_rot = mean_recall(rot)
-    return small_df(
-        spark,
-        [(5, orth, invariant, rec_rot >= rec_base - 0.1)],
-        "n_queries bigint, rotation_orthogonal boolean, "
-        "neighbors_invariant boolean, recall_within_tol boolean",
-    )
-
-
-# ---- real PPM decode over synthetic binary assets (l9b) ----
-
-
-@register(
-    "l9b_multimodal_ppm_decode",
-    """
-    WITH d AS (
-      SELECT doc_id,
-             CAST(4 + doc_id % 5 AS BIGINT) AS w,
-             CAST(3 + doc_id % 4 AS BIGINT) AS h
-      FROM documents
-    ),
-    px AS (
-      SELECT doc_id, w, h, k,
-             (doc_id * 2654435761 + k * 40503) % 256 AS v
-      FROM d,
-           LATERAL (SELECT unnest(generate_series(0, w * h * 3 - 1)) AS k) s
-    )
-    SELECT doc_id AS asset_id,
-           MAX(w) AS width,
-           MAX(h) AS height,
-           COUNT(*) AS n_pix_bytes,
-           CAST(SUM(v) AS BIGINT) AS pix_sum,
-           CAST(SUM((k + 1) * v) AS BIGINT) AS pix_weighted,
-           CAST(SUM(CASE WHEN k % 3 = 0 THEN v ELSE 0 END) AS BIGINT) AS r_sum,
-           CAST(SUM(CASE WHEN k % 3 = 1 THEN v ELSE 0 END) AS BIGINT) AS g_sum,
-           CAST(SUM(CASE WHEN k % 3 = 2 THEN v ELSE 0 END) AS BIGINT) AS b_sum
-    FROM px GROUP BY doc_id
-    """,
-)
-def l9b_multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL image decode, stdlib-only (r7 verdict task 6 — the
-    NotImplementedError env-gate is gone for this format): every document
-    gets a genuine binary PPM (P6) payload synthesized from a closed-form
-    pixel generator (byte k = (doc_id*2654435761 + k*40503) % 256, with a
-    '#' comment line in every header), and the REAL netpbm parser
-    (operators/multimodal.decode_ppm: whitespace/comment tokenizer, magic
-    + maxval validation, raster bounds check) decodes it back to pixels.
-    The emitted per-asset statistics are exact int64 raster checksums —
-    the position-weighted sum breaks on ANY header-offset, byte-order, or
-    dimension misparse — and the DuckDB oracle recomputes them straight
-    from the generator's closed form with generate_series, no decoder:
-    encoder -> parser -> stats is verified end-to-end, value-exact.
-
-    Scale shape: encode and decode are both Arrow-batched map-side passes
-    (payloads never shuffle); the stats output is one row per asset. At
-    100 TB this is the decode+QA pass of an image corpus, with PPM
-    standing in for JPEG et al. (same plumbing; codec swaps in).
-    Ref parity: north-star multimodal extension (SURVEY §2 L)."""
-    from datafusion_cyberpolka_eda_spark.operators.multimodal import (
-        decode_ppm_stats,
-        make_ppm_assets,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    return decode_ppm_stats(make_ppm_assets(docs))
 
 
 # ---- temperature-based mixture sampling (l53) ----
@@ -5842,1438 +2890,6 @@ def l56_stratified_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---- frame-sampled video decode (l9c) ----
-
-
-@register(
-    "l9c_multimodal_frame_sample",
-    """
-    WITH d AS (
-      SELECT doc_id,
-             CAST(4 + doc_id % 5 AS BIGINT) AS w,
-             CAST(3 + doc_id % 4 AS BIGINT) AS h,
-             CAST(2 + doc_id % 3 AS BIGINT) AS f
-      FROM documents
-    ),
-    fr AS (
-      SELECT doc_id, w, h, f, j
-      FROM d, LATERAL (SELECT unnest(generate_series(0, f - 1)) AS j) s
-    ),
-    px AS (
-      SELECT doc_id, w, h, f, j, k,
-             (doc_id * 2654435761 + j * 7919 + k * 40503) % 256 AS v
-      FROM fr,
-           LATERAL (SELECT unnest(generate_series(0, w * h * 3 - 1)) AS k) s
-      WHERE j % 2 = 0
-    )
-    SELECT doc_id AS asset_id,
-           MAX(f) AS n_frames,
-           COUNT(DISTINCT j) AS n_sampled,
-           MAX(w) AS width,
-           MAX(h) AS height,
-           CAST(SUM(v) AS BIGINT) AS sampled_pix_sum,
-           CAST(SUM((k + 1) * v) AS BIGINT) AS sampled_weighted
-    FROM px GROUP BY doc_id
-    """,
-)
-def l9c_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling over multi-frame binary assets — the video half of
-    the multimodal family, done with the REAL parser: every document gets
-    a genuine multi-image container (2 + doc_id%3 complete P6 frames
-    concatenated; each frame self-delimiting), and sample_frame_stats
-    WALKS the container byte-exactly (decode_ppm_at advances the offset
-    frame by frame), keeps every 2nd frame, and emits exact int64 raster
-    checksums over the sampled frames only — parse-every / featurize-some,
-    the actual shape of video frame-sampling over real codecs. The DuckDB
-    oracle recomputes the sampled statistics straight from the closed-form
-    generator (two nested generate_series, j % 2 = 0), so the container
-    walk, frame boundaries, and stride selection are all value-checked.
-
-    Scale shape: one Arrow-batched map-side pass, payloads never shuffle,
-    per-asset state is O(frame). Ref parity: north-star multimodal
-    extension (SURVEY §2 L; frame-sample was the listed stub)."""
-    from datafusion_cyberpolka_eda_spark.operators.multimodal import (
-        make_ppm_video_assets,
-        sample_frame_stats,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    stats = sample_frame_stats(make_ppm_video_assets(docs), stride=2)
-    return stats.select(
-        "asset_id", "n_frames", "n_sampled", "width", "height",
-        "sampled_pix_sum", "sampled_weighted",
-    )
-
-
-# ---- real WAV decode (l9d) and nearest-neighbor resize (l9e) ----
-
-
-@register(
-    "l9d_multimodal_wav_decode",
-    """
-    WITH d AS (
-      SELECT doc_id, CAST(100 + doc_id % 50 AS BIGINT) AS n FROM documents
-    ),
-    sm AS (
-      SELECT doc_id, n, k,
-             (doc_id * 48271 + k * 16807) % 65536 - 32768 AS s
-      FROM d, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS k) t
-    )
-    SELECT doc_id AS asset_id,
-           CAST(16000 AS BIGINT) AS framerate,
-           COUNT(*) AS n_samples,
-           CAST(SUM(s) AS BIGINT) AS sample_sum,
-           CAST(SUM((k + 1) * s) AS BIGINT) AS sample_weighted,
-           CAST(MIN(s) AS BIGINT) AS sample_min,
-           CAST(MAX(s) AS BIGINT) AS sample_max
-    FROM sm GROUP BY doc_id
-    """,
-)
-def l9d_multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL audio decode — the stdlib `wave` module is a genuine RIFF
-    container codec, so the audio modality needs no stub at all: every
-    document gets a real mono 16-bit PCM WAV (100 + doc_id%50 samples
-    from the closed form ((doc_id*48271 + k*16807) % 65536) - 32768),
-    and decode_wav parses the RIFF/fmt/data chunks back, validating
-    channel count and sample width. The emitted exact int64 PCM
-    statistics (position-weighted sum breaks on any chunk-offset or
-    byte-order misparse; min/max pin the value range incl. negatives)
-    are recomputed by the DuckDB oracle straight from the generator —
-    encoder -> RIFF parser -> stats verified value-exact.
-
-    Scale shape: encode and decode are Arrow-batched map-side passes;
-    payloads never shuffle. With PPM (l9b), multi-frame containers
-    (l9c), and WAV here, all three listed media modalities decode for
-    real. Ref parity: north-star multimodal extension (SURVEY §2 L)."""
-    from datafusion_cyberpolka_eda_spark.operators.multimodal import (
-        decode_wav_stats,
-        make_wav_assets,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    return decode_wav_stats(make_wav_assets(docs))
-
-
-@register(
-    "l9e_multimodal_resize",
-    """
-    WITH d AS (
-      SELECT doc_id,
-             CAST(4 + doc_id % 5 AS BIGINT) AS w,
-             CAST(3 + doc_id % 4 AS BIGINT) AS h
-      FROM documents
-    ),
-    cell AS (
-      SELECT doc_id, w, h, r, c, ch,
-             ((r * h // 2) * w + (c * w // 3)) * 3 + ch AS k
-      FROM d,
-           LATERAL (SELECT unnest(generate_series(0, 1)) AS r) t1,
-           LATERAL (SELECT unnest(generate_series(0, 2)) AS c) t2,
-           LATERAL (SELECT unnest(generate_series(0, 2)) AS ch) t3
-    ),
-    px AS (
-      SELECT doc_id, w, h, r, c, ch,
-             (doc_id * 2654435761 + k * 40503) % 256 AS v
-      FROM cell
-    )
-    SELECT doc_id AS asset_id,
-           MAX(w) AS in_w, MAX(h) AS in_h,
-           CAST(3 AS BIGINT) AS out_w, CAST(2 AS BIGINT) AS out_h,
-           CAST(SUM(v) AS BIGINT) AS out_pix_sum,
-           CAST(SUM(((r * 3 + c) * 3 + ch + 1) * v) AS BIGINT)
-             AS out_weighted
-    FROM px GROUP BY doc_id
-    """,
-)
-def l9e_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image RESIZE — the last verb of the multimodal family (decode /
-    feature-extract / resize / frame-sample) made real: decode each
-    synthetic PPM with the real parser, nearest-neighbor downscale to
-    3x2 (source pixel (r*in_h // out_h, c*in_w // out_w) — pure integer
-    arithmetic, so the resampling grid is EXACT and the DuckDB oracle
-    replays it in closed form: target cell -> source raster index k ->
-    generator byte), and emit exact int64 checksums of the resized
-    raster (the position-weighted sum breaks on any grid-mapping or
-    channel-order error).
-
-    Scale shape: one Arrow-batched map-side pass (decode + fancy-index
-    slice per image — the thumbnail/normalization stage before vision
-    featurization at 100 TB); payloads never shuffle. Ref parity:
-    north-star multimodal extension (SURVEY §2 L)."""
-    from datafusion_cyberpolka_eda_spark.operators.multimodal import (
-        make_ppm_assets,
-        resize_ppm_stats,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    return resize_ppm_stats(make_ppm_assets(docs), out_w=3, out_h=2)
-
-
-# ---- per-source semantic drift (l57) ----
-
-
-@register(
-    "l57_semantic_drift",
-    """
-    WITH mx AS (
-      SELECT CAST(FLOOR(0.8 * (MAX(vec_id) + 1)) AS BIGINT) AS c
-      FROM embeddings
-    ),
-    e AS (
-      SELECT vec_id, i - 1 AS i,
-             CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 100000.0) AS BIGINT)
-               AS q
-      FROM embeddings,
-           LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) s
-    ),
-    j AS (
-      SELECT e.vec_id, e.i, e.q, d.source,
-             e.vec_id < (SELECT c FROM mx) AS day1
-      FROM e JOIN documents d ON e.vec_id = d.doc_id
-    ),
-    s AS (
-      SELECT source, i,
-             SUM(CASE WHEN day1 THEN q ELSE 0 END) AS s1,
-             SUM(CASE WHEN day1 THEN 0 ELSE q END) AS s2
-      FROM j GROUP BY source, i
-    ),
-    c AS (
-      SELECT source,
-             SUM(s1 * s2) AS dot, SUM(s1 * s1) AS a, SUM(s2 * s2) AS b
-      FROM s GROUP BY source
-    ),
-    n AS (
-      SELECT d.source,
-             SUM(CASE WHEN em.vec_id < (SELECT c FROM mx)
-                 THEN 1 ELSE 0 END) AS n_day1,
-             SUM(CASE WHEN em.vec_id < (SELECT c FROM mx)
-                 THEN 0 ELSE 1 END) AS n_day2
-      FROM embeddings em JOIN documents d ON em.vec_id = d.doc_id
-      GROUP BY d.source
-    )
-    SELECT c.source,
-           CAST(n_day1 AS BIGINT) AS n_day1,
-           CAST(n_day2 AS BIGINT) AS n_day2,
-           CASE WHEN a = 0 OR b = 0 THEN NULL
-                -- + 0: -0.0 -> +0.0 sign normalization (see l46 oracle)
-                ELSE ROUND(CAST(dot AS DOUBLE)
-                           / (SQRT(CAST(a AS DOUBLE))
-                              * SQRT(CAST(b AS DOUBLE))), 6) + 0
-           END AS mean_cosine
-    FROM c JOIN n ON c.source = n.source
-    """,
-)
-def l57_semantic_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SEMANTIC drift monitor — the embedding-space sibling of l39's
-    distributional PSI: per source, the cosine between the day-1 and
-    day-2 SUM embedding vectors (== cosine of the means; scale cancels).
-    A source whose new crawl drifted semantically shows a falling
-    mean-direction cosine before any distributional feature moves.
-
-    Determinism discipline (the r8 theme end-to-end): components are
-    floor-quantized to 1e-5 integers (the l46 Gram pattern), per-
-    (source, dim) day sums are EXACT int64, and dot/norms are exact
-    integer aggregates of those sums (magnitudes < 2^60 here) — the
-    single final division/sqrt/round runs on identical exact integers in
-    both engines. Zero-vector sides emit NULL rather than an
-    engine-specific inf/NaN.
-
-    Scale shape: one embeddings scan joined to the (projected) documents
-    table for source labels, one posexplode shuffle keyed (source, dim)
-    — cardinality sources x 64, not rows; day sums merge like the l51
-    Gram store, so the incremental-maintenance extension is the same
-    union+sum. Ref parity: north-star drift/monitoring extension
-    (SURVEY §2 L)."""
-    dim = 64
-    cutq = GRAM_QSCALE
-    emb = load_table(spark, sf_dir, "embeddings")
-    docs = load_table(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("vec_id"), "source"
-    )
-    max_id = emb.agg(F.max("vec_id")).collect()[0][0]
-    cutoff = int(0.8 * (max_id + 1))
-    e = (
-        spread(emb)
-        .join(docs, "vec_id")
-        .select(
-            "source",
-            (F.col("vec_id") < cutoff).alias("day1"),
-            F.posexplode("embedding").alias("i", "x"),
-        )
-        .select(
-            "source",
-            "day1",
-            "i",
-            F.floor(F.col("x").cast("double") * F.lit(float(cutq)))
-            .cast("bigint")
-            .alias("q"),
-        )
-    )
-    s = e.groupBy("source", "i").agg(
-        F.sum(F.when(F.col("day1"), F.col("q")).otherwise(0)).alias("s1"),
-        F.sum(F.when(~F.col("day1"), F.col("q")).otherwise(0)).alias("s2"),
-    )
-    c = s.groupBy("source").agg(
-        F.sum(F.col("s1") * F.col("s2")).alias("dot"),
-        F.sum(F.col("s1") * F.col("s1")).alias("a"),
-        F.sum(F.col("s2") * F.col("s2")).alias("b"),
-    )
-    n = (
-        emb.select("vec_id")
-        .join(docs, "vec_id")
-        .groupBy("source")
-        .agg(
-            F.sum(F.when(F.col("vec_id") < cutoff, 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_day1"),
-            F.sum(F.when(F.col("vec_id") < cutoff, 0).otherwise(1))
-            .cast("bigint")
-            .alias("n_day2"),
-        )
-    )
-    out = c.join(n, "source").select(
-        "source",
-        "n_day1",
-        "n_day2",
-        F.when(
-            (F.col("a") == 0) | (F.col("b") == 0), F.lit(None).cast("double")
-        )
-        .otherwise(
-            F.col("dot").cast("double")
-            / (
-                F.sqrt(F.col("a").cast("double"))
-                * F.sqrt(F.col("b").cast("double"))
-            )
-        )
-        .alias("mean_cosine"),
-    )
-    return _round_cols(out, ["mean_cosine"])
-
-
-# ---- perceptual image near-dup dedup (l58, r8 verdict task 3) ----
-
-# shared CTE body: closed-form pixels -> integer aHash fingerprints for
-# the base+twins asset family; used by l58 (pairs) and l61 (pipeline)
-_L58_CTES = """d AS (
-      SELECT doc_id AS src, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
-      FROM documents
-    ),
-    -- base image per doc + planted twins: gray-preserving channel
-    -- rotation (variant 1 — per-pixel r+g+b is unchanged, so its gray
-    -- below is the SAME expression as the base's) and a byte-0 +3%256
-    -- perturbation (variant 2 — pixel 0's gray shifts by the wrapped
-    -- delta). Offsets 2^23 / 2^24 match the Spark constants.
-    a AS (
-      SELECT src, src AS aid, w, h, 0 AS variant FROM d
-      UNION ALL
-      SELECT src, src + 8388608, w, h, 1 FROM d WHERE src % 5 = 0
-      UNION ALL
-      SELECT src, src + 16777216, w, h, 2 FROM d WHERE src % 5 = 3
-    ),
-    px AS (
-      SELECT a.aid, p.i AS pidx,
-             ((a.src * 2654435761 + (p.i * 3 + 0) * 40503) % 256)
-             + ((a.src * 2654435761 + (p.i * 3 + 1) * 40503) % 256)
-             + ((a.src * 2654435761 + (p.i * 3 + 2) * 40503) % 256)
-             + CASE WHEN a.variant = 2 AND p.i = 0
-                    THEN ((a.src * 2654435761) % 256 + 3) % 256
-                         - (a.src * 2654435761) % 256
-                    ELSE 0 END AS gray
-      FROM a, LATERAL (
-        SELECT unnest(generate_series(0, a.w * a.h - 1)) AS i
-      ) p
-    ),
-    tot AS (SELECT aid, SUM(gray) AS total, COUNT(*) AS n FROM px GROUP BY aid),
-    -- aHash bit k: nearest-neighbor 8x8 sample vs the integer mean,
-    -- as a cross-multiplication (sample * n_pix > total) — no division
-    bits AS (
-      SELECT a.aid, ks.k,
-             CASE WHEN g.gray * t.n > t.total THEN 1 ELSE 0 END AS bit
-      FROM a
-      JOIN tot t ON t.aid = a.aid,
-      LATERAL (SELECT unnest(generate_series(0, 62)) AS k) ks
-      JOIN px g ON g.aid = a.aid
-        AND g.pidx = (((ks.k // 8) * a.h) // 8) * a.w + (((ks.k % 8) * a.w) // 8)
-    ),
-    fp AS (
-      SELECT aid, SUM(bit * (CAST(1 AS BIGINT) << k)) AS fp
-      FROM bits GROUP BY aid
-    )"""
-
-_L58_ORACLE = (
-    "WITH "
-    + _L58_CTES
-    + """
-    SELECT pa.aid AS id_a, pb.aid AS id_b,
-           CAST(bit_count(xor(pa.fp, pb.fp)) AS BIGINT) AS hamming,
-           CASE WHEN pb.aid - pa.aid = 8388608 THEN 'planted_gray'
-                WHEN pb.aid - pa.aid = 16777216 THEN 'planted_perturbed'
-                ELSE 'organic' END AS kind
-    FROM fp pa JOIN fp pb ON pa.aid < pb.aid
-    WHERE bit_count(xor(pa.fp, pb.fp)) <= 3
-"""
-)
-
-
-@register("l58_image_phash_neardup", _L58_ORACLE)
-def l58_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PERCEPTUAL image near-dup dedup (r8 verdict task 3): the r8 real
-    PPM decoder composed with the banded-hamming machinery that powers
-    text SimHash dedup — the first thing an image-corpus pipeline needs
-    after decode. Pipeline: synthesize per-doc images + PLANTED twins
-    (gray-preserving channel rotation = byte-different but perceptually
-    identical, hamming 0 by construction; byte-0 perturbation =
-    slightly-different raster exercising nonzero hamming), decode every
-    payload with the REAL netpbm parser, average-hash each raster with
-    integer-exact math (8x8 nearest-neighbor sample vs the integer mean
-    via cross-multiplication — no float anywhere), then find all pairs
-    within hamming <= 3 via the pigeonhole band join
-    (fingerprint_near_pairs — 4 bands over 63 bits, never O(n^2)).
-
-    The oracle replays pixels, fingerprints, and pairs relationally from
-    the closed-form generator (the l9b pattern) and brute-forces the
-    pair join — exactness gate AND completeness gate in one: the banded
-    Spark plan must find every pair the exhaustive oracle finds. Planted
-    gray twins are recall-guaranteed structurally (their fingerprints
-    are equal by construction, not by luck), avoiding the data-pinned
-    recall-boolean trap flagged on l8h.
-
-    Scale shape: decode+hash is one map pass (payloads never shuffle);
-    the band join shuffles 16-byte fingerprint rows; verification is
-    map-side bit_count(xor) before any distinct. 100 TB-safe.
-    Ref parity: SURVEY §2 L multimodal + dedup families."""
-    from datafusion_cyberpolka_eda_spark.operators.multimodal import (
-        GRAY_TWIN_OFFSET,
-        N_AHASH_BITS,
-        PERTURB_TWIN_OFFSET,
-        ahash63_fingerprints,
-        make_ppm_neardup_assets,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    assets = make_ppm_neardup_assets(docs)
-    fps = ahash63_fingerprints(assets).localCheckpoint(eager=True)
-    pairs = D.fingerprint_near_pairs(fps, max_hamming=3, n_bits=N_AHASH_BITS)
-    delta = F.col("id_b") - F.col("id_a")
-    return pairs.select(
-        "id_a",
-        "id_b",
-        F.col("hamming").cast("bigint").alias("hamming"),
-        F.when(delta == GRAY_TWIN_OFFSET, "planted_gray")
-        .when(delta == PERTURB_TWIN_OFFSET, "planted_perturbed")
-        .otherwise("organic")
-        .alias("kind"),
-    )
-
-
-# ---- distributed Lloyd k-means (l59, r8 verdict task 4) ----
-
-
-def _l59_oracle(k: int = 8, iters: int = 3) -> str:
-    """Unrolled MATERIALIZED-CTE replay of the distributed Lloyd loop
-    (the pagerank/l28b unrolling pattern): per superstep, exact integer
-    distances vs the previous centroid table, argmin with ties to the
-    smallest centroid index, then floor(sum/n) centroid updates with
-    empty clusters keeping their previous row. Every intermediate is
-    integer except the single floor-of-division per component — one
-    correctly-rounded IEEE op on exact <2^53 integers, identical in
-    both engines."""
-    ctes = [
-        f"""
-    e AS MATERIALIZED (
-      SELECT vec_id, i - 1 AS i,
-             CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 100000.0) AS BIGINT)
-               AS q
-      FROM embeddings,
-           LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) s
-    ),
-    seeds AS (
-      SELECT vec_id, rk - 1 AS j FROM (
-        SELECT vec_id, ROW_NUMBER() OVER (ORDER BY
-          ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
-          vec_id) AS rk
-        FROM embeddings) t WHERE rk <= {k}
-    ),
-    c0 AS MATERIALIZED (SELECT s.j, e.i, e.q AS c FROM seeds s JOIN e USING (vec_id))"""
-    ]
-    for t in range(1, iters + 1):
-        prev = f"c{t - 1}"
-        ctes.append(f"""
-    a{t} AS MATERIALIZED (
-      SELECT vec_id, j FROM (
-        SELECT d.vec_id, d.j,
-               ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY d.d, d.j)
-                 AS rk
-        FROM (SELECT e.vec_id, c.j, SUM((e.q - c.c) * (e.q - c.c)) AS d
-              FROM e JOIN {prev} c USING (i) GROUP BY e.vec_id, c.j) d) t
-      WHERE rk = 1
-    ),
-    c{t} AS MATERIALIZED (
-      SELECT b.j, b.i, COALESCE(u.c, b.c) AS c
-      FROM {prev} b LEFT JOIN (
-        SELECT a.j, e.i,
-               CAST(FLOOR(CAST(SUM(e.q) AS DOUBLE) / COUNT(*)) AS BIGINT)
-                 AS c
-        FROM a{t} a JOIN e ON e.vec_id = a.vec_id GROUP BY a.j, e.i) u
-      ON u.j = b.j AND u.i = b.i
-    )""")
-    final = f"c{iters}"
-    return (
-        "WITH "
-        + ",".join(ctes)
-        + f""",
-    fin AS (
-      SELECT vec_id, j, d FROM (
-        SELECT d.vec_id, d.j, d.d,
-               ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY d.d, d.j)
-                 AS rk
-        FROM (SELECT e.vec_id, c.j, SUM((e.q - c.c) * (e.q - c.c)) AS d
-              FROM e JOIN {final} c USING (i) GROUP BY e.vec_id, c.j) d) t
-      WHERE rk = 1
-    ),
-    st AS (SELECT j, COUNT(*) AS n_members, SUM(d) AS inertia FROM fin
-           GROUP BY j)
-    SELECT CAST(c.j AS BIGINT) AS cluster, CAST(c.i AS BIGINT) AS i,
-           CAST(c.c AS BIGINT) AS centroid_q,
-           CAST(COALESCE(st.n_members, 0) AS BIGINT) AS n_members,
-           CAST(COALESCE(st.inertia, 0) AS BIGINT) AS inertia_q
-    FROM {final} c LEFT JOIN st ON st.j = c.j
-    """
-    )
-
-
-@register("l59_distributed_kmeans", _l59_oracle(8, 3))
-def l59_distributed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed Lloyd k-means over the embedding corpus (r8 verdict
-    task 4) — k supersteps of exact integer assign/update (see
-    similarity.lloyd_kmeans_distributed for the full determinism and
-    scale story). Output is the final centroid table long-form joined
-    with a final-assignment pass's per-cluster stats: (cluster, i,
-    centroid_q, n_members, inertia_q), all exact int64 — inertia is the
-    quantization-error measure, emitted as a MEASURED value rather than
-    a pinned boolean (the l8h lesson). The oracle replays all three
-    supersteps as unrolled materialized CTEs. Ref parity: SURVEY §2 L
-    ANN family; complements the bounded-sample trainer at
-    similarity.py train_centroids_on_sample."""
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
-    cent, stats = SIM.lloyd_kmeans_distributed(
-        emb, "vec_id", "embedding", k=8, iters=3
-    )
-    cent_rows = [
-        (j, i, int(c)) for j, vec in enumerate(cent) for i, c in enumerate(vec)
-    ]
-    cdf = small_df(
-        spark, cent_rows, "cluster bigint, i bigint, centroid_q bigint"
-    )
-    return cdf.join(F.broadcast(stats), "cluster", "left").select(
-        "cluster",
-        "i",
-        "centroid_q",
-        F.coalesce(F.col("n_members"), F.lit(0)).cast("bigint").alias("n_members"),
-        F.coalesce(F.col("inertia_q"), F.lit(0)).cast("bigint").alias("inertia_q"),
-    )
-
-
-# ---- semantic decontamination (l60, r8 verdict task 5) ----
-
-_L60_ORACLE = """
-    WITH v AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
-    e AS MATERIALIZED (
-      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
-             CAST(UNNEST(embedding) AS DOUBLE) AS val
-      FROM v
-    ),
-    q AS MATERIALIZED (
-      SELECT vec_id, i, CAST(FLOOR(val * 100000.0) AS BIGINT) AS qv FROM e
-    ),
-    nrm AS (SELECT vec_id, SQRT(SUM(val * val)) AS nm FROM e GROUP BY vec_id),
-    u AS MATERIALIZED (
-      SELECT e.vec_id, e.i, e.val / n.nm AS uval FROM e JOIN nrm n USING (vec_id)
-    ),
-    c AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, vec_id AS cvid
-          FROM (SELECT vec_id FROM v ORDER BY vec_id LIMIT 8)),
-    cvec AS MATERIALIZED (
-      SELECT c.cid, u.i, u.uval AS cval FROM c JOIN u ON u.vec_id = c.cvid
-    ),
-    cd AS (SELECT u.vec_id, cv.cid, SUM(u.uval * cv.cval) AS d
-           FROM u JOIN cvec cv USING (i) GROUP BY u.vec_id, cv.cid),
-    corp_cells AS MATERIALIZED (SELECT vec_id, cid FROM (
-        SELECT vec_id, cid,
-               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cid ASC)
-                 AS rk
-        FROM cd) t WHERE rk <= 2),
-    -- synthetic benchmark split: planted paraphrases (9*q + tiny
-    -- deterministic noise — same direction, byte-different) and clean
-    -- members (component-reversed — unrelated direction)
-    ev AS MATERIALIZED (
-      SELECT vec_id, i,
-             9 * qv + ((vec_id * 31 + i * 17) % 7 - 3) AS ev,
-             'planted' AS ekind
-      FROM q WHERE vec_id % 23 = 5
-      UNION ALL
-      SELECT a.vec_id, a.i, b.qv, 'clean'
-      FROM q a JOIN q b ON b.vec_id = a.vec_id AND b.i = 63 - a.i
-      WHERE a.vec_id % 23 = 11
-    ),
-    nb AS (SELECT vec_id, SUM(ev * ev) AS nb FROM ev GROUP BY vec_id),
-    uev AS (SELECT ev.vec_id, ev.i,
-                   CAST(ev.ev AS DOUBLE) / SQRT(CAST(nb.nb AS DOUBLE)) AS uval
-            FROM ev JOIN nb USING (vec_id)),
-    ed AS (SELECT uev.vec_id, cv.cid, SUM(uev.uval * cv.cval) AS d
-           FROM uev JOIN cvec cv USING (i) GROUP BY uev.vec_id, cv.cid),
-    ev_cells AS MATERIALIZED (SELECT vec_id, cid FROM (
-        SELECT vec_id, cid,
-               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cid ASC)
-                 AS rk
-        FROM ed) t WHERE rk <= 2),
-    cand AS (SELECT DISTINCT a.vec_id AS eid, b.vec_id AS cid2
-             FROM ev_cells a JOIN corp_cells b USING (cid)),
-    na AS (SELECT vec_id, SUM(qv * qv) AS na FROM q GROUP BY vec_id),
-    dots AS (SELECT cand.eid, cand.cid2, SUM(ev.ev * q.qv) AS dot
-             FROM cand JOIN ev ON ev.vec_id = cand.eid
-                       JOIN q ON q.vec_id = cand.cid2 AND q.i = ev.i
-             GROUP BY cand.eid, cand.cid2),
-    -- exact-integer verify: dot/norms are exact int64; the single
-    -- threshold compare runs the identical IEEE op sequence both sides
-    hits AS (SELECT d.eid,
-                    MAX(CASE WHEN d.dot > 0 AND CAST(d.dot AS DOUBLE) >=
-                          0.98 * (SQRT(CAST(na.na AS DOUBLE))
-                                  * SQRT(CAST(nb.nb AS DOUBLE)))
-                        THEN 1 ELSE 0 END) AS hit
-             FROM dots d JOIN na ON na.vec_id = d.cid2
-                         JOIN nb ON nb.vec_id = d.eid
-             GROUP BY d.eid),
-    base AS (SELECT DISTINCT vec_id, ekind FROM ev),
-    flagged AS (SELECT b.vec_id, b.ekind, COALESCE(h.hit, 0) AS hit
-                FROM base b LEFT JOIN hits h ON h.eid = b.vec_id)
-    SELECT d.lang,
-           COUNT(*) AS n_eval,
-           CAST(SUM(f.hit) AS BIGINT) AS n_contaminated,
-           CAST(SUM(CASE WHEN f.ekind = 'planted' THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_planted,
-           CAST(SUM(CASE WHEN f.ekind = 'planted' THEN f.hit ELSE 0 END)
-                AS BIGINT) AS n_planted_caught,
-           ROUND(CAST(SUM(f.hit) AS DOUBLE) / COUNT(*), 6)
-             AS contamination_rate
-    FROM flagged f JOIN documents d ON d.doc_id = f.vec_id
-    GROUP BY d.lang
-"""
-
-
-@register("l60_semantic_decontamination", _L60_ORACLE)
-def l60_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SEMANTIC benchmark decontamination (r8 verdict task 5) — the
-    embedding-space screen that catches paraphrased contamination the
-    n-gram overlap screens (l20/l30/l32) structurally miss. Composes the
-    l41 frozen-quantizer recipe with an exact-integer verify stage:
-
-      benchmark : a synthetic eval split with PLANTED paraphrases
-                  (vec_id % 23 == 5: 9*q + deterministic +-3 noise —
-                  same direction as the corpus row, byte-different) and
-                  clean members (vec_id % 23 == 11: component-reversed —
-                  unrelated direction), both pure functions of the
-                  corpus row so the oracle replays them;
-      candidates: top-2 frozen-quantizer cells per side (the l41
-                  centroid convention: unit vectors of the 8 smallest
-                  vec_ids), eval x corpus cell equi-join — never
-                  all-pairs;
-      verify    : exact int64 dot and squared norms of the quantized
-                  vectors; contaminated iff dot > 0 and
-                  dot >= 0.98 * sqrt(na) * sqrt(nb) — one identical
-                  IEEE compare per pair in both engines, planted pairs
-                  sit at cosine ~1-1e-5 and organic pairs far below, so
-                  the flag is data-robust;
-      report    : per-language counts + contamination rate (the l30
-                  output shape) with planted/caught columns making
-                  recall a MEASURED value, not a pinned boolean.
-
-    Scale shape: the benchmark side is tiny (fits broadcast at any
-    corpus size); corpus work is one quantize+assign map pass and a
-    cell-bucketed join whose volume tracks cell co-occupancy, not
-    corpus^2. 100 TB-safe. Ref anchor: l41 store + l30 output shape."""
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
-    # the oracle replays the component-reversed clean evals with a
-    # hard-coded dim-64 index (b.i = 63 - a.i) while F.reverse below
-    # works for any dim — fail loudly rather than silently diverge if
-    # the embeddings table ever changes dim (r9 advice)
-    dim = emb.select(F.size("embedding").alias("d")).first()["d"]
-    if dim != 64:
-        raise ValueError(
-            f"l60 oracle assumes embedding dim 64, table has {dim}"
-        )
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    q = emb.select(
-        F.col("vec_id").alias("id"),
-        F.transform(
-            "embedding", lambda x: F.floor(x * F.lit(100000.0)).cast("long")
-        ).alias("q"),
-    ).localCheckpoint(eager=True)
-
-    planted = q.filter(F.col("id") % 23 == 5).select(
-        "id",
-        F.transform(
-            "q",
-            lambda x, i: F.lit(9).cast("long") * x
-            + (
-                (F.col("id") * 31 + i.cast("long") * 17) % 7 - 3
-            ).cast("long"),
-        ).alias("ev"),
-        F.lit("planted").alias("ekind"),
-    )
-    clean = q.filter(F.col("id") % 23 == 11).select(
-        "id", F.reverse("q").alias("ev"), F.lit("clean").alias("ekind")
-    )
-    evals = planted.unionByName(clean).localCheckpoint(eager=True)
-
-    unit = SIM.unit_vec_df(emb, "vec_id", "embedding").localCheckpoint(
-        eager=True
-    )
-    cent_rows = sorted(
-        unit.orderBy("id").limit(8).collect(), key=lambda r: r["id"]
-    )
-    centers = [list(r["unit_arr"]) for r in cent_rows]
-    corp_cells = SIM.assign_cells_literal(unit, centers, n_probe=2)
-
-    nb = evals.select(
-        "id",
-        "ev",
-        "ekind",
-        F.aggregate(
-            F.zip_with("ev", "ev", lambda a, b: a * b),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ).alias("nb"),
-    ).localCheckpoint(eager=True)
-    ev_unit = nb.select(
-        "id",
-        F.transform(
-            "ev",
-            lambda x: x.cast("double") / F.sqrt(F.col("nb").cast("double")),
-        ).alias("unit_arr"),
-    )
-    ev_cells = SIM.assign_cells_literal(ev_unit, centers, n_probe=2)
-
-    cand = (
-        ev_cells.select(F.col("id").alias("eid"), "cell")
-        .join(corp_cells.select(F.col("id").alias("cid2"), "cell"), "cell")
-        .select("eid", "cid2")
-        .distinct()
-    )
-    na = q.select(
-        F.col("id").alias("cid2"),
-        F.aggregate(
-            F.zip_with("q", "q", lambda a, b: a * b),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ).alias("na"),
-    )
-    dots = (
-        cand.join(nb.select(F.col("id").alias("eid"), "ev", "nb"), "eid")
-        .join(q.select(F.col("id").alias("cid2"), F.col("q").alias("qc")), "cid2")
-        .select(
-            "eid",
-            "cid2",
-            "nb",
-            F.aggregate(
-                F.zip_with("ev", "qc", lambda a, b: a * b),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ).alias("dot"),
-        )
-    )
-    hit = (
-        (F.col("dot") > 0)
-        & (
-            F.col("dot").cast("double")
-            >= F.lit(0.98)
-            * (
-                F.sqrt(F.col("na").cast("double"))
-                * F.sqrt(F.col("nb").cast("double"))
-            )
-        )
-    ).cast("int")
-    hits = (
-        dots.join(na, "cid2")
-        .select("eid", hit.alias("hit"))
-        .groupBy("eid")
-        .agg(F.max("hit").alias("hit"))
-    )
-    flagged = (
-        evals.select(F.col("id").alias("eid"), "ekind")
-        .join(hits, "eid", "left")
-        .select("eid", "ekind", F.coalesce(F.col("hit"), F.lit(0)).alias("hit"))
-    )
-    out = (
-        flagged.join(docs, flagged["eid"] == docs["doc_id"])
-        .groupBy("lang")
-        .agg(
-            F.count("*").alias("n_eval"),
-            F.sum("hit").cast("bigint").alias("n_contaminated"),
-            F.sum((F.col("ekind") == "planted").cast("int"))
-            .cast("bigint")
-            .alias("n_planted"),
-            F.sum(
-                F.when(F.col("ekind") == "planted", F.col("hit")).otherwise(0)
-            )
-            .cast("bigint")
-            .alias("n_planted_caught"),
-            F.round(
-                F.sum("hit").cast("double") / F.count("*"), 6
-            ).alias("contamination_rate"),
-        )
-    )
-    return out
-
-
-# ---- image dedup pipeline end-to-end (l61) ----
-
-_L61_ORACLE = (
-    "WITH RECURSIVE "
-    + _L58_CTES
-    + """,
-    pairs AS (
-      SELECT pa.aid AS id_a, pb.aid AS id_b
-      FROM fp pa JOIN fp pb ON pa.aid < pb.aid
-      WHERE bit_count(xor(pa.fp, pb.fp)) <= 3
-    ),
-    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
-              UNION SELECT id_b, id_a FROM pairs),
-    reach(id, r) AS (
-      SELECT a, a FROM edges
-      UNION
-      SELECT e.b, r.r FROM reach r JOIN edges e ON e.a = r.id
-    ),
-    comp AS (SELECT id AS asset_id, MIN(r) AS canonical_id FROM reach
-             GROUP BY id)
-    SELECT c.asset_id, c.canonical_id, cs.cluster_size,
-           c.asset_id = c.canonical_id AS is_survivor
-    FROM comp c
-    JOIN (SELECT canonical_id, COUNT(*) AS cluster_size
-          FROM comp GROUP BY canonical_id) cs USING (canonical_id)
-    """
-)
-
-
-@register("l61_image_dedup_pipeline", _L61_ORACLE)
-def l61_image_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """END-TO-END perceptual image dedup — the image counterpart of the
-    text pipeline (l23): decode -> aHash fingerprints -> banded hamming
-    pairs (l58's stages) -> HashMin connected components -> survivor
-    pick (min asset_id per cluster). This is the job an image-corpus
-    curation pipeline actually runs: the output maps every clustered
-    asset to its canonical survivor, ready for an anti-join drop of the
-    non-survivors. The oracle replays fingerprints closed-form,
-    brute-forces the pair scan, and resolves the transitive closure with
-    a recursive CTE — the iterative Spark component loop is hash-checked
-    end-to-end, not rows-only (the l11 discipline).
-
-    Scale shape: decode+hash map pass, band join on 16-byte rows,
-    HashMin label propagation = iterative join+groupBy-min with lineage
-    cuts (no driver-side graph); survivor pick is one aggregate. Cluster
-    sizes here are small (twins + organic near-dups), the HashMin
-    worst case (a giant component) is bounded by max_iter with the
-    same skew notes as l11. Ref parity: SURVEY §2 L dedup family."""
-    from datafusion_cyberpolka_eda_spark.operators.multimodal import (
-        N_AHASH_BITS,
-        ahash63_fingerprints,
-        make_ppm_neardup_assets,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    fps = ahash63_fingerprints(make_ppm_neardup_assets(docs)).localCheckpoint(
-        eager=True
-    )
-    pairs = D.fingerprint_near_pairs(fps, max_hamming=3, n_bits=N_AHASH_BITS)
-    comps = D.connected_components(pairs, "id_a", "id_b")
-    sizes = comps.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return (
-        comps.select(
-            F.col("id").alias("asset_id"), F.col("comp").alias("canonical_id")
-        )
-        .join(
-            F.broadcast(sizes.withColumnRenamed("comp", "canonical_id")),
-            "canonical_id",
-        )
-        .select(
-            "asset_id",
-            "canonical_id",
-            "cluster_size",
-            (F.col("asset_id") == F.col("canonical_id")).alias("is_survivor"),
-        )
-    )
-
-
-# ---- audio energy-fingerprint near-dup (l62) ----
-
-# shared CTE body: closed-form PCM samples -> integer frame-energy
-# fingerprints for the base+twins asset family; used by l62 (pairs)
-# and l63 (pipeline) — the _L58_CTES convention for audio
-_L62_CTES = """d AS (SELECT doc_id AS src, 100 + doc_id % 50 AS n FROM documents),
-    a AS (
-      SELECT src, src AS aid, n, 0 AS variant FROM d
-      UNION ALL
-      SELECT src, src + 8388608, n, 1 FROM d WHERE src % 3 = 0
-      UNION ALL
-      SELECT src, src + 16777216, n, 2 FROM d WHERE src % 3 = 1
-    ),
-    -- sample i of each asset: base closed form; variant 1 swaps the
-    -- (2j, 2j+1) partner wherever both land in the same frame (an
-    -- energy-preserving permutation); variant 2 zeroes sample 0
-    s AS (
-      SELECT a.aid, a.n, p.i,
-        CASE
-          WHEN a.variant = 2 AND p.i = 0 THEN 0
-          WHEN a.variant = 1
-               AND (CASE WHEN p.i % 2 = 0 THEN p.i + 1 ELSE p.i - 1 END) < a.n
-               AND ((p.i * 63) // a.n) =
-                   (((CASE WHEN p.i % 2 = 0 THEN p.i + 1 ELSE p.i - 1 END)
-                     * 63) // a.n)
-          THEN ((a.src * 48271
-                 + (CASE WHEN p.i % 2 = 0 THEN p.i + 1 ELSE p.i - 1 END)
-                   * 16807) % 65536) - 32768
-          ELSE ((a.src * 48271 + p.i * 16807) % 65536) - 32768
-        END AS x
-      FROM a, LATERAL (SELECT unnest(generate_series(0, a.n - 1)) AS i) p
-    ),
-    f AS (SELECT aid, (i * 63) // n AS k, SUM(x * x) AS e, COUNT(*) AS c
-          FROM s GROUP BY aid, (i * 63) // n),
-    t AS (SELECT aid, SUM(e) AS total, SUM(c) AS n FROM f GROUP BY aid),
-    bits AS (
-      SELECT f.aid, f.k,
-             CASE WHEN f.e * t.n > t.total * f.c THEN 1 ELSE 0 END AS bit
-      FROM f JOIN t USING (aid)
-    ),
-    fp AS (
-      SELECT aid, SUM(bit * (CAST(1 AS BIGINT) << k)) AS fp
-      FROM bits GROUP BY aid
-    )"""
-
-_L62_ORACLE = (
-    "WITH "
-    + _L62_CTES
-    + """
-    SELECT pa.aid AS id_a, pb.aid AS id_b,
-           CAST(bit_count(xor(pa.fp, pb.fp)) AS BIGINT) AS hamming,
-           CASE WHEN pb.aid - pa.aid = 8388608 THEN 'planted_swap'
-                WHEN pb.aid - pa.aid = 16777216 THEN 'planted_zeroed'
-                ELSE 'organic' END AS kind
-    FROM fp pa JOIN fp pb ON pa.aid < pb.aid
-    WHERE bit_count(xor(pa.fp, pb.fp)) <= 3
-"""
-)
-
-
-@register("l62_audio_fingerprint_neardup", _L62_ORACLE)
-def l62_audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PERCEPTUAL audio near-dup dedup — the WAV sibling of l58: decode
-    every payload with the REAL stdlib RIFF parser, fingerprint each
-    clip with 63 integer frame-energy bits (energy above the per-sample
-    mean, cross-multiplied — no float anywhere), and find all pairs
-    within hamming <= 3 through the shared pigeonhole band join.
-    Planted energy-preserving twins (in-frame sample-pair swaps) are
-    byte-different but fingerprint-equal BY CONSTRUCTION — the
-    structural-recall discipline from l58 — and zeroed-sample twins
-    exercise the nonzero-hamming paths. The oracle replays samples,
-    frame energies, fingerprints, and an exhaustive pair scan from the
-    closed-form generator: the banded plan is checked for completeness
-    as well as exactness.
-
-    Scale shape: identical to l58 — one decode+hash map pass, a
-    16-byte-row band join, map-side xor verification. With image
-    (l58), audio (l62), and text (l4b) all feeding
-    fingerprint_near_pairs, one banding engine serves every modality.
-    Ref parity: SURVEY §2 L multimodal + dedup families."""
-    from datafusion_cyberpolka_eda_spark.operators.multimodal import (
-        AUDIO_SWAP_TWIN_OFFSET,
-        AUDIO_ZERO_TWIN_OFFSET,
-        make_wav_neardup_assets,
-        wav_energy_fingerprints,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    fps = wav_energy_fingerprints(make_wav_neardup_assets(docs)).localCheckpoint(
-        eager=True
-    )
-    pairs = D.fingerprint_near_pairs(fps, max_hamming=3, n_bits=63)
-    delta = F.col("id_b") - F.col("id_a")
-    return pairs.select(
-        "id_a",
-        "id_b",
-        F.col("hamming").cast("bigint").alias("hamming"),
-        F.when(delta == AUDIO_SWAP_TWIN_OFFSET, "planted_swap")
-        .when(delta == AUDIO_ZERO_TWIN_OFFSET, "planted_zeroed")
-        .otherwise("organic")
-        .alias("kind"),
-    )
-
-
-# ---- audio dedup pipeline end-to-end (l63, r9 verdict task 4a) ----
-
-_L63_ORACLE = (
-    "WITH RECURSIVE "
-    + _L62_CTES
-    + """,
-    pairs AS (
-      SELECT pa.aid AS id_a, pb.aid AS id_b
-      FROM fp pa JOIN fp pb ON pa.aid < pb.aid
-      WHERE bit_count(xor(pa.fp, pb.fp)) <= 3
-    ),
-    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
-              UNION SELECT id_b, id_a FROM pairs),
-    reach(id, r) AS (
-      SELECT a, a FROM edges
-      UNION
-      SELECT e.b, r.r FROM reach r JOIN edges e ON e.a = r.id
-    ),
-    comp AS (SELECT id AS asset_id, MIN(r) AS canonical_id FROM reach
-             GROUP BY id)
-    SELECT c.asset_id, c.canonical_id, cs.cluster_size,
-           c.asset_id = c.canonical_id AS is_survivor
-    FROM comp c
-    JOIN (SELECT canonical_id, COUNT(*) AS cluster_size
-          FROM comp GROUP BY canonical_id) cs USING (canonical_id)
-    """
-)
-
-
-@register("l63_audio_dedup_pipeline", _L63_ORACLE)
-def l63_audio_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """END-TO-END audio dedup — the WAV counterpart of the image
-    pipeline (l61) and the text pipeline (l23): decode -> frame-energy
-    fingerprints -> banded hamming pairs (l62's stages) -> HashMin
-    connected components -> survivor pick (min asset_id per cluster).
-    Output maps every clustered clip to its canonical survivor, ready
-    for an anti-join drop of the non-survivors. The oracle replays
-    samples/fingerprints closed-form, brute-forces the pair scan, and
-    resolves the transitive closure with a recursive CTE — the
-    iterative Spark component loop is hash-checked end-to-end (the
-    l61/l11 discipline).
-
-    Scale shape: identical to l61 — decode+hash map pass (payloads
-    never shuffle), band join on 16-byte rows, HashMin label
-    propagation with lineage cuts, one aggregate for the survivor
-    pick. With l23 (text), l61 (image), and this entry, every modality
-    has the same three-stage dedup pipeline on the one shared banding
-    engine. Ref parity: SURVEY §2 L dedup + multimodal families."""
-    from datafusion_cyberpolka_eda_spark.operators.multimodal import (
-        make_wav_neardup_assets,
-        wav_energy_fingerprints,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    fps = wav_energy_fingerprints(make_wav_neardup_assets(docs)).localCheckpoint(
-        eager=True
-    )
-    pairs = D.fingerprint_near_pairs(fps, max_hamming=3, n_bits=63)
-    comps = D.connected_components(pairs, "id_a", "id_b")
-    sizes = comps.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return (
-        comps.select(
-            F.col("id").alias("asset_id"), F.col("comp").alias("canonical_id")
-        )
-        .join(
-            F.broadcast(sizes.withColumnRenamed("comp", "canonical_id")),
-            "canonical_id",
-        )
-        .select(
-            "asset_id",
-            "canonical_id",
-            "cluster_size",
-            (F.col("asset_id") == F.col("canonical_id")).alias("is_survivor"),
-        )
-    )
-
-
-# ---- incremental multimodal fingerprint stores (l66/l67, r9 verdict
-# task 3): the l31 persisted-store pattern over the l58/l62
-# fingerprints. (session, sf_dir, modality, data fingerprint) ->
-# (cutoff, persisted parquet path).
-_MM_FP_STORE_CACHE: dict[str, tuple[int, str]] = {}
-
-
-def _mm_fp_store(
-    spark: SparkSession, sf_dir: str, modality: str
-) -> tuple[int, str]:
-    """Build ONCE per (session, data, modality) the persisted day-1
-    fingerprint store — (id, fp) rows for every asset whose SOURCE doc
-    sits below the 80% cutoff, decoded and hashed exactly once and
-    written to parquet the way a daily asset-ingest job persists them.
-    Day-2 calls read the store back instead of re-decoding old
-    payloads — the entire point of the incremental shape. Memoized with
-    the same data fingerprint as the other stores so in-session
-    testdata regeneration invalidates it."""
-    key = (
-        f"{spark.sparkContext.applicationId}:{sf_dir}:{modality}:"
-        f"{_docs_fingerprint(sf_dir)}"
-    )
-    if key in _MM_FP_STORE_CACHE:
-        return _MM_FP_STORE_CACHE[key]
-    import atexit
-    import os
-    import shutil
-    import tempfile
-
-    from datafusion_cyberpolka_eda_spark.operators.multimodal import (
-        ahash63_fingerprints,
-        make_ppm_neardup_assets,
-        make_wav_neardup_assets,
-        wav_energy_fingerprints,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
-    cutoff = int(0.8 * (max_id + 1))
-    day1 = docs.filter(F.col("doc_id") < cutoff)
-    if modality == "image":
-        fps = ahash63_fingerprints(make_ppm_neardup_assets(day1))
-    elif modality == "audio":
-        fps = wav_energy_fingerprints(make_wav_neardup_assets(day1))
-    else:
-        raise ValueError(f"unknown modality {modality!r}")
-    out = tempfile.mkdtemp(prefix=f"{modality}_fp_store_")
-    atexit.register(shutil.rmtree, out, ignore_errors=True)
-    path = os.path.join(out, "store.parquet")
-    fps.write.mode("overwrite").parquet(path)
-    _MM_FP_STORE_CACHE[key] = (cutoff, path)
-    return _MM_FP_STORE_CACHE[key]
-
-
-def _mm_incremental_oracle(ctes: str) -> str:
-    """Full-corpus closed-form fingerprint replay + exhaustive pair
-    scan RESTRICTED to pairs with >= 1 new asset — the l31 oracle shape
-    over a fingerprint CTE family (_L58_CTES or _L62_CTES). An asset is
-    new iff its SOURCE doc id (asset_id mod 2^23 — twin offsets are
-    2^23 and 2^24, both = 0 mod 2^23) is at or above the 80% cutoff."""
-    return (
-        "WITH "
-        + ctes
-        + """,
-    cut AS (
-      SELECT CAST(FLOOR(0.8 * (MAX(doc_id) + 1)) AS BIGINT) AS c
-      FROM documents
-    )
-    SELECT pa.aid AS id_a, pb.aid AS id_b,
-           CAST(bit_count(xor(pa.fp, pb.fp)) AS BIGINT) AS hamming,
-           CASE WHEN pa.aid % 8388608 >= (SELECT c FROM cut)
-                 AND pb.aid % 8388608 >= (SELECT c FROM cut)
-                THEN 'new_new' ELSE 'new_old' END AS kind
-    FROM fp pa JOIN fp pb ON pa.aid < pb.aid
-    WHERE bit_count(xor(pa.fp, pb.fp)) <= 3
-      AND (pa.aid % 8388608 >= (SELECT c FROM cut)
-           OR pb.aid % 8388608 >= (SELECT c FROM cut))
-    """
-    )
-
-
-@register("l66_incremental_image_neardup", _mm_incremental_oracle(_L58_CTES))
-def l66_incremental_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental perceptual image dedup — the l31 daily-pipeline shape
-    over the l58 aHash fingerprints (r9 verdict task 3): day-1 assets
-    (source doc below the 80% cutoff) have their fingerprints PERSISTED
-    to parquet (built once per session — _mm_fp_store); the day-2
-    increment decodes and hashes ONLY its own payloads (the doc_id >=
-    cutoff predicate is pushed into the documents scan; a no-day-1-
-    decode plan test pins this), band-joins increment vs
-    store+increment, and emits every near-dup pair involving >= 1 new
-    asset, tagged new_new/new_old.
-
-    Because a fingerprint is a pure per-asset function, the result
-    equals the full-corpus banded pair set restricted to >= 1 new id —
-    exactly what the oracle computes (closed-form pixel/fingerprint
-    replay + exhaustive pair scan + cutoff classification), so the
-    incremental path is value-hash-checked against the from-scratch
-    semantics it must preserve, completeness included.
-
-    Scale shape: store grows by |increment| rows/day, no old payload is
-    ever re-decoded, and the band join's shuffle carries 16-byte rows
-    (bucket the store by band key at 100 TB). Text (l31), image (this),
-    and audio (l67) increments now all ride the same store discipline.
-    Ref parity: SURVEY §2 L dedup + multimodal families."""
-    from datafusion_cyberpolka_eda_spark.operators.multimodal import (
-        N_AHASH_BITS,
-        ahash63_fingerprints,
-        make_ppm_neardup_assets,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    cutoff, store_path = _mm_fp_store(spark, sf_dir, "image")
-    store = spark.read.parquet(store_path)
-    new_docs = docs.filter(F.col("doc_id") >= cutoff)
-    new_fps = ahash63_fingerprints(
-        make_ppm_neardup_assets(new_docs)
-    ).localCheckpoint(eager=True)
-    pairs = D.incremental_fingerprint_pairs(
-        new_fps, store, max_hamming=3, n_bits=N_AHASH_BITS
-    )
-    return pairs.select(
-        "id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming"), "kind"
-    )
-
-
-@register("l67_incremental_audio_neardup", _mm_incremental_oracle(_L62_CTES))
-def l67_incremental_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental audio dedup — the l66 store discipline over the l62
-    frame-energy fingerprints: day-1 clip fingerprints persisted once,
-    the day-2 increment decodes only its own WAV payloads and band-joins
-    against store+increment. Same oracle shape (full closed-form replay
-    restricted to >= 1-new pairs); same scale story. See l66."""
-    from datafusion_cyberpolka_eda_spark.operators.multimodal import (
-        make_wav_neardup_assets,
-        wav_energy_fingerprints,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    cutoff, store_path = _mm_fp_store(spark, sf_dir, "audio")
-    store = spark.read.parquet(store_path)
-    new_docs = docs.filter(F.col("doc_id") >= cutoff)
-    new_fps = wav_energy_fingerprints(
-        make_wav_neardup_assets(new_docs)
-    ).localCheckpoint(eager=True)
-    pairs = D.incremental_fingerprint_pairs(
-        new_fps, store, max_hamming=3, n_bits=63
-    )
-    return pairs.select(
-        "id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming"), "kind"
-    )
-
-
-# ---- SemDeDup: cluster-bucketed semantic near-dup pruning (l65,
-# r9 verdict task 2) ----
-
-SEMDEDUP_TWIN_OFFSET = 1 << 23  # planted near-dup twin ids; vec_id domain-checked
-
-
-def _l65_oracle(k: int = 8, iters: int = 3) -> str:
-    """Unrolled MATERIALIZED-CTE replay of the full SemDeDup recipe:
-    the l59 Lloyd unroll over the EXTENDED vector set (corpus union
-    planted epsilon-twins), a final assignment pass, an in-cluster
-    exhaustive pair scan with the exact-integer cosine compare, and the
-    greedy keep-one-per-ball policy (pruned iff a smaller-id in-cluster
-    neighbor sits within the ball). Every intermediate is integer
-    except the floor(sum/count) centroid updates and the one threshold
-    compare per pair — the l59/l60 determinism recipe verbatim."""
-    ctes = [
-        f"""
-    eb AS MATERIALIZED (
-      SELECT vec_id, i - 1 AS i,
-             CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 100000.0) AS BIGINT)
-               AS q
-      FROM embeddings,
-           LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) s
-    ),
-    -- corpus + planted twins: component-wise +-3 deterministic noise,
-    -- same direction (cosine ~ 1 - 1e-9, far above tau); twin ids are
-    -- base + 2^23, matching the Spark constant
-    e AS MATERIALIZED (
-      SELECT vec_id, i, q FROM eb
-      UNION ALL
-      SELECT vec_id + {SEMDEDUP_TWIN_OFFSET}, i,
-             q + ((vec_id * 31 + i * 17) % 7 - 3)
-      FROM eb WHERE vec_id % 9 = 4
-    ),
-    seeds AS (
-      SELECT vec_id, rk - 1 AS j FROM (
-        SELECT vec_id, ROW_NUMBER() OVER (ORDER BY
-          ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
-          vec_id) AS rk
-        FROM (SELECT DISTINCT vec_id FROM e) ids) t WHERE rk <= {k}
-    ),
-    c0 AS MATERIALIZED (SELECT s.j, e.i, e.q AS c FROM seeds s JOIN e USING (vec_id))"""
-    ]
-    for t in range(1, iters + 1):
-        prev = f"c{t - 1}"
-        ctes.append(f"""
-    a{t} AS MATERIALIZED (
-      SELECT vec_id, j FROM (
-        SELECT d.vec_id, d.j,
-               ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY d.d, d.j)
-                 AS rk
-        FROM (SELECT e.vec_id, c.j, SUM((e.q - c.c) * (e.q - c.c)) AS d
-              FROM e JOIN {prev} c USING (i) GROUP BY e.vec_id, c.j) d) t
-      WHERE rk = 1
-    ),
-    c{t} AS MATERIALIZED (
-      SELECT b.j, b.i, COALESCE(u.c, b.c) AS c
-      FROM {prev} b LEFT JOIN (
-        SELECT a.j, e.i,
-               CAST(FLOOR(CAST(SUM(e.q) AS DOUBLE) / COUNT(*)) AS BIGINT)
-                 AS c
-        FROM a{t} a JOIN e ON e.vec_id = a.vec_id GROUP BY a.j, e.i) u
-      ON u.j = b.j AND u.i = b.i
-    )""")
-    final = f"c{iters}"
-    return (
-        "WITH "
-        + ",".join(ctes)
-        + f""",
-    fin AS MATERIALIZED (
-      SELECT vec_id, j FROM (
-        SELECT d.vec_id, d.j,
-               ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY d.d, d.j)
-                 AS rk
-        FROM (SELECT e.vec_id, c.j, SUM((e.q - c.c) * (e.q - c.c)) AS d
-              FROM e JOIN {final} c USING (i) GROUP BY e.vec_id, c.j) d) t
-      WHERE rk = 1
-    ),
-    n2 AS MATERIALIZED (SELECT vec_id, SUM(q * q) AS n2 FROM e GROUP BY vec_id),
-    -- in-cluster pairs only (the SemDeDup candidate rule), exact
-    -- integer dot, one IEEE threshold compare per pair
-    near AS (
-      SELECT d.id_a, d.id_b FROM (
-        SELECT f1.vec_id AS id_a, f2.vec_id AS id_b,
-               SUM(ea.q * eb2.q) AS dot
-        FROM fin f1 JOIN fin f2 ON f2.j = f1.j AND f2.vec_id > f1.vec_id
-        JOIN e ea ON ea.vec_id = f1.vec_id
-        JOIN e eb2 ON eb2.vec_id = f2.vec_id AND eb2.i = ea.i
-        GROUP BY f1.vec_id, f2.vec_id) d
-      JOIN n2 a ON a.vec_id = d.id_a
-      JOIN n2 b ON b.vec_id = d.id_b
-      WHERE d.dot > 0 AND CAST(d.dot AS DOUBLE) >=
-            0.999 * (SQRT(CAST(a.n2 AS DOUBLE)) * SQRT(CAST(b.n2 AS DOUBLE)))
-    ),
-    pruned AS (SELECT DISTINCT id_b AS vec_id FROM near),
-    members AS (
-      SELECT f.vec_id, f.j AS cluster, p.vec_id IS NULL AS is_kept
-      FROM fin f LEFT JOIN pruned p USING (vec_id)
-    ),
-    cs AS (SELECT cluster, COUNT(*) AS n_members,
-                  SUM(CASE WHEN is_kept THEN 0 ELSE 1 END) AS n_pruned
-           FROM members GROUP BY cluster)
-    SELECT m.vec_id, CAST(m.cluster AS BIGINT) AS cluster,
-           m.vec_id >= {SEMDEDUP_TWIN_OFFSET} AS is_twin, m.is_kept,
-           CAST(cs.n_members AS BIGINT) AS n_members,
-           CAST(cs.n_pruned AS BIGINT) AS n_pruned
-    FROM members m JOIN cs USING (cluster)
-    """
-    )
-
-
-@register("l65_semdedup", _l65_oracle(8, 3))
-def l65_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup — embedding-level corpus pruning over k-means cluster
-    buckets (r9 verdict task 2; the published recipe: cluster the
-    corpus, then keep one document per epsilon-ball WITHIN each
-    cluster). Composes the two pieces the repo already proves out
-    separately: l59's integer-exact distributed Lloyd trainer
-    (similarity.lloyd_kmeans_q on the extended vector set) and the
-    l60-style exact integer cosine verify.
-
-      corpus    : quantized embeddings UNION planted epsilon-twins
-                  (vec_id % 9 == 4 -> twin id = vec_id + 2^23 with
-                  component-wise +-3 deterministic noise — cosine
-                  ~ 1-1e-9 vs base, so twin recall is structural);
-      clusters  : Lloyd k=8 x 3 supersteps over the extended set, then
-                  one exact-argmin assignment pass (lloyd_assign_q);
-      candidates: same-cluster pairs ONLY — candidate volume is
-                  sum(cluster_size^2), never corpus^2, and the
-                  inertia/balance l59 measures is exactly what bounds
-                  it;
-      prune     : exact int64 dot/norms, near iff dot > 0 and
-                  dot >= 0.999 * sqrt(na) * sqrt(nb) (one identical
-                  IEEE compare per pair); greedy keep-one-per-ball =
-                  drop any vector with a smaller-id in-cluster
-                  neighbor within the ball (the l29 min-id survivor
-                  policy, fully relational — no recursion).
-
-    Output: one row per vector (vec_id, cluster, is_twin, is_kept)
-    joined with per-cluster (n_members, n_pruned) — pruning recall is a
-    MEASURED column set, not a pinned boolean. The oracle replays the
-    entire recipe: Lloyd unroll over the extended set, assignment,
-    exhaustive in-cluster pair scan, and the keep policy.
-
-    Scale shape: training is O(k*dim) communication per superstep;
-    assignment is one literal-expression map pass; the pair stage
-    shuffles on the cluster key and carries the quantized vectors once
-    (at 100 TB: repartition by cluster, compute dots within partitions,
-    AQE skew-split for fat clusters). Ref anchor: similarity.py
-    lloyd_kmeans_q; registry l59/l60/l29."""
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
-    mx = emb.agg(F.max("vec_id")).first()[0]
-    if mx >= SEMDEDUP_TWIN_OFFSET:
-        raise ValueError(
-            f"max vec_id {mx} >= twin offset {SEMDEDUP_TWIN_OFFSET}: planted "
-            "twin ids would collide with corpus ids"
-        )
-    base = emb.select(
-        F.col("vec_id").alias("id"),
-        F.transform(
-            "embedding", lambda x: F.floor(x * F.lit(100000.0)).cast("long")
-        ).alias("q"),
-    )
-    twins = base.filter(F.col("id") % 9 == 4).select(
-        (F.col("id") + F.lit(SEMDEDUP_TWIN_OFFSET)).alias("id"),
-        F.transform(
-            "q",
-            lambda x, i: x
-            + ((F.col("id") * 31 + i.cast("long") * 17) % 7 - 3).cast("long"),
-        ).alias("q"),
-    )
-    allq = base.unionByName(twins).localCheckpoint(eager=True)
-    cent = SIM.lloyd_kmeans_q(allq, k=8, iters=3)
-    assigned = SIM.lloyd_assign_q(allq, cent).localCheckpoint(eager=True)
-
-    n2 = allq.select(
-        "id",
-        F.aggregate(
-            F.transform("q", lambda x: x * x),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        ).alias("n2"),
-    )
-    side = assigned.join(allq, "id").join(n2, "id")
-    a = side.select(
-        F.col("id").alias("id_a"), "cluster",
-        F.col("q").alias("q_a"), F.col("n2").alias("n2_a"),
-    )
-    b = side.select(
-        F.col("id").alias("id_b"), "cluster",
-        F.col("q").alias("q_b"), F.col("n2").alias("n2_b"),
-    )
-    dot = F.aggregate(
-        F.zip_with("q_a", "q_b", lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-    near = (
-        a.join(b, "cluster")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("dot", dot)
-        .filter(
-            (F.col("dot") > 0)
-            & (
-                F.col("dot").cast("double")
-                >= F.lit(0.999)
-                * (
-                    F.sqrt(F.col("n2_a").cast("double"))
-                    * F.sqrt(F.col("n2_b").cast("double"))
-                )
-            )
-        )
-        .select("id_a", "id_b")
-    )
-    pruned = near.select(F.col("id_b").alias("id")).distinct()
-    members = (
-        assigned.join(pruned.withColumn("hit", F.lit(1)), "id", "left")
-        .select(
-            F.col("id").alias("vec_id"),
-            "cluster",
-            F.col("hit").isNull().alias("is_kept"),
-        )
-    )
-    cs = members.groupBy("cluster").agg(
-        F.count(F.lit(1)).alias("n_members"),
-        F.sum((~F.col("is_kept")).cast("int")).cast("bigint").alias("n_pruned"),
-    )
-    return members.join(F.broadcast(cs), "cluster").select(
-        "vec_id",
-        "cluster",
-        (F.col("vec_id") >= SEMDEDUP_TWIN_OFFSET).alias("is_twin"),
-        "is_kept",
-        "n_members",
-        "n_pruned",
-    )
-
-
 # ---- distributed model-based quality classifier (l64, r9 verdict
 # task 1) ----
 
@@ -7482,307 +3098,111 @@ def l64_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---- batch k-NN join (l68, r9 verdict task 5) ----
-
-# shared CTE body: frozen quantizer -> two-sided cells -> candidates ->
-# exact integer cosines -> per-query ranking; used by l68 (the join)
-# and l68b (the recall gate)
-_L68_CTES = """v AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
-    e AS MATERIALIZED (
-      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
-             CAST(UNNEST(embedding) AS DOUBLE) AS val
-      FROM v
-    ),
-    q AS MATERIALIZED (
-      SELECT vec_id, i, CAST(FLOOR(val * 100000.0) AS BIGINT) AS qv FROM e
-    ),
-    nrm AS (SELECT vec_id, SQRT(SUM(val * val)) AS nm FROM e GROUP BY vec_id),
-    u AS MATERIALIZED (
-      SELECT e.vec_id, e.i, e.val / n.nm AS uval FROM e JOIN nrm n USING (vec_id)
-    ),
-    -- frozen coarse quantizer: unit vectors of the 16 smallest vec_ids
-    -- (the l8d convention), every vector assigned to its top-2 cells
-    c AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, vec_id AS cvid
-          FROM (SELECT vec_id FROM v ORDER BY vec_id LIMIT 16)),
-    cvec AS MATERIALIZED (
-      SELECT c.cid, u.i, u.uval AS cval FROM c JOIN u ON u.vec_id = c.cvid
-    ),
-    cd AS (SELECT u.vec_id, cv.cid, SUM(u.uval * cv.cval) AS d
-           FROM u JOIN cvec cv USING (i) GROUP BY u.vec_id, cv.cid),
-    cells AS MATERIALIZED (SELECT vec_id, cid FROM (
-        SELECT vec_id, cid,
-               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cid ASC)
-                 AS rk
-        FROM cd) t WHERE rk <= 2),
-    -- two-sided candidates: every DIRECTED pair co-occupying a cell
-    cand AS MATERIALIZED (
-      SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid
-      FROM cells a JOIN cells b USING (cid) WHERE a.vec_id != b.vec_id
-    ),
-    n2 AS MATERIALIZED (SELECT vec_id, SUM(qv * qv) AS n2 FROM q GROUP BY vec_id),
-    dots AS (SELECT cand.qid, cand.nid, SUM(qa.qv * qb.qv) AS dot
-             FROM cand JOIN q qa ON qa.vec_id = cand.qid
-                       JOIN q qb ON qb.vec_id = cand.nid AND qb.i = qa.i
-             GROUP BY cand.qid, cand.nid),
-    scored AS (SELECT d.qid, d.nid,
-                      ROUND(CAST(d.dot AS DOUBLE) /
-                            (SQRT(CAST(a.n2 AS DOUBLE))
-                             * SQRT(CAST(b.n2 AS DOUBLE))), 6) + 0 AS cosine
-               FROM dots d JOIN n2 a ON a.vec_id = d.qid
-                           JOIN n2 b ON b.vec_id = d.nid),
-    ranked AS (SELECT qid, nid, cosine,
-                      ROW_NUMBER() OVER (PARTITION BY qid
-                                         ORDER BY cosine DESC, nid ASC) AS rk
-               FROM scored)"""
-
-_L68_ORACLE = (
-    "WITH "
-    + _L68_CTES
-    + """
-    SELECT qid AS vec_id, nid AS neighbor_id, CAST(rk AS BIGINT) AS rank,
-           cosine
-    FROM ranked WHERE rk <= 5
-"""
+# ---- re-export facade (r10 split): every name that moved to a
+# family module stays importable from registry.llm so external
+# importers (registry/events.py, streaming, tests, tools) are
+# untouched. Aliases share the SAME objects (store caches are
+# mutated in place), so cache clearing stays consistent. ----
+from datafusion_cyberpolka_eda_spark.registry.llm_base import (  # noqa: F401,E402
+    _table_fingerprint,
 )
-
-
-@register("l68_knn_join", _L68_ORACLE)
-def l68_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BATCH k-NN JOIN — EVERY vector's top-5 neighbors, not a fixed
-    query set (r9 verdict task 5): the substrate retrieval-based
-    curation, decontamination, and semantic clustering run at 100 TB.
-
-      candidates: frozen 16-cell coarse quantizer (unit vectors of the
-                  16 smallest vec_ids — the l8d convention), each
-                  vector assigned to its TOP-2 cells on BOTH sides
-                  (two-sided probing), candidates = directed pairs
-                  co-occupying a cell. Candidate volume tracks cell
-                  co-occupancy (sum over cells of size^2), never
-                  corpus^2;
-      scoring   : exact int64 dot / norms over LLOYD_QSCALE-quantized
-                  components, one correctly-rounded cosine per pair
-                  (identical IEEE op sequence in both engines);
-      top-k     : per-query window over rounded cosine (DESC, neighbor
-                  id ASC tiebreak), rank <= 5 — a PARTITIONED window,
-                  never a global sort.
-
-    The oracle replays the quantizer, both-sided cell assignment,
-    candidate distinct, exact dots, and ranking end-to-end in SQL, so
-    the IVF plan's completeness and exactness are both hash-checked
-    (the l8d discipline, generalized from 5 queries to all). The
-    recall-vs-exact gate on a bounded query sample is l68b.
-
-    Scale shape: cell assignment is a literal-expression map pass; the
-    candidate join shuffles on the cell key (AQE skew-split for fat
-    cells); scoring carries each vector's quantized array through one
-    equi-join; ranking is a partitioned window. At 1000 executors each
-    stage partitions cleanly by cell/query key. Ref anchor:
-    similarity.py assign_cells_literal; registry l8b-l8d, l41."""
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
-    unit = SIM.unit_vec_df(emb, "vec_id", "embedding").localCheckpoint(
-        eager=True
-    )
-    cent_rows = sorted(
-        unit.orderBy("id").limit(16).collect(), key=lambda r: r["id"]
-    )
-    centers = [list(r["unit_arr"]) for r in cent_rows]
-    cells = SIM.assign_cells_literal(unit, centers, n_probe=2).localCheckpoint(
-        eager=True
-    )
-    cand = (
-        cells.select(F.col("id").alias("qid"), "cell")
-        .join(cells.select(F.col("id").alias("nid"), "cell"), "cell")
-        .filter(F.col("qid") != F.col("nid"))
-        .select("qid", "nid")
-        .distinct()
-    )
-    q = emb.select(
-        F.col("vec_id").alias("id"),
-        F.transform(
-            "embedding", lambda x: F.floor(x * F.lit(100000.0)).cast("long")
-        ).alias("q"),
-    )
-    n2 = q.select(
-        "id",
-        "q",
-        F.aggregate(
-            F.transform("q", lambda x: x * x),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        ).alias("n2"),
-    ).localCheckpoint(eager=True)
-    dot = F.aggregate(
-        F.zip_with("q_a", "q_b", lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-    scored = (
-        cand.join(
-            n2.select(
-                F.col("id").alias("qid"),
-                F.col("q").alias("q_a"),
-                F.col("n2").alias("n2_a"),
-            ),
-            "qid",
-        )
-        .join(
-            n2.select(
-                F.col("id").alias("nid"),
-                F.col("q").alias("q_b"),
-                F.col("n2").alias("n2_b"),
-            ),
-            "nid",
-        )
-        .select(
-            "qid",
-            "nid",
-            F.round(
-                dot.cast("double")
-                / (
-                    F.sqrt(F.col("n2_a").cast("double"))
-                    * F.sqrt(F.col("n2_b").cast("double"))
-                ),
-                6,
-            ).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("qid").orderBy(
-        F.col("cosine").desc(), F.col("nid").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
-        .select(
-            F.col("qid").alias("vec_id"),
-            F.col("nid").alias("neighbor_id"),
-            F.col("rank").cast("bigint").alias("rank"),
-            "cosine",
-        )
-    )
-
-
-_L68B_ORACLE = (
-    "WITH "
-    + _L68_CTES
-    + """,
-    bq AS (SELECT vec_id AS qid FROM v WHERE vec_id < 8),
-    edots AS (SELECT b.qid, qb.vec_id AS nid, SUM(qa.qv * qb.qv) AS dot
-              FROM bq b
-              JOIN q qa ON qa.vec_id = b.qid
-              JOIN q qb ON qb.i = qa.i AND qb.vec_id != b.qid
-              GROUP BY b.qid, qb.vec_id),
-    escored AS (SELECT d.qid, d.nid,
-                       ROUND(CAST(d.dot AS DOUBLE) /
-                             (SQRT(CAST(a.n2 AS DOUBLE))
-                              * SQRT(CAST(b.n2 AS DOUBLE))), 6) + 0 AS cosine
-                FROM edots d JOIN n2 a ON a.vec_id = d.qid
-                             JOIN n2 b ON b.vec_id = d.nid),
-    eranked AS (SELECT qid, nid FROM (
-        SELECT qid, nid,
-               ROW_NUMBER() OVER (PARTITION BY qid
-                                  ORDER BY cosine DESC, nid ASC) AS rk
-        FROM escored) t WHERE rk <= 5),
-    ivf5 AS (SELECT qid, nid FROM ranked WHERE rk <= 5 AND qid < 8)
-    SELECT e.qid AS vec_id,
-           CAST(COUNT(*) AS BIGINT) AS n_exact,
-           CAST(SUM(CASE WHEN i.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_overlap,
-           ROUND(CAST(SUM(CASE WHEN i.nid IS NOT NULL THEN 1 ELSE 0 END)
-                      AS DOUBLE) / COUNT(*), 6) AS recall_at_5
-    FROM eranked e LEFT JOIN ivf5 i ON i.qid = e.qid AND i.nid = e.nid
-    GROUP BY e.qid
-"""
+from datafusion_cyberpolka_eda_spark.registry.llm_multimodal import (  # noqa: F401,E402
+    _L58_CTES,
+    _L58_ORACLE,
+    _L61_ORACLE,
+    _L62_CTES,
+    _L62_ORACLE,
+    _L63_ORACLE,
+    _MM_FP_STORE_CACHE,
+    _MULTIMODAL_ORACLE,
+    _mm_fp_store,
+    _mm_incremental_oracle,
+    l58_image_phash_neardup,
+    l61_image_dedup_pipeline,
+    l62_audio_fingerprint_neardup,
+    l63_audio_dedup_pipeline,
+    l66_incremental_image_neardup,
+    l67_incremental_audio_neardup,
+    l9_multimodal_features,
+    l9b_multimodal_ppm_decode,
+    l9c_multimodal_frame_sample,
+    l9d_multimodal_wav_decode,
+    l9e_multimodal_resize,
 )
-
-
-@register("l68b_knn_join_recall", _L68B_ORACLE)
-def l68b_knn_join_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall gate for the batch k-NN join (the l8c discipline applied
-    to l68): for a BOUNDED query sample (the 8 smallest vec_ids), the
-    exact brute-force top-5 (labeled broadcast cross join — the query
-    side is 8 rows at any corpus size) is compared against l68's
-    IVF-candidate top-5, emitting per-query overlap and recall as
-    MEASURED columns. The oracle replays both sides relationally, so
-    the gate itself is hash-checked, not just the headline join.
-    Before trusting an index config at 100 TB you run exactly this
-    probe per shard."""
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
-    q = emb.select(
-        F.col("vec_id").alias("id"),
-        F.transform(
-            "embedding", lambda x: F.floor(x * F.lit(100000.0)).cast("long")
-        ).alias("q"),
-    )
-    n2 = q.select(
-        "id",
-        "q",
-        F.aggregate(
-            F.transform("q", lambda x: x * x),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        ).alias("n2"),
-    ).localCheckpoint(eager=True)
-    queries = n2.filter(F.col("id") < 8).select(
-        F.col("id").alias("qid"), F.col("q").alias("q_a"),
-        F.col("n2").alias("n2_a"),
-    )
-    corpus = n2.select(
-        F.col("id").alias("nid"), F.col("q").alias("q_b"),
-        F.col("n2").alias("n2_b"),
-    )
-    dot = F.aggregate(
-        F.zip_with("q_a", "q_b", lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-    escored = (
-        corpus.crossJoin(F.broadcast(queries))
-        .filter(F.col("nid") != F.col("qid"))
-        .select(
-            "qid",
-            "nid",
-            F.round(
-                dot.cast("double")
-                / (
-                    F.sqrt(F.col("n2_a").cast("double"))
-                    * F.sqrt(F.col("n2_b").cast("double"))
-                ),
-                6,
-            ).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("qid").orderBy(
-        F.col("cosine").desc(), F.col("nid").asc()
-    )
-    exact5 = (
-        escored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 5)
-        .select("qid", "nid")
-    )
-    ivf5 = (
-        l68_knn_join(spark, sf_dir)
-        .filter(F.col("vec_id") < 8)
-        .select(
-            F.col("vec_id").alias("qid"),
-            F.col("neighbor_id").alias("nid"),
-            F.lit(1).alias("hit"),
-        )
-    )
-    return (
-        exact5.join(ivf5, ["qid", "nid"], "left")
-        .groupBy("qid")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_exact"),
-            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
-            .cast("bigint")
-            .alias("n_overlap"),
-            F.round(
-                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
-                / F.count(F.lit(1)),
-                6,
-            ).alias("recall_at_5"),
-        )
-        .select(
-            F.col("qid").alias("vec_id"), "n_exact", "n_overlap", "recall_at_5"
-        )
-    )
+from datafusion_cyberpolka_eda_spark.registry.llm_similarity import (  # noqa: F401,E402
+    GRAM_QSCALE,
+    SEMDEDUP_TWIN_OFFSET,
+    _ANN_TRUTH_CACHE,
+    _COSINE_TOPK_ORACLE,
+    _GRAM_STORE_CACHE,
+    _IVF_STORE_CACHE,
+    _L41_ORACLE,
+    _L60_ORACLE,
+    _L68B_ORACLE,
+    _L68_CTES,
+    _L68_ORACLE,
+    _SEM_STORE_CACHE,
+    _ann_exact_top5,
+    _gram_store,
+    _ivf_pq_store,
+    _l59_oracle,
+    _l65_oracle,
+    _semantic_store,
+    embedding_gram_partials,
+    l10_embedding_neardup,
+    l16_embedding_quantize_int8,
+    l41_incremental_embedding_dedup,
+    l46_embedding_covariance,
+    l48_sparse_cosine_pairs,
+    l51_incremental_covariance,
+    l57_semantic_drift,
+    l59_distributed_kmeans,
+    l60_semantic_decontamination,
+    l65_semdedup,
+    l68_knn_join,
+    l68b_knn_join_recall,
+    l7_cosine_topk,
+    l8_ann_lsh_neighbors,
+    l8b_ann_ivf_neighbors,
+    l8c_ann_recall_bound,
+    l8d_ann_lsh_portable,
+    l8e_ann_ivf_pq,
+    l8f_ann_ivf_pq_incremental,
+    l8g_ann_ivf_pq_takedown,
+    l8h_ann_ivf_pq_rotated,
+)
+from datafusion_cyberpolka_eda_spark.registry.llm_incremental import (  # noqa: F401,E402
+    _DECON_STORE_CACHE,
+    _INCR_CC_CACHE,
+    _INCR_STORE_CACHE,
+    _INCR_SURV_CACHE,
+    _L32_CUTOFF_FRAC,
+    _L32_ORACLE,
+    _L39_ORACLE,
+    _MIXTURE_STORE_CACHE,
+    _decon_store,
+    _incremental_cc_store,
+    _incremental_store,
+    _incremental_surv_store,
+    _l31_oracle,
+    _l33_oracle,
+    _l34_oracle,
+    _l37_oracle,
+    _l38_oracle,
+    _l40_oracle,
+    _mixture_store,
+    _pick_survivors,
+    _takedown_ledger_rows,
+    l31_incremental_dedup,
+    l32_incremental_decontamination,
+    l33_incremental_components,
+    l34_incremental_survivors,
+    l35_cluster_safe_split,
+    l36_incremental_mixture_refresh,
+    l37_incremental_pipeline,
+    l38_takedown_propagation,
+    l39_psi_drift,
+    l40_takedown_pipeline,
+    psi_feature_buckets,
+    psi_from_counts,
+)

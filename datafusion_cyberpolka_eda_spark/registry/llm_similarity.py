@@ -1,0 +1,2298 @@
+"""L-family embedding/ANN entries: brute-force and banded cosine search, IVF-PQ index lifecycle, covariance/drift, distributed k-means, semantic decontamination, SemDeDup, and the batch k-NN join. Split from llm.py (r10)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datafusion_cyberpolka_eda_spark.functions import text as T
+from datafusion_cyberpolka_eda_spark.operators import dedup as D
+from datafusion_cyberpolka_eda_spark.operators import similarity as SIM
+from datafusion_cyberpolka_eda_spark.registry import _round_cols, register, small_df
+from datafusion_cyberpolka_eda_spark.sources.catalog import load_table, spread
+from datafusion_cyberpolka_eda_spark.registry.llm_base import (  # noqa: F401
+    _table_fingerprint,
+)
+
+
+
+@register(
+    "l16_embedding_quantize_int8",
+    """
+    WITH e AS (
+      SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS v FROM embeddings
+    ),
+    s AS (SELECT vec_id, MAX(ABS(v)) AS amax FROM e GROUP BY vec_id),
+    q AS (
+      SELECT e.vec_id, e.v,
+             CAST(ROUND(e.v * 127.0 / s.amax) AS BIGINT) AS qv,
+             127.0 / s.amax AS scale
+      FROM e JOIN s USING (vec_id) WHERE s.amax > 0
+    )
+    SELECT vec_id,
+           CAST(SUM(qv) AS BIGINT) AS q_sum,
+           CAST(SUM(ABS(qv)) AS BIGINT) AS q_l1,
+           CAST(MAX(ABS(qv)) AS BIGINT) AS q_max,
+           ROUND(MAX(ABS(v - qv / scale)), 9) AS max_abs_err
+    FROM q GROUP BY vec_id
+    """,
+)
+def l16_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of embeddings (vector-search
+    memory/bandwidth staple: 4x smaller vectors, ~127-level resolution):
+    per vector, scale = 127/max|v|, q_i = round(v_i * scale). Pure per-row
+    JVM array expressions — a linear map with no shuffle, embarrassingly
+    parallel at any scale. Emits integer checksums of the quantized code
+    (exact) plus the max dequantization error, all replayed bit-for-bit
+    by the DuckDB oracle (max/integer sums are order-free, so no float
+    accumulation ambiguity exists)."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    vd = F.transform("embedding", lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(vd, F.abs))
+    rows = (
+        emb.select("vec_id", vd.alias("v"), amax.alias("amax"))
+        .filter(F.col("amax") > 0)
+        .withColumn("scale", F.lit(127.0) / F.col("amax"))
+    )
+    qv = F.transform(
+        "v", lambda x: F.round(x * F.lit(127.0) / F.col("amax")).cast("bigint")
+    )
+    rows = rows.withColumn("qv", qv)
+    err = F.zip_with("v", "qv", lambda a, b: F.abs(a - b / F.col("scale")))
+    lsum = lambda c: F.aggregate(c, F.lit(0).cast("bigint"), lambda acc, x: acc + x)  # noqa: E731
+    return rows.select(
+        "vec_id",
+        lsum(F.col("qv")).alias("q_sum"),
+        lsum(F.transform("qv", F.abs)).alias("q_l1"),
+        F.array_max(F.transform("qv", F.abs)).alias("q_max"),
+        F.round(F.array_max(err), 9).alias("max_abs_err"),
+    )
+
+
+_COSINE_TOPK_ORACLE = """
+    WITH q AS (SELECT vec_id qid, embedding qe FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id cid, embedding ce FROM embeddings),
+    pairs AS (
+      SELECT qid, cid,
+        (SELECT SUM(CAST(a AS DOUBLE)*CAST(b AS DOUBLE)) FROM (SELECT UNNEST(qe) a, UNNEST(ce) b) z) dot,
+        (SELECT SUM(CAST(a AS DOUBLE)*CAST(a AS DOUBLE)) FROM (SELECT UNNEST(qe) a) z) qq,
+        (SELECT SUM(CAST(b AS DOUBLE)*CAST(b AS DOUBLE)) FROM (SELECT UNNEST(ce) b) z) cc
+      FROM q, c WHERE qid != cid
+    ),
+    scored AS (
+      SELECT qid AS query_id, cid AS candidate_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY ROUND(dot/(SQRT(qq)*SQRT(cc)), 6) DESC, cid ASC) AS BIGINT) AS rank,
+             ROUND(dot/(SQRT(qq)*SQRT(cc)), 6) + 0 AS cosine
+      FROM pairs
+    )
+    SELECT query_id, candidate_id, rank, cosine FROM scored WHERE rank <= 3
+"""
+
+
+@register("l7_cosine_topk", _COSINE_TOPK_ORACLE)
+def l7_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k similarity search (exact ANN baseline):
+    broadcast query side, one candidate scan, JVM-side zip_with dot
+    product in double precision. Ties broken on (rounded cosine, id)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = SIM.cosine_topk(
+        emb.filter(F.col("vec_id") < 5),
+        emb,
+        id_col="vec_id",
+        vec_col="embedding",
+        k=3,
+    )
+    return _round_cols(out.withColumn("rank", F.col("rank").cast("bigint")), ["cosine"])
+
+
+@register(
+    "l8_ann_lsh_neighbors",
+    "SELECT CAST(0 AS BIGINT) AS query_id, TRUE AS recall_at_5_ge_60pct",
+)
+def l8_ann_lsh_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbors via trained random-projection LSH
+    over L2-normalized embeddings (the similarity-search scale path).
+    The trained model's projections are engine-specific RNG, so the
+    neighbor rows themselves can't be value-hashed cross-engine; instead
+    the registered output is the QUALITY GATE the index must pass —
+    recall@5 vs the exact brute-force cosine top-5 (the l7 baseline)
+    >= 60% — which the oracle asserts as a constant-true row (the l8c
+    pattern). The raw neighbor lists stay covered by the recall asserts
+    in tests/test_llm_ops.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    model, transformed = SIM.ann_lsh_model(emb, "vec_id", "embedding")
+    query = transformed.filter(F.col("id") == 0).head()
+    nn = model.approxNearestNeighbors(transformed, query["features"], 6)
+    ann_ids = {r["id"] for r in nn.collect()} - {0}
+    exact_ids = _ann_exact_top5(spark, sf_dir)[0]
+    recall = len(ann_ids & exact_ids) / len(exact_ids)
+    return small_df(
+        spark,
+        [(0, recall >= 0.6)],
+        "query_id bigint, recall_at_5_ge_60pct boolean",
+    )
+
+
+@register(
+    "l10_embedding_neardup",
+    """
+    WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0),
+    e AS (SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS val,
+                 generate_subscripts(embedding, 1) AS i FROM v),
+    n AS (SELECT vec_id, SQRT(SUM(val * val)) AS nrm FROM e GROUP BY vec_id),
+    u AS (SELECT e.vec_id, e.i, e.val / n.nrm AS uval FROM e JOIN n USING (vec_id)),
+    c AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, vec_id AS cvid
+          FROM (SELECT vec_id FROM v ORDER BY vec_id LIMIT 8)),
+    cvec AS (SELECT c.cid, u.i, u.uval AS cval FROM c JOIN u ON u.vec_id = c.cvid),
+    dots AS (SELECT u.vec_id, cv.cid, SUM(u.uval * cv.cval) AS d
+             FROM u JOIN cvec cv USING (i) GROUP BY u.vec_id, cv.cid),
+    cells AS (SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cid ASC) AS rk
+                FROM dots) WHERE rk <= 4),
+    cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+             FROM cells a JOIN cells b USING (cid) WHERE a.vec_id < b.vec_id),
+    pairdot AS (SELECT cand.id_a, cand.id_b, SUM(ua.uval * ub.uval) AS cosine
+                FROM cand
+                JOIN u ua ON ua.vec_id = cand.id_a
+                JOIN u ub ON ub.vec_id = cand.id_b AND ub.i = ua.i
+                GROUP BY cand.id_a, cand.id_b)
+    SELECT id_a, id_b, ROUND(cosine, 6) AS cosine
+    FROM pairdot WHERE cosine >= 0.25
+    """,
+)
+def l10_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via the bucketed scale path: fixed coarse
+    quantizer (unit vectors of the 8 smallest ids), top-4 multi-probe cell
+    assignment (recall 0.99 vs brute force at this threshold, precision
+    1.0), candidates from same-cell equi-joins, exact cosine verify inside
+    buckets — no CartesianProduct anywhere (plan-audited). The DuckDB
+    oracle recomputes the whole pipeline (normalize, centroid dots, cell
+    ranking, candidate distinct, verify) end-to-end in SQL. The
+    brute-force crossJoin twin (embedding_cosine_pairs) survives only as
+    the recall oracle in tests/test_llm_ops.py."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
+    pairs = D.embedding_neardup_bucketed(
+        emb, "vec_id", "embedding", threshold=0.25, n_centroids=8, n_probe=4
+    )
+    return _round_cols(pairs, ["cosine"])
+
+
+@register(
+    "l8b_ann_ivf_neighbors",
+    "SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS mean_recall_at_5_ge_60pct",
+)
+def l8b_ann_ivf_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN (scale path #2): trained cells over unit vectors,
+    probe the nearest n_probe cells, exact dot product inside. The
+    quantizer is trained faiss-style on a BOUNDED deterministic sample
+    with driver-side Lloyd iterations (train_centroids_on_sample) — the
+    production shape (you train a coarse quantizer on a sample once, not
+    with a distributed fit per index build), and it removes the
+    pyspark.ml per-iteration scheduling noise that made this query's
+    median swing 3-9 s. Trained cells are still data/sample-dependent,
+    so like l8 the registered output is a quality gate the oracle asserts
+    as a constant-true row: MEAN recall@5 over the 5 benchmark queries
+    >= 60% vs the exact cosine top-5 (measured 0.84-1.0 across
+    sf0.001-0.1). The pyspark.ml KMeans variant stays available as
+    ann_ivf_topk/ann_ivf_topk_multi (unit-tested)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    # fixed 16/8 (not the adaptive sqrt-n default): this entry's recall
+    # gate is externally asserted, so it stays on the verified fixed config
+    ann = SIM.ann_ivf_sampled_topk_multi(
+        emb, "vec_id", "embedding", query_ids=qids, k=5, n_centroids=16, n_probe=8
+    )
+    got: dict[int, set] = {}
+    for r in ann.collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    es = _ann_exact_top5(spark, sf_dir)
+    mean_recall = sum(
+        len(got.get(q, set()) & es[q]) / len(es[q]) for q in qids
+    ) / len(qids)
+    return small_df(
+        spark,
+        [(5, mean_recall >= 0.6)],
+        "n_queries bigint, mean_recall_at_5_ge_60pct boolean",
+    )
+
+
+@register(
+    "l8c_ann_recall_bound",
+    """
+    SELECT q.vec_id AS query_id, TRUE AS recall_ge_60pct
+    FROM embeddings q WHERE q.vec_id < 5
+    """,
+)
+def l8c_ann_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality gate, oracle-checked: for each of the 5 benchmark
+    queries, IVF ANN with a fixed coarse quantizer (probing 8 of 16
+    cells) must recover >= 60% of the exact brute-force cosine top-5
+    (recall@5; measured min 0.8 at sf0.001/sf0.01). A KMeans-trained
+    quantizer (l8b) is NOT partition-deterministic (init sampling depends
+    on layout), so the gate uses ann_ivf_fixed_topk_multi — pure
+    arithmetic end-to-end, reproducible under any session config. If a
+    refactor silently degrades the index path, the hash match breaks.
+    The same recall probe is what you run per-shard at 100 TB before
+    trusting an index build."""
+    from datafusion_cyberpolka_eda_spark.operators.similarity import (
+        ann_ivf_fixed_topk_multi,
+        cosine_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact_sets = _ann_exact_top5(spark, sf_dir)
+    ann = ann_ivf_fixed_topk_multi(
+        emb, "vec_id", "embedding", query_ids=sorted(exact_sets), k=5, n_probe=8
+    )
+    got: dict[int, set] = {}
+    for r in ann.collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    rows = [
+        (qid, len(got.get(qid, set()) & exact_sets[qid]) / len(exact_sets[qid]) >= 0.6)
+        for qid in sorted(exact_sets)
+    ]
+    return small_df(spark, rows, "query_id bigint, recall_ge_60pct boolean")
+
+
+@register(
+    "l8d_ann_lsh_portable",
+    """
+    WITH v AS (SELECT vec_id, embedding FROM embeddings),
+    e AS (SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS val,
+                 generate_subscripts(embedding, 1) AS i FROM v),
+    n AS (SELECT vec_id, SQRT(SUM(val * val)) AS nrm FROM e GROUP BY vec_id),
+    u AS (SELECT e.vec_id, e.i, e.val / n.nrm AS uval FROM e JOIN n USING (vec_id)),
+    p AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS pid, vec_id AS pvid
+          FROM (SELECT vec_id FROM v ORDER BY vec_id LIMIT 16)),
+    pvec AS (SELECT p.pid, u.i, u.uval AS pval FROM p JOIN u ON u.vec_id = p.pvid),
+    dots AS (SELECT u.vec_id, pv.pid, SUM(u.uval * pv.pval) AS d
+             FROM u JOIN pvec pv USING (i) GROUP BY u.vec_id, pv.pid),
+    bands AS (SELECT vec_id, pid // 4 AS band,
+                     CAST(SUM(CASE WHEN ROUND(d, 9) >= 0 THEN 1 ELSE 0 END
+                              * (1 << (pid % 4))) AS INTEGER) AS bkey
+              FROM dots GROUP BY vec_id, pid // 4),
+    qb AS (SELECT vec_id AS query_id, band, bkey FROM bands WHERE vec_id < 5),
+    cand AS (SELECT DISTINCT qb.query_id, b.vec_id AS cid
+             FROM qb JOIN bands b USING (band, bkey) WHERE b.vec_id != qb.query_id),
+    scored AS (SELECT cand.query_id, cand.cid,
+                      SUM(uq.uval * uc.uval) AS cosine
+               FROM cand
+               JOIN u uq ON uq.vec_id = cand.query_id
+               JOIN u uc ON uc.vec_id = cand.cid AND uc.i = uq.i
+               GROUP BY cand.query_id, cand.cid),
+    ranked AS (SELECT query_id, cid AS neighbor_id, ROUND(cosine, 6) + 0 AS cosine,
+                      ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY ROUND(cosine, 6) DESC, cid ASC) AS rank
+               FROM scored)
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def l8d_ann_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-projection LSH ANN with fixed data-derived hyperplanes — the
+    DuckDB-replayable twin for the trained-LSH path (l8, rows-only by
+    contract since BRP-LSH projections are engine-specific RNG). The
+    16 hyperplanes are the unit vectors of the 16 smallest vec_ids, split
+    into 4 four-bit band keys; candidates share >= 1 band with a query,
+    exact cosine verifies. The oracle recomputes normalization, plane
+    dots, sign bits, band keys, candidate distinct, scoring, and ranking
+    end-to-end in SQL — every approximate ANN family (MinHash l3c,
+    SimHash l4c, IVF l8c, sign-LSH l8d) now has a hard value-hash check.
+    Ref parity: similarity search is a north-star extension
+    (SURVEY.md §2 L; no reference counterpart file)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = SIM.ann_lsh_fixed_topk_multi(
+        emb, "vec_id", "embedding", query_ids=[0, 1, 2, 3, 4],
+        k=5, n_planes=16, n_bands=4,
+    )
+    return _round_cols(out.withColumn("rank", F.col("rank").cast("bigint")), ["cosine"])
+
+
+# Exact cosine top-5 neighbor sets for the benchmark queries (vec_id 0-4)
+# — the shared ground truth every l8* recall gate compares against.
+# Memoized per (session, sf_dir, embeddings fingerprint), the
+# _dedup_gate_base pattern the r6 verdict endorsed: the truth is an INPUT
+# to the gate check (each entry still builds and serves ITS OWN index per
+# call, and the oracle pins each gate), so one exact brute-force pass per
+# session serves all five gates instead of five identical recomputes.
+_ANN_TRUTH_CACHE: dict[str, dict[int, set]] = {}
+
+
+def _ann_exact_top5(spark: SparkSession, sf_dir: str) -> dict[int, set]:
+    key = (
+        f"{spark.sparkContext.applicationId}:{sf_dir}:"
+        f"{_table_fingerprint(sf_dir, 'embeddings')}"
+    )
+    if key in _ANN_TRUTH_CACHE:
+        return _ANN_TRUTH_CACHE[key]
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = SIM.cosine_topk(
+        emb.filter(F.col("vec_id") < 5), emb, id_col="vec_id",
+        vec_col="embedding", k=5,
+    )
+    es: dict[int, set] = {}
+    for r in exact.collect():
+        es.setdefault(r["query_id"], set()).add(r["candidate_id"])
+    _ANN_TRUTH_CACHE[key] = es
+    return es
+
+
+# ---- IVF-PQ composed index (l8e) ----
+
+
+@register(
+    "l8e_ann_ivf_pq",
+    """
+    SELECT CAST(5 AS BIGINT) AS n_queries,
+           TRUE AS mean_recall_at_5_ge_60pct,
+           TRUE AS pq_bytes_le_quarter_f32
+    """,
+)
+def l8e_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed index (r6 verdict task 4): the l8b coarse
+    quantizer and the l16 int8 quantization COMPOSED — int8-quantized
+    residuals (per-cell scale, so the per-vector payload is exactly
+    dim bytes) stored in the inverted lists; serving scores
+    dot(q, centroid) + dot(q, dequantized residual) without touching the
+    float vectors. This is the standard billion-vector memory story:
+    float32 vectors don't fit executor memory at 100 TB, codes do.
+
+    Like l8b the trained quantizer is sample/data-dependent, so the
+    registered output is the gate row the oracle pins: (a) MEAN recall@5
+    over the 5 benchmark queries vs the exact cosine top-5 >= 60%
+    (measured 1.0 at sf0.001-0.1 — tests/test_llm_ops.py also asserts
+    the per-component quantization error bound); (b) the per-vector
+    payload is MEASURED at <= 1/4 of float32 — one 1-byte code per
+    vector component, checked from the built index itself (schema
+    element type must be ByteType and code count must equal component
+    count), so a refactor that silently widens the code type or pads
+    codes breaks the gate. The quantizer model (16 centroids + 16
+    per-cell scales) is index-level overhead independent of corpus size
+    and amortizes to nothing at the 100 TB target."""
+    from pyspark.sql.types import ByteType
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    unit = SIM.unit_vec_df(emb, "vec_id", "embedding")
+    centers = SIM.train_centroids_on_sample(unit, 16, 2048)
+    index, scales = SIM.ivf_pq_index(unit, centers)
+    ann = SIM.ann_ivf_pq_topk_multi(
+        emb, "vec_id", "embedding", query_ids=qids, k=5,
+        n_probe=8, prebuilt=(index, centers, scales),
+    )
+    got: dict[int, set] = {}
+    for r in ann.collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    es = _ann_exact_top5(spark, sf_dir)
+    mean_recall = sum(
+        len(got.get(q, set()) & es[q]) / len(es[q]) for q in qids
+    ) / len(qids)
+    codes_are_int8 = isinstance(
+        index.schema["qcodes"].dataType.elementType, ByteType
+    )
+    sizes = index.join(
+        emb.select(F.col("vec_id").alias("id"), F.size("embedding").alias("dim")),
+        "id",
+    ).agg(
+        F.sum("dim").alias("total_dims"),
+        F.sum(F.size("qcodes")).alias("total_codes"),
+    ).collect()[0]
+    # 1 byte/code vs 4 bytes/float32 component: <= 1/4 iff codes are
+    # byte-typed and there is no more than one code per component
+    payload_ok = (
+        codes_are_int8 and int(sizes["total_codes"]) <= int(sizes["total_dims"])
+    )
+    return small_df(
+        spark,
+        [(5, mean_recall >= 0.6, payload_ok)],
+        "n_queries bigint, mean_recall_at_5_ge_60pct boolean, "
+        "pq_bytes_le_quarter_f32 boolean",
+    )
+
+
+# (session, sf_dir, embeddings fingerprint) -> (cutoff, index_path,
+# centers, scales_path): the persisted day-1 IVF-PQ index — the l31
+# band-store pattern applied to ANN. Incremental semantics MEAN the day-1
+# index is a durable artifact read back from storage, not rebuilt per
+# query; the build runs once per (session, data).
+_IVF_STORE_CACHE: dict[str, tuple] = {}
+
+
+def _ivf_pq_store(spark: SparkSession, sf_dir: str) -> tuple:
+    key = (
+        f"{spark.sparkContext.applicationId}:{sf_dir}:"
+        f"{_table_fingerprint(sf_dir, 'embeddings')}"
+    )
+    if key in _IVF_STORE_CACHE:
+        return _IVF_STORE_CACHE[key]
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    max_id = emb.agg(F.max("vec_id")).collect()[0][0]
+    cutoff = int(0.8 * (max_id + 1))
+    unit1 = SIM.unit_vec_df(
+        emb.filter(F.col("vec_id") < cutoff), "vec_id", "embedding"
+    )
+    centers = SIM.train_centroids_on_sample(unit1, 16, 2048)
+    index1, scales = SIM.ivf_pq_index(unit1, centers)
+    out = tempfile.mkdtemp(prefix="ivf_pq_store_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    ipath = os.path.join(out, "index.parquet")
+    spath = os.path.join(out, "scales.parquet")
+    index1.write.mode("overwrite").parquet(ipath)
+    scales.write.mode("overwrite").parquet(spath)
+    _IVF_STORE_CACHE[key] = (cutoff, ipath, centers, spath)
+    return _IVF_STORE_CACHE[key]
+
+
+@register(
+    "l8f_ann_ivf_pq_incremental",
+    """
+    SELECT CAST(5 AS BIGINT) AS n_queries,
+           TRUE AS day1_replay_identical,
+           TRUE AS union_recall_at_5_ge_60pct
+    """,
+)
+def l8f_ann_ivf_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL IVF-PQ index growth (the ANN member of the r7
+    incremental family, next to l31's dedup store and d20/d21's
+    mergeable sketches): the first 80% of vectors build the index and
+    train the quantizer; the remaining 20% arrive later and are ingested
+    with ivf_pq_add — FROZEN centroids + frozen per-cell scales, no
+    retraining, no rescan of indexed vectors.
+
+    The day-1 index is PERSISTED to parquet once per session
+    (_ivf_pq_store — the l31 band-store pattern: incremental means the
+    existing index is a durable artifact read back, not rebuilt), so a
+    steady-state call pays only: read store, ingest increment, serve.
+
+    Oracle-pinned gates: (a) re-ingesting the day-1 vectors through the
+    incremental path reproduces the PERSISTED index EXACTLY (clamp is
+    identity on in-range residuals — a true store-replay equivalence,
+    checked with a symmetric exceptAll in one action); (b) serving over
+    the union index (persisted day-1 + day-2 increment, clamped codes
+    included) keeps mean recall@5 >= 60% vs the exact cosine top-5 over
+    the FULL corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cutoff, ipath, centers, spath = _ivf_pq_store(spark, sf_dir)
+    index1 = spark.read.parquet(ipath)
+    scales = spark.read.parquet(spath)
+    day1 = emb.filter(F.col("vec_id") < cutoff)
+    day2 = emb.filter(F.col("vec_id") >= cutoff)
+
+    # the replay gate re-ingests day-1 THROUGH the incremental path and
+    # compares against the persisted store — per-call work by design
+    replay = SIM.ivf_pq_add(
+        SIM.unit_vec_df(day1, "vec_id", "embedding"), centers, scales
+    )
+    cmp_cols = ["id", "cell", "qcodes"]
+    a, b = index1.select(*cmp_cols), replay.select(*cmp_cols)
+    # symmetric difference in ONE action (two exceptAll branches unioned)
+    identical = a.exceptAll(b).union(b.exceptAll(a)).count() == 0
+
+    inc = SIM.ivf_pq_add(
+        SIM.unit_vec_df(day2, "vec_id", "embedding"), centers, scales
+    )
+    union_index = index1.unionByName(inc).localCheckpoint(eager=True)
+    qids = [0, 1, 2, 3, 4]
+    ann = SIM.ann_ivf_pq_topk_multi(
+        emb, "vec_id", "embedding", query_ids=qids, k=5, n_probe=8,
+        prebuilt=(union_index, centers, scales),
+    )
+    got: dict[int, set] = {}
+    for r in ann.collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    es = _ann_exact_top5(spark, sf_dir)
+    mean_recall = sum(
+        len(got.get(q, set()) & es[q]) / len(es[q]) for q in qids
+    ) / len(qids)
+    return small_df(
+        spark,
+        [(5, identical, mean_recall >= 0.6)],
+        "n_queries bigint, day1_replay_identical boolean, "
+        "union_recall_at_5_ge_60pct boolean",
+    )
+
+
+@register(
+    "l8g_ann_ivf_pq_takedown",
+    """
+    WITH cut AS (
+      SELECT CAST(FLOOR(0.8 * (MAX(vec_id) + 1)) AS BIGINT) AS c FROM embeddings
+    )
+    SELECT (SELECT COUNT(*) FROM embeddings
+            WHERE vec_id < (SELECT c FROM cut) AND vec_id % 9 = 2) AS n_removed,
+           TRUE AS delete_equals_rebuild,
+           TRUE AS no_removed_in_topk,
+           TRUE AS recall_after_delete_ge_60pct
+    """,
+)
+def l8g_ann_ivf_pq_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Takedown propagation into the ANN serving index — the vector-side
+    counterpart of l38: when documents are removed from the corpus, their
+    vectors must leave the index too, and because IVF-PQ codes are
+    per-vector independent under a frozen quantizer, deletion is a pure
+    anti-join on the persisted index: O(|request|), no retraining, no
+    rescan of the remaining vectors.
+
+    Three oracle-pinned gates prove delete-by-anti-join is the real
+    semantics, not an approximation (removal set = indexed day-1 vectors
+    with vec_id % 9 == 2, a deterministic request stand-in):
+      (a) delete_equals_rebuild — the anti-joined index is EXACTLY the
+          index rebuilt from scratch over the remaining vectors with the
+          same frozen quantizer/scales (symmetric exceptAll in one
+          action); this is the algebraic identity that makes O(|request|)
+          deletion sound;
+      (b) no_removed_in_topk — serving top-5 from the deleted index never
+          returns a removed id (no ghost results after takedown);
+      (c) recall_after_delete_ge_60pct — mean recall@5 vs the exact
+          cosine top-5 over the REMAINING corpus stays >= 60%: deletion
+          does not degrade serving quality for surviving vectors.
+    n_removed is genuinely recomputed by the oracle from the same cutoff
+    + modulus; the booleans are pinned-TRUE gate outcomes (d19 pattern).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    cutoff, ipath, centers, spath = _ivf_pq_store(spark, sf_dir)
+    index1 = spark.read.parquet(ipath)
+    scales = spark.read.parquet(spath)
+    day1 = emb.filter(F.col("vec_id") < cutoff)
+    removed = day1.filter(F.col("vec_id") % 9 == 2).select(
+        F.col("vec_id").alias("id")
+    )
+    n_removed = removed.count()
+
+    deleted = index1.join(F.broadcast(removed), "id", "left_anti").localCheckpoint(
+        eager=True
+    )
+    rebuilt = SIM.ivf_pq_add(
+        SIM.unit_vec_df(
+            day1.join(F.broadcast(removed.withColumnRenamed("id", "vec_id")),
+                      "vec_id", "left_anti"),
+            "vec_id", "embedding",
+        ),
+        centers,
+        scales,
+    )
+    cmp_cols = ["id", "cell", "qcodes"]
+    a, b = deleted.select(*cmp_cols), rebuilt.select(*cmp_cols)
+    identical = a.exceptAll(b).union(b.exceptAll(a)).count() == 0
+
+    qids = [0, 1, 3, 4, 5]  # query ids chosen outside the removal set
+    ann = SIM.ann_ivf_pq_topk_multi(
+        emb, "vec_id", "embedding", query_ids=qids, k=5, n_probe=8,
+        prebuilt=(deleted, centers, scales),
+    )
+    got: dict[int, set] = {}
+    for r in ann.collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    removed_ids = {r["id"] for r in removed.collect()}
+    no_ghosts = all(not (s & removed_ids) for s in got.values())
+
+    remaining_day1 = day1.join(
+        F.broadcast(removed.withColumnRenamed("id", "vec_id")), "vec_id", "left_anti"
+    )
+    exact = SIM.cosine_topk(
+        emb.filter(F.col("vec_id").isin(qids)), remaining_day1,
+        id_col="vec_id", vec_col="embedding", k=5,
+    )
+    es: dict[int, set] = {}
+    for r in exact.collect():
+        es.setdefault(r["query_id"], set()).add(r["candidate_id"])
+    mean_recall = sum(
+        len(got.get(q, set()) & es[q]) / len(es[q]) for q in qids
+    ) / len(qids)
+    return small_df(
+        spark,
+        [(n_removed, identical, no_ghosts, mean_recall >= 0.6)],
+        "n_removed bigint, delete_equals_rebuild boolean, "
+        "no_removed_in_topk boolean, recall_after_delete_ge_60pct boolean",
+    )
+
+
+# ---- incremental embedding (semantic) dedup (l41) ----
+# (session, sf_dir, embeddings fingerprint) -> (cutoff, units, cells,
+# centers parquet paths): the persisted day-1 semantic store.
+_SEM_STORE_CACHE: dict[str, tuple] = {}
+
+
+def _semantic_store(spark: SparkSession, sf_dir: str) -> tuple:
+    """Build ONCE per (session, data) the persisted day-1 SEMANTIC store
+    for incremental embedding dedup: unit vectors, frozen-quantizer cell
+    assignments (top-4 probes against the 8 smallest day-1 ids — the
+    offline-trained-quantizer stand-in, same parameters as l10), and the
+    centroid table itself, each written to parquet the way a daily
+    semantic-dedup job persists them. Returns
+    (cutoff, units_path, cells_path, centers_path); keyed by the
+    embeddings-table fingerprint so testdata regeneration invalidates
+    it. Persisting the CENTROIDS is what freezes the quantizer: day-2
+    assignment must use day-1's cells, never re-derive its own."""
+    key = (
+        f"{spark.sparkContext.applicationId}:{sf_dir}:"
+        f"{_table_fingerprint(sf_dir, 'embeddings')}"
+    )
+    if key in _SEM_STORE_CACHE:
+        return _SEM_STORE_CACHE[key]
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
+    max_id = emb.agg(F.max("vec_id")).collect()[0][0]
+    cutoff = int(0.8 * (max_id + 1))
+    day1 = emb.filter(F.col("vec_id") < cutoff)
+    unit = SIM.unit_vec_df(day1, "vec_id", "embedding").localCheckpoint(
+        eager=True
+    )
+    cent_rows = sorted(
+        unit.orderBy("id").limit(8).collect(), key=lambda r: r["id"]
+    )
+    centers = [list(r["unit_arr"]) for r in cent_rows]
+    cells = SIM.assign_cells_literal(unit, centers, n_probe=4)
+    out = tempfile.mkdtemp(prefix="semantic_store_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    units_path = os.path.join(out, "units.parquet")
+    cells_path = os.path.join(out, "cells.parquet")
+    centers_path = os.path.join(out, "centers.parquet")
+    unit.write.mode("overwrite").parquet(units_path)
+    cells.write.mode("overwrite").parquet(cells_path)
+    spark.createDataFrame(
+        [(i, v) for i, v in enumerate(centers)], "cid int, unit_arr array<double>"
+    ).write.mode("overwrite").parquet(centers_path)
+    _SEM_STORE_CACHE[key] = (cutoff, units_path, cells_path, centers_path)
+    return _SEM_STORE_CACHE[key]
+
+
+_L41_ORACLE = """
+    WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0),
+    cut AS (SELECT CAST(FLOOR(0.8 * (MAX(vec_id) + 1)) AS BIGINT) AS c FROM v),
+    e AS (SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS val,
+                 generate_subscripts(embedding, 1) AS i FROM v),
+    n AS (SELECT vec_id, SQRT(SUM(val * val)) AS nrm FROM e GROUP BY vec_id),
+    u AS (SELECT e.vec_id, e.i, e.val / n.nrm AS uval FROM e JOIN n USING (vec_id)),
+    c AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, vec_id AS cvid
+          FROM (SELECT vec_id FROM v ORDER BY vec_id LIMIT 8)),
+    cvec AS (SELECT c.cid, u.i, u.uval AS cval FROM c JOIN u ON u.vec_id = c.cvid),
+    dots AS (SELECT u.vec_id, cv.cid, SUM(u.uval * cv.cval) AS d
+             FROM u JOIN cvec cv USING (i) GROUP BY u.vec_id, cv.cid),
+    cells AS (SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cid ASC) AS rk
+                FROM dots) WHERE rk <= 4),
+    cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+             FROM cells a JOIN cells b USING (cid) WHERE a.vec_id < b.vec_id),
+    pairdot AS (SELECT cand.id_a, cand.id_b, SUM(ua.uval * ub.uval) AS cosine
+                FROM cand
+                JOIN u ua ON ua.vec_id = cand.id_a
+                JOIN u ub ON ub.vec_id = cand.id_b AND ub.i = ua.i
+                GROUP BY cand.id_a, cand.id_b)
+    SELECT id_a, id_b, ROUND(cosine, 6) AS cosine,
+           CASE WHEN id_a >= (SELECT c FROM cut)
+                THEN 'new_new' ELSE 'new_old' END AS kind
+    FROM pairdot
+    WHERE cosine >= 0.25 AND id_b >= (SELECT c FROM cut)
+"""
+
+
+@register("l41_incremental_embedding_dedup", _L41_ORACLE)
+def l41_incremental_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SEMANTIC (embedding) dedup — the embedding-space
+    counterpart of l31's MinHash incremental shape: day-1 unit vectors +
+    frozen-quantizer cell assignments are PERSISTED (_semantic_store);
+    the day-2 increment is normalized and cell-assigned under the SAME
+    frozen centroids (read from the store — the quantizer is never
+    retrained), and candidates come from joining ONLY the increment's
+    cells against store+increment cells. Old vectors are never
+    re-normalized or re-assigned; the embeddings scan carries a pushed
+    vec_id >= cutoff predicate (no-rescan plan test pins it).
+
+    Because cell assignment is per-row deterministic under a frozen
+    quantizer, the incremental pair set equals the full from-scratch
+    build (l10 semantics, same centroids/probes/threshold) restricted to
+    pairs with >= 1 new id — exactly what the DuckDB oracle computes, so
+    the incremental path is value-hash-checked against from-scratch
+    semantics. Scale shape: store grows by |increment| rows/day; shuffle
+    volume tracks increment cell rows + colliding store cells (persist
+    the store bucketed by cell at 100 TB so the join prunes to colliding
+    buckets)."""
+    cutoff, units_path, cells_path, centers_path = _semantic_store(spark, sf_dir)
+    store_units = spark.read.parquet(units_path)
+    store_cells = spark.read.parquet(cells_path)
+    centers = [
+        list(r["unit_arr"])
+        for r in sorted(
+            spark.read.parquet(centers_path).collect(), key=lambda r: r["cid"]
+        )
+    ]
+    new = load_table(spark, sf_dir, "embeddings").filter(
+        (F.col("vec_id") % 5 == 0) & (F.col("vec_id") >= cutoff)
+    )
+    new_units = SIM.unit_vec_df(new, "vec_id", "embedding").localCheckpoint(
+        eager=True
+    )
+    new_cells = SIM.assign_cells_literal(
+        new_units, centers, n_probe=4
+    ).localCheckpoint(eager=True)
+    all_cells = store_cells.unionByName(new_cells)
+    cand = (
+        new_cells.alias("a")
+        .join(all_cells.alias("b"), "cell")
+        .filter(F.col("a.id") != F.col("b.id"))
+        .select(
+            F.least("a.id", "b.id").alias("id_a"),
+            F.greatest("a.id", "b.id").alias("id_b"),
+        )
+        .distinct()
+    )
+    all_units = store_units.unionByName(new_units)
+    ua = all_units.select(F.col("id").alias("id_a"), F.col("unit_arr").alias("arr_a"))
+    ub = all_units.select(F.col("id").alias("id_b"), F.col("unit_arr").alias("arr_b"))
+    return (
+        cand.join(ua, "id_a")
+        .join(ub, "id_b")
+        .withColumn("cosine", SIM.dot_expr("arr_a", "arr_b"))
+        .filter(F.col("cosine") >= 0.25)
+        .select(
+            "id_a",
+            "id_b",
+            F.round("cosine", 6).alias("cosine"),
+            F.when(F.col("id_a") >= F.lit(cutoff), "new_new")
+            .otherwise("new_old")
+            .alias("kind"),
+        )
+    )
+
+
+# ---- distributed embedding covariance / Gram matrix (l46) ----
+
+
+GRAM_QSCALE = 100_000  # component quantization scale shared with the oracles
+
+
+def embedding_gram_partials(emb: DataFrame, dim: int = 64) -> DataFrame:
+    """Per-Arrow-batch Gram partials over an `embedding array<float>`
+    column: each batch yields ONE row holding the flattened
+    [count, column-sums (dim), X^T X (dim*dim)] statistics vector
+    (length 1 + dim + dim^2), computed as an int64 numpy matmul over
+    FLOOR-quantized components q = floor(x * GRAM_QSCALE).
+
+    This is THE distributed-linear-algebra shape for PCA / whitening /
+    linear probes at 100 TB: raw vectors never shuffle — every executor
+    reduces its batches to a fixed-size O(dim^2) state and only those
+    tiny partials move. Quantizing to scaled integers makes every
+    downstream sum EXACT and order-independent (the l16/l22 exact-
+    arithmetic pattern), so rounded consumer output can never flip with
+    partitioning or engine summation order. floor() is tie-free and
+    bit-identical between numpy and SQL engines on the same doubles.
+    Overflow headroom: |q| <= ~6e4 here, so G_ij partial sums stay
+    < 2^53 (exact in int64 AND in the final double division) up to
+    ~1e6 rows per statistic; beyond that, shard column blocks or widen
+    to decimal — state size is O(dim^2) either way."""
+    import numpy as np
+    import pandas as pd
+
+    width = 1 + dim + dim * dim
+
+    def gen(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            Q = np.floor(M * float(GRAM_QSCALE)).astype(np.int64)
+            st = np.empty(width, dtype=np.int64)
+            st[0] = len(Q)
+            st[1 : 1 + dim] = Q.sum(axis=0)
+            st[1 + dim :] = (Q.T @ Q).reshape(-1)
+            yield pd.DataFrame({"st": [st.tolist()]})
+
+    return emb.select("embedding").mapInPandas(gen, schema="st array<long>")
+
+
+@register(
+    "l46_embedding_covariance",
+    """
+    WITH e AS (
+      SELECT vec_id, i - 1 AS i,
+             CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 100000.0) AS BIGINT)
+               AS x
+      FROM embeddings,
+           LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) s
+    ),
+    stats AS (SELECT i, SUM(x) AS si, COUNT(*) AS n FROM e GROUP BY i),
+    g AS (
+      SELECT a.i AS i, b.i AS j, SUM(a.x * b.x) AS gij
+      FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY a.i, b.i
+    )
+    SELECT g.i, g.j,
+           -- + 0 normalizes -0.0 -> +0.0 (IEEE): DuckDB ROUND keeps the
+           -- sign of a tiny negative while Spark F.round (BigDecimal)
+           -- drops it; the values are ==-equal but byte/hash-different
+           -- (the r8 driver red). A no-op for every other value.
+           ROUND((gij / sa.n - (sa.si / sa.n) * (sb.si / sb.n)) / 1.0e10, 6)
+             + 0 AS cov
+    FROM g JOIN stats sa ON g.i = sa.i JOIN stats sb ON g.j = sb.i
+    """,
+)
+def l46_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed covariance matrix over the embedding column — the
+    Gram-matrix substrate every large-scale vector pipeline needs for PCA,
+    whitening, OPQ rotation training, and linear probes. Spark side runs
+    the scalable plan: mapInPandas reduces each Arrow batch to one
+    fixed-size partial [n, sum(x), X^T X] (float64 matmul, vectors never
+    shuffle), a single posexplode+groupBy sums the partials element-wise
+    (4161 int64s per batch — tiny), and the biased covariance
+    cov(i,j) = (G_ij/n - mean_i*mean_j) / QSCALE^2 materializes the full
+    upper triangle (2080 rows at dim=64). Components are floor-quantized
+    to scaled integers FIRST (q = floor(x*1e5)) so every distributed sum
+    is exact integer arithmetic — order-independent, hash-stable under
+    any partitioning (fixes the r7 rounding-boundary flake). The oracle
+    replays the identical quantized statistic relationally (unnest +
+    self-join on vec_id) — quadratic in dim but exact, feasible at
+    oracle scale only; both sides divide/round identically (same IEEE
+    op sequence on identical exact integers), and the oracle adds `+ 0`
+    after ROUND to normalize -0.0 -> +0.0: DuckDB ROUND preserves the
+    sign of a tiny negative while Spark F.round (BigDecimal) drops it —
+    ==-equal but hash-different (the r8 driver red, one cell at sf0.01).
+
+    Scale shape: communication is O(n_batches * dim^2) regardless of row
+    count; no shuffle touches a raw vector. At dim too large for dim^2
+    state, the same pattern shards column blocks.
+    Ref parity: north-star similarity/embedding extension (SURVEY §2 L)."""
+    dim = 64
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    part = embedding_gram_partials(emb, dim=dim)
+    flat = (
+        part.select(F.posexplode("st").alias("idx", "v"))
+        .groupBy("idx")
+        .agg(F.sum("v").alias("v"))
+    )
+    n_df = flat.filter(F.col("idx") == 0).select(F.col("v").alias("n"))
+    s_df = flat.filter((F.col("idx") >= 1) & (F.col("idx") <= dim)).select(
+        (F.col("idx") - 1).alias("i"), F.col("v").alias("si")
+    )
+    g_df = (
+        flat.filter(F.col("idx") > dim)
+        .select(
+            F.floor((F.col("idx") - dim - 1) / dim).cast("long").alias("i"),
+            ((F.col("idx") - dim - 1) % dim).cast("long").alias("j"),
+            F.col("v").alias("gij"),
+        )
+        .filter(F.col("i") <= F.col("j"))
+    )
+    out = (
+        g_df.join(s_df, "i")
+        .join(s_df.select(F.col("i").alias("j"), F.col("si").alias("sj")), "j")
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            "i",
+            "j",
+            (
+                (
+                    F.col("gij") / F.col("n")
+                    - (F.col("si") / F.col("n")) * (F.col("sj") / F.col("n"))
+                )
+                / F.lit(float(GRAM_QSCALE) * float(GRAM_QSCALE))
+            ).alias("cov"),
+        )
+    )
+    return _round_cols(out, ["cov"]).select("i", "j", "cov")
+
+
+# ---- sparse TF-IDF cosine self-join with posting-list pruning (l48) ----
+
+
+@register(
+    "l48_sparse_cosine_pairs",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    g AS (
+      SELECT doc_id, w[i] || ' ' || w[i+1] AS term
+      FROM t, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) s
+      WHERE len(w) >= 2
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM g GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tf),
+    v AS (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * ln(CAST((SELECT n FROM n) AS DOUBLE) / df.df) AS wgt
+      FROM tf JOIN df USING (term) WHERE df.df <= 50
+    ),
+    nrm AS (SELECT doc_id, sqrt(SUM(wgt * wgt)) AS nm FROM v GROUP BY doc_id),
+    dots AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.wgt * b.wgt) AS dp
+      FROM v a JOIN v b ON a.term = b.term AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, ROUND(dp / (na.nm * nb.nm), 6) AS cosine
+    FROM dots JOIN nrm na ON id_a = na.doc_id JOIN nrm nb ON id_b = nb.doc_id
+    WHERE dp / (na.nm * nb.nm) >= 0.5
+    """,
+)
+def l48_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine similarity self-join over word-BIGRAM vectors
+    with posting-list pruning — the sparse-vector counterpart of the dense
+    ANN family (l7/l8) and the set-Jaccard family (l2/l3): docs sharing
+    RARE bigrams score high, the signal a boilerplate/near-dup reviewer
+    reads when embeddings are unavailable. Terms with document frequency
+    above 50 are dropped from the vector space (sklearn's max_df rule):
+    that is BOTH the statistical stop-term filter and the scale bound —
+    the term self-join fanout is sum(df^2) <= 50 * sum(df), linear in
+    corpus size, never the quadratic blowup an unpruned stop-term posting
+    list would produce (at sf0.1 the cap is what makes the candidate set
+    1k pairs instead of 12.5M). idf = ln(N/df), the l13 convention; pairs
+    emitted at cosine >= 0.5, rounded 6 dp.
+
+    Scale shape: two hash aggs (doc-term tf, term df), a broadcast of the
+    pruned df table, ONE term-keyed equi-join whose per-term fanout is
+    capped, then a pair-keyed agg. No window, no cross join; at 100 TB
+    hash terms to 64-bit before the join (l13 note) and AQE splits any
+    residual hot term. Ref parity: north-star dedup/similarity extension
+    (SURVEY §2 L)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    g = docs.select(
+        "doc_id", F.explode(T.shingles("text", 2)).alias("term")
+    )
+    # The weighted-postings table feeds FOUR consumers (df, norms, both
+    # join sides); without a lineage cut Spark re-scans and re-tokenizes
+    # the corpus once per consumer (6 parquet scans in the naive plan).
+    # localCheckpoint materializes tf once — executor-local is fine here
+    # (recompute-on-loss is one scan); at cluster scale with flaky
+    # executors use the reliable checkpoint_dir pattern (dedup.py
+    # connected_components).
+    tf = (
+        g.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = tf.select("doc_id").distinct().count()
+    v = tf.join(
+        F.broadcast(df.filter(F.col("df") <= 50)), "term"
+    ).select(
+        "doc_id",
+        "term",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("wgt"),
+    )
+    nrm = v.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("wgt") * F.col("wgt"))).alias("nm"))
+    a = v.select(F.col("doc_id").alias("id_a"), "term", F.col("wgt").alias("wa"))
+    b = v.select(F.col("doc_id").alias("id_b"), "term", F.col("wgt").alias("wb"))
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dp"))
+    )
+    cos = (
+        dots.join(nrm.select(F.col("doc_id").alias("id_a"), F.col("nm").alias("na")), "id_a")
+        .join(nrm.select(F.col("doc_id").alias("id_b"), F.col("nm").alias("nb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("dp") / (F.col("na") * F.col("nb"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.5)
+    )
+    return _round_cols(cos, ["cosine"]).select("id_a", "id_b", "cosine")
+
+
+# ---- incremental covariance store (l51) ----
+
+_GRAM_STORE_CACHE: dict[str, tuple[int, str]] = {}
+
+
+def _gram_store(spark: SparkSession, sf_dir: str, dim: int = 64) -> tuple[int, str]:
+    """Build ONCE per (session, data) the persisted day-1 GRAM-STATE store
+    for incremental covariance: the element-wise-summed
+    [n, column-sums, X^T X] statistics of all day-1 vectors
+    (vec_id < cutoff = int(0.8 * (max_id + 1))), written as a tiny
+    (idx, v) parquet table — 1 + dim + dim^2 rows TOTAL regardless of
+    corpus size. Keyed by the embeddings-table fingerprint so testdata
+    regeneration invalidates it. This is the d20-mergeable-sketch
+    pattern applied to linear algebra: the persisted state is
+    commutative/associative, so tomorrow's update is an element-wise
+    add, never a day-1 rescan."""
+    key = (
+        f"{spark.sparkContext.applicationId}:{sf_dir}:"
+        f"{_table_fingerprint(sf_dir, 'embeddings')}"
+    )
+    if key in _GRAM_STORE_CACHE:
+        return _GRAM_STORE_CACHE[key]
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    max_id = emb.agg(F.max("vec_id")).collect()[0][0]
+    cutoff = int(0.8 * (max_id + 1))
+    day1 = emb.filter(F.col("vec_id") < cutoff)
+    flat = (
+        embedding_gram_partials(day1, dim=dim)
+        .select(F.posexplode("st").alias("idx", "v"))
+        .groupBy("idx")
+        .agg(F.sum("v").alias("v"))
+    )
+    out = tempfile.mkdtemp(prefix="gram_store_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    path = os.path.join(out, "gram_state.parquet")
+    flat.write.mode("overwrite").parquet(path)
+    _GRAM_STORE_CACHE[key] = (cutoff, path)
+    return _GRAM_STORE_CACHE[key]
+
+
+@register(
+    "l51_incremental_covariance",
+    """
+    WITH mx AS (SELECT MAX(vec_id) AS m FROM embeddings),
+    e AS (
+      SELECT vec_id, i - 1 AS i,
+             CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 100000.0) AS BIGINT)
+               AS x
+      FROM embeddings,
+           LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) s
+    ),
+    stats AS (
+      SELECT i, SUM(x) AS si, SUM(x * x) AS sxx, COUNT(*) AS n
+      FROM e GROUP BY i
+    ),
+    cnt AS (
+      SELECT COUNT(*) AS nt,
+             SUM(CASE WHEN vec_id <
+                   CAST(FLOOR(0.8 * ((SELECT m FROM mx) + 1)) AS BIGINT)
+                 THEN 1 ELSE 0 END) AS ns
+      FROM embeddings
+    )
+    SELECT s.i,
+           -- + 0: -0.0 -> +0.0 sign normalization (see l46 oracle)
+           ROUND((si / n) / 1.0e5, 6) + 0 AS mean,
+           ROUND((sxx / n - (si / n) * (si / n)) / 1.0e10, 6) + 0 AS var,
+           CAST(ns AS BIGINT) AS n_store,
+           CAST(nt - ns AS BIGINT) AS n_new
+    FROM stats s, cnt
+    """,
+)
+def l51_incremental_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL covariance maintenance — l46's Gram state treated the
+    way a daily pipeline treats it: day-1's [n, sum, X^T X] statistics
+    live in a persisted (idx, v) store of 1+dim+dim^2 rows (fixed size,
+    independent of corpus size); the day-2 increment computes partials
+    over ONLY vec_id >= cutoff (pushed scan predicate — day-1 vectors
+    are never re-read as vectors) and the update is an element-wise
+    UNION+sum, exactly the d20 mergeable-sketch shape applied to linear
+    algebra. Emits per-dimension (mean, variance) from the merged state
+    plus the store/increment row provenance. State is integer-quantized
+    (floor(x*1e5), see embedding_gram_partials) so the merged sums are
+    EXACT — merge order and partitioning can never flip the rounded
+    output. The oracle replays the same quantized statistics from
+    scratch over all vectors — valid because the merged integer state
+    is exactly the from-scratch state (integer addition is commutative
+    and exact).
+
+    Scale shape: daily cost is O(increment) scan + a 4161-row merge;
+    the covariance of a 100 TB embedding corpus stays current without
+    ever touching yesterday's vectors. Ref parity: north-star
+    incremental-maintenance extension (SURVEY §2 L)."""
+    dim = 64
+    cutoff, path = _gram_store(spark, sf_dir, dim=dim)
+    store = spark.read.parquet(path)
+    inc = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") >= cutoff
+    )
+    inc_flat = embedding_gram_partials(inc, dim=dim).select(
+        F.posexplode("st").alias("idx", "v")
+    )
+    merged = (
+        store.unionByName(inc_flat).groupBy("idx").agg(F.sum("v").alias("v"))
+    )
+    n_df = merged.filter(F.col("idx") == 0).select(F.col("v").alias("n"))
+    ns_df = store.filter(F.col("idx") == 0).select(
+        F.col("v").cast("bigint").alias("n_store")
+    )
+    s_df = merged.filter((F.col("idx") >= 1) & (F.col("idx") <= dim)).select(
+        (F.col("idx") - 1).cast("long").alias("i"), F.col("v").alias("si")
+    )
+    diag = merged.filter(F.col("idx") > dim).select(
+        F.floor((F.col("idx") - dim - 1) / dim).cast("long").alias("i"),
+        ((F.col("idx") - dim - 1) % dim).cast("long").alias("j"),
+        F.col("v").alias("gij"),
+    ).filter(F.col("i") == F.col("j")).select("i", F.col("gij").alias("sxx"))
+    out = (
+        s_df.join(diag, "i")
+        .crossJoin(F.broadcast(n_df))
+        .crossJoin(F.broadcast(ns_df))
+        .select(
+            "i",
+            ((F.col("si") / F.col("n")) / F.lit(1.0e5)).alias("mean"),
+            (
+                (
+                    F.col("sxx") / F.col("n")
+                    - (F.col("si") / F.col("n")) * (F.col("si") / F.col("n"))
+                )
+                / F.lit(1.0e10)
+            ).alias("var"),
+            "n_store",
+            (F.col("n").cast("bigint") - F.col("n_store")).alias("n_new"),
+        )
+    )
+    return _round_cols(out, ["mean", "var"]).select(
+        "i", "mean", "var", "n_store", "n_new"
+    )
+
+
+# ---- OPQ/PCA-rotated IVF-PQ (l8h, r7 verdict task 3) ----
+
+
+@register(
+    "l8h_ann_ivf_pq_rotated",
+    """
+    SELECT CAST(5 AS BIGINT) AS n_queries,
+           TRUE AS rotation_orthogonal,
+           TRUE AS neighbors_invariant,
+           TRUE AS recall_within_tol
+    """,
+)
+def l8h_ann_ivf_pq_rotated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ-style PCA rotation COMPOSED into the IVF-PQ index (r7 verdict
+    task 3): l46's integer-exact Gram state -> driver-side 64x64
+    eigendecomposition (the E1->F2 driver-matrix boundary) -> one
+    map-side Arrow-batched rotation pass (v' = R^T v, a BLAS matmul per
+    batch, no shuffle) -> l8e's index build/serve unchanged on the
+    rotated vectors. This is the standard recall lever for product
+    quantization (Ge et al., OPQ, CVPR 2013: PCA is the non-parametric
+    rotation init): aligning residuals with the principal axes
+    concentrates quantization error where the scale has headroom.
+
+    Gate row (oracle-pinned like l8e — the trained quantizer is
+    sample-dependent, the PROPERTIES are not):
+      rotation_orthogonal — max|R R^T - I| < 1e-9 (driver-side check of
+        the 64x64 matrix);
+      neighbors_invariant — exact cosine top-5 of the 5 benchmark
+        queries computed ON THE ROTATED VECTORS equals the unrotated
+        exact truth (orthogonal rotations preserve dot products and
+        norms; checked distributed via the same cosine_topk plan);
+      recall_within_tol — mean recall@5 of the rotated IVF-PQ index
+        >= the unrotated l8e index minus 0.1 (one neighbor over the 25
+        query-neighbor slots) on the same queries vs the same exact
+        truth. Rotated-index recall from sample-trained centroids is a
+        measured, data-dependent property: the r8 advice flagged that a
+        hard >= pin could go red at another scale factor with no code
+        defect, so the gate tolerates a legitimate one-neighbor tie/
+        loss while still catching a real regression.
+
+    Scale shape: rotation adds one map-side pass over the corpus and a
+    dim^2 closure constant; covariance state is O(dim^2) via the l46
+    partials (raw vectors never shuffle); everything downstream is the
+    l8e plan. Ref parity: SURVEY §2 L similarity extension."""
+    import numpy as np
+
+    dim = 64
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+
+    # covariance from the integer-exact Gram partials (l46 substrate)
+    vals = {
+        r["idx"]: r["v"]
+        for r in embedding_gram_partials(emb, dim=dim)
+        .select(F.posexplode("st").alias("idx", "v"))
+        .groupBy("idx")
+        .agg(F.sum("v").alias("v"))
+        .collect()
+    }
+    n = vals[0]
+    s = np.array([vals[1 + i] for i in range(dim)], dtype=np.float64)
+    G = np.array(
+        [[vals[1 + dim + i * dim + j] for j in range(dim)] for i in range(dim)],
+        dtype=np.float64,
+    )
+    cov = (G / n - np.outer(s / n, s / n)) / float(GRAM_QSCALE) ** 2
+    R = SIM.pca_rotation(cov)
+    orth = bool(np.max(np.abs(R @ R.T - np.eye(dim))) < 1e-9)
+
+    rot = SIM.rotate_vectors(emb, "vec_id", "embedding", R).localCheckpoint(
+        eager=True
+    )
+
+    # exact truth (unrotated, cached) and the rotated exact top-5
+    es = _ann_exact_top5(spark, sf_dir)
+    exact_rot = SIM.cosine_topk(
+        rot.filter(F.col("vec_id") < 5), rot, id_col="vec_id",
+        vec_col="embedding", k=5,
+    )
+    er: dict[int, set] = {}
+    for r in exact_rot.collect():
+        er.setdefault(r["query_id"], set()).add(r["candidate_id"])
+    invariant = all(er.get(q, set()) == es[q] for q in qids)
+
+    def mean_recall(src: DataFrame) -> float:
+        unit = SIM.unit_vec_df(src, "vec_id", "embedding")
+        centers = SIM.train_centroids_on_sample(unit, 16, 2048)
+        index, scales = SIM.ivf_pq_index(unit, centers)
+        ann = SIM.ann_ivf_pq_topk_multi(
+            src, "vec_id", "embedding", query_ids=qids, k=5,
+            n_probe=8, prebuilt=(index, centers, scales),
+        )
+        got: dict[int, set] = {}
+        for r in ann.collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return sum(
+            len(got.get(q, set()) & es[q]) / len(es[q]) for q in qids
+        ) / len(qids)
+
+    rec_base = mean_recall(emb)
+    rec_rot = mean_recall(rot)
+    return small_df(
+        spark,
+        [(5, orth, invariant, rec_rot >= rec_base - 0.1)],
+        "n_queries bigint, rotation_orthogonal boolean, "
+        "neighbors_invariant boolean, recall_within_tol boolean",
+    )
+
+
+# ---- per-source semantic drift (l57) ----
+
+
+@register(
+    "l57_semantic_drift",
+    """
+    WITH mx AS (
+      SELECT CAST(FLOOR(0.8 * (MAX(vec_id) + 1)) AS BIGINT) AS c
+      FROM embeddings
+    ),
+    e AS (
+      SELECT vec_id, i - 1 AS i,
+             CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 100000.0) AS BIGINT)
+               AS q
+      FROM embeddings,
+           LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) s
+    ),
+    j AS (
+      SELECT e.vec_id, e.i, e.q, d.source,
+             e.vec_id < (SELECT c FROM mx) AS day1
+      FROM e JOIN documents d ON e.vec_id = d.doc_id
+    ),
+    s AS (
+      SELECT source, i,
+             SUM(CASE WHEN day1 THEN q ELSE 0 END) AS s1,
+             SUM(CASE WHEN day1 THEN 0 ELSE q END) AS s2
+      FROM j GROUP BY source, i
+    ),
+    c AS (
+      SELECT source,
+             SUM(s1 * s2) AS dot, SUM(s1 * s1) AS a, SUM(s2 * s2) AS b
+      FROM s GROUP BY source
+    ),
+    n AS (
+      SELECT d.source,
+             SUM(CASE WHEN em.vec_id < (SELECT c FROM mx)
+                 THEN 1 ELSE 0 END) AS n_day1,
+             SUM(CASE WHEN em.vec_id < (SELECT c FROM mx)
+                 THEN 0 ELSE 1 END) AS n_day2
+      FROM embeddings em JOIN documents d ON em.vec_id = d.doc_id
+      GROUP BY d.source
+    )
+    SELECT c.source,
+           CAST(n_day1 AS BIGINT) AS n_day1,
+           CAST(n_day2 AS BIGINT) AS n_day2,
+           CASE WHEN a = 0 OR b = 0 THEN NULL
+                -- + 0: -0.0 -> +0.0 sign normalization (see l46 oracle)
+                ELSE ROUND(CAST(dot AS DOUBLE)
+                           / (SQRT(CAST(a AS DOUBLE))
+                              * SQRT(CAST(b AS DOUBLE))), 6) + 0
+           END AS mean_cosine
+    FROM c JOIN n ON c.source = n.source
+    """,
+)
+def l57_semantic_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC drift monitor — the embedding-space sibling of l39's
+    distributional PSI: per source, the cosine between the day-1 and
+    day-2 SUM embedding vectors (== cosine of the means; scale cancels).
+    A source whose new crawl drifted semantically shows a falling
+    mean-direction cosine before any distributional feature moves.
+
+    Determinism discipline (the r8 theme end-to-end): components are
+    floor-quantized to 1e-5 integers (the l46 Gram pattern), per-
+    (source, dim) day sums are EXACT int64, and dot/norms are exact
+    integer aggregates of those sums (magnitudes < 2^60 here) — the
+    single final division/sqrt/round runs on identical exact integers in
+    both engines. Zero-vector sides emit NULL rather than an
+    engine-specific inf/NaN.
+
+    Scale shape: one embeddings scan joined to the (projected) documents
+    table for source labels, one posexplode shuffle keyed (source, dim)
+    — cardinality sources x 64, not rows; day sums merge like the l51
+    Gram store, so the incremental-maintenance extension is the same
+    union+sum. Ref parity: north-star drift/monitoring extension
+    (SURVEY §2 L)."""
+    dim = 64
+    cutq = GRAM_QSCALE
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "source"
+    )
+    max_id = emb.agg(F.max("vec_id")).collect()[0][0]
+    cutoff = int(0.8 * (max_id + 1))
+    e = (
+        spread(emb)
+        .join(docs, "vec_id")
+        .select(
+            "source",
+            (F.col("vec_id") < cutoff).alias("day1"),
+            F.posexplode("embedding").alias("i", "x"),
+        )
+        .select(
+            "source",
+            "day1",
+            "i",
+            F.floor(F.col("x").cast("double") * F.lit(float(cutq)))
+            .cast("bigint")
+            .alias("q"),
+        )
+    )
+    s = e.groupBy("source", "i").agg(
+        F.sum(F.when(F.col("day1"), F.col("q")).otherwise(0)).alias("s1"),
+        F.sum(F.when(~F.col("day1"), F.col("q")).otherwise(0)).alias("s2"),
+    )
+    c = s.groupBy("source").agg(
+        F.sum(F.col("s1") * F.col("s2")).alias("dot"),
+        F.sum(F.col("s1") * F.col("s1")).alias("a"),
+        F.sum(F.col("s2") * F.col("s2")).alias("b"),
+    )
+    n = (
+        emb.select("vec_id")
+        .join(docs, "vec_id")
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("vec_id") < cutoff, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_day1"),
+            F.sum(F.when(F.col("vec_id") < cutoff, 0).otherwise(1))
+            .cast("bigint")
+            .alias("n_day2"),
+        )
+    )
+    out = c.join(n, "source").select(
+        "source",
+        "n_day1",
+        "n_day2",
+        F.when(
+            (F.col("a") == 0) | (F.col("b") == 0), F.lit(None).cast("double")
+        )
+        .otherwise(
+            F.col("dot").cast("double")
+            / (
+                F.sqrt(F.col("a").cast("double"))
+                * F.sqrt(F.col("b").cast("double"))
+            )
+        )
+        .alias("mean_cosine"),
+    )
+    return _round_cols(out, ["mean_cosine"])
+
+
+# ---- distributed Lloyd k-means (l59, r8 verdict task 4) ----
+
+
+def _l59_oracle(k: int = 8, iters: int = 3) -> str:
+    """Unrolled MATERIALIZED-CTE replay of the distributed Lloyd loop
+    (the pagerank/l28b unrolling pattern): per superstep, exact integer
+    distances vs the previous centroid table, argmin with ties to the
+    smallest centroid index, then floor(sum/n) centroid updates with
+    empty clusters keeping their previous row. Every intermediate is
+    integer except the single floor-of-division per component — one
+    correctly-rounded IEEE op on exact <2^53 integers, identical in
+    both engines."""
+    ctes = [
+        f"""
+    e AS MATERIALIZED (
+      SELECT vec_id, i - 1 AS i,
+             CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 100000.0) AS BIGINT)
+               AS q
+      FROM embeddings,
+           LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) s
+    ),
+    seeds AS (
+      SELECT vec_id, rk - 1 AS j FROM (
+        SELECT vec_id, ROW_NUMBER() OVER (ORDER BY
+          ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+          vec_id) AS rk
+        FROM embeddings) t WHERE rk <= {k}
+    ),
+    c0 AS MATERIALIZED (SELECT s.j, e.i, e.q AS c FROM seeds s JOIN e USING (vec_id))"""
+    ]
+    for t in range(1, iters + 1):
+        prev = f"c{t - 1}"
+        ctes.append(f"""
+    a{t} AS MATERIALIZED (
+      SELECT vec_id, j FROM (
+        SELECT d.vec_id, d.j,
+               ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY d.d, d.j)
+                 AS rk
+        FROM (SELECT e.vec_id, c.j, SUM((e.q - c.c) * (e.q - c.c)) AS d
+              FROM e JOIN {prev} c USING (i) GROUP BY e.vec_id, c.j) d) t
+      WHERE rk = 1
+    ),
+    c{t} AS MATERIALIZED (
+      SELECT b.j, b.i, COALESCE(u.c, b.c) AS c
+      FROM {prev} b LEFT JOIN (
+        SELECT a.j, e.i,
+               CAST(FLOOR(CAST(SUM(e.q) AS DOUBLE) / COUNT(*)) AS BIGINT)
+                 AS c
+        FROM a{t} a JOIN e ON e.vec_id = a.vec_id GROUP BY a.j, e.i) u
+      ON u.j = b.j AND u.i = b.i
+    )""")
+    final = f"c{iters}"
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f""",
+    fin AS (
+      SELECT vec_id, j, d FROM (
+        SELECT d.vec_id, d.j, d.d,
+               ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY d.d, d.j)
+                 AS rk
+        FROM (SELECT e.vec_id, c.j, SUM((e.q - c.c) * (e.q - c.c)) AS d
+              FROM e JOIN {final} c USING (i) GROUP BY e.vec_id, c.j) d) t
+      WHERE rk = 1
+    ),
+    st AS (SELECT j, COUNT(*) AS n_members, SUM(d) AS inertia FROM fin
+           GROUP BY j)
+    SELECT CAST(c.j AS BIGINT) AS cluster, CAST(c.i AS BIGINT) AS i,
+           CAST(c.c AS BIGINT) AS centroid_q,
+           CAST(COALESCE(st.n_members, 0) AS BIGINT) AS n_members,
+           CAST(COALESCE(st.inertia, 0) AS BIGINT) AS inertia_q
+    FROM {final} c LEFT JOIN st ON st.j = c.j
+    """
+    )
+
+
+@register("l59_distributed_kmeans", _l59_oracle(8, 3))
+def l59_distributed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means over the embedding corpus (r8 verdict
+    task 4) — k supersteps of exact integer assign/update (see
+    similarity.lloyd_kmeans_distributed for the full determinism and
+    scale story). Output is the final centroid table long-form joined
+    with a final-assignment pass's per-cluster stats: (cluster, i,
+    centroid_q, n_members, inertia_q), all exact int64 — inertia is the
+    quantization-error measure, emitted as a MEASURED value rather than
+    a pinned boolean (the l8h lesson). The oracle replays all three
+    supersteps as unrolled materialized CTEs. Ref parity: SURVEY §2 L
+    ANN family; complements the bounded-sample trainer at
+    similarity.py train_centroids_on_sample."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    cent, stats = SIM.lloyd_kmeans_distributed(
+        emb, "vec_id", "embedding", k=8, iters=3
+    )
+    cent_rows = [
+        (j, i, int(c)) for j, vec in enumerate(cent) for i, c in enumerate(vec)
+    ]
+    cdf = small_df(
+        spark, cent_rows, "cluster bigint, i bigint, centroid_q bigint"
+    )
+    return cdf.join(F.broadcast(stats), "cluster", "left").select(
+        "cluster",
+        "i",
+        "centroid_q",
+        F.coalesce(F.col("n_members"), F.lit(0)).cast("bigint").alias("n_members"),
+        F.coalesce(F.col("inertia_q"), F.lit(0)).cast("bigint").alias("inertia_q"),
+    )
+
+
+# ---- semantic decontamination (l60, r8 verdict task 5) ----
+
+_L60_ORACLE = """
+    WITH v AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+    e AS MATERIALIZED (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+             CAST(UNNEST(embedding) AS DOUBLE) AS val
+      FROM v
+    ),
+    q AS MATERIALIZED (
+      SELECT vec_id, i, CAST(FLOOR(val * 100000.0) AS BIGINT) AS qv FROM e
+    ),
+    nrm AS (SELECT vec_id, SQRT(SUM(val * val)) AS nm FROM e GROUP BY vec_id),
+    u AS MATERIALIZED (
+      SELECT e.vec_id, e.i, e.val / n.nm AS uval FROM e JOIN nrm n USING (vec_id)
+    ),
+    c AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, vec_id AS cvid
+          FROM (SELECT vec_id FROM v ORDER BY vec_id LIMIT 8)),
+    cvec AS MATERIALIZED (
+      SELECT c.cid, u.i, u.uval AS cval FROM c JOIN u ON u.vec_id = c.cvid
+    ),
+    cd AS (SELECT u.vec_id, cv.cid, SUM(u.uval * cv.cval) AS d
+           FROM u JOIN cvec cv USING (i) GROUP BY u.vec_id, cv.cid),
+    corp_cells AS MATERIALIZED (SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cid ASC)
+                 AS rk
+        FROM cd) t WHERE rk <= 2),
+    -- synthetic benchmark split: planted paraphrases (9*q + tiny
+    -- deterministic noise — same direction, byte-different) and clean
+    -- members (component-reversed — unrelated direction)
+    ev AS MATERIALIZED (
+      SELECT vec_id, i,
+             9 * qv + ((vec_id * 31 + i * 17) % 7 - 3) AS ev,
+             'planted' AS ekind
+      FROM q WHERE vec_id % 23 = 5
+      UNION ALL
+      SELECT a.vec_id, a.i, b.qv, 'clean'
+      FROM q a JOIN q b ON b.vec_id = a.vec_id AND b.i = 63 - a.i
+      WHERE a.vec_id % 23 = 11
+    ),
+    nb AS (SELECT vec_id, SUM(ev * ev) AS nb FROM ev GROUP BY vec_id),
+    uev AS (SELECT ev.vec_id, ev.i,
+                   CAST(ev.ev AS DOUBLE) / SQRT(CAST(nb.nb AS DOUBLE)) AS uval
+            FROM ev JOIN nb USING (vec_id)),
+    ed AS (SELECT uev.vec_id, cv.cid, SUM(uev.uval * cv.cval) AS d
+           FROM uev JOIN cvec cv USING (i) GROUP BY uev.vec_id, cv.cid),
+    ev_cells AS MATERIALIZED (SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cid ASC)
+                 AS rk
+        FROM ed) t WHERE rk <= 2),
+    cand AS (SELECT DISTINCT a.vec_id AS eid, b.vec_id AS cid2
+             FROM ev_cells a JOIN corp_cells b USING (cid)),
+    na AS (SELECT vec_id, SUM(qv * qv) AS na FROM q GROUP BY vec_id),
+    dots AS (SELECT cand.eid, cand.cid2, SUM(ev.ev * q.qv) AS dot
+             FROM cand JOIN ev ON ev.vec_id = cand.eid
+                       JOIN q ON q.vec_id = cand.cid2 AND q.i = ev.i
+             GROUP BY cand.eid, cand.cid2),
+    -- exact-integer verify: dot/norms are exact int64; the single
+    -- threshold compare runs the identical IEEE op sequence both sides
+    hits AS (SELECT d.eid,
+                    MAX(CASE WHEN d.dot > 0 AND CAST(d.dot AS DOUBLE) >=
+                          0.98 * (SQRT(CAST(na.na AS DOUBLE))
+                                  * SQRT(CAST(nb.nb AS DOUBLE)))
+                        THEN 1 ELSE 0 END) AS hit
+             FROM dots d JOIN na ON na.vec_id = d.cid2
+                         JOIN nb ON nb.vec_id = d.eid
+             GROUP BY d.eid),
+    base AS (SELECT DISTINCT vec_id, ekind FROM ev),
+    flagged AS (SELECT b.vec_id, b.ekind, COALESCE(h.hit, 0) AS hit
+                FROM base b LEFT JOIN hits h ON h.eid = b.vec_id)
+    SELECT d.lang,
+           COUNT(*) AS n_eval,
+           CAST(SUM(f.hit) AS BIGINT) AS n_contaminated,
+           CAST(SUM(CASE WHEN f.ekind = 'planted' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_planted,
+           CAST(SUM(CASE WHEN f.ekind = 'planted' THEN f.hit ELSE 0 END)
+                AS BIGINT) AS n_planted_caught,
+           ROUND(CAST(SUM(f.hit) AS DOUBLE) / COUNT(*), 6)
+             AS contamination_rate
+    FROM flagged f JOIN documents d ON d.doc_id = f.vec_id
+    GROUP BY d.lang
+"""
+
+
+@register("l60_semantic_decontamination", _L60_ORACLE)
+def l60_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC benchmark decontamination (r8 verdict task 5) — the
+    embedding-space screen that catches paraphrased contamination the
+    n-gram overlap screens (l20/l30/l32) structurally miss. Composes the
+    l41 frozen-quantizer recipe with an exact-integer verify stage:
+
+      benchmark : a synthetic eval split with PLANTED paraphrases
+                  (vec_id % 23 == 5: 9*q + deterministic +-3 noise —
+                  same direction as the corpus row, byte-different) and
+                  clean members (vec_id % 23 == 11: component-reversed —
+                  unrelated direction), both pure functions of the
+                  corpus row so the oracle replays them;
+      candidates: top-2 frozen-quantizer cells per side (the l41
+                  centroid convention: unit vectors of the 8 smallest
+                  vec_ids), eval x corpus cell equi-join — never
+                  all-pairs;
+      verify    : exact int64 dot and squared norms of the quantized
+                  vectors; contaminated iff dot > 0 and
+                  dot >= 0.98 * sqrt(na) * sqrt(nb) — one identical
+                  IEEE compare per pair in both engines, planted pairs
+                  sit at cosine ~1-1e-5 and organic pairs far below, so
+                  the flag is data-robust;
+      report    : per-language counts + contamination rate (the l30
+                  output shape) with planted/caught columns making
+                  recall a MEASURED value, not a pinned boolean.
+
+    Scale shape: the benchmark side is tiny (fits broadcast at any
+    corpus size); corpus work is one quantize+assign map pass and a
+    cell-bucketed join whose volume tracks cell co-occupancy, not
+    corpus^2. 100 TB-safe. Ref anchor: l41 store + l30 output shape."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    # the oracle replays the component-reversed clean evals with a
+    # hard-coded dim-64 index (b.i = 63 - a.i) while F.reverse below
+    # works for any dim — fail loudly rather than silently diverge if
+    # the embeddings table ever changes dim (r9 advice)
+    dim = emb.select(F.size("embedding").alias("d")).first()["d"]
+    if dim != 64:
+        raise ValueError(
+            f"l60 oracle assumes embedding dim 64, table has {dim}"
+        )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    q = emb.select(
+        F.col("vec_id").alias("id"),
+        F.transform(
+            "embedding", lambda x: F.floor(x * F.lit(100000.0)).cast("long")
+        ).alias("q"),
+    ).localCheckpoint(eager=True)
+
+    planted = q.filter(F.col("id") % 23 == 5).select(
+        "id",
+        F.transform(
+            "q",
+            lambda x, i: F.lit(9).cast("long") * x
+            + (
+                (F.col("id") * 31 + i.cast("long") * 17) % 7 - 3
+            ).cast("long"),
+        ).alias("ev"),
+        F.lit("planted").alias("ekind"),
+    )
+    clean = q.filter(F.col("id") % 23 == 11).select(
+        "id", F.reverse("q").alias("ev"), F.lit("clean").alias("ekind")
+    )
+    evals = planted.unionByName(clean).localCheckpoint(eager=True)
+
+    unit = SIM.unit_vec_df(emb, "vec_id", "embedding").localCheckpoint(
+        eager=True
+    )
+    cent_rows = sorted(
+        unit.orderBy("id").limit(8).collect(), key=lambda r: r["id"]
+    )
+    centers = [list(r["unit_arr"]) for r in cent_rows]
+    corp_cells = SIM.assign_cells_literal(unit, centers, n_probe=2)
+
+    nb = evals.select(
+        "id",
+        "ev",
+        "ekind",
+        F.aggregate(
+            F.zip_with("ev", "ev", lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("nb"),
+    ).localCheckpoint(eager=True)
+    ev_unit = nb.select(
+        "id",
+        F.transform(
+            "ev",
+            lambda x: x.cast("double") / F.sqrt(F.col("nb").cast("double")),
+        ).alias("unit_arr"),
+    )
+    ev_cells = SIM.assign_cells_literal(ev_unit, centers, n_probe=2)
+
+    cand = (
+        ev_cells.select(F.col("id").alias("eid"), "cell")
+        .join(corp_cells.select(F.col("id").alias("cid2"), "cell"), "cell")
+        .select("eid", "cid2")
+        .distinct()
+    )
+    na = q.select(
+        F.col("id").alias("cid2"),
+        F.aggregate(
+            F.zip_with("q", "q", lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("na"),
+    )
+    dots = (
+        cand.join(nb.select(F.col("id").alias("eid"), "ev", "nb"), "eid")
+        .join(q.select(F.col("id").alias("cid2"), F.col("q").alias("qc")), "cid2")
+        .select(
+            "eid",
+            "cid2",
+            "nb",
+            F.aggregate(
+                F.zip_with("ev", "qc", lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("dot"),
+        )
+    )
+    hit = (
+        (F.col("dot") > 0)
+        & (
+            F.col("dot").cast("double")
+            >= F.lit(0.98)
+            * (
+                F.sqrt(F.col("na").cast("double"))
+                * F.sqrt(F.col("nb").cast("double"))
+            )
+        )
+    ).cast("int")
+    hits = (
+        dots.join(na, "cid2")
+        .select("eid", hit.alias("hit"))
+        .groupBy("eid")
+        .agg(F.max("hit").alias("hit"))
+    )
+    flagged = (
+        evals.select(F.col("id").alias("eid"), "ekind")
+        .join(hits, "eid", "left")
+        .select("eid", "ekind", F.coalesce(F.col("hit"), F.lit(0)).alias("hit"))
+    )
+    out = (
+        flagged.join(docs, flagged["eid"] == docs["doc_id"])
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_eval"),
+            F.sum("hit").cast("bigint").alias("n_contaminated"),
+            F.sum((F.col("ekind") == "planted").cast("int"))
+            .cast("bigint")
+            .alias("n_planted"),
+            F.sum(
+                F.when(F.col("ekind") == "planted", F.col("hit")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_planted_caught"),
+            F.round(
+                F.sum("hit").cast("double") / F.count("*"), 6
+            ).alias("contamination_rate"),
+        )
+    )
+    return out
+
+
+# ---- SemDeDup: cluster-bucketed semantic near-dup pruning (l65,
+# r9 verdict task 2) ----
+
+SEMDEDUP_TWIN_OFFSET = 1 << 23  # planted near-dup twin ids; vec_id domain-checked
+
+
+def _l65_oracle(k: int = 8, iters: int = 3) -> str:
+    """Unrolled MATERIALIZED-CTE replay of the full SemDeDup recipe:
+    the l59 Lloyd unroll over the EXTENDED vector set (corpus union
+    planted epsilon-twins), a final assignment pass, an in-cluster
+    exhaustive pair scan with the exact-integer cosine compare, and the
+    greedy keep-one-per-ball policy (pruned iff a smaller-id in-cluster
+    neighbor sits within the ball). Every intermediate is integer
+    except the floor(sum/count) centroid updates and the one threshold
+    compare per pair — the l59/l60 determinism recipe verbatim."""
+    ctes = [
+        f"""
+    eb AS MATERIALIZED (
+      SELECT vec_id, i - 1 AS i,
+             CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 100000.0) AS BIGINT)
+               AS q
+      FROM embeddings,
+           LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) s
+    ),
+    -- corpus + planted twins: component-wise +-3 deterministic noise,
+    -- same direction (cosine ~ 1 - 1e-9, far above tau); twin ids are
+    -- base + 2^23, matching the Spark constant
+    e AS MATERIALIZED (
+      SELECT vec_id, i, q FROM eb
+      UNION ALL
+      SELECT vec_id + {SEMDEDUP_TWIN_OFFSET}, i,
+             q + ((vec_id * 31 + i * 17) % 7 - 3)
+      FROM eb WHERE vec_id % 9 = 4
+    ),
+    seeds AS (
+      SELECT vec_id, rk - 1 AS j FROM (
+        SELECT vec_id, ROW_NUMBER() OVER (ORDER BY
+          ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+          vec_id) AS rk
+        FROM (SELECT DISTINCT vec_id FROM e) ids) t WHERE rk <= {k}
+    ),
+    c0 AS MATERIALIZED (SELECT s.j, e.i, e.q AS c FROM seeds s JOIN e USING (vec_id))"""
+    ]
+    for t in range(1, iters + 1):
+        prev = f"c{t - 1}"
+        ctes.append(f"""
+    a{t} AS MATERIALIZED (
+      SELECT vec_id, j FROM (
+        SELECT d.vec_id, d.j,
+               ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY d.d, d.j)
+                 AS rk
+        FROM (SELECT e.vec_id, c.j, SUM((e.q - c.c) * (e.q - c.c)) AS d
+              FROM e JOIN {prev} c USING (i) GROUP BY e.vec_id, c.j) d) t
+      WHERE rk = 1
+    ),
+    c{t} AS MATERIALIZED (
+      SELECT b.j, b.i, COALESCE(u.c, b.c) AS c
+      FROM {prev} b LEFT JOIN (
+        SELECT a.j, e.i,
+               CAST(FLOOR(CAST(SUM(e.q) AS DOUBLE) / COUNT(*)) AS BIGINT)
+                 AS c
+        FROM a{t} a JOIN e ON e.vec_id = a.vec_id GROUP BY a.j, e.i) u
+      ON u.j = b.j AND u.i = b.i
+    )""")
+    final = f"c{iters}"
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f""",
+    fin AS MATERIALIZED (
+      SELECT vec_id, j FROM (
+        SELECT d.vec_id, d.j,
+               ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY d.d, d.j)
+                 AS rk
+        FROM (SELECT e.vec_id, c.j, SUM((e.q - c.c) * (e.q - c.c)) AS d
+              FROM e JOIN {final} c USING (i) GROUP BY e.vec_id, c.j) d) t
+      WHERE rk = 1
+    ),
+    n2 AS MATERIALIZED (SELECT vec_id, SUM(q * q) AS n2 FROM e GROUP BY vec_id),
+    -- in-cluster pairs only (the SemDeDup candidate rule), exact
+    -- integer dot, one IEEE threshold compare per pair
+    near AS (
+      SELECT d.id_a, d.id_b FROM (
+        SELECT f1.vec_id AS id_a, f2.vec_id AS id_b,
+               SUM(ea.q * eb2.q) AS dot
+        FROM fin f1 JOIN fin f2 ON f2.j = f1.j AND f2.vec_id > f1.vec_id
+        JOIN e ea ON ea.vec_id = f1.vec_id
+        JOIN e eb2 ON eb2.vec_id = f2.vec_id AND eb2.i = ea.i
+        GROUP BY f1.vec_id, f2.vec_id) d
+      JOIN n2 a ON a.vec_id = d.id_a
+      JOIN n2 b ON b.vec_id = d.id_b
+      WHERE d.dot > 0 AND CAST(d.dot AS DOUBLE) >=
+            0.999 * (SQRT(CAST(a.n2 AS DOUBLE)) * SQRT(CAST(b.n2 AS DOUBLE)))
+    ),
+    pruned AS (SELECT DISTINCT id_b AS vec_id FROM near),
+    members AS (
+      SELECT f.vec_id, f.j AS cluster, p.vec_id IS NULL AS is_kept
+      FROM fin f LEFT JOIN pruned p USING (vec_id)
+    ),
+    cs AS (SELECT cluster, COUNT(*) AS n_members,
+                  SUM(CASE WHEN is_kept THEN 0 ELSE 1 END) AS n_pruned
+           FROM members GROUP BY cluster)
+    SELECT m.vec_id, CAST(m.cluster AS BIGINT) AS cluster,
+           m.vec_id >= {SEMDEDUP_TWIN_OFFSET} AS is_twin, m.is_kept,
+           CAST(cs.n_members AS BIGINT) AS n_members,
+           CAST(cs.n_pruned AS BIGINT) AS n_pruned
+    FROM members m JOIN cs USING (cluster)
+    """
+    )
+
+
+@register("l65_semdedup", _l65_oracle(8, 3))
+def l65_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup — embedding-level corpus pruning over k-means cluster
+    buckets (r9 verdict task 2; the published recipe: cluster the
+    corpus, then keep one document per epsilon-ball WITHIN each
+    cluster). Composes the two pieces the repo already proves out
+    separately: l59's integer-exact distributed Lloyd trainer
+    (similarity.lloyd_kmeans_q on the extended vector set) and the
+    l60-style exact integer cosine verify.
+
+      corpus    : quantized embeddings UNION planted epsilon-twins
+                  (vec_id % 9 == 4 -> twin id = vec_id + 2^23 with
+                  component-wise +-3 deterministic noise — cosine
+                  ~ 1-1e-9 vs base, so twin recall is structural);
+      clusters  : Lloyd k=8 x 3 supersteps over the extended set, then
+                  one exact-argmin assignment pass (lloyd_assign_q);
+      candidates: same-cluster pairs ONLY — candidate volume is
+                  sum(cluster_size^2), never corpus^2, and the
+                  inertia/balance l59 measures is exactly what bounds
+                  it;
+      prune     : exact int64 dot/norms, near iff dot > 0 and
+                  dot >= 0.999 * sqrt(na) * sqrt(nb) (one identical
+                  IEEE compare per pair); greedy keep-one-per-ball =
+                  drop any vector with a smaller-id in-cluster
+                  neighbor within the ball (the l29 min-id survivor
+                  policy, fully relational — no recursion).
+
+    Output: one row per vector (vec_id, cluster, is_twin, is_kept)
+    joined with per-cluster (n_members, n_pruned) — pruning recall is a
+    MEASURED column set, not a pinned boolean. The oracle replays the
+    entire recipe: Lloyd unroll over the extended set, assignment,
+    exhaustive in-cluster pair scan, and the keep policy.
+
+    Scale shape: training is O(k*dim) communication per superstep;
+    assignment is one literal-expression map pass; the pair stage
+    shuffles on the cluster key and carries the quantized vectors once
+    (at 100 TB: repartition by cluster, compute dots within partitions,
+    AQE skew-split for fat clusters). Ref anchor: similarity.py
+    lloyd_kmeans_q; registry l59/l60/l29."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    mx = emb.agg(F.max("vec_id")).first()[0]
+    if mx >= SEMDEDUP_TWIN_OFFSET:
+        raise ValueError(
+            f"max vec_id {mx} >= twin offset {SEMDEDUP_TWIN_OFFSET}: planted "
+            "twin ids would collide with corpus ids"
+        )
+    base = emb.select(
+        F.col("vec_id").alias("id"),
+        F.transform(
+            "embedding", lambda x: F.floor(x * F.lit(100000.0)).cast("long")
+        ).alias("q"),
+    )
+    twins = base.filter(F.col("id") % 9 == 4).select(
+        (F.col("id") + F.lit(SEMDEDUP_TWIN_OFFSET)).alias("id"),
+        F.transform(
+            "q",
+            lambda x, i: x
+            + ((F.col("id") * 31 + i.cast("long") * 17) % 7 - 3).cast("long"),
+        ).alias("q"),
+    )
+    allq = base.unionByName(twins).localCheckpoint(eager=True)
+    cent = SIM.lloyd_kmeans_q(allq, k=8, iters=3)
+    assigned = SIM.lloyd_assign_q(allq, cent).localCheckpoint(eager=True)
+
+    n2 = allq.select(
+        "id",
+        F.aggregate(
+            F.transform("q", lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("n2"),
+    )
+    side = assigned.join(allq, "id").join(n2, "id")
+    a = side.select(
+        F.col("id").alias("id_a"), "cluster",
+        F.col("q").alias("q_a"), F.col("n2").alias("n2_a"),
+    )
+    b = side.select(
+        F.col("id").alias("id_b"), "cluster",
+        F.col("q").alias("q_b"), F.col("n2").alias("n2_b"),
+    )
+    dot = F.aggregate(
+        F.zip_with("q_a", "q_b", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    near = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dot", dot)
+        .filter(
+            (F.col("dot") > 0)
+            & (
+                F.col("dot").cast("double")
+                >= F.lit(0.999)
+                * (
+                    F.sqrt(F.col("n2_a").cast("double"))
+                    * F.sqrt(F.col("n2_b").cast("double"))
+                )
+            )
+        )
+        .select("id_a", "id_b")
+    )
+    pruned = near.select(F.col("id_b").alias("id")).distinct()
+    members = (
+        assigned.join(pruned.withColumn("hit", F.lit(1)), "id", "left")
+        .select(
+            F.col("id").alias("vec_id"),
+            "cluster",
+            F.col("hit").isNull().alias("is_kept"),
+        )
+    )
+    cs = members.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum((~F.col("is_kept")).cast("int")).cast("bigint").alias("n_pruned"),
+    )
+    return members.join(F.broadcast(cs), "cluster").select(
+        "vec_id",
+        "cluster",
+        (F.col("vec_id") >= SEMDEDUP_TWIN_OFFSET).alias("is_twin"),
+        "is_kept",
+        "n_members",
+        "n_pruned",
+    )
+
+
+# ---- batch k-NN join (l68, r9 verdict task 5) ----
+
+# shared CTE body: frozen quantizer -> two-sided cells -> candidates ->
+# exact integer cosines -> per-query ranking; used by l68 (the join)
+# and l68b (the recall gate)
+_L68_CTES = """v AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+    e AS MATERIALIZED (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+             CAST(UNNEST(embedding) AS DOUBLE) AS val
+      FROM v
+    ),
+    q AS MATERIALIZED (
+      SELECT vec_id, i, CAST(FLOOR(val * 100000.0) AS BIGINT) AS qv FROM e
+    ),
+    nrm AS (SELECT vec_id, SQRT(SUM(val * val)) AS nm FROM e GROUP BY vec_id),
+    u AS MATERIALIZED (
+      SELECT e.vec_id, e.i, e.val / n.nm AS uval FROM e JOIN nrm n USING (vec_id)
+    ),
+    -- frozen coarse quantizer: unit vectors of the 16 smallest vec_ids
+    -- (the l8d convention), every vector assigned to its top-2 cells
+    c AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, vec_id AS cvid
+          FROM (SELECT vec_id FROM v ORDER BY vec_id LIMIT 16)),
+    cvec AS MATERIALIZED (
+      SELECT c.cid, u.i, u.uval AS cval FROM c JOIN u ON u.vec_id = c.cvid
+    ),
+    cd AS (SELECT u.vec_id, cv.cid, SUM(u.uval * cv.cval) AS d
+           FROM u JOIN cvec cv USING (i) GROUP BY u.vec_id, cv.cid),
+    cells AS MATERIALIZED (SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cid ASC)
+                 AS rk
+        FROM cd) t WHERE rk <= 2),
+    -- two-sided candidates: every DIRECTED pair co-occupying a cell
+    cand AS MATERIALIZED (
+      SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid
+      FROM cells a JOIN cells b USING (cid) WHERE a.vec_id != b.vec_id
+    ),
+    n2 AS MATERIALIZED (SELECT vec_id, SUM(qv * qv) AS n2 FROM q GROUP BY vec_id),
+    dots AS (SELECT cand.qid, cand.nid, SUM(qa.qv * qb.qv) AS dot
+             FROM cand JOIN q qa ON qa.vec_id = cand.qid
+                       JOIN q qb ON qb.vec_id = cand.nid AND qb.i = qa.i
+             GROUP BY cand.qid, cand.nid),
+    scored AS (SELECT d.qid, d.nid,
+                      ROUND(CAST(d.dot AS DOUBLE) /
+                            (SQRT(CAST(a.n2 AS DOUBLE))
+                             * SQRT(CAST(b.n2 AS DOUBLE))), 6) + 0 AS cosine
+               FROM dots d JOIN n2 a ON a.vec_id = d.qid
+                           JOIN n2 b ON b.vec_id = d.nid),
+    ranked AS (SELECT qid, nid, cosine,
+                      ROW_NUMBER() OVER (PARTITION BY qid
+                                         ORDER BY cosine DESC, nid ASC) AS rk
+               FROM scored)"""
+
+_L68_ORACLE = (
+    "WITH "
+    + _L68_CTES
+    + """
+    SELECT qid AS vec_id, nid AS neighbor_id, CAST(rk AS BIGINT) AS rank,
+           cosine
+    FROM ranked WHERE rk <= 5
+"""
+)
+
+
+@register("l68_knn_join", _L68_ORACLE)
+def l68_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH k-NN JOIN — EVERY vector's top-5 neighbors, not a fixed
+    query set (r9 verdict task 5): the substrate retrieval-based
+    curation, decontamination, and semantic clustering run at 100 TB.
+
+      candidates: frozen 16-cell coarse quantizer (unit vectors of the
+                  16 smallest vec_ids — the l8d convention), each
+                  vector assigned to its TOP-2 cells on BOTH sides
+                  (two-sided probing), candidates = directed pairs
+                  co-occupying a cell. Candidate volume tracks cell
+                  co-occupancy (sum over cells of size^2), never
+                  corpus^2;
+      scoring   : exact int64 dot / norms over LLOYD_QSCALE-quantized
+                  components, one correctly-rounded cosine per pair
+                  (identical IEEE op sequence in both engines);
+      top-k     : per-query window over rounded cosine (DESC, neighbor
+                  id ASC tiebreak), rank <= 5 — a PARTITIONED window,
+                  never a global sort.
+
+    The oracle replays the quantizer, both-sided cell assignment,
+    candidate distinct, exact dots, and ranking end-to-end in SQL, so
+    the IVF plan's completeness and exactness are both hash-checked
+    (the l8d discipline, generalized from 5 queries to all). The
+    recall-vs-exact gate on a bounded query sample is l68b.
+
+    Scale shape: cell assignment is a literal-expression map pass; the
+    candidate join shuffles on the cell key (AQE skew-split for fat
+    cells); scoring carries each vector's quantized array through one
+    equi-join; ranking is a partitioned window. At 1000 executors each
+    stage partitions cleanly by cell/query key. Ref anchor:
+    similarity.py assign_cells_literal; registry l8b-l8d, l41."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    unit = SIM.unit_vec_df(emb, "vec_id", "embedding").localCheckpoint(
+        eager=True
+    )
+    cent_rows = sorted(
+        unit.orderBy("id").limit(16).collect(), key=lambda r: r["id"]
+    )
+    centers = [list(r["unit_arr"]) for r in cent_rows]
+    cells = SIM.assign_cells_literal(unit, centers, n_probe=2).localCheckpoint(
+        eager=True
+    )
+    cand = (
+        cells.select(F.col("id").alias("qid"), "cell")
+        .join(cells.select(F.col("id").alias("nid"), "cell"), "cell")
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid")
+        .distinct()
+    )
+    q = emb.select(
+        F.col("vec_id").alias("id"),
+        F.transform(
+            "embedding", lambda x: F.floor(x * F.lit(100000.0)).cast("long")
+        ).alias("q"),
+    )
+    n2 = q.select(
+        "id",
+        "q",
+        F.aggregate(
+            F.transform("q", lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("n2"),
+    ).localCheckpoint(eager=True)
+    dot = F.aggregate(
+        F.zip_with("q_a", "q_b", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        cand.join(
+            n2.select(
+                F.col("id").alias("qid"),
+                F.col("q").alias("q_a"),
+                F.col("n2").alias("n2_a"),
+            ),
+            "qid",
+        )
+        .join(
+            n2.select(
+                F.col("id").alias("nid"),
+                F.col("q").alias("q_b"),
+                F.col("n2").alias("n2_b"),
+            ),
+            "nid",
+        )
+        .select(
+            "qid",
+            "nid",
+            F.round(
+                dot.cast("double")
+                / (
+                    F.sqrt(F.col("n2_a").cast("double"))
+                    * F.sqrt(F.col("n2_b").cast("double"))
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cosine").desc(), F.col("nid").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            F.col("qid").alias("vec_id"),
+            F.col("nid").alias("neighbor_id"),
+            F.col("rank").cast("bigint").alias("rank"),
+            "cosine",
+        )
+    )
+
+
+_L68B_ORACLE = (
+    "WITH "
+    + _L68_CTES
+    + """,
+    bq AS (SELECT vec_id AS qid FROM v WHERE vec_id < 8),
+    edots AS (SELECT b.qid, qb.vec_id AS nid, SUM(qa.qv * qb.qv) AS dot
+              FROM bq b
+              JOIN q qa ON qa.vec_id = b.qid
+              JOIN q qb ON qb.i = qa.i AND qb.vec_id != b.qid
+              GROUP BY b.qid, qb.vec_id),
+    escored AS (SELECT d.qid, d.nid,
+                       ROUND(CAST(d.dot AS DOUBLE) /
+                             (SQRT(CAST(a.n2 AS DOUBLE))
+                              * SQRT(CAST(b.n2 AS DOUBLE))), 6) + 0 AS cosine
+                FROM edots d JOIN n2 a ON a.vec_id = d.qid
+                             JOIN n2 b ON b.vec_id = d.nid),
+    eranked AS (SELECT qid, nid FROM (
+        SELECT qid, nid,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY cosine DESC, nid ASC) AS rk
+        FROM escored) t WHERE rk <= 5),
+    ivf5 AS (SELECT qid, nid FROM ranked WHERE rk <= 5 AND qid < 8)
+    SELECT e.qid AS vec_id,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(SUM(CASE WHEN i.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_overlap,
+           ROUND(CAST(SUM(CASE WHEN i.nid IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS recall_at_5
+    FROM eranked e LEFT JOIN ivf5 i ON i.qid = e.qid AND i.nid = e.nid
+    GROUP BY e.qid
+"""
+)
+
+
+@register("l68b_knn_join_recall", _L68B_ORACLE)
+def l68b_knn_join_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall gate for the batch k-NN join (the l8c discipline applied
+    to l68): for a BOUNDED query sample (the 8 smallest vec_ids), the
+    exact brute-force top-5 (labeled broadcast cross join — the query
+    side is 8 rows at any corpus size) is compared against l68's
+    IVF-candidate top-5, emitting per-query overlap and recall as
+    MEASURED columns. The oracle replays both sides relationally, so
+    the gate itself is hash-checked, not just the headline join.
+    Before trusting an index config at 100 TB you run exactly this
+    probe per shard."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    q = emb.select(
+        F.col("vec_id").alias("id"),
+        F.transform(
+            "embedding", lambda x: F.floor(x * F.lit(100000.0)).cast("long")
+        ).alias("q"),
+    )
+    n2 = q.select(
+        "id",
+        "q",
+        F.aggregate(
+            F.transform("q", lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("n2"),
+    ).localCheckpoint(eager=True)
+    queries = n2.filter(F.col("id") < 8).select(
+        F.col("id").alias("qid"), F.col("q").alias("q_a"),
+        F.col("n2").alias("n2_a"),
+    )
+    corpus = n2.select(
+        F.col("id").alias("nid"), F.col("q").alias("q_b"),
+        F.col("n2").alias("n2_b"),
+    )
+    dot = F.aggregate(
+        F.zip_with("q_a", "q_b", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    escored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("nid") != F.col("qid"))
+        .select(
+            "qid",
+            "nid",
+            F.round(
+                dot.cast("double")
+                / (
+                    F.sqrt(F.col("n2_a").cast("double"))
+                    * F.sqrt(F.col("n2_b").cast("double"))
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cosine").desc(), F.col("nid").asc()
+    )
+    exact5 = (
+        escored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("qid", "nid")
+    )
+    ivf5 = (
+        l68_knn_join(spark, sf_dir)
+        .filter(F.col("vec_id") < 8)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("neighbor_id").alias("nid"),
+            F.lit(1).alias("hit"),
+        )
+    )
+    return (
+        exact5.join(ivf5, ["qid", "nid"], "left")
+        .groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_overlap"),
+            F.round(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("recall_at_5"),
+        )
+        .select(
+            F.col("qid").alias("vec_id"), "n_exact", "n_overlap", "recall_at_5"
+        )
+    )
