@@ -2296,3 +2296,283 @@ def l68b_knn_join_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("qid").alias("vec_id"), "n_exact", "n_overlap", "recall_at_5"
         )
     )
+
+
+# ---- incremental SemDeDup (l69): frozen day-1 clusters + kept-set
+# store, the l31/l41 persisted-store discipline over l65 ----
+
+# (session, sf_dir, data fingerprint) -> (cutoff, centroids, day1 path)
+_SEMDEDUP_STORE_CACHE: dict[str, tuple] = {}
+
+
+def _semdedup_store(spark: SparkSession, sf_dir: str) -> tuple:
+    """Build ONCE per (session, data) the persisted day-1 SemDeDup
+    store: Lloyd centroids trained on day-1 ONLY (the frozen-quantizer
+    contract — day-2 must assign against day-1's clusters, never
+    re-derive its own) and the day-1 (id, cluster, q) table written to
+    parquet. Day-2 calls read the store back instead of re-quantizing
+    or re-training on the old corpus. Returns
+    (cutoff, centroids_q, day1_path)."""
+    key = (
+        f"{spark.sparkContext.applicationId}:{sf_dir}:semdedup:"
+        f"{_table_fingerprint(sf_dir, 'embeddings')}"
+    )
+    if key in _SEMDEDUP_STORE_CACHE:
+        return _SEMDEDUP_STORE_CACHE[key]
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    max_id = emb.agg(F.max("vec_id")).collect()[0][0]
+    cutoff = int(0.8 * (max_id + 1))
+    q1 = (
+        emb.filter(F.col("vec_id") < cutoff)
+        .select(
+            F.col("vec_id").alias("id"),
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x * F.lit(100000.0)).cast("long"),
+            ).alias("q"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cent = SIM.lloyd_kmeans_q(q1, k=8, iters=3)
+    day1 = SIM.lloyd_assign_q(q1, cent).join(q1, "id")
+    out = tempfile.mkdtemp(prefix="semdedup_store_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    day1_path = os.path.join(out, "day1.parquet")
+    day1.write.mode("overwrite").parquet(day1_path)
+    _SEMDEDUP_STORE_CACHE[key] = (cutoff, cent, day1_path)
+    return _SEMDEDUP_STORE_CACHE[key]
+
+
+def _l69_oracle(k: int = 8, iters: int = 3) -> str:
+    """Frozen-quantizer incremental SemDeDup replay: the l59 Lloyd
+    unroll over DAY-1 vectors only (the store's training set), then
+    assignment of day-1 + the full day-2 increment (natural arrivals
+    plus planted epsilon-twins of %9==4 bases from BOTH days) against
+    the frozen final centroids, an exhaustive same-cluster pair scan
+    restricted to >= 1 day-2 side, and the greedy keep policy for the
+    day-2 rows. Day-1 ids all precede day-2 ids, so the larger id of
+    any qualifying pair is always the day-2 prune candidate."""
+    ctes = [
+        f"""
+    eb AS MATERIALIZED (
+      SELECT vec_id, i - 1 AS i,
+             CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 100000.0) AS BIGINT)
+               AS q
+      FROM embeddings,
+           LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) s
+    ),
+    cut AS (
+      SELECT CAST(FLOOR(0.8 * (MAX(vec_id) + 1)) AS BIGINT) AS c
+      FROM embeddings
+    ),
+    e AS MATERIALIZED (
+      SELECT vec_id, i, q FROM eb WHERE vec_id < (SELECT c FROM cut)
+    ),
+    seeds AS (
+      SELECT vec_id, rk - 1 AS j FROM (
+        SELECT vec_id, ROW_NUMBER() OVER (ORDER BY
+          ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+          vec_id) AS rk
+        FROM (SELECT DISTINCT vec_id FROM e) ids) t WHERE rk <= {k}
+    ),
+    c0 AS MATERIALIZED (SELECT s.j, e.i, e.q AS c FROM seeds s JOIN e USING (vec_id))"""
+    ]
+    for t in range(1, iters + 1):
+        prev = f"c{t - 1}"
+        ctes.append(f"""
+    a{t} AS MATERIALIZED (
+      SELECT vec_id, j FROM (
+        SELECT d.vec_id, d.j,
+               ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY d.d, d.j)
+                 AS rk
+        FROM (SELECT e.vec_id, c.j, SUM((e.q - c.c) * (e.q - c.c)) AS d
+              FROM e JOIN {prev} c USING (i) GROUP BY e.vec_id, c.j) d) t
+      WHERE rk = 1
+    ),
+    c{t} AS MATERIALIZED (
+      SELECT b.j, b.i, COALESCE(u.c, b.c) AS c
+      FROM {prev} b LEFT JOIN (
+        SELECT a.j, e.i,
+               CAST(FLOOR(CAST(SUM(e.q) AS DOUBLE) / COUNT(*)) AS BIGINT)
+                 AS c
+        FROM a{t} a JOIN e ON e.vec_id = a.vec_id GROUP BY a.j, e.i) u
+      ON u.j = b.j AND u.i = b.i
+    )""")
+    final = f"c{iters}"
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f""",
+    -- day-2 increment: natural arrivals + planted epsilon-twins of
+    -- %9==4 bases from BOTH days (twin ids = base + 2^23, always day-2)
+    e2 AS MATERIALIZED (
+      SELECT vec_id, i, q FROM eb WHERE vec_id >= (SELECT c FROM cut)
+      UNION ALL
+      SELECT vec_id + {SEMDEDUP_TWIN_OFFSET}, i,
+             q + ((vec_id * 31 + i * 17) % 7 - 3)
+      FROM eb WHERE vec_id % 9 = 4
+    ),
+    alle AS MATERIALIZED (
+      SELECT * FROM e UNION ALL SELECT * FROM e2
+    ),
+    fin AS MATERIALIZED (
+      SELECT vec_id, j FROM (
+        SELECT d.vec_id, d.j,
+               ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY d.d, d.j)
+                 AS rk
+        FROM (SELECT a.vec_id, c.j, SUM((a.q - c.c) * (a.q - c.c)) AS d
+              FROM alle a JOIN {final} c USING (i) GROUP BY a.vec_id, c.j) d) t
+      WHERE rk = 1
+    ),
+    n2 AS MATERIALIZED (SELECT vec_id, SUM(q * q) AS n2 FROM alle GROUP BY vec_id),
+    near AS (
+      SELECT d.id_b FROM (
+        SELECT f1.vec_id AS id_a, f2.vec_id AS id_b,
+               SUM(ea.q * eb2.q) AS dot
+        FROM fin f1 JOIN fin f2 ON f2.j = f1.j AND f2.vec_id > f1.vec_id
+        JOIN alle ea ON ea.vec_id = f1.vec_id
+        JOIN alle eb2 ON eb2.vec_id = f2.vec_id AND eb2.i = ea.i
+        WHERE f2.vec_id >= (SELECT c FROM cut)
+        GROUP BY f1.vec_id, f2.vec_id) d
+      JOIN n2 a ON a.vec_id = d.id_a
+      JOIN n2 b ON b.vec_id = d.id_b
+      WHERE d.dot > 0 AND CAST(d.dot AS DOUBLE) >=
+            0.999 * (SQRT(CAST(a.n2 AS DOUBLE)) * SQRT(CAST(b.n2 AS DOUBLE)))
+    ),
+    pruned AS (SELECT DISTINCT id_b AS vec_id FROM near),
+    members2 AS (
+      SELECT f.vec_id, f.j AS cluster, p.vec_id IS NULL AS is_kept
+      FROM fin f LEFT JOIN pruned p USING (vec_id)
+      WHERE f.vec_id >= (SELECT c FROM cut)
+    ),
+    cs AS (SELECT cluster, COUNT(*) AS n_day2_members,
+                  SUM(CASE WHEN is_kept THEN 0 ELSE 1 END) AS n_day2_pruned
+           FROM members2 GROUP BY cluster)
+    SELECT m.vec_id, CAST(m.cluster AS BIGINT) AS cluster,
+           m.vec_id >= {SEMDEDUP_TWIN_OFFSET} AS is_twin, m.is_kept,
+           CAST(cs.n_day2_members AS BIGINT) AS n_day2_members,
+           CAST(cs.n_day2_pruned AS BIGINT) AS n_day2_pruned
+    FROM members2 m JOIN cs USING (cluster)
+    """
+    )
+
+
+@register("l69_incremental_semdedup", _l69_oracle(8, 3))
+def l69_incremental_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL SemDeDup — the daily-pipeline shape of l65 and the
+    semantic sibling of l31/l41/l66: day-1 trains the Lloyd quantizer
+    and persists (id, cluster, q) plus the frozen centroids
+    (_semdedup_store, built once per session); the day-2 increment
+    (natural arrivals >= cutoff plus planted epsilon-twins of %9==4
+    bases from both days — re-crawled duplicates of old AND new
+    content) quantizes ONLY its own vectors (pushed vec_id >= cutoff
+    predicate; day-1 vectors enter purely via the store, twin synthesis
+    of day-1 bases included), assigns against the FROZEN centroids, and
+    prunes each day-2 vector with a smaller-id same-cluster neighbor
+    within the 0.999 ball — day-1 ids all precede day-2 ids, so day-1
+    content always survives a day-2 re-crawl.
+
+    The oracle replays the full frozen-quantizer semantics (day-1-only
+    training unroll, assignment of everything, exhaustive >= 1-day-2
+    pair scan, keep policy), so the incremental path is hash-checked
+    against the from-scratch contract it must preserve — completeness
+    included.
+
+    Scale shape: day-2 work = |increment| quantize+assign map passes +
+    a cluster-key join whose store side is read pre-bucketed (partition
+    the store by cluster at 100 TB); the store grows by |increment|
+    rows/day and training never re-runs until a drift trigger (l57)
+    fires. Ref anchor: _semantic_store (l41), lloyd_kmeans_q (l59),
+    l65."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    cutoff, cent, day1_path = _semdedup_store(spark, sf_dir)
+    day1 = spark.read.parquet(day1_path)
+
+    day2q = emb.filter(F.col("vec_id") >= cutoff).select(
+        F.col("vec_id").alias("id"),
+        F.transform(
+            "embedding", lambda x: F.floor(x * F.lit(100000.0)).cast("long")
+        ).alias("q"),
+    )
+    bases = day1.select("id", "q").unionByName(day2q)
+    twins = bases.filter(F.col("id") % 9 == 4).select(
+        (F.col("id") + F.lit(SEMDEDUP_TWIN_OFFSET)).alias("id"),
+        F.transform(
+            "q",
+            lambda x, i: x
+            + ((F.col("id") * 31 + i.cast("long") * 17) % 7 - 3).cast("long"),
+        ).alias("q"),
+    )
+    newq = day2q.unionByName(twins).localCheckpoint(eager=True)
+    assigned2 = SIM.lloyd_assign_q(newq, cent)
+
+    def with_n2(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "n2",
+            F.aggregate(
+                F.transform("q", lambda x: x * x),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ),
+        )
+
+    side_new = with_n2(assigned2.join(newq, "id")).localCheckpoint(eager=True)
+    side_all = with_n2(day1.select("id", "cluster", "q")).unionByName(side_new)
+    a = side_all.select(
+        F.col("id").alias("id_a"), "cluster",
+        F.col("q").alias("q_a"), F.col("n2").alias("n2_a"),
+    )
+    b = side_new.select(
+        F.col("id").alias("id_b"), "cluster",
+        F.col("q").alias("q_b"), F.col("n2").alias("n2_b"),
+    )
+    dot = F.aggregate(
+        F.zip_with("q_a", "q_b", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    pruned = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dot", dot)
+        .filter(
+            (F.col("dot") > 0)
+            & (
+                F.col("dot").cast("double")
+                >= F.lit(0.999)
+                * (
+                    F.sqrt(F.col("n2_a").cast("double"))
+                    * F.sqrt(F.col("n2_b").cast("double"))
+                )
+            )
+        )
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+    )
+    members2 = (
+        assigned2.join(pruned.withColumn("hit", F.lit(1)), "id", "left")
+        .select(
+            F.col("id").alias("vec_id"),
+            "cluster",
+            F.col("hit").isNull().alias("is_kept"),
+        )
+    )
+    cs = members2.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_day2_members"),
+        F.sum((~F.col("is_kept")).cast("int"))
+        .cast("bigint")
+        .alias("n_day2_pruned"),
+    )
+    return members2.join(F.broadcast(cs), "cluster").select(
+        "vec_id",
+        "cluster",
+        (F.col("vec_id") >= SEMDEDUP_TWIN_OFFSET).alias("is_twin"),
+        "is_kept",
+        "n_day2_members",
+        "n_day2_pruned",
+    )

@@ -135,5 +135,77 @@ class TestIncrementalEmbeddingDedup:
         ), "expected the cutoff predicate pushed into the embeddings scan"
 
 
+class TestIncrementalSemDeDup:
+    def test_day2_scans_all_carry_increment_filter(self, spark, sf_dir):
+        """Every embeddings scan in the l69 day-2 plan must carry the
+        pushed vec_id >= cutoff predicate: day-1 vectors (including the
+        day-1 bases of planted twins) enter ONLY via the persisted
+        (id, cluster, q) store parquet."""
+        from datafusion_cyberpolka_eda_spark.registry import llm_similarity as LS
+
+        cutoff, _cent, day1_path = LS._semdedup_store(spark, sf_dir)
+        # rebuild the entry's ONLY embeddings-touching stage without the
+        # localCheckpoint (which would truncate the lineage the plan
+        # assertion needs): natural day-2 arrivals + twin synthesis over
+        # store-union-increment bases
+        day1 = spark.read.parquet(day1_path)
+        day2q = (
+            load_table(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") >= cutoff)
+            .select(
+                F.col("vec_id").alias("id"),
+                F.transform(
+                    "embedding",
+                    lambda x: F.floor(x * F.lit(100000.0)).cast("long"),
+                ).alias("q"),
+            )
+        )
+        bases = day1.select("id", "q").unionByName(day2q)
+        twins = bases.filter(F.col("id") % 9 == 4).select(
+            (F.col("id") + F.lit(LS.SEMDEDUP_TWIN_OFFSET)).alias("id"),
+            "q",
+        )
+        newq = day2q.unionByName(twins)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            newq.explain(mode="formatted")
+        plan = buf.getvalue()
+        blocks = [
+            b
+            for b in plan.split("\n\n")
+            if "Scan parquet" in b or "Location" in b
+        ]
+        emb_scans = [b for b in blocks if "embeddings.parquet" in b]
+        store_scans = [b for b in blocks if "day1.parquet" in b]
+        assert emb_scans, "expected at least one embeddings scan (the increment)"
+        assert store_scans, "expected the day-1 store parquet to be scanned"
+        for b in emb_scans:
+            assert f"GreaterThanOrEqual(vec_id,{cutoff})" in b.replace(" ", ""), (
+                "embeddings scan without the pushed increment filter -- "
+                "day-1 vectors would be re-read:\n" + b
+            )
+
+    def test_store_reused_across_calls(self, spark, sf_dir):
+        """The l69 store build is memoized per (session, data): a second
+        call must reuse the SAME store files (mtimes frozen)."""
+        import glob
+        import os
+
+        from datafusion_cyberpolka_eda_spark.registry import llm_similarity as LS
+
+        LS.l69_incremental_semdedup(spark, sf_dir).collect()
+        stores = [
+            v for k, v in LS._SEMDEDUP_STORE_CACHE.items() if sf_dir in k
+        ]
+        assert stores, "expected a memoized semdedup store for this sf_dir"
+        _, _, day1_path = stores[0]
+        files = sorted(glob.glob(os.path.join(day1_path, "*.parquet")))
+        mtimes = [os.path.getmtime(f) for f in files]
+        LS.l69_incremental_semdedup(spark, sf_dir).collect()
+        assert [os.path.getmtime(f) for f in files] == mtimes, (
+            "store files were rewritten on the second call"
+        )
+
+
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-x", "-q"]))

@@ -319,6 +319,9 @@ def main() -> int:
     check("l68_knn_join", absent=["CartesianProduct"])
     # its recall gate deliberately broadcasts the 8-row query side
     check("l68b_knn_join_recall", contains=["BroadcastNestedLoopJoin"])
+    # incremental SemDeDup: frozen-centroid assignment is a literal map
+    # pass; candidates are same-cluster equi-join pairs — never all-pairs
+    check("l69_incremental_semdedup", absent=["CartesianProduct"])
 
     # incremental covariance: the increment scan must carry the pushed
     # vec_id >= cutoff predicate (day-1 vectors never re-read as vectors)
