@@ -2914,14 +2914,11 @@ def _qc_x(text_col: F.Column) -> F.Column:
     return F.array(F.lit(1).cast("long"), nt, ttr - F.lit(QC_CENTER), awl)
 
 
-def _l64_oracle(iters: int = QC_ITERS) -> str:
-    """Unrolled MATERIALIZED-CTE replay of the full quality-classifier
-    recipe: closed-form planted corruption, integer featurization,
-    every gradient superstep (hard-sigmoid probabilities, exact int64
-    gradient sums, floor-of-double weight updates with the diagonal
-    preconditioner), final scoring, and the per-language confusion
-    report with the final weights as columns — the entire GD trajectory
-    is value-hash-checked, not just the endpoint."""
+def _l64_ctes(iters: int = QC_ITERS) -> tuple[str, str]:
+    """The shared training-replay CTE body (planted corruption, integer
+    featurization, every gradient superstep) used by both the l64
+    confusion report and the l70 deployment filter. Returns
+    (cte_body, final_weight_cte_name)."""
     s = 1_000_000
     ctes = [
         f"""
@@ -2982,10 +2979,21 @@ def _l64_oracle(iters: int = QC_ITERS) -> str:
             FROM e{t} e JOIN fx ON fx.id = e.id GROUP BY fx.j) g USING (j)
       JOIN pc USING (j) CROSS JOIN nn
     )""")
-    final = f"w{iters}"
+    return ",".join(ctes), f"w{iters}"
+
+
+def _l64_oracle(iters: int = QC_ITERS) -> str:
+    """Unrolled MATERIALIZED-CTE replay of the full quality-classifier
+    recipe: closed-form planted corruption, integer featurization,
+    every gradient superstep (hard-sigmoid probabilities, exact int64
+    gradient sums, floor-of-double weight updates with the diagonal
+    preconditioner), final scoring, and the per-language confusion
+    report with the final weights as columns — the entire GD trajectory
+    is value-hash-checked, not just the endpoint."""
+    body, final = _l64_ctes(iters)
     return (
         "WITH "
-        + ",".join(ctes)
+        + body
         + f""",
     zf AS (SELECT fx.id, SUM(w.v * fx.v) AS z
            FROM fx JOIN {final} w USING (j) GROUP BY fx.id),
@@ -3008,6 +3016,57 @@ def _l64_oracle(iters: int = QC_ITERS) -> str:
     GROUP BY d.lang
     """
     )
+
+
+# (session, sf_dir, data fingerprint) -> trained quantized weights; the
+# "train once, deploy everywhere" contract l64 (confusion report) and
+# l70 (corpus filter) share. Training is partition-independent (exact
+# integer gradient sums), so cached-vs-fresh weights are identical.
+_QC_WEIGHTS_CACHE: dict[str, list[int]] = {}
+
+
+def _qc_train_feats(docs: DataFrame) -> DataFrame:
+    """(id, y, x): the labeled training table — every doc as a label-0
+    row plus planted low-quality twins (doc_id % 7 == 2, id + 2^23)
+    whose corrupted text (first token repeated n_tokens times) is BUILT
+    and featurized here; the oracles replay the twin features
+    closed-form from the base row."""
+    base = spread(docs).select(
+        F.col("doc_id").alias("id"),
+        F.lit(0).alias("y"),
+        _qc_x(F.col("text")).alias("x"),
+    )
+    toks = F.split(F.col("text"), " ")
+    ctext = F.array_join(
+        F.array_repeat(F.element_at(toks, 1), F.size(toks)), " "
+    )
+    corrupt = spread(docs.filter(F.col("doc_id") % 7 == 2)).select(
+        (F.col("doc_id") + F.lit(QC_TWIN_OFFSET)).alias("id"),
+        F.lit(1).alias("y"),
+        _qc_x(ctext).alias("x"),
+    )
+    return base.unionByName(corrupt).localCheckpoint(eager=True)
+
+
+def _qc_weights(
+    spark: SparkSession, sf_dir: str, feats: DataFrame | None = None
+) -> list[int]:
+    """Memoized trained weights for the (session, data) pair; trains on
+    the supplied feats (or builds them) on a cache miss."""
+    from datafusion_cyberpolka_eda_spark.operators import ml as ML
+
+    key = (
+        f"{spark.sparkContext.applicationId}:{sf_dir}:"
+        f"{_docs_fingerprint(sf_dir)}"
+    )
+    if key in _QC_WEIGHTS_CACHE:
+        return _QC_WEIGHTS_CACHE[key]
+    if feats is None:
+        feats = _qc_train_feats(load_table(spark, sf_dir, "documents"))
+    _QC_WEIGHTS_CACHE[key] = ML.logreg_train_supersteps(
+        feats, dim=4, iters=QC_ITERS, lr_div=QC_LR_DIV, precond=QC_PRECOND
+    )
+    return _QC_WEIGHTS_CACHE[key]
 
 
 @register("l64_quality_classifier", _l64_oracle(QC_ITERS))
@@ -3052,24 +3111,8 @@ def l64_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"max doc_id {mx} >= twin offset {QC_TWIN_OFFSET}: planted twin "
             "ids would collide with corpus ids"
         )
-    base = spread(docs).select(
-        F.col("doc_id").alias("id"),
-        F.lit(0).alias("y"),
-        _qc_x(F.col("text")).alias("x"),
-    )
-    toks = F.split(F.col("text"), " ")
-    ctext = F.array_join(
-        F.array_repeat(F.element_at(toks, 1), F.size(toks)), " "
-    )
-    corrupt = spread(docs.filter(F.col("doc_id") % 7 == 2)).select(
-        (F.col("doc_id") + F.lit(QC_TWIN_OFFSET)).alias("id"),
-        F.lit(1).alias("y"),
-        _qc_x(ctext).alias("x"),
-    )
-    feats = base.unionByName(corrupt).localCheckpoint(eager=True)
-    w = ML.logreg_train_supersteps(
-        feats, dim=4, iters=QC_ITERS, lr_div=QC_LR_DIV, precond=QC_PRECOND
-    )
+    feats = _qc_train_feats(docs)
+    w = _qc_weights(spark, sf_dir, feats)
     scored = ML.logreg_score_q(feats, w)
     out = (
         scored.join(
@@ -3095,6 +3138,92 @@ def l64_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(int(w[1])).cast("bigint").alias("w_ntok"),
         F.lit(int(w[2])).cast("bigint").alias("w_ttr"),
         F.lit(int(w[3])).cast("bigint").alias("w_awl"),
+    )
+
+
+# ---- model-based corpus filter pipeline (l70): l64 deployed ----
+
+def _l70_oracle(iters: int = QC_ITERS) -> str:
+    """Training replay (the l64 CTE body) + DEPLOYMENT: score only the
+    real corpus rows (label-0), keep docs the classifier does NOT flag,
+    and report per-source retention — doc counts, token mass, and keep
+    rate. The weights, every score, and the aggregates are all
+    hash-checked."""
+    body, final = _l64_ctes(iters)
+    return (
+        "WITH "
+        + body
+        + f""",
+    zf AS (SELECT fx.id, SUM(w.v * fx.v) AS z
+           FROM fx JOIN {final} w USING (j) GROUP BY fx.id),
+    kept AS (SELECT f.id, f.nt, zf.z < 0 AS keep
+             FROM f JOIN zf ON zf.id = f.id WHERE f.y = 0)
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN k.keep THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(SUM(k.nt) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN k.keep THEN k.nt ELSE 0 END) AS BIGINT)
+             AS kept_tokens,
+           ROUND(CAST(SUM(CASE WHEN k.keep THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS keep_rate
+    FROM kept k JOIN documents d ON d.doc_id = k.id
+    GROUP BY d.source
+    """
+    )
+
+
+@register("l70_model_filter_pipeline", _l70_oracle(QC_ITERS))
+def l70_model_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODEL-BASED corpus filtering end-to-end — the deployment shape of
+    l64 (the FineWeb-Edu/DCLM pattern: train a quality classifier on
+    labeled examples, then run it over the real corpus as a keep/drop
+    gate): reuse the memoized trained weights (_qc_weights — train once
+    per session, the persisted-model contract), score ONLY the real
+    corpus rows (the planted twins exist purely as training negatives),
+    and report per-source retention — doc counts, token mass kept vs
+    total, and keep rate. This is the stage whose output feeds the
+    mixture rebalancer (l47): dropping low-quality docs shifts source
+    token masses, and the per-source report is exactly the rebalancer's
+    input.
+
+    Scale shape: scoring is one literal-weight map pass over the corpus
+    (no join, no shuffle before the per-source aggregate); training
+    amortizes across every deployment via the weight memo. At 100 TB
+    the corpus scan dominates and nothing else grows. Ref anchor:
+    l64/_qc_weights; SURVEY §2 L quality family."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = _qc_weights(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    z = F.aggregate(
+        F.zip_with(
+            _qc_x(F.col("text")),
+            F.array(*[F.lit(int(c)).cast("long") for c in w]),
+            lambda xv, wv: xv * wv,
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = spread(docs).select(
+        "source",
+        F.size(toks).cast("long").alias("nt"),
+        (z < 0).alias("keep"),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("keep").cast("int")).cast("bigint").alias("n_kept"),
+            F.sum("nt").cast("bigint").alias("total_tokens"),
+            F.sum(F.when(F.col("keep"), F.col("nt")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_tokens"),
+            F.round(
+                F.sum(F.col("keep").cast("int")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("keep_rate"),
+        )
     )
 
 

@@ -322,6 +322,8 @@ def main() -> int:
     # incremental SemDeDup: frozen-centroid assignment is a literal map
     # pass; candidates are same-cluster equi-join pairs — never all-pairs
     check("l69_incremental_semdedup", absent=["CartesianProduct"])
+    # model filter deployment: one literal-weight map pass + per-source agg
+    check("l70_model_filter_pipeline", absent=["CartesianProduct", "SortMergeJoin"])
 
     # incremental covariance: the increment scan must carry the pushed
     # vec_id >= cutoff predicate (day-1 vectors never re-read as vectors)
