@@ -171,6 +171,7 @@ def logreg_train_supersteps(
     iters: int,
     lr_div: int,
     precond: list[int],
+    w_init: list[int] | None = None,
 ) -> list[int]:
     """TRUE distributed logistic-regression training — the l59 superstep
     discipline applied to gradient descent (r9 verdict task 1), the
@@ -193,8 +194,12 @@ def logreg_train_supersteps(
                 the feature-scale imbalance a single global lr cannot.
 
     ``feats`` must have columns (id, y, x array<long> of ``dim``
-    components, feature 0 = the bias 1). Weights start at zero. Returns
-    the final quantized weights (ints at LOGREG_PSCALE).
+    components, feature 0 = the bias 1). Weights start at zero, or at
+    ``w_init`` (quantized ints at LOGREG_PSCALE) for WARM-START
+    continue-training — the incremental model-update shape (l71): a
+    day-2 increment fine-tunes the persisted day-1 model without
+    replaying day-1 gradients. Returns the final quantized weights
+    (ints at LOGREG_PSCALE).
 
     Scale shape: per superstep, ONE map pass over the rows (w enters as
     literal expressions — no join, the _lloyd_dists pattern) + one
@@ -209,7 +214,9 @@ def logreg_train_supersteps(
     n = feats.count()
     if len(precond) != dim:
         raise ValueError(f"precond has {len(precond)} entries, dim={dim}")
-    w = [0] * dim
+    if w_init is not None and len(w_init) != dim:
+        raise ValueError(f"w_init has {len(w_init)} entries, dim={dim}")
+    w = [int(c) for c in w_init] if w_init is not None else [0] * dim
     s = LOGREG_PSCALE
     for _ in range(iters):
         z = F.aggregate(

@@ -2914,72 +2914,113 @@ def _qc_x(text_col: F.Column) -> F.Column:
     return F.array(F.lit(1).cast("long"), nt, ttr - F.lit(QC_CENTER), awl)
 
 
-def _l64_ctes(iters: int = QC_ITERS) -> tuple[str, str]:
-    """The shared training-replay CTE body (planted corruption, integer
-    featurization, every gradient superstep) used by both the l64
-    confusion report and the l70 deployment filter. Returns
-    (cte_body, final_weight_cte_name)."""
-    s = 1_000_000
-    ctes = [
-        f"""
-    t AS MATERIALIZED (
-      SELECT doc_id, string_split(text, ' ') AS w, LENGTH(text) AS ln
-      FROM documents
-    ),
-    -- base docs (label 0) + planted low-quality twins (label 1): the
-    -- first token repeated n_tokens times, so the twin's features are
-    -- closed-form functions of the base row (the l60 planting recipe):
-    -- nt unchanged, distinct-token count 1, avg word len = len(token)
-    f AS MATERIALIZED (
+def _qc_f_ctes(suffix: str = "", where: str = "") -> str:
+    """f/fx/nn CTEs for ONE training slice — base docs (label 0) +
+    planted low-quality twins (label 1): the first token repeated
+    n_tokens times, so the twin's features are closed-form functions of
+    the base row (the l60 planting recipe): nt unchanged, distinct-token
+    count 1, avg word len = len(token). ``where`` filters the slice (a
+    doc_id predicate over the shared `t` CTE); names are suffixed so
+    day-1/day-2 phases compose in one oracle (l71)."""
+    s = suffix
+    where_kw = f" WHERE {where}" if where else ""
+    and_where = f" AND {where}" if where else ""
+    return f"""
+    f{s} AS MATERIALIZED (
       SELECT doc_id AS id, 0 AS y,
              CAST(len(w) AS BIGINT) AS nt,
              CAST(FLOOR(CAST(len(list_distinct(w)) * 1000 AS DOUBLE)
                         / len(w)) AS BIGINT) - {QC_CENTER} AS ttrc,
              CAST(FLOOR(CAST((ln - len(w) + 1) * 100 AS DOUBLE)
                         / len(w)) AS BIGINT) AS awl
-      FROM t
+      FROM t{where_kw}
       UNION ALL
       SELECT doc_id + {QC_TWIN_OFFSET}, 1,
              CAST(len(w) AS BIGINT),
              CAST(FLOOR(CAST(1000 AS DOUBLE) / len(w)) AS BIGINT)
                - {QC_CENTER},
              CAST(100 * LENGTH(w[1]) AS BIGINT)
-      FROM t WHERE doc_id % 7 = 2
+      FROM t WHERE doc_id % 7 = 2{and_where}
     ),
-    fx AS MATERIALIZED (
-      SELECT id, 0 AS j, CAST(1 AS BIGINT) AS v FROM f
-      UNION ALL SELECT id, 1, nt FROM f
-      UNION ALL SELECT id, 2, ttrc FROM f
-      UNION ALL SELECT id, 3, awl FROM f
+    fx{s} AS MATERIALIZED (
+      SELECT id, 0 AS j, CAST(1 AS BIGINT) AS v FROM f{s}
+      UNION ALL SELECT id, 1, nt FROM f{s}
+      UNION ALL SELECT id, 2, ttrc FROM f{s}
+      UNION ALL SELECT id, 3, awl FROM f{s}
     ),
-    nn AS (SELECT COUNT(*) AS n FROM f),
-    pc(j, p) AS (VALUES (0, {QC_PRECOND[0]}), (1, {QC_PRECOND[1]}),
-                        (2, {QC_PRECOND[2]}), (3, {QC_PRECOND[3]})),
-    w0(j, v) AS (VALUES (0, CAST(0 AS BIGINT)), (1, CAST(0 AS BIGINT)),
-                        (2, CAST(0 AS BIGINT)), (3, CAST(0 AS BIGINT)))"""
-    ]
-    for t in range(1, iters + 1):
-        prev = f"w{t - 1}"
+    nn{s} AS (SELECT COUNT(*) AS n FROM f{s})"""
+
+
+def _qc_gd_ctes(
+    iters: int,
+    suffix: str = "",
+    w0: str | None = None,
+    lr_div: int = QC_LR_DIV,
+) -> tuple[str, str]:
+    """Gradient-superstep CTE chain w1{sfx}..w{iters}{sfx} over
+    f{sfx}/fx{sfx}/nn{sfx} (hard-sigmoid probabilities, exact int64
+    gradient sums, floor-of-double preconditioned updates), starting
+    from CTE ``w0`` — a zeros VALUES CTE is emitted when None (cold
+    start); passing a prior phase's final weight CTE is the WARM-START
+    continue-training replay (l71). Requires the shared `pc` CTE.
+    Returns (cte_body, final_weight_cte_name)."""
+    sx = suffix
+    s = 1_000_000
+    ctes = []
+    if w0 is None:
+        w0 = f"w0{sx}"
         ctes.append(f"""
-    z{t} AS (SELECT fx.id, SUM(w.v * fx.v) AS z
-             FROM fx JOIN {prev} w USING (j) GROUP BY fx.id),
-    e{t} AS MATERIALIZED (
+    w0{sx}(j, v) AS (VALUES (0, CAST(0 AS BIGINT)), (1, CAST(0 AS BIGINT)),
+                        (2, CAST(0 AS BIGINT)), (3, CAST(0 AS BIGINT)))""")
+    prev = w0
+    for t in range(1, iters + 1):
+        ctes.append(f"""
+    z{t}{sx} AS (SELECT fx.id, SUM(w.v * fx.v) AS z
+             FROM fx{sx} fx JOIN {prev} w USING (j) GROUP BY fx.id),
+    e{t}{sx} AS MATERIALIZED (
       SELECT z.id,
              LEAST(GREATEST({s // 2} + CAST(FLOOR(z.z / 4.0) AS BIGINT),
                             0), {s}) - f.y * {s} AS e
-      FROM z{t} z JOIN f ON f.id = z.id
+      FROM z{t}{sx} z JOIN f{sx} f ON f.id = z.id
     ),
-    w{t} AS MATERIALIZED (
+    w{t}{sx} AS MATERIALIZED (
       SELECT w.j,
              w.v - CAST(FLOOR(CAST(g.g AS DOUBLE) /
-                              CAST(nn.n * {QC_LR_DIV} * pc.p AS DOUBLE))
+                              CAST(nn.n * {lr_div} * pc.p AS DOUBLE))
                         AS BIGINT) AS v
       FROM {prev} w
       JOIN (SELECT fx.j, SUM(e.e * fx.v) AS g
-            FROM e{t} e JOIN fx ON fx.id = e.id GROUP BY fx.j) g USING (j)
-      JOIN pc USING (j) CROSS JOIN nn
+            FROM e{t}{sx} e JOIN fx{sx} fx ON fx.id = e.id GROUP BY fx.j)
+        g USING (j)
+      JOIN pc USING (j) CROSS JOIN nn{sx} nn
     )""")
-    return ",".join(ctes), f"w{iters}"
+        prev = f"w{t}{sx}"
+    return ",".join(ctes), prev
+
+
+QC_T_CTE = """
+    t AS MATERIALIZED (
+      SELECT doc_id, string_split(text, ' ') AS w, LENGTH(text) AS ln
+      FROM documents
+    )"""
+QC_PC_CTE = (
+    f"""
+    pc(j, p) AS (VALUES (0, {QC_PRECOND[0]}), (1, {QC_PRECOND[1]}),
+                        (2, {QC_PRECOND[2]}), (3, {QC_PRECOND[3]}))"""
+)
+
+
+def _l64_ctes(iters: int = QC_ITERS) -> tuple[str, str]:
+    """The shared training-replay CTE body (planted corruption, integer
+    featurization, every gradient superstep) used by both the l64
+    confusion report and the l70 deployment filter — the suffix-free
+    single-phase composition of _qc_f_ctes + _qc_gd_ctes. Returns
+    (cte_body, final_weight_cte_name)."""
+    gd, final = _qc_gd_ctes(iters)
+    return (
+        QC_T_CTE + "," + _qc_f_ctes() + "," + QC_PC_CTE + "," + gd,
+        final,
+    )
 
 
 def _l64_oracle(iters: int = QC_ITERS) -> str:
@@ -3025,12 +3066,13 @@ def _l64_oracle(iters: int = QC_ITERS) -> str:
 _QC_WEIGHTS_CACHE: dict[str, list[int]] = {}
 
 
-def _qc_train_feats(docs: DataFrame) -> DataFrame:
+def _qc_train_feats(docs: DataFrame, checkpoint: bool = True) -> DataFrame:
     """(id, y, x): the labeled training table — every doc as a label-0
     row plus planted low-quality twins (doc_id % 7 == 2, id + 2^23)
     whose corrupted text (first token repeated n_tokens times) is BUILT
     and featurized here; the oracles replay the twin features
-    closed-form from the base row."""
+    closed-form from the base row. ``checkpoint=False`` keeps the full
+    lineage visible for plan tests (the l71 no-day-1-rescan check)."""
     base = spread(docs).select(
         F.col("doc_id").alias("id"),
         F.lit(0).alias("y"),
@@ -3045,7 +3087,8 @@ def _qc_train_feats(docs: DataFrame) -> DataFrame:
         F.lit(1).alias("y"),
         _qc_x(ctext).alias("x"),
     )
-    return base.unionByName(corrupt).localCheckpoint(eager=True)
+    out = base.unionByName(corrupt)
+    return out.localCheckpoint(eager=True) if checkpoint else out
 
 
 def _qc_weights(
@@ -3224,6 +3267,206 @@ def l70_model_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("keep_rate"),
         )
+    )
+
+
+# ---- incremental classifier update (l71): warm-start continue-training ----
+
+# Day-1 persists a MID-TRAJECTORY checkpoint (2 of the 4 supersteps a
+# cold-start run would take) and day-2 resumes from it: the fully-trained
+# model separates the planted twins with saturated hard-sigmoid margins
+# (gradient exactly 0), so only a genuine checkpoint-resume split makes
+# the warm-start observable — which is also the realistic daily shape.
+QC_DAY1_ITERS = 2  # supersteps persisted to the day-1 registry
+QC_CONT_ITERS = 2  # day-2 continue-training supersteps
+
+# (session, sf_dir, data fingerprint) -> (cutoff, day-1 weight-store path).
+_QC_INCR_CACHE: dict[str, tuple[int, str]] = {}
+
+
+def _qc_incr_store(spark: SparkSession, sf_dir: str) -> tuple[int, str]:
+    """Day-1 MODEL REGISTRY — the l31 persisted-store pattern applied to
+    model weights: train QC_DAY1_ITERS supersteps on the sub-cutoff slice
+    (the l31 80% day-1 convention) once per (session, data) and persist
+    the quantized weight vector as a tiny (j, v) parquet, exactly the
+    way a daily pipeline checkpoints its quality model between runs.
+    Returns (cutoff, store_path); later calls read the registry back
+    instead of replaying day-1 gradients."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from datafusion_cyberpolka_eda_spark.operators import ml as ML
+
+    key = (
+        f"{spark.sparkContext.applicationId}:{sf_dir}:"
+        f"{_docs_fingerprint(sf_dir)}"
+    )
+    if key in _QC_INCR_CACHE:
+        return _QC_INCR_CACHE[key]
+    docs = load_table(spark, sf_dir, "documents")
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    cutoff = int(0.8 * (max_id + 1))
+    feats = _qc_train_feats(docs.filter(F.col("doc_id") < cutoff))
+    w = ML.logreg_train_supersteps(
+        feats,
+        dim=4,
+        iters=QC_DAY1_ITERS,
+        lr_div=QC_LR_DIV,
+        precond=QC_PRECOND,
+    )
+    out = tempfile.mkdtemp(prefix="qc_model_store_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    path = os.path.join(out, "weights.parquet")
+    spark.createDataFrame(
+        [(j, int(v)) for j, v in enumerate(w)], "j int, v bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+    _QC_INCR_CACHE[key] = (cutoff, path)
+    return _QC_INCR_CACHE[key]
+
+
+def _l71_oracle(
+    iters: int = QC_DAY1_ITERS, cont_iters: int = QC_CONT_ITERS
+) -> str:
+    """Two-phase unrolled replay: day-1 cold-start training on the
+    sub-cutoff slice (phase a), then WARM-START continue-training on the
+    increment slice (phase b, initial weights = phase a's final CTE),
+    then scoring the increment's labeled rows with the continued model.
+    Both weight vectors ride as columns, so the full two-phase GD
+    trajectory is hash-checked — day-1 training, the registry handoff,
+    and every day-2 step."""
+    gd_a, final_a = _qc_gd_ctes(iters, "a")
+    gd_b, final_b = _qc_gd_ctes(cont_iters, "b", w0=final_a)
+    day1 = "doc_id < (SELECT c FROM cut)"
+    day2 = "doc_id >= (SELECT c FROM cut)"
+    return (
+        "WITH "
+        + QC_T_CTE
+        + """,
+    cut AS (
+      SELECT CAST(FLOOR(0.8 * (MAX(doc_id) + 1)) AS BIGINT) AS c
+      FROM documents
+    ),"""
+        + QC_PC_CTE
+        + ","
+        + _qc_f_ctes("a", day1)
+        + ","
+        + gd_a
+        + ","
+        + _qc_f_ctes("b", day2)
+        + ","
+        + gd_b
+        + f""",
+    zf AS (SELECT fx.id, SUM(w.v * fx.v) AS z
+           FROM fxb fx JOIN {final_b} w USING (j) GROUP BY fx.id),
+    scored AS (SELECT f.id, f.y, zf.z >= 0 AS flagged
+               FROM fb f JOIN zf ON zf.id = f.id)
+    SELECT d.lang,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN s.flagged THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged,
+           CAST(SUM(s.y) AS BIGINT) AS n_corrupt,
+           CAST(SUM(CASE WHEN s.y = 1 AND s.flagged THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_caught,
+           CAST(SUM(CASE WHEN s.y = 0 AND s.flagged THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_pos,
+           (SELECT v FROM {final_a} WHERE j = 0) AS w1_bias,
+           (SELECT v FROM {final_a} WHERE j = 1) AS w1_ntok,
+           (SELECT v FROM {final_a} WHERE j = 2) AS w1_ttr,
+           (SELECT v FROM {final_a} WHERE j = 3) AS w1_awl,
+           (SELECT v FROM {final_b} WHERE j = 0) AS w2_bias,
+           (SELECT v FROM {final_b} WHERE j = 1) AS w2_ntok,
+           (SELECT v FROM {final_b} WHERE j = 2) AS w2_ttr,
+           (SELECT v FROM {final_b} WHERE j = 3) AS w2_awl
+    FROM scored s JOIN documents d ON d.doc_id = s.id % {QC_TWIN_OFFSET}
+    GROUP BY d.lang
+    """
+    )
+
+
+@register("l71_incremental_classifier_update", _l71_oracle())
+def l71_incremental_classifier_update(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INCREMENTAL model update — the missing lifecycle stage between
+    training (l64) and deployment (l70): day-1's quality classifier is
+    trained once and persisted to a weight registry (_qc_incr_store, the
+    l31 store pattern over model parameters); when the day-2 increment
+    arrives, the model WARM-STARTS from the stored weights and runs
+    QC_CONT_ITERS gradient supersteps over ONLY the increment's labeled
+    rows (base docs + planted repetition twins, the l64 recipe) — day-1
+    text is never re-featurized and day-1 gradients are never replayed,
+    the property that makes continuous retraining affordable at 100 TB.
+
+    Output: per-language confusion of the CONTINUED model on the
+    increment (planted recall / false positives are MEASURED columns)
+    plus BOTH weight vectors (w1_* = day-1 registry, w2_* = continued),
+    so the oracle hash-checks the entire two-phase trajectory including
+    the registry handoff, not just the endpoint.
+
+    Scale shape: day-1 cost amortizes across every update via the
+    persisted registry; each day-2 superstep is one map pass over the
+    increment + one O(dim) groupBy (weights enter as literals — the l59
+    communication discipline); the increment filter is pushed into the
+    documents scan (plan-tested). Ref anchor: similarity.py
+    lloyd_kmeans_q; registry l31/_incremental_store, l64; SURVEY §2 L
+    quality family."""
+    from datafusion_cyberpolka_eda_spark.operators import ml as ML
+
+    docs = load_table(spark, sf_dir, "documents")
+    mx = docs.agg(F.max("doc_id")).first()[0]
+    if mx >= QC_TWIN_OFFSET:
+        raise ValueError(
+            f"max doc_id {mx} >= twin offset {QC_TWIN_OFFSET}: planted twin "
+            "ids would collide with corpus ids"
+        )
+    cutoff, store_path = _qc_incr_store(spark, sf_dir)
+    wa = [
+        int(r["v"])
+        for r in sorted(
+            spark.read.parquet(store_path).collect(), key=lambda r: r["j"]
+        )
+    ]
+    inc = docs.filter(F.col("doc_id") >= cutoff)
+    feats = _qc_train_feats(inc)
+    wb = ML.logreg_train_supersteps(
+        feats,
+        dim=4,
+        iters=QC_CONT_ITERS,
+        lr_div=QC_LR_DIV,
+        precond=QC_PRECOND,
+        w_init=wa,
+    )
+    scored = ML.logreg_score_q(feats, wb)
+    out = (
+        scored.join(
+            inc.select("doc_id", "lang"),
+            scored["id"] % QC_TWIN_OFFSET == F.col("doc_id"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("flagged").cast("int"))
+            .cast("bigint")
+            .alias("n_flagged"),
+            F.sum("y").cast("bigint").alias("n_corrupt"),
+            F.sum(((F.col("y") == 1) & F.col("flagged")).cast("int"))
+            .cast("bigint")
+            .alias("n_caught"),
+            F.sum(((F.col("y") == 0) & F.col("flagged")).cast("int"))
+            .cast("bigint")
+            .alias("n_false_pos"),
+        )
+    )
+    names_a = ["w1_bias", "w1_ntok", "w1_ttr", "w1_awl"]
+    names_b = ["w2_bias", "w2_ntok", "w2_ttr", "w2_awl"]
+    return out.select(
+        "*",
+        *[
+            F.lit(int(v)).cast("bigint").alias(nm)
+            for v, nm in list(zip(wa, names_a)) + list(zip(wb, names_b))
+        ],
     )
 
 

@@ -1296,3 +1296,229 @@ class TestQualityClassifier:
         assert agg["c"] > 0
         assert agg["k"] == agg["c"]
         assert agg["fp"] == 0
+
+
+class TestIncrementalClassifierUpdate:
+    """r10: warm-start continue-training from the day-1 weight registry
+    (l71) — checkpoint/resume exactness, store reuse, no-day-1-rescan."""
+
+    @staticmethod
+    def _labeled_rows(docs, pred):
+        """Pure-Python labeled feature rows for docs matching pred."""
+        import math
+
+        from datafusion_cyberpolka_eda_spark.registry.llm import QC_CENTER
+
+        rows = []
+        for r in docs.select("doc_id", "text").collect():
+            if not pred(r["doc_id"]):
+                continue
+            w_ = r["text"].split(" ")
+            nt, nd, ln = len(w_), len(set(w_)), len(r["text"])
+            rows.append(
+                (
+                    (
+                        1,
+                        nt,
+                        math.floor(float(nd * 1000) / nt) - QC_CENTER,
+                        math.floor(float((ln - nt + 1) * 100) / nt),
+                    ),
+                    0,
+                )
+            )
+            if r["doc_id"] % 7 == 2:
+                rows.append(
+                    (
+                        (
+                            1,
+                            nt,
+                            math.floor(1000.0 / nt) - QC_CENTER,
+                            100 * len(w_[0]),
+                        ),
+                        1,
+                    )
+                )
+        return rows
+
+    @staticmethod
+    def _replay_gd(rows, iters, w):
+        import math
+
+        from datafusion_cyberpolka_eda_spark.operators import ml as ML
+        from datafusion_cyberpolka_eda_spark.registry.llm import (
+            QC_LR_DIV,
+            QC_PRECOND,
+        )
+
+        S = ML.LOGREG_PSCALE
+        n = len(rows)
+        w = list(w)
+        for _ in range(iters):
+            g = [0, 0, 0, 0]
+            for x, y in rows:
+                z = sum(w[j] * x[j] for j in range(4))
+                p = min(max(S // 2 + math.floor(z / 4.0), 0), S)
+                e = p - y * S
+                for j in range(4):
+                    g[j] += e * x[j]
+            w = [
+                w[j]
+                - math.floor(
+                    float(g[j]) / float(n * QC_LR_DIV * QC_PRECOND[j])
+                )
+                for j in range(4)
+            ]
+        return w
+
+    def test_two_phase_matches_python_replay_exactly(self, spark, docs):
+        """Day-1 checkpoint + day-2 warm-start resume must equal the
+        pure-Python replay of the same two-phase integer trajectory
+        BIT-FOR-BIT — the l64 exactness discipline extended across the
+        registry handoff."""
+        from datafusion_cyberpolka_eda_spark.registry.llm import (
+            QC_CONT_ITERS,
+            QC_DAY1_ITERS,
+            l71_incremental_classifier_update,
+        )
+
+        max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+        cutoff = int(0.8 * (max_id + 1))
+        wa = self._replay_gd(
+            self._labeled_rows(docs, lambda i: i < cutoff),
+            QC_DAY1_ITERS,
+            [0, 0, 0, 0],
+        )
+        wb = self._replay_gd(
+            self._labeled_rows(docs, lambda i: i >= cutoff),
+            QC_CONT_ITERS,
+            wa,
+        )
+        row = l71_incremental_classifier_update(spark, SF).collect()[0]
+        got_a = [row["w1_bias"], row["w1_ntok"], row["w1_ttr"], row["w1_awl"]]
+        got_b = [row["w2_bias"], row["w2_ntok"], row["w2_ttr"], row["w2_awl"]]
+        assert got_a == wa
+        assert got_b == wb
+        assert got_a != got_b, (
+            "the continuation must genuinely move the checkpoint — a "
+            "saturated day-1 model would make the warm-start untestable"
+        )
+
+    def test_warm_start_trainer_contract(self, spark):
+        """iters=0 returns w_init unchanged; zeros w_init equals the
+        cold-start path step for step."""
+        import pandas as pd
+
+        from datafusion_cyberpolka_eda_spark.operators import ml as ML
+
+        feats = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "id": [1, 2, 3, 4],
+                    "y": [0, 0, 1, 1],
+                    "x": [[1, 5, 0, 2], [1, 7, 1, 3], [1, 6, 9, 8], [1, 9, 9, 9]],
+                }
+            )
+        )
+        w0 = [11, -22, 33, -44]
+        assert (
+            ML.logreg_train_supersteps(
+                feats, dim=4, iters=0, lr_div=4, precond=[1, 1, 1, 1],
+                w_init=w0,
+            )
+            == w0
+        )
+        cold = ML.logreg_train_supersteps(
+            feats, dim=4, iters=3, lr_div=4, precond=[1, 1, 1, 1]
+        )
+        warm = ML.logreg_train_supersteps(
+            feats, dim=4, iters=3, lr_div=4, precond=[1, 1, 1, 1],
+            w_init=[0, 0, 0, 0],
+        )
+        assert cold == warm
+
+    def test_registry_store_reused_across_calls(self, spark, monkeypatch):
+        """The second l71 call must read the persisted day-1 weights, not
+        retrain: the trainer is replaced with a bomb after warm-up and
+        only the continue-phase call (w_init set) may fire."""
+        from datafusion_cyberpolka_eda_spark.operators import ml as ML
+        from datafusion_cyberpolka_eda_spark.registry import llm as L
+
+        L._qc_incr_store(spark, SF)  # warm the registry
+
+        real = ML.logreg_train_supersteps
+
+        def guarded(feats, dim, iters, lr_div, precond, w_init=None):
+            assert w_init is not None, (
+                "day-1 (cold-start) training ran again despite the "
+                "persisted weight registry"
+            )
+            return real(
+                feats, dim, iters, lr_div, precond, w_init=w_init
+            )
+
+        monkeypatch.setattr(ML, "logreg_train_supersteps", guarded)
+        out = L.l71_incremental_classifier_update(spark, SF)
+        assert out.count() > 0
+
+    def test_increment_featurization_is_predicate_pushed(
+        self, spark, tmp_path
+    ):
+        """Every documents scan in the day-2 featurization plan must
+        carry the pushed increment predicate — day-1 text is never
+        re-featurized (the l31/l66 no-rescan discipline)."""
+        import io
+        import os
+        import shutil
+        from contextlib import redirect_stdout
+
+        from datafusion_cyberpolka_eda_spark.registry.llm import (
+            _qc_train_feats,
+        )
+
+        # read a COPY of the parquet: the module fixture caches the
+        # catalog's documents DataFrame, and Spark substitutes cached
+        # subtrees by plan match, which would replace the scan (and its
+        # pushed filters) with the cache's unfiltered original plan
+        src = f"{SF}/documents.parquet"
+        dst = str(tmp_path / "documents.parquet")
+        if os.path.isdir(src):
+            shutil.copytree(src, dst)
+        else:
+            shutil.copy(src, dst)
+        docs = spark.read.parquet(dst)
+        max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+        cutoff = int(0.8 * (max_id + 1))
+        feats = _qc_train_feats(
+            docs.filter(F.col("doc_id") >= cutoff), checkpoint=False
+        )
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            feats.explain(mode="formatted")
+        plan = buf.getvalue()
+        blocks = [b for b in plan.split("\n\n") if "documents.parquet" in b]
+        assert blocks, "expected documents scans in the featurization plan"
+        for b in blocks:
+            assert f"GreaterThanOrEqual(doc_id,{cutoff})" in b, (
+                "documents scan without the pushed increment filter — "
+                "day-1 text would be re-featurized:\n" + b
+            )
+
+    def test_measured_gate_on_increment(self, spark):
+        """MEASURED (not pinned): the continued model catches every
+        planted twin in the increment with zero clean-row loss."""
+        from datafusion_cyberpolka_eda_spark.registry.llm import (
+            l71_incremental_classifier_update,
+        )
+
+        agg = (
+            l71_incremental_classifier_update(spark, SF)
+            .agg(
+                F.sum("n_corrupt").alias("c"),
+                F.sum("n_caught").alias("k"),
+                F.sum("n_false_pos").alias("fp"),
+            )
+            .collect()[0]
+        )
+        assert agg["c"] > 0
+        assert agg["k"] == agg["c"]
+        assert agg["fp"] == 0
