@@ -594,3 +594,47 @@ def j20_stream_asset_ingest_dedup(
         scratch,
         cutoff,
     )
+
+
+def _j21_oracle() -> str:
+    # streaming epochs with the frozen model must reproduce the one-shot
+    # batch deployment — l70's training-replay + scoring oracle, verbatim
+    from datafusion_cyberpolka_eda_spark.registry.llm import _l70_oracle
+
+    return _l70_oracle()
+
+
+@register("j21_stream_model_filter", _j21_oracle())
+def j21_stream_model_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MODEL-BASED quality filter — j16's rule gate upgraded to
+    the trained classifier a modern pipeline deploys at the front door:
+    documents arrive as 3 forced micro-batches and each epoch scores its
+    batch with the FROZEN l64 weights (one literal-weight JVM expression
+    — the same _qc_keep_expr the batch filter l70 compiles, so both
+    surfaces score byte-identically), appending per-doc keep decisions
+    epoch-keyed. The per-source retention rollup is value-hash-checked
+    against l70's oracle: training replay + batch deployment over the
+    whole corpus — no doc lost, duplicated, or mis-scored across epochs.
+
+    Scale shape: per-epoch cost is one map pass over the batch; the
+    model trains once per session (weight memo) and never retrains in
+    the hot path."""
+    import os as _os
+
+    from datafusion_cyberpolka_eda_spark.registry.llm import (
+        _qc_keep_expr,
+        _qc_weights,
+    )
+    from datafusion_cyberpolka_eda_spark.sources.catalog import load_table
+    from datafusion_cyberpolka_eda_spark.streaming.documents import (
+        stream_model_filter,
+    )
+
+    w = _qc_weights(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    scratch = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+        ".scratch",
+        f"j21_{_os.path.basename(_os.path.normpath(sf_dir)).replace('.', '_')}",
+    )
+    return stream_model_filter(spark, docs, _qc_keep_expr(w), scratch)

@@ -3186,6 +3186,23 @@ def l64_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---- model-based corpus filter pipeline (l70): l64 deployed ----
 
+def _qc_keep_expr(w: list[int]) -> F.Column:
+    """The deployment keep-gate over a `text` column: z = w . x(text) < 0
+    with the trained quantized weights entering as LITERALS — one
+    map-side expression, no join, no shuffle. Shared by the batch filter
+    (l70) and the streaming ingest filter (j21), so both surfaces score
+    with byte-identical arithmetic."""
+    z = F.aggregate(
+        F.zip_with(
+            _qc_x(F.col("text")),
+            F.array(*[F.lit(int(c)).cast("long") for c in w]),
+            lambda xv, wv: xv * wv,
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return z < 0
+
 def _l70_oracle(iters: int = QC_ITERS) -> str:
     """Training replay (the l64 CTE body) + DEPLOYMENT: score only the
     real corpus rows (label-0), keep docs the classifier does NOT flag,
@@ -3238,19 +3255,10 @@ def l70_model_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     w = _qc_weights(spark, sf_dir)
     toks = F.split(F.col("text"), " ")
-    z = F.aggregate(
-        F.zip_with(
-            _qc_x(F.col("text")),
-            F.array(*[F.lit(int(c)).cast("long") for c in w]),
-            lambda xv, wv: xv * wv,
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
     scored = spread(docs).select(
         "source",
         F.size(toks).cast("long").alias("nt"),
-        (z < 0).alias("keep"),
+        _qc_keep_expr(w).alias("keep"),
     )
     return (
         scored.groupBy("source")

@@ -252,6 +252,77 @@ def stream_quality_routing(
     )
 
 
+def stream_model_filter(
+    spark: SparkSession,
+    docs: DataFrame,
+    keep: "F.Column",
+    scratch_dir: str,
+    n_files: int = 3,
+) -> DataFrame:
+    """Streaming MODEL-BASED corpus filter — the deployment surface of
+    the trained quality classifier at the ingest front door: documents
+    arrive as micro-batches (maxFilesPerTrigger=1 over ``n_files`` files)
+    and each epoch scores its batch with the FROZEN quantized weights
+    (``keep`` is a pure literal-weight expression over the text column —
+    JVM-side, no Python, no join) and appends per-doc keep decisions
+    epoch-keyed (idempotent under foreachBatch replay). The returned
+    per-source retention rollup must equal the batch deployment of the
+    same model over the whole corpus (l70's oracle) — no doc lost,
+    duplicated, or mis-scored across epochs.
+
+    This is the j16 rule-based gate upgraded to the model-based filter a
+    FineWeb-Edu/DCLM-style pipeline actually ships: train once (l64),
+    persist, score every arriving batch with literals. At 100 TB each
+    epoch's cost is one map pass over its own batch; the model never
+    re-trains in the hot path and the rollup is a bounded per-source
+    aggregate."""
+    src_dir = os.path.join(scratch_dir, "docs_src")
+    out_dir = os.path.join(scratch_dir, "scored")
+    for d in (src_dir, out_dir):
+        shutil.rmtree(d, ignore_errors=True)
+
+    slim = docs.select("doc_id", "source", "text")
+    slim.repartitionByRange(n_files, "doc_id").write.parquet(src_dir)
+    scored_schema = "doc_id bigint, source string, nt bigint, keep boolean"
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        eid = int(epoch_id)
+        scored = batch_df.select(
+            "doc_id",
+            "source",
+            F.size(F.split(F.col("text"), " ")).cast("bigint").alias("nt"),
+            keep.alias("keep"),
+        )
+        scored.write.mode("overwrite").parquet(_epoch_dir(out_dir, eid))
+
+    q = stream.writeStream.foreachBatch(_deliver(handle)).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = _read_epochs(spark, out_dir, scored_schema)
+    return rows.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("keep").cast("int")).cast("bigint").alias("n_kept"),
+        F.sum("nt").cast("bigint").alias("total_tokens"),
+        F.sum(F.when(F.col("keep"), F.col("nt")).otherwise(0))
+        .cast("bigint")
+        .alias("kept_tokens"),
+        F.round(
+            F.sum(F.col("keep").cast("int")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("keep_rate"),
+    )
+
+
 def stream_takedown(
     spark: SparkSession,
     requests: DataFrame,

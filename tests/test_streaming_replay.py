@@ -204,3 +204,45 @@ class TestAssetIngestReplay:
         assert streamed.count() == streamed.select(
             "id_a", "id_b"
         ).distinct().count()
+
+    def test_model_filter_replay(
+        self, spark, sf_dir, tmp_path, replay_every_epoch
+    ):
+        """j21: every epoch delivered twice must still reproduce the
+        one-shot batch deployment of the same frozen weights."""
+        from datafusion_cyberpolka_eda_spark.registry.llm import (
+            _qc_keep_expr,
+            _qc_weights,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        w = _qc_weights(spark, sf_dir)
+        streamed = SD.stream_model_filter(
+            spark, docs, _qc_keep_expr(w), str(tmp_path / "scratch")
+        )
+        batch = (
+            docs.select(
+                "source",
+                F.size(F.split(F.col("text"), " "))
+                .cast("bigint")
+                .alias("nt"),
+                _qc_keep_expr(w).alias("keep"),
+            )
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.col("keep").cast("int"))
+                .cast("bigint")
+                .alias("n_kept"),
+                F.sum("nt").cast("bigint").alias("total_tokens"),
+                F.sum(F.when(F.col("keep"), F.col("nt")).otherwise(0))
+                .cast("bigint")
+                .alias("kept_tokens"),
+                F.round(
+                    F.sum(F.col("keep").cast("int")).cast("double")
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("keep_rate"),
+            )
+        )
+        assert _rows(streamed) == _rows(batch)
