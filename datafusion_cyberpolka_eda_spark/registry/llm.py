@@ -3478,6 +3478,148 @@ def l71_incremental_classifier_update(
     )
 
 
+# ---- DSIR-style importance-weighted data selection (l72) ----
+
+DSIR_BUCKETS = 256  # hashed bigram feature buckets
+DSIR_SCALE = 1_000_000  # quantization scale for the bucket ratio scores
+
+
+def _l72_oracle() -> str:
+    from datafusion_cyberpolka_eda_spark.functions.hashing import (
+        md5_hash64_sql,
+    )
+
+    h = md5_hash64_sql("w[i] || ' ' || w[i+1]")
+    return f"""
+    WITH t AS (
+      SELECT doc_id, source, lang, string_split(text, ' ') AS w
+      FROM documents
+    ),
+    g AS MATERIALIZED (
+      SELECT doc_id, {h} % {DSIR_BUCKETS} AS bkt
+      FROM t, LATERAL (
+        SELECT unnest(generate_series(1, len(w) - 1)) AS i) s
+    ),
+    st AS (
+      SELECT bkt, COUNT(*) AS cr,
+             SUM(CASE WHEN doc_id % 11 = 3 THEN 1 ELSE 0 END) AS ct
+      FROM g GROUP BY bkt
+    ),
+    sc AS (
+      SELECT bkt,
+             CAST(FLOOR(CAST((ct + 1) * {DSIR_SCALE} AS DOUBLE)
+                        / (cr + 1)) AS BIGINT) AS s
+      FROM st
+    ),
+    d AS (
+      SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             SUM(sc.s) AS tot
+      FROM g JOIN sc USING (bkt) GROUP BY g.doc_id
+    )
+    SELECT t.doc_id, t.source, t.lang, d.n_bigrams,
+           CAST(FLOOR(CAST(d.tot AS DOUBLE) / d.n_bigrams) AS BIGINT)
+             AS dsir_weight
+    FROM d JOIN t ON t.doc_id = d.doc_id
+    ORDER BY dsir_weight DESC, t.doc_id LIMIT 20
+    """
+
+
+@register("l72_dsir_selection", _l72_oracle())
+def l72_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance-weighted data selection (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling") —
+    the remaining published selection recipe the quality stack lacked:
+    score every corpus doc by how much its hashed n-gram distribution
+    looks like a TARGET domain sample relative to the raw corpus, then
+    take the highest-importance docs.
+
+      features : token bigrams hashed into {DSIR_BUCKETS} buckets with
+                 the portable md5 hash (functions/hashing.py), so the
+                 whole feature pipeline is oracle-checkable;
+      target   : docs with doc_id % 11 == 3 — the deterministic
+                 stand-in for the "high-quality seed set" a real run
+                 would pass in (Wikipedia/books in the paper);
+      score    : per bucket, the add-one-smoothed target/raw frequency
+                 ratio quantized to exact int64 at scale 1e6 — one
+                 correctly-rounded IEEE division + floor (the repo's
+                 cross-engine determinism recipe; the paper's log-ratio
+                 is replaced by the monotone quantized ratio so the
+                 result is bit-reproducible in both engines);
+      weight   : per doc, floor(mean bucket score over its bigrams) —
+                 length-normalized so long docs don't win by volume;
+      output   : deterministic top-20 by (weight DESC, doc_id) — the
+                 selection head of the importance-resampling step.
+
+    Scale shape: ONE bigram explode feeding ONE groupBy for both corpus
+    and target counts (target counts are a conditional aggregate, not a
+    second scan); the {DSIR_BUCKETS}-row score table is broadcast back
+    onto the exploded bigrams (map-side join); the final head is
+    TakeOrdered (no global sort materialization). At 100 TB the explode
+    dominates and everything downstream is bounded by the bucket count.
+    Ref anchor: SURVEY §2 L quality family; l13 tfidf (contrast-scoring
+    sibling), l22/l47 (the samplers this feeds)."""
+    from datafusion_cyberpolka_eda_spark.functions.hashing import md5_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = (
+        spread(docs)
+        .select("doc_id", F.explode(bigrams).alias("bg"))
+        .select(
+            "doc_id",
+            F.pmod(md5_hash64("bg"), F.lit(DSIR_BUCKETS).cast("long")).alias(
+                "bkt"
+            ),
+        )
+        .localCheckpoint(eager=True)  # the explode feeds two passes
+    )
+    st = bg.groupBy("bkt").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum((F.col("doc_id") % 11 == 3).cast("long")).alias("ct"),
+    )
+    sc = st.select(
+        "bkt",
+        F.floor(
+            ((F.col("ct") + 1) * F.lit(DSIR_SCALE)).cast("double")
+            / (F.col("cr") + 1)
+        )
+        .cast("long")
+        .alias("s"),
+    )
+    d = (
+        bg.join(F.broadcast(sc), "bkt")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("s").alias("tot"),
+        )
+    )
+    return (
+        d.join(docs.select("doc_id", "source", "lang"), "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            "n_bigrams",
+            F.floor(F.col("tot").cast("double") / F.col("n_bigrams"))
+            .cast("bigint")
+            .alias("dsir_weight"),
+        )
+        .orderBy(F.desc("dsir_weight"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
 # ---- re-export facade (r10 split): every name that moved to a
 # family module stays importable from registry.llm so external
 # importers (registry/events.py, streaming, tests, tools) are

@@ -1522,3 +1522,58 @@ class TestIncrementalClassifierUpdate:
         assert agg["c"] > 0
         assert agg["k"] == agg["c"]
         assert agg["fp"] == 0
+
+
+class TestDsirSelection:
+    """r10: DSIR-style hashed-bigram importance selection (l72)."""
+
+    def test_selection_enriches_target_distribution(self, spark):
+        """MEASURED: the top-20 selected docs must be enriched in the
+        target slice (doc_id % 11 == 3) far beyond its 1/11 base rate —
+        the property the importance weighting exists to deliver."""
+        from datafusion_cyberpolka_eda_spark.registry.llm import (
+            l72_dsir_selection,
+        )
+
+        rows = l72_dsir_selection(spark, SF).collect()
+        assert len(rows) == 20
+        frac = sum(1 for r in rows if r["doc_id"] % 11 == 3) / len(rows)
+        assert frac > 3 / 11, (
+            f"target fraction {frac:.2f} in the selection head is not "
+            "enriched over the 1/11 base rate"
+        )
+
+    def test_short_docs_yield_no_bigrams(self, spark):
+        """A single-token doc has no bigram features and must simply be
+        absent from the scored set (not crash, not score 0)."""
+        import pandas as pd
+
+        from datafusion_cyberpolka_eda_spark.functions.hashing import (
+            md5_hash64,
+        )
+        from datafusion_cyberpolka_eda_spark.registry.llm import (
+            DSIR_BUCKETS,
+        )
+
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1, 2], "text": ["solo", "two words"]})
+        )
+        toks = F.split(F.col("text"), " ")
+        n = F.size(toks)
+        bigrams = F.when(
+            n >= 2,
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        bg = df.select("doc_id", F.explode(bigrams).alias("bg")).select(
+            "doc_id",
+            F.pmod(md5_hash64("bg"), F.lit(DSIR_BUCKETS).cast("long")).alias(
+                "bkt"
+            ),
+        )
+        got = {r["doc_id"] for r in bg.collect()}
+        assert got == {2}
