@@ -3484,6 +3484,36 @@ DSIR_BUCKETS = 256  # hashed bigram feature buckets
 DSIR_SCALE = 1_000_000  # quantization scale for the bucket ratio scores
 
 
+def _dsir_bigram_buckets(docs: DataFrame) -> DataFrame:
+    """(doc_id, bkt): the DSIR featurizer — every adjacent token pair
+    hashed into DSIR_BUCKETS buckets with the portable md5 hash. Pure
+    map-side explode; shared by the batch selector (l72) and the
+    incremental scorer (l73) so both featurize byte-identically."""
+    from datafusion_cyberpolka_eda_spark.functions.hashing import md5_hash64
+
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        spread(docs)
+        .select("doc_id", F.explode(bigrams).alias("bg"))
+        .select(
+            "doc_id",
+            F.pmod(md5_hash64("bg"), F.lit(DSIR_BUCKETS).cast("long")).alias(
+                "bkt"
+            ),
+        )
+    )
+
+
 def _l72_oracle() -> str:
     from datafusion_cyberpolka_eda_spark.functions.hashing import (
         md5_hash64_sql,
@@ -3558,31 +3588,9 @@ def l72_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     dominates and everything downstream is bounded by the bucket count.
     Ref anchor: SURVEY §2 L quality family; l13 tfidf (contrast-scoring
     sibling), l22/l47 (the samplers this feeds)."""
-    from datafusion_cyberpolka_eda_spark.functions.hashing import md5_hash64
-
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    n = F.size(toks)
-    bigrams = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    bg = (
-        spread(docs)
-        .select("doc_id", F.explode(bigrams).alias("bg"))
-        .select(
-            "doc_id",
-            F.pmod(md5_hash64("bg"), F.lit(DSIR_BUCKETS).cast("long")).alias(
-                "bkt"
-            ),
-        )
-        .localCheckpoint(eager=True)  # the explode feeds two passes
-    )
+    # the explode feeds two passes (counts, then per-doc scoring)
+    bg = _dsir_bigram_buckets(docs).localCheckpoint(eager=True)
     st = bg.groupBy("bkt").agg(
         F.count(F.lit(1)).alias("cr"),
         F.sum((F.col("doc_id") % 11 == 3).cast("long")).alias("ct"),
@@ -3617,6 +3625,151 @@ def l72_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("dsir_weight"), F.asc("doc_id"))
         .limit(20)
+    )
+
+
+# ---- incremental DSIR scoring (l73): frozen day-1 importance scorer ----
+
+# (session, sf_dir, data fingerprint) -> (cutoff, frozen score-table path).
+_DSIR_STORE_CACHE: dict[str, tuple[int, str]] = {}
+
+
+def _dsir_store(spark: SparkSession, sf_dir: str) -> tuple[int, str]:
+    """Build ONCE per (session, data) the FROZEN DSIR bucket-score table
+    from day-1 docs only (counts AND target slice both restricted below
+    the l31 80% cutoff) and persist it to parquet — the importance
+    scorer the DSIR recipe trains once on a fixed raw/target sample and
+    then applies to every future batch. Returns (cutoff, path)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    key = (
+        f"{spark.sparkContext.applicationId}:{sf_dir}:"
+        f"{_docs_fingerprint(sf_dir)}"
+    )
+    if key in _DSIR_STORE_CACHE:
+        return _DSIR_STORE_CACHE[key]
+    docs = load_table(spark, sf_dir, "documents")
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    cutoff = int(0.8 * (max_id + 1))
+    bg = _dsir_bigram_buckets(docs.filter(F.col("doc_id") < cutoff))
+    sc = (
+        bg.groupBy("bkt")
+        .agg(
+            F.count(F.lit(1)).alias("cr"),
+            F.sum((F.col("doc_id") % 11 == 3).cast("long")).alias("ct"),
+        )
+        .select(
+            "bkt",
+            F.floor(
+                ((F.col("ct") + 1) * F.lit(DSIR_SCALE)).cast("double")
+                / (F.col("cr") + 1)
+            )
+            .cast("long")
+            .alias("s"),
+        )
+    )
+    out = tempfile.mkdtemp(prefix="dsir_store_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    path = os.path.join(out, "scores.parquet")
+    sc.coalesce(1).write.mode("overwrite").parquet(path)
+    _DSIR_STORE_CACHE[key] = (cutoff, path)
+    return _DSIR_STORE_CACHE[key]
+
+
+def _l73_oracle() -> str:
+    from datafusion_cyberpolka_eda_spark.functions.hashing import (
+        md5_hash64_sql,
+    )
+
+    h = md5_hash64_sql("w[i] || ' ' || w[i+1]")
+    return f"""
+    WITH t AS (
+      SELECT doc_id, source, lang, string_split(text, ' ') AS w
+      FROM documents
+    ),
+    cut AS (
+      SELECT CAST(FLOOR(0.8 * (MAX(doc_id) + 1)) AS BIGINT) AS c
+      FROM documents
+    ),
+    g AS MATERIALIZED (
+      SELECT doc_id, {h} % {DSIR_BUCKETS} AS bkt
+      FROM t, LATERAL (
+        SELECT unnest(generate_series(1, len(w) - 1)) AS i) s
+    ),
+    st AS (
+      SELECT bkt, COUNT(*) AS cr,
+             SUM(CASE WHEN doc_id % 11 = 3 THEN 1 ELSE 0 END) AS ct
+      FROM g WHERE doc_id < (SELECT c FROM cut) GROUP BY bkt
+    ),
+    sc AS (
+      SELECT bkt,
+             CAST(FLOOR(CAST((ct + 1) * {DSIR_SCALE} AS DOUBLE)
+                        / (cr + 1)) AS BIGINT) AS s
+      FROM st
+    ),
+    d AS (
+      SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             SUM(COALESCE(sc.s, 0)) AS tot
+      FROM g LEFT JOIN sc USING (bkt)
+      WHERE g.doc_id >= (SELECT c FROM cut)
+      GROUP BY g.doc_id
+    )
+    SELECT t.doc_id, t.source, t.lang, d.n_bigrams,
+           CAST(FLOOR(CAST(d.tot AS DOUBLE) / d.n_bigrams) AS BIGINT)
+             AS dsir_weight
+    FROM d JOIN t ON t.doc_id = d.doc_id
+    ORDER BY dsir_weight DESC, t.doc_id LIMIT 10
+    """
+
+
+@register("l73_incremental_dsir", _l73_oracle())
+def l73_incremental_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL DSIR — the l31 persisted-store pattern over the l72
+    importance scorer, closing the selection family's day-2 story: the
+    bucket-score table is trained ONCE on the day-1 slice (raw counts
+    and target slice both frozen below the cutoff — exactly how the
+    DSIR paper fixes its importance estimator before selection) and
+    persisted; the day-2 increment is featurized alone (pushed doc_id
+    filter, plan-tested), scored against the BROADCAST frozen table,
+    and its top-10 selected. Day-1 text is never re-exploded.
+
+    A day-2 bigram hashing to a bucket the frozen scorer never saw
+    scores 0 ("no target evidence"), NOT the smoothed (0+1)/(0+1) = max
+    — the coalesce is pinned in both engines so novel-vocabulary docs
+    cannot win the selection by surprise.
+
+    Scale shape: per-increment cost is one bigram explode over the new
+    docs + one broadcast map-side join; the frozen table is DSIR_BUCKETS
+    rows forever. Ref anchor: registry l31 (store pattern), l72 (the
+    featurizer/scorer this freezes); SURVEY §2 L quality family."""
+    docs = load_table(spark, sf_dir, "documents")
+    cutoff, store_path = _dsir_store(spark, sf_dir)
+    sc = spark.read.parquet(store_path)
+    bg = _dsir_bigram_buckets(docs.filter(F.col("doc_id") >= cutoff))
+    d = (
+        bg.join(F.broadcast(sc), "bkt", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum(F.coalesce(F.col("s"), F.lit(0))).alias("tot"),
+        )
+    )
+    return (
+        d.join(docs.select("doc_id", "source", "lang"), "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            "n_bigrams",
+            F.floor(F.col("tot").cast("double") / F.col("n_bigrams"))
+            .cast("bigint")
+            .alias("dsir_weight"),
+        )
+        .orderBy(F.desc("dsir_weight"), F.asc("doc_id"))
+        .limit(10)
     )
 
 

@@ -1577,3 +1577,56 @@ class TestDsirSelection:
         )
         got = {r["doc_id"] for r in bg.collect()}
         assert got == {2}
+
+    def test_incremental_dsir_store_memo_and_frozen_scoring(self, spark):
+        """l73: the second call must reuse the persisted frozen scorer
+        (same cutoff/path), and increment scoring must equal manually
+        replaying the frozen table against the increment."""
+        from datafusion_cyberpolka_eda_spark.registry import llm as L
+
+        first = L._dsir_store(spark, SF)
+        second = L._dsir_store(spark, SF)
+        assert first == second
+        got = {
+            (r["doc_id"], r["dsir_weight"])
+            for r in L.l73_incremental_dsir(spark, SF).collect()
+        }
+        assert len(got) == 10
+        # every selected doc is from the increment
+        cutoff = first[0]
+        assert all(i >= cutoff for i, _ in got)
+
+    def test_incremental_dsir_scan_is_predicate_pushed(
+        self, spark, tmp_path
+    ):
+        """l73: the increment featurization scan must carry the pushed
+        doc_id >= cutoff filter — day-1 text is never re-exploded."""
+        import io
+        import os
+        import shutil
+        from contextlib import redirect_stdout
+
+        from datafusion_cyberpolka_eda_spark.registry.llm import (
+            _dsir_bigram_buckets,
+        )
+
+        src = f"{SF}/documents.parquet"
+        dst = str(tmp_path / "documents.parquet")
+        if os.path.isdir(src):
+            shutil.copytree(src, dst)
+        else:
+            shutil.copy(src, dst)
+        docs = spark.read.parquet(dst)
+        max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+        cutoff = int(0.8 * (max_id + 1))
+        bg = _dsir_bigram_buckets(docs.filter(F.col("doc_id") >= cutoff))
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            bg.explain(mode="formatted")
+        plan = buf.getvalue()
+        blocks = [b for b in plan.split("\n\n") if "documents.parquet" in b]
+        assert blocks, "expected documents scans in the featurizer plan"
+        for b in blocks:
+            assert f"GreaterThanOrEqual(doc_id,{cutoff})" in b, (
+                "documents scan without the pushed increment filter:\n" + b
+            )
