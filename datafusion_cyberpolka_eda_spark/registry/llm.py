@@ -3773,6 +3773,159 @@ def l73_incremental_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- duplicated-span SCRUB (l74): l43's signal turned into the edit ----
+
+DUP_SCRUB_K = 8  # gram width (the l43 convention)
+DUP_SCRUB_HMOD = 1_000_000  # checksum hash modulus (keeps int64 headroom)
+
+
+def _l74_oracle(k: int = DUP_SCRUB_K) -> str:
+    from datafusion_cyberpolka_eda_spark.functions.hashing import (
+        md5_hash64_sql,
+    )
+
+    gram = " || ' ' || ".join(f"w[i+{j}]" for j in range(k))
+    h = md5_hash64_sql("tk")
+    return f"""
+    WITH t AS (
+      SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+    ),
+    tok AS MATERIALIZED (
+      SELECT doc_id, i - 1 AS pos, w[i] AS tk
+      FROM t, LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) s
+    ),
+    g AS MATERIALIZED (
+      SELECT doc_id, i - 1 AS gpos, {gram} AS gram
+      FROM t, LATERAL (
+        SELECT unnest(generate_series(1, len(w) - {k - 1})) AS i) s
+    ),
+    dup AS (
+      SELECT gram, MIN(doc_id) AS canon FROM g
+      GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    rem AS (
+      SELECT DISTINCT g.doc_id, g.gpos + j AS pos
+      FROM g JOIN dup USING (gram),
+           LATERAL (SELECT unnest(generate_series(0, {k - 1})) AS j) s2
+      WHERE g.doc_id <> dup.canon
+    ),
+    kept AS (
+      SELECT tok.doc_id, tok.pos, tok.tk
+      FROM tok LEFT JOIN rem
+        ON rem.doc_id = tok.doc_id AND rem.pos = tok.pos
+      WHERE rem.pos IS NULL
+    ),
+    per AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             CAST(SUM((pos + 1) * ({h} % {DUP_SCRUB_HMOD})) AS BIGINT)
+               AS checksum
+      FROM kept GROUP BY doc_id
+    ),
+    alldocs AS (
+      SELECT t.doc_id, t.source, CAST(len(t.w) AS BIGINT) AS n_tokens,
+             COALESCE(p.n_kept, 0) AS n_kept,
+             COALESCE(p.checksum, 0) AS checksum
+      FROM t LEFT JOIN per p ON p.doc_id = t.doc_id
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_tokens - n_kept) AS BIGINT) AS removed_tokens,
+           CAST(SUM(n_kept) AS BIGINT) AS kept_tokens,
+           ROUND(CAST(SUM(n_tokens - n_kept) AS DOUBLE) / SUM(n_tokens), 6)
+             AS removal_rate,
+           CAST(SUM(checksum) AS BIGINT) AS kept_checksum
+    FROM alldocs GROUP BY source
+    """
+
+
+@register("l74_dup_span_scrub", _l74_oracle())
+def l74_dup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span SCRUB — l43's measurement turned into the actual
+    corpus edit (Lee et al.'s exact-substring dedup at gram granularity,
+    the published step after detection): every token position covered by
+    a cross-document duplicated 8-gram OCCURRENCE is removed, EXCEPT in
+    the gram's canonical document (min doc_id) — one copy of every
+    duplicated passage survives, which is the paper's "keep one
+    occurrence" rule made deterministic.
+
+    The per-source report carries kept/removed token masses AND an exact
+    integer checksum of the surviving (position, token-hash) pairs — so
+    the oracle pins WHICH tokens survived at WHICH positions, not just
+    how many; a scrub that dropped the wrong copy would hash-mismatch
+    even with identical counts.
+
+    Scale shape: one token posexplode + one gram posexplode (both
+    map-side slice-zips); ONE groupBy(gram) finds duplicated grams and
+    their canonical docs; only non-canonical duplicated occurrences
+    explode their k positions (bounded by dup volume, not corpus size);
+    the kept set is an anti-join on (doc_id, pos). At 100 TB hash grams
+    to 64-bit before the groupBy (the l13/l43 note) and the anti-join
+    shuffles fixed-width keys. Ref anchor: registry l43
+    dup_span_doc_coverage; SURVEY §2 L dedup family."""
+    from datafusion_cyberpolka_eda_spark.functions.hashing import md5_hash64
+
+    k = DUP_SCRUB_K
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tk")
+    )
+    g = docs.select(
+        "doc_id", F.posexplode(T.shingles("text", k)).alias("gpos", "gram")
+    )
+    dup = (
+        g.groupBy("gram")
+        .agg(
+            F.countDistinct("doc_id").alias("nd"),
+            F.min("doc_id").alias("canon"),
+        )
+        .filter(F.col("nd") >= 2)
+        .select("gram", "canon")
+    )
+    rem = (
+        g.join(dup, "gram")
+        .filter(F.col("doc_id") != F.col("canon"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("gpos"), F.col("gpos") + F.lit(k - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = tok.join(rem, ["doc_id", "pos"], "anti")
+    per = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.sum(
+            (F.col("pos") + 1)
+            * F.pmod(md5_hash64("tk"), F.lit(DUP_SCRUB_HMOD).cast("long"))
+        )
+        .cast("bigint")
+        .alias("checksum"),
+    )
+    alldocs = base.join(per, "doc_id", "left").fillna(
+        0, ["n_kept", "checksum"]
+    )
+    return alldocs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum(F.col("n_tokens") - F.col("n_kept"))
+        .cast("bigint")
+        .alias("removed_tokens"),
+        F.sum("n_kept").cast("bigint").alias("kept_tokens"),
+        F.round(
+            F.sum(F.col("n_tokens") - F.col("n_kept")).cast("double")
+            / F.sum("n_tokens"),
+            6,
+        ).alias("removal_rate"),
+        F.sum("checksum").cast("bigint").alias("kept_checksum"),
+    )
+
+
 # ---- re-export facade (r10 split): every name that moved to a
 # family module stays importable from registry.llm so external
 # importers (registry/events.py, streaming, tests, tools) are

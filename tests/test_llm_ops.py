@@ -1630,3 +1630,73 @@ class TestDsirSelection:
             assert f"GreaterThanOrEqual(doc_id,{cutoff})" in b, (
                 "documents scan without the pushed increment filter:\n" + b
             )
+
+
+class TestDupSpanScrub:
+    """r10: duplicated-span scrub (l74) — canonical-keep semantics."""
+
+    def test_canonical_doc_keeps_span_others_lose_it(self, spark):
+        """Three docs share one 8-gram: the min-id doc keeps every
+        token; the other two lose exactly the 8 covered positions."""
+        import pandas as pd
+
+        from datafusion_cyberpolka_eda_spark.functions.hashing import (
+            md5_hash64,
+        )
+        from datafusion_cyberpolka_eda_spark.functions import text as T
+        from datafusion_cyberpolka_eda_spark.registry.llm import DUP_SCRUB_K
+
+        k = DUP_SCRUB_K
+        span = " ".join(f"s{i}" for i in range(k))
+        pdf = pd.DataFrame(
+            {
+                "doc_id": [5, 2, 9],
+                "source": ["a", "a", "b"],
+                "text": [
+                    f"x1 x2 {span} x3",   # non-canonical: loses the span
+                    f"y1 {span}",          # canonical (min doc_id): keeps all
+                    f"{span}",             # non-canonical: loses everything
+                ],
+            }
+        )
+        docs = spark.createDataFrame(pdf)
+        tok = docs.select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tk")
+        )
+        g = docs.select(
+            "doc_id",
+            F.posexplode(T.shingles("text", k)).alias("gpos", "gram"),
+        )
+        dup = (
+            g.groupBy("gram")
+            .agg(
+                F.countDistinct("doc_id").alias("nd"),
+                F.min("doc_id").alias("canon"),
+            )
+            .filter(F.col("nd") >= 2)
+            .select("gram", "canon")
+        )
+        rem = (
+            g.join(dup, "gram")
+            .filter(F.col("doc_id") != F.col("canon"))
+            .select(
+                "doc_id",
+                F.explode(
+                    F.sequence(F.col("gpos"), F.col("gpos") + F.lit(k - 1))
+                ).alias("pos"),
+            )
+            .distinct()
+        )
+        kept = tok.join(rem, ["doc_id", "pos"], "anti")
+        kept_by_doc = {}
+        for r in kept.collect():
+            kept_by_doc.setdefault(r["doc_id"], set()).add(
+                (r["pos"], r["tk"])
+            )
+        # doc 2 (canonical) keeps all k+1 tokens
+        assert len(kept_by_doc[2]) == k + 1
+        # doc 5 keeps only x1 x2 x3 (positions 0,1,k+2)
+        assert kept_by_doc[5] == {(0, "x1"), (1, "x2"), (k + 2, "x3")}
+        # doc 9 loses everything
+        assert 9 not in kept_by_doc
+        _ = md5_hash64  # checksum covered by the registry oracle
