@@ -3926,6 +3926,118 @@ def l74_dup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- classifier PR curve (l75): threshold sweep of the l64 model ----
+
+# decision thresholds on z in units of LOGREG_PSCALE: the trained model
+# puts planted twins around +4S while clean docs spread from about -1S
+# down past -64S (z scales with doc length), so the fixed literal grid
+# reaches deep into the negative range to expose the precision falloff
+# (data-independent literals, so the oracle replays the grid verbatim)
+QC_PR_THRESH = [-64, -32, -16, -8, -4, -1, 0, 2, 4, 8]
+
+
+def _l75_oracle(iters: int = QC_ITERS) -> str:
+    body, final = _l64_ctes(iters)
+    s = 1_000_000
+    vals = ", ".join(f"(CAST({t * s} AS BIGINT))" for t in QC_PR_THRESH)
+    return (
+        "WITH "
+        + body
+        + f""",
+    zf AS (SELECT fx.id, SUM(w.v * fx.v) AS z
+           FROM fx JOIN {final} w USING (j) GROUP BY fx.id),
+    scored AS (SELECT f.id, f.y, zf.z
+               FROM f JOIN zf ON zf.id = f.id),
+    grid(thr) AS (VALUES {vals})
+    SELECT g.thr,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN s.z >= g.thr THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged,
+           CAST(SUM(CASE WHEN s.y = 1 AND s.z >= g.thr THEN 1 ELSE 0 END)
+                AS BIGINT) AS tp,
+           CAST(SUM(CASE WHEN s.y = 0 AND s.z >= g.thr THEN 1 ELSE 0 END)
+                AS BIGINT) AS fp,
+           CAST(SUM(CASE WHEN s.y = 1 AND s.z < g.thr THEN 1 ELSE 0 END)
+                AS BIGINT) AS fn,
+           ROUND(CAST(SUM(CASE WHEN s.y = 1 AND s.z >= g.thr
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / GREATEST(SUM(CASE WHEN s.z >= g.thr THEN 1 ELSE 0 END),
+                            1), 6) AS precision_q,
+           ROUND(CAST(SUM(CASE WHEN s.y = 1 AND s.z >= g.thr
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / GREATEST(SUM(s.y), 1), 6) AS recall_q
+    FROM scored s CROSS JOIN grid g GROUP BY g.thr
+    """
+    )
+
+
+@register("l75_classifier_pr_curve", _l75_oracle())
+def l75_classifier_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier PR CURVE — the threshold sweep every deployed quality
+    filter needs before picking its operating point (l70/j21 ship z>=0;
+    this entry shows what every other cut would have done): the trained
+    l64 model scores the full labeled set ONCE, the fixed literal
+    threshold grid is exploded against each row map-side, and one
+    groupBy(threshold) emits confusion counts + precision/recall per
+    cut. Precision at an empty flag set is pinned to 0 via the
+    greatest(...,1) denominator — no NULL/NaN divergence between
+    engines.
+
+    Scale shape: one scoring map pass over the corpus, a 9x row
+    amplification of (y, z) pairs only (two longs — not text), one
+    bounded groupBy; output is |grid| rows forever. Ref anchor: l64
+    (the model), e24/e13 (the confusion-report convention); SURVEY §2 L
+    quality family."""
+    from datafusion_cyberpolka_eda_spark.operators.ml import LOGREG_PSCALE
+
+    docs = load_table(spark, sf_dir, "documents")
+    mx = docs.agg(F.max("doc_id")).first()[0]
+    if mx >= QC_TWIN_OFFSET:
+        raise ValueError(
+            f"max doc_id {mx} >= twin offset {QC_TWIN_OFFSET}: planted twin "
+            "ids would collide with corpus ids"
+        )
+    w = _qc_weights(spark, sf_dir)
+    feats = _qc_train_feats(docs)
+    z = F.aggregate(
+        F.zip_with(
+            "x",
+            F.array(*[F.lit(int(c)).cast("long") for c in w]),
+            lambda xv, wv: xv * wv,
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    s = LOGREG_PSCALE
+    grid = F.explode(
+        F.array(*[F.lit(t * s).cast("long") for t in QC_PR_THRESH])
+    )
+    sweep = feats.select(F.col("y"), z.alias("z")).select(
+        "y", "z", grid.alias("thr")
+    )
+    flagged = F.col("z") >= F.col("thr")
+    tp = ((F.col("y") == 1) & flagged).cast("int")
+    return sweep.groupBy("thr").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(flagged.cast("int")).cast("bigint").alias("n_flagged"),
+        F.sum(tp).cast("bigint").alias("tp"),
+        F.sum(((F.col("y") == 0) & flagged).cast("int"))
+        .cast("bigint")
+        .alias("fp"),
+        F.sum(((F.col("y") == 1) & ~flagged).cast("int"))
+        .cast("bigint")
+        .alias("fn"),
+        F.round(
+            F.sum(tp).cast("double")
+            / F.greatest(F.sum(flagged.cast("int")), F.lit(1)),
+            6,
+        ).alias("precision_q"),
+        F.round(
+            F.sum(tp).cast("double") / F.greatest(F.sum("y"), F.lit(1)), 6
+        ).alias("recall_q"),
+    )
+
+
 # ---- re-export facade (r10 split): every name that moved to a
 # family module stays importable from registry.llm so external
 # importers (registry/events.py, streaming, tests, tools) are

@@ -1700,3 +1700,33 @@ class TestDupSpanScrub:
         # doc 9 loses everything
         assert 9 not in kept_by_doc
         _ = md5_hash64  # checksum covered by the registry oracle
+
+
+class TestClassifierPrCurve:
+    """r10: threshold sweep of the trained quality classifier (l75)."""
+
+    def test_curve_is_monotone_and_ships_the_right_point(self, spark):
+        from datafusion_cyberpolka_eda_spark.registry.llm import (
+            l75_classifier_pr_curve,
+        )
+
+        rows = sorted(
+            l75_classifier_pr_curve(spark, SF).collect(),
+            key=lambda r: r["thr"],
+        )
+        # flagged count and recall are non-increasing in the threshold
+        for a, b in zip(rows, rows[1:]):
+            assert a["n_flagged"] >= b["n_flagged"]
+            assert a["recall_q"] >= b["recall_q"]
+        # every row's confusion counts are consistent
+        for r in rows:
+            assert r["tp"] + r["fp"] == r["n_flagged"]
+            assert r["tp"] + r["fn"] == rows[0]["tp"] + rows[0]["fn"]
+        # the shipped operating point (z >= 0, the l70/j21 gate) is
+        # perfect on the planted set at the test SF
+        at0 = next(r for r in rows if r["thr"] == 0)
+        assert at0["precision_q"] == 1.0
+        assert at0["recall_q"] == 1.0
+        # and the sweep actually exposes a tradeoff somewhere
+        assert any(r["precision_q"] < 1.0 for r in rows)
+        assert any(r["recall_q"] < 1.0 for r in rows)
