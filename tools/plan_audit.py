@@ -324,6 +324,25 @@ def main() -> int:
     check("l69_incremental_semdedup", absent=["CartesianProduct"])
     # model filter deployment: one literal-weight map pass + per-source agg
     check("l70_model_filter_pipeline", absent=["CartesianProduct", "SortMergeJoin"])
+    # incremental classifier update: warm-start supersteps are literal
+    # map passes; the lang join keys on id arithmetic — never all-pairs
+    check("l71_incremental_classifier_update", absent=["CartesianProduct"])
+    # DSIR: the 256-row score table must broadcast back onto the
+    # exploded bigrams — no shuffle of the bigram side, never all-pairs
+    check(
+        "l72_dsir_selection",
+        contains=["BroadcastHashJoin", "TakeOrderedAndProject"],
+        absent=["CartesianProduct"],
+    )
+    check(
+        "l73_incremental_dsir",
+        contains=["BroadcastHashJoin", "TakeOrderedAndProject"],
+        absent=["CartesianProduct"],
+    )
+    # dup-span scrub: gram groupBy + anti-join on fixed-width keys
+    check("l74_dup_span_scrub", absent=["CartesianProduct"])
+    # PR curve: one scoring pass + literal grid explode — no join at all
+    check("l75_classifier_pr_curve", absent=["CartesianProduct", "SortMergeJoin"])
 
     # incremental covariance: the increment scan must carry the pushed
     # vec_id >= cutoff predicate (day-1 vectors never re-read as vectors)
