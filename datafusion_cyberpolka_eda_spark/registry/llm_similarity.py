@@ -1761,150 +1761,14 @@ def l60_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEMDEDUP_TWIN_OFFSET = 1 << 23  # planted near-dup twin ids; vec_id domain-checked
 
 
-def _l65_oracle(k: int = 8, iters: int = 3) -> str:
-    """Unrolled MATERIALIZED-CTE replay of the full SemDeDup recipe:
-    the l59 Lloyd unroll over the EXTENDED vector set (corpus union
-    planted epsilon-twins), a final assignment pass, an in-cluster
-    exhaustive pair scan with the exact-integer cosine compare, and the
-    greedy keep-one-per-ball policy (pruned iff a smaller-id in-cluster
-    neighbor sits within the ball). Every intermediate is integer
-    except the floor(sum/count) centroid updates and the one threshold
-    compare per pair — the l59/l60 determinism recipe verbatim."""
-    ctes = [
-        f"""
-    eb AS MATERIALIZED (
-      SELECT vec_id, i - 1 AS i,
-             CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 100000.0) AS BIGINT)
-               AS q
-      FROM embeddings,
-           LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) s
-    ),
-    -- corpus + planted twins: component-wise +-3 deterministic noise,
-    -- same direction (cosine ~ 1 - 1e-9, far above tau); twin ids are
-    -- base + 2^23, matching the Spark constant
-    e AS MATERIALIZED (
-      SELECT vec_id, i, q FROM eb
-      UNION ALL
-      SELECT vec_id + {SEMDEDUP_TWIN_OFFSET}, i,
-             q + ((vec_id * 31 + i * 17) % 7 - 3)
-      FROM eb WHERE vec_id % 9 = 4
-    ),
-    seeds AS (
-      SELECT vec_id, rk - 1 AS j FROM (
-        SELECT vec_id, ROW_NUMBER() OVER (ORDER BY
-          ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
-          vec_id) AS rk
-        FROM (SELECT DISTINCT vec_id FROM e) ids) t WHERE rk <= {k}
-    ),
-    c0 AS MATERIALIZED (SELECT s.j, e.i, e.q AS c FROM seeds s JOIN e USING (vec_id))"""
-    ]
-    for t in range(1, iters + 1):
-        prev = f"c{t - 1}"
-        ctes.append(f"""
-    a{t} AS MATERIALIZED (
-      SELECT vec_id, j FROM (
-        SELECT d.vec_id, d.j,
-               ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY d.d, d.j)
-                 AS rk
-        FROM (SELECT e.vec_id, c.j, SUM((e.q - c.c) * (e.q - c.c)) AS d
-              FROM e JOIN {prev} c USING (i) GROUP BY e.vec_id, c.j) d) t
-      WHERE rk = 1
-    ),
-    c{t} AS MATERIALIZED (
-      SELECT b.j, b.i, COALESCE(u.c, b.c) AS c
-      FROM {prev} b LEFT JOIN (
-        SELECT a.j, e.i,
-               CAST(FLOOR(CAST(SUM(e.q) AS DOUBLE) / COUNT(*)) AS BIGINT)
-                 AS c
-        FROM a{t} a JOIN e ON e.vec_id = a.vec_id GROUP BY a.j, e.i) u
-      ON u.j = b.j AND u.i = b.i
-    )""")
-    final = f"c{iters}"
-    return (
-        "WITH "
-        + ",".join(ctes)
-        + f""",
-    fin AS MATERIALIZED (
-      SELECT vec_id, j FROM (
-        SELECT d.vec_id, d.j,
-               ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY d.d, d.j)
-                 AS rk
-        FROM (SELECT e.vec_id, c.j, SUM((e.q - c.c) * (e.q - c.c)) AS d
-              FROM e JOIN {final} c USING (i) GROUP BY e.vec_id, c.j) d) t
-      WHERE rk = 1
-    ),
-    n2 AS MATERIALIZED (SELECT vec_id, SUM(q * q) AS n2 FROM e GROUP BY vec_id),
-    -- in-cluster pairs only (the SemDeDup candidate rule), exact
-    -- integer dot, one IEEE threshold compare per pair
-    near AS (
-      SELECT d.id_a, d.id_b FROM (
-        SELECT f1.vec_id AS id_a, f2.vec_id AS id_b,
-               SUM(ea.q * eb2.q) AS dot
-        FROM fin f1 JOIN fin f2 ON f2.j = f1.j AND f2.vec_id > f1.vec_id
-        JOIN e ea ON ea.vec_id = f1.vec_id
-        JOIN e eb2 ON eb2.vec_id = f2.vec_id AND eb2.i = ea.i
-        GROUP BY f1.vec_id, f2.vec_id) d
-      JOIN n2 a ON a.vec_id = d.id_a
-      JOIN n2 b ON b.vec_id = d.id_b
-      WHERE d.dot > 0 AND CAST(d.dot AS DOUBLE) >=
-            0.999 * (SQRT(CAST(a.n2 AS DOUBLE)) * SQRT(CAST(b.n2 AS DOUBLE)))
-    ),
-    pruned AS (SELECT DISTINCT id_b AS vec_id FROM near),
-    members AS (
-      SELECT f.vec_id, f.j AS cluster, p.vec_id IS NULL AS is_kept
-      FROM fin f LEFT JOIN pruned p USING (vec_id)
-    ),
-    cs AS (SELECT cluster, COUNT(*) AS n_members,
-                  SUM(CASE WHEN is_kept THEN 0 ELSE 1 END) AS n_pruned
-           FROM members GROUP BY cluster)
-    SELECT m.vec_id, CAST(m.cluster AS BIGINT) AS cluster,
-           m.vec_id >= {SEMDEDUP_TWIN_OFFSET} AS is_twin, m.is_kept,
-           CAST(cs.n_members AS BIGINT) AS n_members,
-           CAST(cs.n_pruned AS BIGINT) AS n_pruned
-    FROM members m JOIN cs USING (cluster)
-    """
-    )
-
-
-@register("l65_semdedup", _l65_oracle(8, 3))
-def l65_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup — embedding-level corpus pruning over k-means cluster
-    buckets (r9 verdict task 2; the published recipe: cluster the
-    corpus, then keep one document per epsilon-ball WITHIN each
-    cluster). Composes the two pieces the repo already proves out
-    separately: l59's integer-exact distributed Lloyd trainer
-    (similarity.lloyd_kmeans_q on the extended vector set) and the
-    l60-style exact integer cosine verify.
-
-      corpus    : quantized embeddings UNION planted epsilon-twins
-                  (vec_id % 9 == 4 -> twin id = vec_id + 2^23 with
-                  component-wise +-3 deterministic noise — cosine
-                  ~ 1-1e-9 vs base, so twin recall is structural);
-      clusters  : Lloyd k=8 x 3 supersteps over the extended set, then
-                  one exact-argmin assignment pass (lloyd_assign_q);
-      candidates: same-cluster pairs ONLY — candidate volume is
-                  sum(cluster_size^2), never corpus^2, and the
-                  inertia/balance l59 measures is exactly what bounds
-                  it;
-      prune     : exact int64 dot/norms, near iff dot > 0 and
-                  dot >= 0.999 * sqrt(na) * sqrt(nb) (one identical
-                  IEEE compare per pair); greedy keep-one-per-ball =
-                  drop any vector with a smaller-id in-cluster
-                  neighbor within the ball (the l29 min-id survivor
-                  policy, fully relational — no recursion).
-
-    Output: one row per vector (vec_id, cluster, is_twin, is_kept)
-    joined with per-cluster (n_members, n_pruned) — pruning recall is a
-    MEASURED column set, not a pinned boolean. The oracle replays the
-    entire recipe: Lloyd unroll over the extended set, assignment,
-    exhaustive in-cluster pair scan, and the keep policy.
-
-    Scale shape: training is O(k*dim) communication per superstep;
-    assignment is one literal-expression map pass; the pair stage
-    shuffles on the cluster key and carries the quantized vectors once
-    (at 100 TB: repartition by cluster, compute dots within partitions,
-    AQE skew-split for fat clusters). Ref anchor: similarity.py
-    lloyd_kmeans_q; registry l59/l60/l29."""
+def _semdedup_members_near(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The shared SemDeDup substrate of l65 (report) and l76 (takedown):
+    trains Lloyd over corpus+twins, assigns, scans in-cluster pairs with
+    the exact-integer cosine, and applies the min-id keep policy.
+    Returns (members, near): per-vector (vec_id, cluster, is_kept) and
+    the in-ball same-cluster pair set (id_a < id_b)."""
     emb = spread(load_table(spark, sf_dir, "embeddings"))
     mx = emb.agg(F.max("vec_id")).first()[0]
     if mx >= SEMDEDUP_TWIN_OFFSET:
@@ -1978,6 +1842,161 @@ def l65_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("hit").isNull().alias("is_kept"),
         )
     )
+    return members, near
+
+
+def _semdedup_oracle_ctes(k: int = 8, iters: int = 3) -> str:
+    """Unrolled MATERIALIZED-CTE replay of the full SemDeDup recipe
+    through the `members`/`near` CTEs: the l59 Lloyd unroll over the
+    EXTENDED vector set (corpus union planted epsilon-twins), a final
+    assignment pass, an in-cluster exhaustive pair scan with the
+    exact-integer cosine compare, and the greedy keep-one-per-ball
+    policy (pruned iff a smaller-id in-cluster neighbor sits within the
+    ball). Every intermediate is integer except the floor(sum/count)
+    centroid updates and the one threshold compare per pair — the
+    l59/l60 determinism recipe verbatim. Shared by the l65 report and
+    the l76 takedown oracles."""
+    ctes = [
+        f"""
+    eb AS MATERIALIZED (
+      SELECT vec_id, i - 1 AS i,
+             CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 100000.0) AS BIGINT)
+               AS q
+      FROM embeddings,
+           LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) s
+    ),
+    -- corpus + planted twins: component-wise +-3 deterministic noise,
+    -- same direction (cosine ~ 1 - 1e-9, far above tau); twin ids are
+    -- base + 2^23, matching the Spark constant
+    e AS MATERIALIZED (
+      SELECT vec_id, i, q FROM eb
+      UNION ALL
+      SELECT vec_id + {SEMDEDUP_TWIN_OFFSET}, i,
+             q + ((vec_id * 31 + i * 17) % 7 - 3)
+      FROM eb WHERE vec_id % 9 = 4
+    ),
+    seeds AS (
+      SELECT vec_id, rk - 1 AS j FROM (
+        SELECT vec_id, ROW_NUMBER() OVER (ORDER BY
+          ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+          vec_id) AS rk
+        FROM (SELECT DISTINCT vec_id FROM e) ids) t WHERE rk <= {k}
+    ),
+    c0 AS MATERIALIZED (SELECT s.j, e.i, e.q AS c FROM seeds s JOIN e USING (vec_id))"""
+    ]
+    for t in range(1, iters + 1):
+        prev = f"c{t - 1}"
+        ctes.append(f"""
+    a{t} AS MATERIALIZED (
+      SELECT vec_id, j FROM (
+        SELECT d.vec_id, d.j,
+               ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY d.d, d.j)
+                 AS rk
+        FROM (SELECT e.vec_id, c.j, SUM((e.q - c.c) * (e.q - c.c)) AS d
+              FROM e JOIN {prev} c USING (i) GROUP BY e.vec_id, c.j) d) t
+      WHERE rk = 1
+    ),
+    c{t} AS MATERIALIZED (
+      SELECT b.j, b.i, COALESCE(u.c, b.c) AS c
+      FROM {prev} b LEFT JOIN (
+        SELECT a.j, e.i,
+               CAST(FLOOR(CAST(SUM(e.q) AS DOUBLE) / COUNT(*)) AS BIGINT)
+                 AS c
+        FROM a{t} a JOIN e ON e.vec_id = a.vec_id GROUP BY a.j, e.i) u
+      ON u.j = b.j AND u.i = b.i
+    )""")
+    final = f"c{iters}"
+    ctes.append(f"""
+    fin AS MATERIALIZED (
+      SELECT vec_id, j FROM (
+        SELECT d.vec_id, d.j,
+               ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY d.d, d.j)
+                 AS rk
+        FROM (SELECT e.vec_id, c.j, SUM((e.q - c.c) * (e.q - c.c)) AS d
+              FROM e JOIN {final} c USING (i) GROUP BY e.vec_id, c.j) d) t
+      WHERE rk = 1
+    ),
+    n2 AS MATERIALIZED (SELECT vec_id, SUM(q * q) AS n2 FROM e GROUP BY vec_id),
+    -- in-cluster pairs only (the SemDeDup candidate rule), exact
+    -- integer dot, one IEEE threshold compare per pair
+    near AS MATERIALIZED (
+      SELECT d.id_a, d.id_b FROM (
+        SELECT f1.vec_id AS id_a, f2.vec_id AS id_b,
+               SUM(ea.q * eb2.q) AS dot
+        FROM fin f1 JOIN fin f2 ON f2.j = f1.j AND f2.vec_id > f1.vec_id
+        JOIN e ea ON ea.vec_id = f1.vec_id
+        JOIN e eb2 ON eb2.vec_id = f2.vec_id AND eb2.i = ea.i
+        GROUP BY f1.vec_id, f2.vec_id) d
+      JOIN n2 a ON a.vec_id = d.id_a
+      JOIN n2 b ON b.vec_id = d.id_b
+      WHERE d.dot > 0 AND CAST(d.dot AS DOUBLE) >=
+            0.999 * (SQRT(CAST(a.n2 AS DOUBLE)) * SQRT(CAST(b.n2 AS DOUBLE)))
+    ),
+    pruned AS (SELECT DISTINCT id_b AS vec_id FROM near),
+    members AS MATERIALIZED (
+      SELECT f.vec_id, f.j AS cluster, p.vec_id IS NULL AS is_kept
+      FROM fin f LEFT JOIN pruned p USING (vec_id)
+    )""")
+    return ",".join(ctes)
+
+
+def _l65_oracle(k: int = 8, iters: int = 3) -> str:
+    return (
+        "WITH "
+        + _semdedup_oracle_ctes(k, iters)
+        + f""",
+    cs AS (SELECT cluster, COUNT(*) AS n_members,
+                  SUM(CASE WHEN is_kept THEN 0 ELSE 1 END) AS n_pruned
+           FROM members GROUP BY cluster)
+    SELECT m.vec_id, CAST(m.cluster AS BIGINT) AS cluster,
+           m.vec_id >= {SEMDEDUP_TWIN_OFFSET} AS is_twin, m.is_kept,
+           CAST(cs.n_members AS BIGINT) AS n_members,
+           CAST(cs.n_pruned AS BIGINT) AS n_pruned
+    FROM members m JOIN cs USING (cluster)
+    """
+    )
+
+
+@register("l65_semdedup", _l65_oracle(8, 3))
+def l65_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup — embedding-level corpus pruning over k-means cluster
+    buckets (r9 verdict task 2; the published recipe: cluster the
+    corpus, then keep one document per epsilon-ball WITHIN each
+    cluster). Composes the two pieces the repo already proves out
+    separately: l59's integer-exact distributed Lloyd trainer
+    (similarity.lloyd_kmeans_q on the extended vector set) and the
+    l60-style exact integer cosine verify.
+
+      corpus    : quantized embeddings UNION planted epsilon-twins
+                  (vec_id % 9 == 4 -> twin id = vec_id + 2^23 with
+                  component-wise +-3 deterministic noise — cosine
+                  ~ 1-1e-9 vs base, so twin recall is structural);
+      clusters  : Lloyd k=8 x 3 supersteps over the extended set, then
+                  one exact-argmin assignment pass (lloyd_assign_q);
+      candidates: same-cluster pairs ONLY — candidate volume is
+                  sum(cluster_size^2), never corpus^2, and the
+                  inertia/balance l59 measures is exactly what bounds
+                  it;
+      prune     : exact int64 dot/norms, near iff dot > 0 and
+                  dot >= 0.999 * sqrt(na) * sqrt(nb) (one identical
+                  IEEE compare per pair); greedy keep-one-per-ball =
+                  drop any vector with a smaller-id in-cluster
+                  neighbor within the ball (the l29 min-id survivor
+                  policy, fully relational — no recursion).
+
+    Output: one row per vector (vec_id, cluster, is_twin, is_kept)
+    joined with per-cluster (n_members, n_pruned) — pruning recall is a
+    MEASURED column set, not a pinned boolean. The oracle replays the
+    entire recipe: Lloyd unroll over the extended set, assignment,
+    exhaustive in-cluster pair scan, and the keep policy.
+
+    Scale shape: training is O(k*dim) communication per superstep;
+    assignment is one literal-expression map pass; the pair stage
+    shuffles on the cluster key and carries the quantized vectors once
+    (at 100 TB: repartition by cluster, compute dots within partitions,
+    AQE skew-split for fat clusters). Ref anchor: similarity.py
+    lloyd_kmeans_q; registry l59/l60/l29."""
+    members, _near = _semdedup_members_near(spark, sf_dir)
     cs = members.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n_members"),
         F.sum((~F.col("is_kept")).cast("int")).cast("bigint").alias("n_pruned"),
@@ -2575,4 +2594,138 @@ def l69_incremental_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_kept",
         "n_day2_members",
         "n_day2_pruned",
+    )
+
+
+# ---- SemDeDup takedown (l76): right-to-be-forgotten over the kept set ----
+
+
+def _l76_oracle(k: int = 8, iters: int = 3) -> str:
+    """The l65 replay (shared CTE body) extended with the takedown tail:
+    removal requests are the kept vectors with vec_id % 13 == 5 (a pure
+    id function, so the oracle derives the same set); a pruned vector is
+    RESURRECTED iff every one of its smaller-id in-ball neighbors was
+    removed — the keep rule re-evaluated over corpus-minus-requests with
+    the quantizer FROZEN (takedown never retrains clusters, the l8g
+    contract). The per-cluster report carries removal/resurrection
+    counts plus an exact id-sum of the resurrected set, so the oracle
+    pins WHICH vectors came back."""
+    return (
+        "WITH "
+        + _semdedup_oracle_ctes(k, iters)
+        + """,
+    r AS (SELECT vec_id FROM members WHERE is_kept AND vec_id % 13 = 5),
+    nb AS (
+      SELECT n.id_b AS vec_id,
+             SUM(CASE WHEN r.vec_id IS NULL THEN 1 ELSE 0 END) AS n_present
+      FROM near n LEFT JOIN r ON r.vec_id = n.id_a GROUP BY n.id_b
+    ),
+    resur AS (SELECT vec_id FROM nb WHERE n_present = 0),
+    after AS (
+      SELECT m.vec_id, m.cluster,
+             CASE WHEN r.vec_id IS NOT NULL THEN 2
+                  WHEN m.is_kept THEN 1
+                  WHEN rs.vec_id IS NOT NULL THEN 3
+                  ELSE 0 END AS st
+      FROM members m
+      LEFT JOIN r ON r.vec_id = m.vec_id
+      LEFT JOIN resur rs ON rs.vec_id = m.vec_id
+    )
+    SELECT CAST(cluster AS BIGINT) AS cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(CASE WHEN st = 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed,
+           CAST(SUM(CASE WHEN st = 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_resurrected,
+           CAST(SUM(CASE WHEN st IN (1, 3) THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept_after,
+           CAST(SUM(CASE WHEN st = 3 THEN vec_id ELSE 0 END) AS BIGINT)
+             AS resurrected_id_sum
+    FROM after GROUP BY cluster
+    """
+    )
+
+
+@register("l76_semdedup_takedown", _l76_oracle(8, 3))
+def l76_semdedup_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup TAKEDOWN — the right-to-be-forgotten operator for the
+    semantic-dedup store, completing the takedown matrix (l38/l40 text
+    components, l8g ANN index, j17 streaming) with the survivorship
+    subtlety those don't have: removing a KEPT vector must RESURRECT the
+    near-duplicates it shadowed, or the corpus silently loses content
+    it still owns. Requests are the kept vectors with vec_id % 13 == 5;
+    a pruned vector comes back iff ALL of its smaller-id in-ball
+    neighbors were removed — the min-id keep rule is presence-based (not
+    kept-status-based), so resurrection never cascades and one
+    neighbor-recount per affected vector is the complete fixpoint.
+
+    The quantizer and cluster assignments stay FROZEN (the l8g takedown
+    contract: removal edits membership, never retrains), so the oracle
+    can replay training on the full extended set and apply the removal
+    relationally.
+
+    Scale shape: the takedown tail is one join of the request set
+    against the pair set (bounded by the requests' ball co-occupancy)
+    plus one neighbor-recount groupBy over only the affected pruned
+    vectors — never a corpus rescan; the report is k rows. Ref anchor:
+    _semdedup_members_near (l65), registry l38/l8g takedown semantics."""
+    members, near = _semdedup_members_near(spark, sf_dir)
+    members = members.localCheckpoint(eager=True)
+    r = members.filter(
+        F.col("is_kept") & (F.col("vec_id") % 13 == 5)
+    ).select("vec_id")
+    nb = (
+        near.join(
+            F.broadcast(
+                r.select(F.col("vec_id").alias("id_a")).withColumn(
+                    "hit", F.lit(1)
+                )
+            ),
+            "id_a",
+            "left",
+        )
+        .groupBy("id_b")
+        .agg(
+            F.sum(F.when(F.col("hit").isNull(), 1).otherwise(0)).alias(
+                "n_present"
+            )
+        )
+    )
+    resur = nb.filter(F.col("n_present") == 0).select(
+        F.col("id_b").alias("vec_id")
+    )
+    st = (
+        members.join(
+            F.broadcast(r.withColumn("rm", F.lit(1))), "vec_id", "left"
+        )
+        .join(F.broadcast(resur.withColumn("rs", F.lit(1))), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.when(F.col("rm") == 1, 2)
+            .when(F.col("is_kept"), 1)
+            .when(F.col("rs") == 1, 3)
+            .otherwise(0)
+            .alias("st"),
+        )
+    )
+    return st.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.sum((F.col("st") == 2).cast("int")).cast("bigint").alias("n_removed"),
+        F.sum((F.col("st") == 3).cast("int"))
+        .cast("bigint")
+        .alias("n_resurrected"),
+        F.sum(F.col("st").isin(1, 3).cast("int"))
+        .cast("bigint")
+        .alias("n_kept_after"),
+        F.sum(F.when(F.col("st") == 3, F.col("vec_id")).otherwise(0))
+        .cast("bigint")
+        .alias("resurrected_id_sum"),
+    ).select(
+        F.col("cluster").cast("bigint").alias("cluster"),
+        "n_members",
+        "n_removed",
+        "n_resurrected",
+        "n_kept_after",
+        "resurrected_id_sum",
     )

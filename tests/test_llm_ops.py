@@ -1730,3 +1730,41 @@ class TestClassifierPrCurve:
         # and the sweep actually exposes a tradeoff somewhere
         assert any(r["precision_q"] < 1.0 for r in rows)
         assert any(r["recall_q"] < 1.0 for r in rows)
+
+
+class TestSemdedupTakedown:
+    """r10: SemDeDup takedown (l76) — removal must resurrect exactly the
+    vectors it un-shadows, matching a from-scratch re-run."""
+
+    def test_matches_from_scratch_keep_over_present_set(self, spark):
+        from datafusion_cyberpolka_eda_spark.registry.llm_similarity import (
+            _semdedup_members_near,
+            l76_semdedup_takedown,
+        )
+
+        members, near = _semdedup_members_near(spark, SF)
+        mrows = members.collect()
+        pairs = [(r["id_a"], r["id_b"]) for r in near.collect()]
+        kept = {r["vec_id"] for r in mrows if r["is_kept"]}
+        all_ids = {r["vec_id"] for r in mrows}
+        removed = {v for v in kept if v % 13 == 5}
+        assert removed, "fixture must produce takedown requests"
+        # from-scratch referent: keep rule over corpus minus requests
+        # with frozen clusters — prune iff a smaller PRESENT in-ball
+        # neighbor exists
+        present = all_ids - removed
+        has_present_nb = {
+            b for a, b in pairs if a not in removed and b in present
+        }
+        want_kept_after = present - has_present_nb
+        out = l76_semdedup_takedown(spark, SF).collect()
+        assert sum(r["n_removed"] for r in out) == len(removed)
+        assert sum(r["n_kept_after"] for r in out) == len(want_kept_after)
+        # resurrected = newly kept rows that were pruned before
+        want_resur = want_kept_after - kept
+        assert sum(r["n_resurrected"] for r in out) == len(want_resur)
+        assert sum(r["resurrected_id_sum"] for r in out) == sum(want_resur)
+        assert want_resur, (
+            "fixture should exercise resurrection — otherwise the "
+            "survivorship subtlety is untested"
+        )
