@@ -638,3 +638,69 @@ def j21_stream_model_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"j21_{_os.path.basename(_os.path.normpath(sf_dir)).replace('.', '_')}",
     )
     return stream_model_filter(spark, docs, _qc_keep_expr(w), scratch)
+
+
+def _j22_oracle() -> str:
+    # streaming epochs with the frozen scorer must reproduce the one-shot
+    # incremental selection — l73's frozen-day-1 replay oracle, verbatim
+    from datafusion_cyberpolka_eda_spark.registry.llm import _l73_oracle
+
+    return _l73_oracle()
+
+
+@register("j22_stream_dsir_selection", _j22_oracle())
+def j22_stream_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DSIR selection — the frozen day-1 importance scorer
+    (l73's persisted bucket-score table) applied per micro-batch at the
+    ingest front door, completing the selection family's surface matrix
+    (batch l72, incremental l73, streaming this): each epoch featurizes
+    and scores ONLY its own docs via a broadcast join against the frozen
+    table (per-doc importance is a pure function of the doc and the
+    table, so epochs never interact), appends scores epoch-keyed, and
+    the running union's top-10 head is value-hash-checked against l73's
+    one-shot incremental selection."""
+    import os as _os
+
+    from datafusion_cyberpolka_eda_spark.registry.llm import (
+        _dsir_bigram_buckets,
+        _dsir_store,
+    )
+    from datafusion_cyberpolka_eda_spark.sources.catalog import load_table
+    from datafusion_cyberpolka_eda_spark.streaming.documents import (
+        stream_dsir_scoring,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    cutoff, store_path = _dsir_store(spark, sf_dir)
+    sc_table = spark.read.parquet(store_path)
+
+    def score_doc(batch_df: DataFrame) -> DataFrame:
+        bg = _dsir_bigram_buckets(batch_df)
+        d = (
+            bg.join(F.broadcast(sc_table), "bkt", "left")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+                F.sum(F.coalesce(F.col("s"), F.lit(0))).alias("tot"),
+            )
+        )
+        return d.join(
+            batch_df.select("doc_id", "source", "lang"), "doc_id"
+        ).select(
+            "doc_id",
+            "source",
+            "lang",
+            "n_bigrams",
+            F.floor(F.col("tot").cast("double") / F.col("n_bigrams"))
+            .cast("bigint")
+            .alias("dsir_weight"),
+        )
+
+    scratch = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+        ".scratch",
+        f"j22_{_os.path.basename(_os.path.normpath(sf_dir)).replace('.', '_')}",
+    )
+    return stream_dsir_scoring(
+        spark, docs.filter(F.col("doc_id") >= cutoff), score_doc, scratch
+    )

@@ -323,6 +323,65 @@ def stream_model_filter(
     )
 
 
+def stream_dsir_scoring(
+    spark: SparkSession,
+    docs: DataFrame,
+    score_doc,
+    scratch_dir: str,
+    top_n: int = 10,
+    n_files: int = 3,
+) -> DataFrame:
+    """Streaming DSIR selection — the frozen importance scorer applied
+    at the ingest front door: document batches arrive as micro-batches
+    and each epoch featurizes + scores ONLY its own docs against the
+    persisted day-1 bucket-score table (``score_doc`` maps a batch
+    DataFrame to per-doc (doc_id, source, lang, n_bigrams, dsir_weight)
+    rows — a broadcast join against the frozen table, no cross-epoch
+    state), appending its scores epoch-keyed (idempotent under replay).
+    Per-doc importance is a pure function of (doc, frozen table), so the
+    running union's top-``top_n`` head must equal the one-shot batch
+    selection over the whole increment — that equality is the oracle.
+
+    This completes the selection family's surface matrix: batch (l72),
+    incremental store (l73), streaming ingest (this). At 100 TB each
+    epoch pays one bigram explode over its batch; the head is
+    TakeOrdered over bounded per-epoch score rows."""
+    src_dir = os.path.join(scratch_dir, "docs_src")
+    out_dir = os.path.join(scratch_dir, "scores")
+    for d in (src_dir, out_dir):
+        shutil.rmtree(d, ignore_errors=True)
+
+    slim = docs.select("doc_id", "source", "lang", "text")
+    slim.repartitionByRange(n_files, "doc_id").write.parquet(src_dir)
+    score_schema = (
+        "doc_id bigint, source string, lang string, "
+        "n_bigrams bigint, dsir_weight bigint"
+    )
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        eid = int(epoch_id)
+        score_doc(batch_df).write.mode("overwrite").parquet(
+            _epoch_dir(out_dir, eid)
+        )
+
+    q = stream.writeStream.foreachBatch(_deliver(handle)).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = _read_epochs(spark, out_dir, score_schema)
+    return rows.orderBy(
+        F.desc("dsir_weight"), F.asc("doc_id")
+    ).limit(top_n)
+
+
 def stream_takedown(
     spark: SparkSession,
     requests: DataFrame,

@@ -246,3 +246,42 @@ class TestAssetIngestReplay:
             )
         )
         assert _rows(streamed) == _rows(batch)
+
+    def test_dsir_scoring_replay(
+        self, spark, sf_dir, tmp_path, replay_every_epoch
+    ):
+        """j22: every epoch delivered twice must still reproduce the
+        one-shot incremental selection over the frozen scorer."""
+        from datafusion_cyberpolka_eda_spark.registry import llm as L
+
+        docs = load_table(spark, sf_dir, "documents")
+        cutoff, store_path = L._dsir_store(spark, sf_dir)
+        sc_table = spark.read.parquet(store_path)
+
+        def score_doc(batch_df):
+            bg = L._dsir_bigram_buckets(batch_df)
+            d = (
+                bg.join(F.broadcast(sc_table), "bkt", "left")
+                .groupBy("doc_id")
+                .agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+                    F.sum(F.coalesce(F.col("s"), F.lit(0))).alias("tot"),
+                )
+            )
+            return d.join(
+                batch_df.select("doc_id", "source", "lang"), "doc_id"
+            ).select(
+                "doc_id", "source", "lang", "n_bigrams",
+                F.floor(F.col("tot").cast("double") / F.col("n_bigrams"))
+                .cast("bigint")
+                .alias("dsir_weight"),
+            )
+
+        streamed = SD.stream_dsir_scoring(
+            spark,
+            docs.filter(F.col("doc_id") >= cutoff),
+            score_doc,
+            str(tmp_path / "scratch"),
+        )
+        batch = L.l73_incremental_dsir(spark, sf_dir)
+        assert _rows(streamed) == _rows(batch)
