@@ -3926,6 +3926,211 @@ def l74_dup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- incremental dup-span scrub (l77): the l31 store over l74 ----
+
+# (session, sf_dir, data fingerprint) -> (cutoff, day-1 gram-stats path).
+_DUP_SCRUB_STORE_CACHE: dict[str, tuple[int, str]] = {}
+
+
+def _dup_scrub_store(spark: SparkSession, sf_dir: str) -> tuple[int, str]:
+    """Build ONCE per (session, data) the persisted day-1 GRAM-STATS
+    store for incremental span scrubbing: per 8-gram, the distinct-doc
+    count and min doc id over the sub-cutoff slice — exactly the two
+    facts day-2 needs to decide duplication and canonical ownership
+    without re-shingling old text. Mergeable by construction (counts
+    add, mins combine) — the d20 sketch-store discipline."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    key = (
+        f"{spark.sparkContext.applicationId}:{sf_dir}:dupscrub:"
+        f"{_docs_fingerprint(sf_dir)}"
+    )
+    if key in _DUP_SCRUB_STORE_CACHE:
+        return _DUP_SCRUB_STORE_CACHE[key]
+    docs = load_table(spark, sf_dir, "documents")
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    cutoff = int(0.8 * (max_id + 1))
+    g1 = docs.filter(F.col("doc_id") < cutoff).select(
+        "doc_id",
+        F.explode(T.shingles("text", DUP_SCRUB_K)).alias("gram"),
+    )
+    st = g1.groupBy("gram").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("nd1"),
+        F.min("doc_id").alias("m1"),
+    )
+    out = tempfile.mkdtemp(prefix="dup_scrub_store_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    path = os.path.join(out, "gram_stats.parquet")
+    st.write.mode("overwrite").parquet(path)
+    _DUP_SCRUB_STORE_CACHE[key] = (cutoff, path)
+    return _DUP_SCRUB_STORE_CACHE[key]
+
+
+def _l77_oracle(k: int = DUP_SCRUB_K) -> str:
+    from datafusion_cyberpolka_eda_spark.functions.hashing import (
+        md5_hash64_sql,
+    )
+
+    gram = " || ' ' || ".join(f"w[i+{j}]" for j in range(k))
+    h = md5_hash64_sql("tk")
+    return f"""
+    WITH t AS (
+      SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+    ),
+    cut AS (
+      SELECT CAST(FLOOR(0.8 * (MAX(doc_id) + 1)) AS BIGINT) AS c
+      FROM documents
+    ),
+    tok AS MATERIALIZED (
+      SELECT doc_id, i - 1 AS pos, w[i] AS tk
+      FROM t, LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) s
+      WHERE doc_id >= (SELECT c FROM cut)
+    ),
+    g AS MATERIALIZED (
+      SELECT doc_id, i - 1 AS gpos, {gram} AS gram
+      FROM t, LATERAL (
+        SELECT unnest(generate_series(1, len(w) - {k - 1})) AS i) s
+    ),
+    dup AS (
+      SELECT gram, MIN(doc_id) AS canon FROM g
+      GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    rem AS (
+      SELECT DISTINCT g.doc_id, g.gpos + j AS pos
+      FROM g JOIN dup USING (gram),
+           LATERAL (SELECT unnest(generate_series(0, {k - 1})) AS j) s2
+      WHERE g.doc_id >= (SELECT c FROM cut) AND g.doc_id <> dup.canon
+    ),
+    kept AS (
+      SELECT tok.doc_id, tok.pos, tok.tk
+      FROM tok LEFT JOIN rem
+        ON rem.doc_id = tok.doc_id AND rem.pos = tok.pos
+      WHERE rem.pos IS NULL
+    ),
+    per AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             CAST(SUM((pos + 1) * ({h} % {DUP_SCRUB_HMOD})) AS BIGINT)
+               AS checksum
+      FROM kept GROUP BY doc_id
+    ),
+    alldocs AS (
+      SELECT t.doc_id, t.source, CAST(len(t.w) AS BIGINT) AS n_tokens,
+             COALESCE(p.n_kept, 0) AS n_kept,
+             COALESCE(p.checksum, 0) AS checksum
+      FROM t LEFT JOIN per p ON p.doc_id = t.doc_id
+      WHERE t.doc_id >= (SELECT c FROM cut)
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_tokens - n_kept) AS BIGINT) AS removed_tokens,
+           CAST(SUM(n_kept) AS BIGINT) AS kept_tokens,
+           ROUND(CAST(SUM(n_tokens - n_kept) AS DOUBLE) / SUM(n_tokens), 6)
+             AS removal_rate,
+           CAST(SUM(checksum) AS BIGINT) AS kept_checksum
+    FROM alldocs GROUP BY source
+    """
+
+
+@register("l77_incremental_dup_span_scrub", _l77_oracle())
+def l77_incremental_dup_span_scrub(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INCREMENTAL dup-span scrub — the l31 persisted-store pattern over
+    l74's gram statistics: day-1 persists per-gram (distinct-doc count,
+    min doc id) once; the day-2 increment shingles ONLY its own text
+    (pushed doc_id filter), merges its gram stats with the store
+    (day-1/day-2 doc sets are disjoint, so distinct counts ADD and the
+    canonical owner is the min of the two mins — the mergeable-sketch
+    property), and scrubs ONLY day-2 positions: a day-2 token is removed
+    iff its covering gram is duplicated across the merged corpus and
+    this doc is not the gram's canonical owner. Day-1 text is immutable
+    (never re-scrubbed, never re-shingled) — a re-crawled passage loses
+    its day-2 copies while yesterday's canonical survives, the l69
+    day-1-immutability convention.
+
+    The oracle replays the FULL-corpus gram table and restricts the
+    scrub to day-2 docs — exactly what the merged store must equal — so
+    the store's sufficiency (counts + mins are all you need) is
+    hash-checked, not assumed.
+
+    Scale shape: day-2 work = |increment| shingling + one gram-keyed
+    join against the store (persist it bucketed by gram at 100 TB) +
+    the l74 anti-join machinery over increment rows only; the store
+    grows by |increment| gram rows/day via count-add/min-merge. Ref
+    anchor: registry l74, l31; SURVEY §2 L dedup family."""
+    from datafusion_cyberpolka_eda_spark.functions.hashing import md5_hash64
+
+    k = DUP_SCRUB_K
+    docs = load_table(spark, sf_dir, "documents")
+    cutoff, store_path = _dup_scrub_store(spark, sf_dir)
+    store = spark.read.parquet(store_path)
+    inc = spread(docs.filter(F.col("doc_id") >= cutoff))
+    base = inc.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    tok = inc.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tk")
+    )
+    g2 = inc.select(
+        "doc_id", F.posexplode(T.shingles("text", k)).alias("gpos", "gram")
+    ).localCheckpoint(eager=True)  # feeds stats merge AND occurrence scan
+    stats2 = g2.groupBy("gram").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("nd2"),
+        F.min("doc_id").alias("m2"),
+    )
+    merged = stats2.join(store, "gram", "left").select(
+        "gram",
+        (F.coalesce(F.col("nd1"), F.lit(0)) + F.col("nd2")).alias("nd"),
+        F.least(
+            F.coalesce(F.col("m1"), F.col("m2")), F.col("m2")
+        ).alias("canon"),
+    )
+    dup = merged.filter(F.col("nd") >= 2).select("gram", "canon")
+    rem = (
+        g2.join(dup, "gram")
+        .filter(F.col("doc_id") != F.col("canon"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("gpos"), F.col("gpos") + F.lit(k - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = tok.join(rem, ["doc_id", "pos"], "anti")
+    per = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.sum(
+            (F.col("pos") + 1)
+            * F.pmod(md5_hash64("tk"), F.lit(DUP_SCRUB_HMOD).cast("long"))
+        )
+        .cast("bigint")
+        .alias("checksum"),
+    )
+    alldocs = base.join(per, "doc_id", "left").fillna(
+        0, ["n_kept", "checksum"]
+    )
+    return alldocs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum(F.col("n_tokens") - F.col("n_kept"))
+        .cast("bigint")
+        .alias("removed_tokens"),
+        F.sum("n_kept").cast("bigint").alias("kept_tokens"),
+        F.round(
+            F.sum(F.col("n_tokens") - F.col("n_kept")).cast("double")
+            / F.sum("n_tokens"),
+            6,
+        ).alias("removal_rate"),
+        F.sum("checksum").cast("bigint").alias("kept_checksum"),
+    )
+
+
 # ---- classifier PR curve (l75): threshold sweep of the l64 model ----
 
 # decision thresholds on z in units of LOGREG_PSCALE: the trained model

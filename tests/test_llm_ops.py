@@ -1768,3 +1768,69 @@ class TestSemdedupTakedown:
             "fixture should exercise resurrection — otherwise the "
             "survivorship subtlety is untested"
         )
+
+class TestIncrementalDupSpanScrub:
+    """r10: incremental dup-span scrub (l77) — store sufficiency,
+    day-1 immutability, pushed increment scans."""
+
+    def test_incremental_scrub_store_memo_and_merge_semantics(
+        self, spark
+    ):
+        """l77: the store is built once (memo); a day-2 re-crawl of a
+        day-1 passage is scrubbed from day-2 while day-1 keeps canonical
+        ownership (canon < cutoff for store-hit grams)."""
+        from datafusion_cyberpolka_eda_spark.registry import llm as L
+
+        first = L._dup_scrub_store(spark, SF)
+        second = L._dup_scrub_store(spark, SF)
+        assert first == second
+        out = L.l77_incremental_dup_span_scrub(spark, SF)
+        rows = out.collect()
+        cutoff = first[0]
+        # rollup covers exactly the increment docs
+        n_inc = (
+            load_table(spark, SF, "documents")
+            .filter(F.col("doc_id") >= cutoff)
+            .count()
+        )
+        assert sum(r["n_docs"] for r in rows) == n_inc
+        # the scrub does real work at the test SF
+        assert sum(r["removed_tokens"] for r in rows) > 0
+
+    def test_incremental_scrub_scan_is_predicate_pushed(
+        self, spark, tmp_path
+    ):
+        """l77: increment token/gram scans carry the pushed cutoff."""
+        import io
+        import os
+        import shutil
+        from contextlib import redirect_stdout
+
+        from datafusion_cyberpolka_eda_spark.functions import text as T
+        from datafusion_cyberpolka_eda_spark.registry.llm import DUP_SCRUB_K
+
+        src = f"{SF}/documents.parquet"
+        dst = str(tmp_path / "documents.parquet")
+        if os.path.isdir(src):
+            shutil.copytree(src, dst)
+        else:
+            shutil.copy(src, dst)
+        docs = spark.read.parquet(dst)
+        max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+        cutoff = int(0.8 * (max_id + 1))
+        g2 = docs.filter(F.col("doc_id") >= cutoff).select(
+            "doc_id",
+            F.posexplode(T.shingles("text", DUP_SCRUB_K)).alias(
+                "gpos", "gram"
+            ),
+        )
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            g2.explain(mode="formatted")
+        plan = buf.getvalue()
+        blocks = [b for b in plan.split("\n\n") if "documents.parquet" in b]
+        assert blocks
+        for b in blocks:
+            assert f"GreaterThanOrEqual(doc_id,{cutoff})" in b, (
+                "increment gram scan without the pushed filter:\n" + b
+            )
