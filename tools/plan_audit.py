@@ -343,6 +343,10 @@ def main() -> int:
     check("l74_dup_span_scrub", absent=["CartesianProduct"])
     # PR curve: one scoring pass + literal grid explode — no join at all
     check("l75_classifier_pr_curve", absent=["CartesianProduct", "SortMergeJoin"])
+    # SemDeDup takedown: in-cluster pairs + broadcast request joins
+    check("l76_semdedup_takedown", absent=["CartesianProduct"])
+    # incremental scrub: gram-keyed store join + (doc,pos) anti-join
+    check("l77_incremental_dup_span_scrub", absent=["CartesianProduct"])
 
     # incremental covariance: the increment scan must carry the pushed
     # vec_id >= cutoff predicate (day-1 vectors never re-read as vectors)
