@@ -35,7 +35,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-STDOUT_BUDGET = 1800  # driver keeps ~2000 chars of tail; stay well under it
+STDOUT_BUDGET = 1200  # driver keeps ~2000 chars of tail; stay WELL under it
+# r10 judge nit: at 1800 the recorded BENCH_rN.json still clipped the
+# stdout tail mid-key (other stdout shares the tail window). The per-query
+# table is canonical ONLY in BENCH_DETAIL.json; the stdout line carries the
+# headline metrics plus at most the N slowest queries as a teaser.
+STDOUT_MAX_QUERIES = 10
 
 
 def build_stdout_line(out: dict, budget: int = STDOUT_BUDGET) -> str:
@@ -395,7 +400,8 @@ def main() -> None:
         "queries": {},
         "sf": sf_val,
     }
-    for name, sec in sorted(timings.items(), key=lambda kv: -kv[1]):
+    slowest = sorted(timings.items(), key=lambda kv: -kv[1])[:STDOUT_MAX_QUERIES]
+    for name, sec in slowest:
         out["queries"][name] = round(sec, 2)
     print(build_stdout_line(out))
 

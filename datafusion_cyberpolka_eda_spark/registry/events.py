@@ -19,6 +19,22 @@ from datafusion_cyberpolka_eda_spark.streaming.events import (
 )
 
 
+def _scratch_dir(spark: SparkSession, name: str, sf_dir: str) -> str:
+    """Per-(session, entry, scale-factor) streaming scratch root under
+    the repo .scratch/: keyed by applicationId so two concurrent
+    sessions on the same checkout and SF cannot rmtree each other's
+    streaming source/output dirs mid-run (r10 advice)."""
+    import os
+
+    repo = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    return os.path.join(
+        repo, ".scratch", spark.sparkContext.applicationId, f"{name}_{sf}"
+    )
+
+
 @register(
     "i1_json_extract",
     """
@@ -185,11 +201,7 @@ def j11_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_foreachbatch_incremental,
     )
 
-    scratch = _os.path.join(
-        _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
-        ".scratch",
-        f"j11_{_os.path.basename(_os.path.normpath(sf_dir)).replace('.', '_')}",
-    )
+    scratch = _scratch_dir(spark, "j11", sf_dir)
     return stream_foreachbatch_incremental(
         spark, _os.path.join(sf_dir, "events.parquet"), scratch
     )
@@ -370,7 +382,6 @@ def j15_stream_incremental_dedup(
     rows). The accumulated pair set must equal the BATCH incremental
     answer — l31's full-corpus-replay oracle, so the epoch-at-a-time
     path is value-hash-checked against from-scratch semantics."""
-    import os as _os
 
     from datafusion_cyberpolka_eda_spark.registry.llm import (
         _incremental_store,
@@ -382,11 +393,7 @@ def j15_stream_incremental_dedup(
 
     cutoff, store_path = _incremental_store(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
-    scratch = _os.path.join(
-        _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
-        ".scratch",
-        f"j15_{_os.path.basename(_os.path.normpath(sf_dir)).replace('.', '_')}",
-    )
+    scratch = _scratch_dir(spark, "j15", sf_dir)
     return stream_incremental_dedup(
         spark,
         docs.filter(F.col("doc_id") >= cutoff),
@@ -426,7 +433,6 @@ def j16_stream_quality_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the oracle) — no doc lost, duplicated, or mis-routed across
     epochs. The continuous-ingest front door of the training-data
     pipeline (the accepted sink feeds l31's incremental dedup)."""
-    import os as _os
 
     from datafusion_cyberpolka_eda_spark.sources.catalog import load_table
     from datafusion_cyberpolka_eda_spark.streaming.documents import (
@@ -434,11 +440,7 @@ def j16_stream_quality_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    scratch = _os.path.join(
-        _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
-        ".scratch",
-        f"j16_{_os.path.basename(_os.path.normpath(sf_dir)).replace('.', '_')}",
-    )
+    scratch = _scratch_dir(spark, "j16", sf_dir)
     return stream_quality_routing(spark, docs, scratch)
 
 
@@ -461,7 +463,6 @@ def j17_stream_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids, sequential application is order-independent and the final
     store equals the one-shot batch takedown — so the rollup is
     value-hash-checked against l38's from-scratch DuckDB replay."""
-    import os as _os
 
     from datafusion_cyberpolka_eda_spark.registry.llm import (
         _incremental_cc_store,
@@ -478,11 +479,7 @@ def j17_stream_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("id") % 7 == 3)
         .select("id")
     )
-    scratch = _os.path.join(
-        _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
-        ".scratch",
-        f"j17_{_os.path.basename(_os.path.normpath(sf_dir)).replace('.', '_')}",
-    )
+    scratch = _scratch_dir(spark, "j17", sf_dir)
     return stream_takedown(spark, requests, labels_path, sig_path, scratch)
 
 
@@ -503,7 +500,6 @@ def j18_stream_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     equal batch chunking of the whole corpus, proving exactly-once
     chunk emission across epochs. The ingest stage between the quality
     gate (j16) and sequence packing (l19) in the streaming pipeline."""
-    import os as _os
 
     from datafusion_cyberpolka_eda_spark.sources.catalog import load_table
     from datafusion_cyberpolka_eda_spark.streaming.documents import (
@@ -511,11 +507,7 @@ def j18_stream_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    scratch = _os.path.join(
-        _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
-        ".scratch",
-        f"j18_{_os.path.basename(_os.path.normpath(sf_dir)).replace('.', '_')}",
-    )
+    scratch = _scratch_dir(spark, "j18", sf_dir)
     return stream_chunking(spark, docs, scratch)
 
 
@@ -530,7 +522,6 @@ def j19_stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges commute), so l39's from-scratch DuckDB replay is the oracle —
     the monitoring leg of the streaming pipeline (j16 gate -> j15 dedup
     -> j19 drift) done continuously."""
-    import os as _os
 
     from datafusion_cyberpolka_eda_spark.sources.catalog import load_table
     from datafusion_cyberpolka_eda_spark.streaming.documents import (
@@ -538,11 +529,7 @@ def j19_stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    scratch = _os.path.join(
-        _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
-        ".scratch",
-        f"j19_{_os.path.basename(_os.path.normpath(sf_dir)).replace('.', '_')}",
-    )
+    scratch = _scratch_dir(spark, "j19", sf_dir)
     return stream_psi_drift(spark, docs, scratch)
 
 
@@ -572,7 +559,6 @@ def j20_stream_asset_ingest_dedup(
     pair set must equal the BATCH incremental answer — l66's
     full-corpus-replay oracle — so the epoch-at-a-time decode+dedup
     path is value-hash-checked against from-scratch semantics."""
-    import os as _os
 
     from datafusion_cyberpolka_eda_spark.registry.llm import _mm_fp_store
     from datafusion_cyberpolka_eda_spark.sources.catalog import load_table
@@ -582,11 +568,7 @@ def j20_stream_asset_ingest_dedup(
 
     cutoff, store_path = _mm_fp_store(spark, sf_dir, "image")
     docs = load_table(spark, sf_dir, "documents")
-    scratch = _os.path.join(
-        _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
-        ".scratch",
-        f"j20_{_os.path.basename(_os.path.normpath(sf_dir)).replace('.', '_')}",
-    )
+    scratch = _scratch_dir(spark, "j20", sf_dir)
     return stream_incremental_fingerprint_dedup(
         spark,
         docs.filter(F.col("doc_id") >= cutoff),
@@ -619,7 +601,6 @@ def j21_stream_model_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: per-epoch cost is one map pass over the batch; the
     model trains once per session (weight memo) and never retrains in
     the hot path."""
-    import os as _os
 
     from datafusion_cyberpolka_eda_spark.registry.llm import (
         _qc_keep_expr,
@@ -632,11 +613,7 @@ def j21_stream_model_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     w = _qc_weights(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
-    scratch = _os.path.join(
-        _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
-        ".scratch",
-        f"j21_{_os.path.basename(_os.path.normpath(sf_dir)).replace('.', '_')}",
-    )
+    scratch = _scratch_dir(spark, "j21", sf_dir)
     return stream_model_filter(spark, docs, _qc_keep_expr(w), scratch)
 
 
@@ -659,10 +636,9 @@ def j22_stream_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     table, so epochs never interact), appends scores epoch-keyed, and
     the running union's top-10 head is value-hash-checked against l73's
     one-shot incremental selection."""
-    import os as _os
 
     from datafusion_cyberpolka_eda_spark.registry.llm import (
-        _dsir_bigram_buckets,
+        _dsir_score_batch,
         _dsir_store,
     )
     from datafusion_cyberpolka_eda_spark.sources.catalog import load_table
@@ -675,32 +651,9 @@ def j22_stream_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     sc_table = spark.read.parquet(store_path)
 
     def score_doc(batch_df: DataFrame) -> DataFrame:
-        bg = _dsir_bigram_buckets(batch_df)
-        d = (
-            bg.join(F.broadcast(sc_table), "bkt", "left")
-            .groupBy("doc_id")
-            .agg(
-                F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
-                F.sum(F.coalesce(F.col("s"), F.lit(0))).alias("tot"),
-            )
-        )
-        return d.join(
-            batch_df.select("doc_id", "source", "lang"), "doc_id"
-        ).select(
-            "doc_id",
-            "source",
-            "lang",
-            "n_bigrams",
-            F.floor(F.col("tot").cast("double") / F.col("n_bigrams"))
-            .cast("bigint")
-            .alias("dsir_weight"),
-        )
+        return _dsir_score_batch(batch_df, sc_table)
 
-    scratch = _os.path.join(
-        _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
-        ".scratch",
-        f"j22_{_os.path.basename(_os.path.normpath(sf_dir)).replace('.', '_')}",
-    )
+    scratch = _scratch_dir(spark, "j22", sf_dir)
     return stream_dsir_scoring(
         spark, docs.filter(F.col("doc_id") >= cutoff), score_doc, scratch
     )

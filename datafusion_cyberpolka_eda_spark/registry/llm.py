@@ -2894,6 +2894,38 @@ def l56_stratified_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
 # task 1) ----
 
 QC_TWIN_OFFSET = 1 << 23  # planted low-quality twin ids (doc_id domain-checked)
+
+# (session, sf_dir, data fingerprint) -> max(doc_id). The quality/selection
+# family computes this scalar for twin-offset domain checks AND store
+# cutoffs; memoizing makes it ONE collect job per (session, data) instead
+# of two per cold entry call (r10 advice).
+_MAX_DOC_ID_CACHE: dict[str, int] = {}
+
+
+def _docs_max_id(spark: SparkSession, sf_dir: str) -> int:
+    key = (
+        f"{spark.sparkContext.applicationId}:{sf_dir}:"
+        f"{_docs_fingerprint(sf_dir)}"
+    )
+    if key not in _MAX_DOC_ID_CACHE:
+        _MAX_DOC_ID_CACHE[key] = (
+            load_table(spark, sf_dir, "documents")
+            .agg(F.max("doc_id"))
+            .first()[0]
+        )
+    return _MAX_DOC_ID_CACHE[key]
+
+
+def _qc_domain_check(spark: SparkSession, sf_dir: str) -> int:
+    """Planted-twin id-domain guard shared by every entry that plants
+    QC_TWIN_OFFSET twins; returns max(doc_id) (memoized)."""
+    mx = _docs_max_id(spark, sf_dir)
+    if mx >= QC_TWIN_OFFSET:
+        raise ValueError(
+            f"max doc_id {mx} >= twin offset {QC_TWIN_OFFSET}: planted twin "
+            "ids would collide with corpus ids"
+        )
+    return mx
 QC_CENTER = 200  # ttr centering prior: boundary near origin -> fast GD
 QC_LR_DIV = 4  # global learning-rate divisor
 QC_PRECOND = [1, 64, 1024, 1024]  # power-of-2 diagonal preconditioner
@@ -3148,12 +3180,7 @@ def l64_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datafusion_cyberpolka_eda_spark.operators import ml as ML
 
     docs = load_table(spark, sf_dir, "documents")
-    mx = docs.agg(F.max("doc_id")).first()[0]
-    if mx >= QC_TWIN_OFFSET:
-        raise ValueError(
-            f"max doc_id {mx} >= twin offset {QC_TWIN_OFFSET}: planted twin "
-            "ids would collide with corpus ids"
-        )
+    _qc_domain_check(spark, sf_dir)
     feats = _qc_train_feats(docs)
     w = _qc_weights(spark, sf_dir, feats)
     scored = ML.logreg_score_q(feats, w)
@@ -3314,8 +3341,7 @@ def _qc_incr_store(spark: SparkSession, sf_dir: str) -> tuple[int, str]:
     if key in _QC_INCR_CACHE:
         return _QC_INCR_CACHE[key]
     docs = load_table(spark, sf_dir, "documents")
-    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
-    cutoff = int(0.8 * (max_id + 1))
+    cutoff = int(0.8 * (_docs_max_id(spark, sf_dir) + 1))
     feats = _qc_train_feats(docs.filter(F.col("doc_id") < cutoff))
     w = ML.logreg_train_supersteps(
         feats,
@@ -3423,12 +3449,7 @@ def l71_incremental_classifier_update(
     from datafusion_cyberpolka_eda_spark.operators import ml as ML
 
     docs = load_table(spark, sf_dir, "documents")
-    mx = docs.agg(F.max("doc_id")).first()[0]
-    if mx >= QC_TWIN_OFFSET:
-        raise ValueError(
-            f"max doc_id {mx} >= twin offset {QC_TWIN_OFFSET}: planted twin "
-            "ids would collide with corpus ids"
-        )
+    _qc_domain_check(spark, sf_dir)
     cutoff, store_path = _qc_incr_store(spark, sf_dir)
     wa = [
         int(r["v"])
@@ -3652,8 +3673,7 @@ def _dsir_store(spark: SparkSession, sf_dir: str) -> tuple[int, str]:
     if key in _DSIR_STORE_CACHE:
         return _DSIR_STORE_CACHE[key]
     docs = load_table(spark, sf_dir, "documents")
-    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
-    cutoff = int(0.8 * (max_id + 1))
+    cutoff = int(0.8 * (_docs_max_id(spark, sf_dir) + 1))
     bg = _dsir_bigram_buckets(docs.filter(F.col("doc_id") < cutoff))
     sc = (
         bg.groupBy("bkt")
@@ -3677,6 +3697,36 @@ def _dsir_store(spark: SparkSession, sf_dir: str) -> tuple[int, str]:
     sc.coalesce(1).write.mode("overwrite").parquet(path)
     _DSIR_STORE_CACHE[key] = (cutoff, path)
     return _DSIR_STORE_CACHE[key]
+
+
+def _dsir_score_batch(docs: DataFrame, sc_table: DataFrame) -> DataFrame:
+    """Deploy-side half of the DSIR recipe — score a document batch
+    against a FROZEN bucket-score table: featurize the batch alone
+    (_dsir_bigram_buckets), left-join the broadcast frozen table (a
+    bucket the scorer never saw scores 0, not the smoothed max — novel
+    vocabulary cannot win by surprise), and emit per-doc
+    length-normalized floor-mean weights. Shared by the one-shot
+    incremental scorer (l73), the streaming scorer (j22), and the
+    replay test, so every deployment surface scores byte-identically
+    by construction (r10 advice: the three copies could drift)."""
+    bg = _dsir_bigram_buckets(docs)
+    d = (
+        bg.join(F.broadcast(sc_table), "bkt", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum(F.coalesce(F.col("s"), F.lit(0))).alias("tot"),
+        )
+    )
+    return d.join(docs.select("doc_id", "source", "lang"), "doc_id").select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_bigrams",
+        F.floor(F.col("tot").cast("double") / F.col("n_bigrams"))
+        .cast("bigint")
+        .alias("dsir_weight"),
+    )
 
 
 def _l73_oracle() -> str:
@@ -3748,26 +3798,8 @@ def l73_incremental_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     cutoff, store_path = _dsir_store(spark, sf_dir)
     sc = spark.read.parquet(store_path)
-    bg = _dsir_bigram_buckets(docs.filter(F.col("doc_id") >= cutoff))
-    d = (
-        bg.join(F.broadcast(sc), "bkt", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
-            F.sum(F.coalesce(F.col("s"), F.lit(0))).alias("tot"),
-        )
-    )
     return (
-        d.join(docs.select("doc_id", "source", "lang"), "doc_id")
-        .select(
-            "doc_id",
-            "source",
-            "lang",
-            "n_bigrams",
-            F.floor(F.col("tot").cast("double") / F.col("n_bigrams"))
-            .cast("bigint")
-            .alias("dsir_weight"),
-        )
+        _dsir_score_batch(docs.filter(F.col("doc_id") >= cutoff), sc)
         .orderBy(F.desc("dsir_weight"), F.asc("doc_id"))
         .limit(10)
     )
@@ -3951,8 +3983,7 @@ def _dup_scrub_store(spark: SparkSession, sf_dir: str) -> tuple[int, str]:
     if key in _DUP_SCRUB_STORE_CACHE:
         return _DUP_SCRUB_STORE_CACHE[key]
     docs = load_table(spark, sf_dir, "documents")
-    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
-    cutoff = int(0.8 * (max_id + 1))
+    cutoff = int(0.8 * (_docs_max_id(spark, sf_dir) + 1))
     g1 = docs.filter(F.col("doc_id") < cutoff).select(
         "doc_id",
         F.explode(T.shingles("text", DUP_SCRUB_K)).alias("gram"),
@@ -4196,12 +4227,7 @@ def l75_classifier_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datafusion_cyberpolka_eda_spark.operators.ml import LOGREG_PSCALE
 
     docs = load_table(spark, sf_dir, "documents")
-    mx = docs.agg(F.max("doc_id")).first()[0]
-    if mx >= QC_TWIN_OFFSET:
-        raise ValueError(
-            f"max doc_id {mx} >= twin offset {QC_TWIN_OFFSET}: planted twin "
-            "ids would collide with corpus ids"
-        )
+    _qc_domain_check(spark, sf_dir)
     w = _qc_weights(spark, sf_dir)
     feats = _qc_train_feats(docs)
     z = F.aggregate(

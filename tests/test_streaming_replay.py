@@ -259,23 +259,7 @@ class TestAssetIngestReplay:
         sc_table = spark.read.parquet(store_path)
 
         def score_doc(batch_df):
-            bg = L._dsir_bigram_buckets(batch_df)
-            d = (
-                bg.join(F.broadcast(sc_table), "bkt", "left")
-                .groupBy("doc_id")
-                .agg(
-                    F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
-                    F.sum(F.coalesce(F.col("s"), F.lit(0))).alias("tot"),
-                )
-            )
-            return d.join(
-                batch_df.select("doc_id", "source", "lang"), "doc_id"
-            ).select(
-                "doc_id", "source", "lang", "n_bigrams",
-                F.floor(F.col("tot").cast("double") / F.col("n_bigrams"))
-                .cast("bigint")
-                .alias("dsir_weight"),
-            )
+            return L._dsir_score_batch(batch_df, sc_table)
 
         streamed = SD.stream_dsir_scoring(
             spark,
