@@ -516,14 +516,20 @@ def banded_pairs_from_signatures(
     )
 
 
-def minhash_banded_portable_oracle(
+def minhash_banded_portable_oracle_ctes(
     n: int = 3,
     num_hashes: int = 32,
     bands: int = 8,
     est_threshold: float = 0.45,
+    doc_rel: str = "documents",
+    prefix: str = "mh_",
 ) -> str:
-    """DuckDB SQL recomputing minhash_banded_pairs_portable exactly on the
-    `documents` view (same hash constants via perm_constants)."""
+    """CTE body replaying minhash_banded_pairs_portable over ``doc_rel``
+    (any relation with doc_id + text columns); the final CTE
+    ``{prefix}pairs`` holds (id_a, id_b, est_jaccard) above the
+    threshold. All CTE names carry ``prefix`` so the body composes into
+    bigger oracles (the cross-modal dedup l78 unions it with the l58
+    image-fingerprint replay) without name collisions."""
     from datafusion_cyberpolka_eda_spark.functions.hashing import (
         MERSENNE31,
         md5_hash64_sql,
@@ -534,40 +540,58 @@ def minhash_banded_portable_oracle(
     perm_rows = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(consts))
     rows_per_band = num_hashes // bands
     grams = " || ' ' || ".join(f"w[i+{j}]" for j in range(n))
-    return f"""
-    WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
-    sh AS (
+    p = prefix
+    return f"""{p}t AS (SELECT doc_id, string_split(text, ' ') w FROM {doc_rel}),
+    {p}sh AS (
       SELECT DISTINCT doc_id, {grams} AS shingle
-      FROM t, LATERAL (SELECT unnest(generate_series(1, greatest(len(w) - {n - 1}, 1))) AS i) s
+      FROM {p}t, LATERAL (SELECT unnest(generate_series(1, greatest(len(w) - {n - 1}, 1))) AS i) s
       WHERE w[i+{n - 1}] IS NOT NULL AND {grams} != ''
     ),
-    h AS (SELECT doc_id, {md5_hash64_sql('shingle')} % {MERSENNE31} AS h FROM sh),
-    perms(i, pa, pb) AS (VALUES {perm_rows}),
-    sig AS (
+    {p}h AS (SELECT doc_id, {md5_hash64_sql('shingle')} % {MERSENNE31} AS h FROM {p}sh),
+    {p}perms(i, pa, pb) AS (VALUES {perm_rows}),
+    {p}sig AS (
       SELECT doc_id, i, MIN((pa * h + pb) % {MERSENNE31}) AS s
-      FROM h CROSS JOIN perms GROUP BY doc_id, i
+      FROM {p}h CROSS JOIN {p}perms GROUP BY doc_id, i
     ),
-    bands AS (
+    {p}bands AS (
       SELECT doc_id, i // {rows_per_band} AS band_idx,
              string_agg(s::VARCHAR, ',' ORDER BY i) AS band_key
-      FROM sig GROUP BY doc_id, i // {rows_per_band}
+      FROM {p}sig GROUP BY doc_id, i // {rows_per_band}
     ),
-    cand AS (
+    {p}cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM bands a JOIN bands b
+      FROM {p}bands a JOIN {p}bands b
         ON a.band_idx = b.band_idx AND a.band_key = b.band_key
        AND a.doc_id < b.doc_id
     ),
-    est AS (
+    {p}est AS (
       SELECT c.id_a, c.id_b,
              SUM(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) / {num_hashes}.0 AS est_jaccard
-      FROM cand c
-      JOIN sig sa ON sa.doc_id = c.id_a
-      JOIN sig sb ON sb.doc_id = c.id_b AND sb.i = sa.i
+      FROM {p}cand c
+      JOIN {p}sig sa ON sa.doc_id = c.id_a
+      JOIN {p}sig sb ON sb.doc_id = c.id_b AND sb.i = sa.i
       GROUP BY 1, 2
+    ),
+    {p}pairs AS (
+      SELECT id_a, id_b, est_jaccard FROM {p}est
+      WHERE est_jaccard >= {est_threshold}
+    )"""
+
+
+def minhash_banded_portable_oracle(
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    est_threshold: float = 0.45,
+) -> str:
+    """DuckDB SQL recomputing minhash_banded_pairs_portable exactly on the
+    `documents` view (same hash constants via perm_constants)."""
+    ctes = minhash_banded_portable_oracle_ctes(
+        n, num_hashes, bands, est_threshold
     )
-    SELECT id_a, id_b, ROUND(est_jaccard, 6) AS est_jaccard
-    FROM est WHERE est_jaccard >= {est_threshold}
+    return f"""
+    WITH {ctes}
+    SELECT id_a, id_b, ROUND(est_jaccard, 6) AS est_jaccard FROM mh_pairs
     """
 
 

@@ -1834,3 +1834,126 @@ class TestIncrementalDupSpanScrub:
             assert f"GreaterThanOrEqual(doc_id,{cutoff})" in b, (
                 "increment gram scan without the pushed filter:\n" + b
             )
+
+
+class TestAdaptiveSemdedupKnn:
+    """r11 verdict task 1: the production adaptive-quantizer paths for
+    SemDeDup and the batch k-NN join (the frozen l65/l68 twins stay the
+    oracle anchors; these tests pin the operators' semantics)."""
+
+    def test_semdedup_prunes_exact_copies_min_id_survives(self, emb):
+        """Exact-copy twins (cosine 1.0) must always be pruned — identical
+        vectors produce identical cell dots, so base and twin share a
+        cluster structurally — and the SMALLER id must be the survivor."""
+        base = emb.select(
+            F.col("vec_id").alias("id"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+        )
+        twins = base.filter(F.col("id") % 9 == 4).select(
+            (F.col("id") + F.lit(1 << 23)).alias("id"), "vec"
+        )
+        allv = base.unionByName(twins)
+        members = {
+            r["id"]: r
+            for r in SIM.semdedup(allv, "id", "vec", tau=0.999).collect()
+        }
+        n_twins = sum(1 for i in members if i >= (1 << 23))
+        assert n_twins > 0
+        for i, r in members.items():
+            if i >= (1 << 23):
+                assert not r["is_kept"], f"exact-copy twin {i} survived"
+                assert members[i - (1 << 23)]["cluster"] == r["cluster"]
+        # every input row is accounted for exactly once
+        assert len(members) == allv.count()
+
+    def test_semdedup_keeps_everything_when_nothing_is_near(self, emb):
+        """tau above every non-planted pair cosine -> zero pruning (the
+        bench embeddings' max off-diagonal cosine is far below 0.999)."""
+        sub = emb.filter(F.col("vec_id") < 100)
+        members = SIM.semdedup(sub, "vec_id", "embedding", tau=0.999)
+        assert members.filter(~F.col("is_kept")).count() == 0
+        assert members.count() == 100
+
+    def test_semdedup_default_calls_adaptive(self, emb, monkeypatch):
+        """semdedup(n_clusters=None) must consult adaptive_n_centroids —
+        a future pinned-k refactor (the l65 judge flag) fails here."""
+        calls = []
+        orig = SIM.adaptive_n_centroids
+        monkeypatch.setattr(
+            SIM,
+            "adaptive_n_centroids",
+            lambda n, **kw: calls.append(n) or orig(n, **kw),
+        )
+        sub = emb.filter(F.col("vec_id") < 200)
+        SIM.semdedup(sub, "vec_id", "embedding", tau=0.999).collect()
+        assert calls and calls[0] == 200
+
+    def test_knn_join_default_calls_adaptive(self, emb, monkeypatch):
+        calls = []
+        orig = SIM.adaptive_n_centroids
+        monkeypatch.setattr(
+            SIM,
+            "adaptive_n_centroids",
+            lambda n, **kw: calls.append(n) or orig(n, **kw),
+        )
+        sub = emb.filter(F.col("vec_id") < 200)
+        SIM.knn_join(sub, "vec_id", "embedding", k=3).collect()
+        assert calls and calls[0] == 200
+
+    def test_knn_join_full_probe_equals_exact(self, emb):
+        """Probing EVERY cell makes the candidate set all-pairs, so the
+        adaptive join must reproduce the exact brute-force top-k
+        (same rounded cosine, same (cosine DESC, id ASC) tiebreak)."""
+        sub = emb.filter(F.col("vec_id") < 120)
+        kc = 8
+        ann = SIM.knn_join(
+            sub, "vec_id", "embedding", k=3, n_centroids=kc, n_probe=kc
+        )
+        got = {}
+        for r in ann.collect():
+            got.setdefault(r["query_id"], []).append(
+                (r["rank"], r["neighbor_id"])
+            )
+        exact = SIM.cosine_topk(
+            sub, sub, id_col="vec_id", vec_col="embedding", k=3
+        )
+        want = {}
+        for r in exact.collect():
+            want.setdefault(r["query_id"], []).append(
+                (r["rank"], r["candidate_id"])
+            )
+        assert set(got) == set(want)
+        for q in want:
+            assert sorted(got[q]) == sorted(want[q]), f"query {q} mismatch"
+
+    def test_knn_join_rank_contract(self, emb):
+        """Ranks are 1..k per query with no duplicate neighbors."""
+        sub = emb.filter(F.col("vec_id") < 150)
+        rows = SIM.knn_join(sub, "vec_id", "embedding", k=5).collect()
+        per_q: dict[int, list] = {}
+        for r in rows:
+            per_q.setdefault(r["query_id"], []).append(r)
+        for q, rs in per_q.items():
+            ranks = sorted(r["rank"] for r in rs)
+            assert ranks == list(range(1, len(rs) + 1))
+            assert len({r["neighbor_id"] for r in rs}) == len(rs)
+            assert q not in {r["neighbor_id"] for r in rs}
+
+    def test_ivf_partition_shared_substrate(self, emb):
+        """ivf_partition output feeds both operators via prebuilt= and
+        must agree with the non-prebuilt path (same quantizer, same
+        deterministic trainer)."""
+        sub = emb.filter(F.col("vec_id") < 200)
+        unit, cells, k = SIM.ivf_partition(
+            sub, "vec_id", "embedding", n_centroids=12, n_probe=1
+        )
+        assert k == 12
+        direct = SIM.semdedup(
+            sub, "vec_id", "embedding", tau=0.999, n_clusters=12
+        )
+        via = SIM.semdedup(
+            sub, "vec_id", "embedding", tau=0.999, prebuilt=(unit, cells)
+        )
+        assert sorted(map(tuple, direct.collect())) == sorted(
+            map(tuple, via.collect())
+        )

@@ -348,6 +348,27 @@ def main() -> int:
     # incremental scrub: gram-keyed store join + (doc,pos) anti-join
     check("l77_incremental_dup_span_scrub", absent=["CartesianProduct"])
 
+    # --- r11 entries ---
+    # adaptive-quantizer production paths: the registered l65b/l68c gates
+    # return driver-assembled VALUES rows, so audit the OPERATOR plans —
+    # candidates must come from cluster/cell equi-joins, never all-pairs
+    from datafusion_cyberpolka_eda_spark.operators import similarity as _SIM
+    from datafusion_cyberpolka_eda_spark.sources.catalog import (
+        load_table as _load_table,
+    )
+
+    _emb = _load_table(spark, sf_dir, "embeddings")
+    for _nm, _df in (
+        ("semdedup (l65b operator)",
+         _SIM.semdedup(_emb, "vec_id", "embedding", tau=0.999)),
+        ("knn_join (l68c operator)",
+         _SIM.knn_join(_emb, "vec_id", "embedding", k=5)),
+    ):
+        _p = plan_of(_df)
+        if "CartesianProduct" in _p or "BroadcastNestedLoopJoin" in _p:
+            failures.append(f"{_nm}: all-pairs join in plan")
+        print(f"[{'OK' if not failures else '??'}] {_nm}")
+
     # incremental covariance: the increment scan must carry the pushed
     # vec_id >= cutoff predicate (day-1 vectors never re-read as vectors)
     p = plan_of(qs["l51_incremental_covariance"](spark, sf_dir))
