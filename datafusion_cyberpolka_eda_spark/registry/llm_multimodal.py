@@ -660,6 +660,233 @@ def l63_audio_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- cross-modal paired-document dedup (l78, r11 verdict task 3) ----
+
+
+def _l78_oracle() -> str:
+    from datafusion_cyberpolka_eda_spark.operators.dedup import (
+        minhash_banded_portable_oracle_ctes,
+    )
+
+    mh = minhash_banded_portable_oracle_ctes(doc_rel="docs2")
+    return (
+        """
+    WITH RECURSIVE docs2 AS MATERIALIZED (
+      SELECT doc_id, text, source FROM documents
+      UNION ALL
+      SELECT doc_id + 8388608, 'imgtwin', source FROM documents
+      WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + 16777216, text, source FROM documents
+      WHERE doc_id % 5 = 3
+    ),
+    """
+        + mh
+        + ",\n    "
+        + _L58_CTES
+        + """,
+    ipairs AS (
+      SELECT pa.aid AS id_a, pb.aid AS id_b
+      FROM fp pa JOIN fp pb ON pa.aid < pb.aid
+      WHERE bit_count(xor(pa.fp, pb.fp)) <= 3
+    ),
+    alledges AS MATERIALIZED (
+      SELECT COALESCE(t.id_a, i.id_a) AS id_a,
+             COALESCE(t.id_b, i.id_b) AS id_b,
+             t.id_a IS NOT NULL AS is_text,
+             i.id_a IS NOT NULL AS is_image
+      FROM mh_pairs t FULL OUTER JOIN ipairs i
+        ON t.id_a = i.id_a AND t.id_b = i.id_b
+    ),
+    und AS (SELECT id_a AS a, id_b AS b FROM alledges
+            UNION SELECT id_b, id_a FROM alledges),
+    reach(id, r) AS (
+      SELECT a, a FROM und
+      UNION
+      SELECT e.b, r.r FROM reach r JOIN und e ON e.a = r.id
+    ),
+    comp AS (SELECT id, MIN(r) AS cmp FROM reach GROUP BY id),
+    removed AS (SELECT id FROM comp WHERE id != cmp),
+    nd AS (SELECT source, COUNT(*) AS n_docs FROM docs2 GROUP BY source),
+    nr AS (SELECT d.source, COUNT(*) AS n_removed
+           FROM removed r JOIN docs2 d ON d.doc_id = r.id
+           GROUP BY d.source),
+    pe AS (
+      SELECT d.source,
+             SUM(CASE WHEN e.is_text AND NOT e.is_image THEN 1 ELSE 0 END)
+               AS n_pairs_text_only,
+             SUM(CASE WHEN e.is_image AND NOT e.is_text THEN 1 ELSE 0 END)
+               AS n_pairs_image_only,
+             SUM(CASE WHEN e.is_text AND e.is_image THEN 1 ELSE 0 END)
+               AS n_pairs_both
+      FROM alledges e
+      JOIN documents d ON d.doc_id =
+        CASE WHEN e.id_a >= 16777216 THEN e.id_a - 16777216
+             WHEN e.id_a >= 8388608 THEN e.id_a - 8388608
+             ELSE e.id_a END
+      GROUP BY d.source
+    )
+    SELECT nd.source,
+           CAST(nd.n_docs AS BIGINT) AS n_docs,
+           CAST(COALESCE(nr.n_removed, 0) AS BIGINT) AS n_removed,
+           CAST(COALESCE(pe.n_pairs_text_only, 0) AS BIGINT)
+             AS n_pairs_text_only,
+           CAST(COALESCE(pe.n_pairs_image_only, 0) AS BIGINT)
+             AS n_pairs_image_only,
+           CAST(COALESCE(pe.n_pairs_both, 0) AS BIGINT) AS n_pairs_both
+    FROM nd LEFT JOIN nr ON nr.source = nd.source
+            LEFT JOIN pe ON pe.source = nd.source
+    """
+    )
+
+
+@register("l78_crossmodal_dedup", _l78_oracle())
+def l78_crossmodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-MODAL paired-document dedup — the LAION shape (r11 verdict
+    task 3), the one dedup composition the modality matrix lacked: each
+    document is a (text, image) PAIR, and two documents are duplicates
+    if their TEXTS are near-dups OR their IMAGES are near-dups; the
+    edge union feeds one connected-components pass and a min-id
+    survivor rule.
+
+    Corpus: every document carries its text and its closed-form PPM
+    image (the l58 asset family), plus two planted twin kinds that
+    make each modality's contribution structural, not lucky:
+      - gray twins (doc_id % 5 == 0, +2^23): channel-rotated image
+        (fingerprint EQUAL by construction) + a 1-token caption (no
+        3-gram, so no MinHash signature) -> reachable ONLY through the
+        image edge ("same picture, new caption");
+      - perturbed twins (doc_id % 5 == 3, +2^24): byte-0-perturbed
+        image (hamming may exceed the band radius) + the base caption
+        VERBATIM (identical signature, structural band collision) ->
+        guaranteed reachable through the text edge ("re-encoded
+        picture, same caption").
+
+    Edges: portable banded MinHash pairs over the paired captions
+    (l3c's fully-replayable recipe, now over the extended corpus) UNION
+    aHash banded-hamming pairs over the images (l58's recipe); a full
+    outer join tags each edge text-only / image-only / both. Components
+    are the iterative HashMin loop; the report rolls up PER SOURCE how
+    many paired docs were removed and which modality the edges came
+    from — what a LAION-scale curation run reports to its operators.
+
+    The oracle replays BOTH edge generators closed-form (MinHash
+    signatures/bands/estimates; pixels/fingerprints/hamming) and
+    resolves the closure with a recursive CTE (the l61/l63 discipline)
+    — every count here is hash-checked end-to-end.
+
+    Scale shape: both edge generators are banded equi-joins (audited:
+    no all-pairs anywhere); the union is a pair-keyed full outer join;
+    components are the bounded HashMin rounds with lineage cuts; the
+    rollup is one aggregate. Ref parity: SURVEY §2 L dedup +
+    multimodal families; Schuhmann et al. 2021 (LAION) for the shape.
+    Ref anchor: registry l3c/l58/l61/l63, operators/dedup.py
+    connected_components."""
+    from datafusion_cyberpolka_eda_spark.operators.multimodal import (
+        GRAY_TWIN_OFFSET,
+        N_AHASH_BITS,
+        PERTURB_TWIN_OFFSET,
+        ahash63_fingerprints,
+        make_ppm_neardup_assets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "text", "source")
+    gray = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + F.lit(GRAY_TWIN_OFFSET)).alias("doc_id"),
+        F.lit("imgtwin").alias("text"),
+        "source",
+    )
+    pert = docs.filter(F.col("doc_id") % 5 == 3).select(
+        (F.col("doc_id") + F.lit(PERTURB_TWIN_OFFSET)).alias("doc_id"),
+        "text",
+        "source",
+    )
+    corpus = (
+        base.unionByName(gray).unionByName(pert).localCheckpoint(eager=True)
+    )
+    tpairs = D.minhash_banded_pairs_portable(
+        corpus, "doc_id", "text", n=3, num_hashes=32, bands=8,
+        est_threshold=0.45,
+    ).select("id_a", "id_b", F.lit(True).alias("is_text"))
+    fps = ahash63_fingerprints(make_ppm_neardup_assets(docs)).localCheckpoint(
+        eager=True
+    )
+    ipairs = D.fingerprint_near_pairs(
+        fps, max_hamming=3, n_bits=N_AHASH_BITS
+    ).select("id_a", "id_b", F.lit(True).alias("is_image"))
+    edges = (
+        tpairs.join(ipairs, ["id_a", "id_b"], "full_outer")
+        .select(
+            "id_a",
+            "id_b",
+            F.coalesce("is_text", F.lit(False)).alias("is_text"),
+            F.coalesce("is_image", F.lit(False)).alias("is_image"),
+        )
+        .localCheckpoint(eager=True)  # feeds components AND the rollup
+    )
+    comps = D.connected_components(
+        edges.select("id_a", "id_b"), "id_a", "id_b"
+    )
+    removed = comps.filter(F.col("id") != F.col("comp")).select("id")
+    nd = corpus.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    nr = (
+        removed.join(corpus.select(F.col("doc_id").alias("id"), "source"), "id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_removed"))
+    )
+    base_of = (
+        F.when(
+            F.col("id_a") >= PERTURB_TWIN_OFFSET,
+            F.col("id_a") - PERTURB_TWIN_OFFSET,
+        )
+        .when(
+            F.col("id_a") >= GRAY_TWIN_OFFSET,
+            F.col("id_a") - GRAY_TWIN_OFFSET,
+        )
+        .otherwise(F.col("id_a"))
+    )
+    pe = (
+        edges.withColumn("base_id", base_of)
+        .join(
+            docs.select(F.col("doc_id").alias("base_id"), "source"),
+            "base_id",
+        )
+        .groupBy("source")
+        .agg(
+            F.sum((F.col("is_text") & ~F.col("is_image")).cast("int"))
+            .cast("bigint")
+            .alias("n_pairs_text_only"),
+            F.sum((F.col("is_image") & ~F.col("is_text")).cast("int"))
+            .cast("bigint")
+            .alias("n_pairs_image_only"),
+            F.sum((F.col("is_text") & F.col("is_image")).cast("int"))
+            .cast("bigint")
+            .alias("n_pairs_both"),
+        )
+    )
+    return (
+        nd.join(nr, "source", "left")
+        .join(pe, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_removed", F.lit(0)).cast("bigint").alias("n_removed"),
+            F.coalesce("n_pairs_text_only", F.lit(0))
+            .cast("bigint")
+            .alias("n_pairs_text_only"),
+            F.coalesce("n_pairs_image_only", F.lit(0))
+            .cast("bigint")
+            .alias("n_pairs_image_only"),
+            F.coalesce("n_pairs_both", F.lit(0))
+            .cast("bigint")
+            .alias("n_pairs_both"),
+        )
+    )
+
+
 # ---- incremental multimodal fingerprint stores (l66/l67, r9 verdict
 # task 3): the l31 persisted-store pattern over the l58/l62
 # fingerprints. (session, sf_dir, modality, data fingerprint) ->

@@ -1957,3 +1957,32 @@ class TestAdaptiveSemdedupKnn:
         assert sorted(map(tuple, direct.collect())) == sorted(
             map(tuple, via.collect())
         )
+
+
+class TestCrossmodalDedup:
+    """l78: LAION-shape paired-document dedup — text-OR-image edge union."""
+
+    def test_planted_twins_removed_and_modality_attribution(self, spark, sf_dir):
+        from datafusion_cyberpolka_eda_spark.registry.llm_multimodal import (
+            l78_crossmodal_dedup,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        n_docs = docs.count()
+        n_gray = docs.filter(F.col("doc_id") % 5 == 0).count()
+        n_pert = docs.filter(F.col("doc_id") % 5 == 3).count()
+        rows = l78_crossmodal_dedup(spark, sf_dir).collect()
+        # corpus = base docs + both twin families, all attributed to source
+        assert sum(r["n_docs"] for r in rows) == n_docs + n_gray + n_pert
+        # every twin has a structural edge to its smaller-id base, so the
+        # min-id rule removes at least every twin
+        assert sum(r["n_removed"] for r in rows) >= n_gray + n_pert
+        # gray twins: fingerprint-equal image + signature-less caption ->
+        # their base pair is reachable ONLY through the image modality
+        assert sum(r["n_pairs_image_only"] for r in rows) >= n_gray
+        # perturbed twins: verbatim caption -> text edge structural (the
+        # image edge may or may not also fire, so text_only + both)
+        assert (
+            sum(r["n_pairs_text_only"] + r["n_pairs_both"] for r in rows)
+            >= n_pert
+        )

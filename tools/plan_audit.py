@@ -368,6 +368,10 @@ def main() -> int:
         if "CartesianProduct" in _p or "BroadcastNestedLoopJoin" in _p:
             failures.append(f"{_nm}: all-pairs join in plan")
         print(f"[{'OK' if not failures else '??'}] {_nm}")
+    # cross-modal paired dedup: both edge generators banded (MinHash band
+    # join + fingerprint pigeonhole join), components iterative HashMin —
+    # never all-pairs at any stage
+    check("l78_crossmodal_dedup", absent=["CartesianProduct"])
 
     # incremental covariance: the increment scan must carry the pushed
     # vec_id >= cutoff predicate (day-1 vectors never re-read as vectors)
