@@ -1399,7 +1399,7 @@ def l57_semantic_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---- distributed Lloyd k-means (l59, r8 verdict task 4) ----
 
 
-def _l59_oracle(k: int = 8, iters: int = 3) -> str:
+def _l59_ctes(k: int = 8, iters: int = 3) -> str:
     """Unrolled MATERIALIZED-CTE replay of the distributed Lloyd loop
     (the pagerank/l28b unrolling pattern): per superstep, exact integer
     distances vs the previous centroid table, argmin with ties to the
@@ -1407,7 +1407,9 @@ def _l59_oracle(k: int = 8, iters: int = 3) -> str:
     empty clusters keeping their previous row. Every intermediate is
     integer except the single floor-of-division per component — one
     correctly-rounded IEEE op on exact <2^53 integers, identical in
-    both engines."""
+    both engines. Returns the CTE body ending with ``fin``
+    (vec_id, j, d) — the final assignment — shared by the l59 report
+    and the l79 domain-mixture composition."""
     ctes = [
         f"""
     e AS MATERIALIZED (
@@ -1448,11 +1450,8 @@ def _l59_oracle(k: int = 8, iters: int = 3) -> str:
       ON u.j = b.j AND u.i = b.i
     )""")
     final = f"c{iters}"
-    return (
-        "WITH "
-        + ",".join(ctes)
-        + f""",
-    fin AS (
+    ctes.append(f"""
+    fin AS MATERIALIZED (
       SELECT vec_id, j, d FROM (
         SELECT d.vec_id, d.j, d.d,
                ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY d.d, d.j)
@@ -1460,7 +1459,16 @@ def _l59_oracle(k: int = 8, iters: int = 3) -> str:
         FROM (SELECT e.vec_id, c.j, SUM((e.q - c.c) * (e.q - c.c)) AS d
               FROM e JOIN {final} c USING (i) GROUP BY e.vec_id, c.j) d) t
       WHERE rk = 1
-    ),
+    )""")
+    return ",".join(ctes)
+
+
+def _l59_oracle(k: int = 8, iters: int = 3) -> str:
+    final = f"c{iters}"
+    return (
+        "WITH "
+        + _l59_ctes(k, iters)
+        + f""",
     st AS (SELECT j, COUNT(*) AS n_members, SUM(d) AS inertia FROM fin
            GROUP BY j)
     SELECT CAST(c.j AS BIGINT) AS cluster, CAST(c.i AS BIGINT) AS i,
@@ -1502,6 +1510,164 @@ def l59_distributed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_members"), F.lit(0)).cast("bigint").alias("n_members"),
         F.coalesce(F.col("inertia_q"), F.lit(0)).cast("bigint").alias("inertia_q"),
     )
+
+
+def _l79_oracle(k: int = 8, iters: int = 3) -> str:
+    return (
+        "WITH "
+        + _l59_ctes(k, iters)
+        + """,
+    d AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+      FROM documents
+    ),
+    m AS MATERIALIZED (
+      SELECT f.j AS cluster, d.doc_id, d.nt
+      FROM fin f JOIN d ON d.doc_id = f.vec_id
+    ),
+    per AS (SELECT cluster, COUNT(*) AS n_docs, SUM(nt) AS tokens
+            FROM m GROUP BY cluster),
+    tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS t,
+                   CAST(SUM(n_docs) AS BIGINT) AS nd FROM per),
+    w AS (
+      SELECT cluster, n_docs, tokens,
+             CAST(FLOOR(SQRT(CAST(tokens AS DOUBLE) / t) * 1.0e9) AS BIGINT)
+               AS wq
+      FROM per, tot
+    ),
+    ws AS (SELECT SUM(wq) AS sw FROM w),
+    bud AS (
+      SELECT cluster, n_docs, tokens, wq,
+             CAST(FLOOR(CAST(wq AS DOUBLE) / sw * nd) AS BIGINT) AS n_budget
+      FROM w, ws, tot
+    ),
+    r AS (
+      SELECT cluster, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+               doc_id) AS rk
+      FROM m
+    ),
+    sel AS (
+      SELECT r.cluster, COUNT(*) AS n_selected, SUM(r.doc_id) AS sel_id_sum
+      FROM r JOIN bud b ON b.cluster = r.cluster AND r.rk <= b.n_budget
+      GROUP BY r.cluster
+    )
+    SELECT CAST(b.cluster AS BIGINT) AS cluster,
+           CAST(b.n_docs AS BIGINT) AS n_docs,
+           CAST(b.tokens AS BIGINT) AS tokens,
+           ROUND(CAST(b.tokens AS DOUBLE) / t, 6) AS raw_share,
+           ROUND(CAST(b.wq AS DOUBLE) / sw, 6) AS sampled_share,
+           ROUND((CAST(b.wq AS DOUBLE) / sw) * t / b.tokens, 6) AS epochs,
+           b.n_budget,
+           CAST(COALESCE(s.n_selected, 0) AS BIGINT) AS n_selected,
+           CAST(COALESCE(s.sel_id_sum, 0) AS BIGINT) AS sel_id_sum
+    FROM bud b LEFT JOIN sel s ON s.cluster = b.cluster, ws, tot
+    """
+    )
+
+
+@register("l79_domain_mixture", _l79_oracle(8, 3))
+def l79_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOMAIN-DISCOVERY mixture composition (r11 verdict task 4) — the
+    unsupervised loop a source-label-free pipeline runs: l59's
+    integer-exact distributed Lloyd clusters the embedding corpus into
+    AUTO-DOMAINS, each document inherits its vector's cluster, and the
+    l53 temperature rule (tau = 0.5 square-root scaling) turns
+    per-cluster token masses into sampling shares, expected epochs, and
+    an ENACTED selection head — a per-cluster document budget
+    (floor(share * corpus_docs)) filled by the hash-ranked first
+    n_budget docs of each cluster (the b6/l22 key-stable sampler rule:
+    ORDER BY md5-hash, id — deterministic, engine-replayable).
+    Completes the loop from unsupervised clustering to mixture
+    rebalancing; the l70 model-filter report is its model-based
+    sibling, l53 its source-labeled one.
+
+    Determinism discipline: Lloyd is the l59 integer-exact superstep
+    loop (oracle replays all 3 supersteps unrolled); temperature
+    weights floor-quantize to 1e-9 integers before the exact-int-sum
+    normalizer (the l53 recipe); the selection checksum (sum of
+    selected doc ids per cluster) makes the enacted pick part of the
+    hash surface, not just the budget arithmetic.
+
+    Scale shape: one embeddings scan per superstep with O(k*dim)
+    communication; assignment is a literal-expression map pass; the
+    docs join keys on doc_id; ranking windows partition by cluster
+    (bounded k); the weight table is k rows broadcast everywhere it is
+    consumed. Ref anchor: similarity.lloyd_kmeans_q; registry l59,
+    l53, l22; SURVEY §2 L mixture family."""
+    from datafusion_cyberpolka_eda_spark.functions.hashing import md5_hash64
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    q = SIM._lloyd_q_vectors(emb, "vec_id", "embedding").localCheckpoint(
+        eager=True
+    )
+    cent = SIM.lloyd_kmeans_q(q, k=8, iters=3)
+    assigned = SIM.lloyd_assign_q(q, cent)
+    docs = load_table(spark, sf_dir, "documents")
+    m = (
+        assigned.select(F.col("id").alias("doc_id"), "cluster")
+        .join(
+            docs.select(
+                "doc_id", T.token_count("text").cast("bigint").alias("nt")
+            ),
+            "doc_id",
+        )
+        .localCheckpoint(eager=True)  # feeds the agg AND the ranked pick
+    )
+    per = m.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("nt").alias("tokens"),
+    )
+    tot = per.agg(
+        F.sum("tokens").cast("bigint").alias("t"),
+        F.sum("n_docs").cast("bigint").alias("nd"),
+    )
+    w = per.crossJoin(F.broadcast(tot)).withColumn(
+        "wq",
+        F.floor(
+            F.sqrt(F.col("tokens").cast("double") / F.col("t")) * F.lit(1.0e9)
+        ).cast("bigint"),
+    )
+    ws = w.agg(F.sum("wq").alias("sw"))
+    bud = w.crossJoin(F.broadcast(ws)).withColumn(
+        "n_budget",
+        F.floor(
+            F.col("wq").cast("double") / F.col("sw") * F.col("nd")
+        ).cast("bigint"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("cluster").orderBy(
+            md5_hash64(F.col("doc_id").cast("string")), F.col("doc_id")
+        )
+    )
+    sel = (
+        m.withColumn("rk", rk)
+        .join(F.broadcast(bud.select("cluster", "n_budget")), "cluster")
+        .filter(F.col("rk") <= F.col("n_budget"))
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_selected"),
+            F.sum("doc_id").cast("bigint").alias("sel_id_sum"),
+        )
+    )
+    out = bud.join(sel, "cluster", "left").select(
+        F.col("cluster").cast("bigint").alias("cluster"),
+        "n_docs",
+        F.col("tokens").cast("bigint").alias("tokens"),
+        (F.col("tokens").cast("double") / F.col("t")).alias("raw_share"),
+        (F.col("wq").cast("double") / F.col("sw")).alias("sampled_share"),
+        (
+            (F.col("wq").cast("double") / F.col("sw"))
+            * F.col("t")
+            / F.col("tokens")
+        ).alias("epochs"),
+        "n_budget",
+        F.coalesce("n_selected", F.lit(0)).cast("bigint").alias("n_selected"),
+        F.coalesce("sel_id_sum", F.lit(0)).cast("bigint").alias("sel_id_sum"),
+    )
+    return _round_cols(out, ["raw_share", "sampled_share", "epochs"])
 
 
 # ---- semantic decontamination (l60, r8 verdict task 5) ----

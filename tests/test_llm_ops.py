@@ -1986,3 +1986,33 @@ class TestCrossmodalDedup:
             sum(r["n_pairs_text_only"] + r["n_pairs_both"] for r in rows)
             >= n_pert
         )
+
+
+class TestDomainMixture:
+    """l79: unsupervised domains (Lloyd clusters) -> temperature mixture
+    -> enacted hash-ranked selection."""
+
+    def test_budgets_shares_and_selection_consistency(self, spark, sf_dir):
+        from datafusion_cyberpolka_eda_spark.registry.llm_similarity import (
+            l79_domain_mixture,
+        )
+
+        rows = l79_domain_mixture(spark, sf_dir).collect()
+        assert rows, "at least one non-empty cluster"
+        nd = sum(r["n_docs"] for r in rows)
+        # floor-rounding drops at most one doc per cluster from the budget
+        assert nd - len(rows) <= sum(r["n_budget"] for r in rows) <= nd
+        shares = sum(r["sampled_share"] for r in rows)
+        assert abs(shares - 1.0) < 1e-4
+        for r in rows:
+            # the enacted pick fills the budget up to cluster size
+            assert r["n_selected"] == min(r["n_budget"], r["n_docs"])
+            assert r["n_selected"] <= r["n_docs"]
+            assert r["epochs"] > 0
+        # tau=0.5 temperature: the smallest cluster is up-weighted, the
+        # largest down-weighted (strict when shares differ)
+        lo = min(rows, key=lambda r: r["tokens"])
+        hi = max(rows, key=lambda r: r["tokens"])
+        if lo["tokens"] < hi["tokens"]:
+            assert lo["sampled_share"] >= lo["raw_share"]
+            assert hi["sampled_share"] <= hi["raw_share"]

@@ -372,6 +372,10 @@ def main() -> int:
     # join + fingerprint pigeonhole join), components iterative HashMin —
     # never all-pairs at any stage
     check("l78_crossmodal_dedup", absent=["CartesianProduct"])
+    # domain-discovery mixture: Lloyd assignment is a literal map pass;
+    # the k-row weight/budget tables broadcast; ranking windows partition
+    # by cluster — never all-pairs, never a global sort
+    check("l79_domain_mixture", absent=["CartesianProduct"])
 
     # incremental covariance: the increment scan must carry the pushed
     # vec_id >= cutoff predicate (day-1 vectors never re-read as vectors)
