@@ -4269,6 +4269,247 @@ def l75_classifier_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- takedown over the model + selection stores (l80/l81, r11
+# verdict task 5): the j17/l38 right-to-be-forgotten discipline applied
+# to the r10 persisted stores — retrain-free invalidation ----
+
+
+def _l80_oracle(iters: int = QC_DAY1_ITERS) -> str:
+    """Replay: day-1 cold-start training (the FROZEN registry — removed
+    docs' gradient contributions stay in, exactly the retrain-free
+    policy), full-corpus deployment scoring, then the takedown filter
+    (base doc_id % 7 == 3 drops the doc AND its planted twin) BEFORE
+    the confusion rollup. Weight columns replay the registry verbatim,
+    proving the model was not retrained."""
+    gd_a, final_a = _qc_gd_ctes(iters, "a")
+    day1 = "doc_id < (SELECT c FROM cut)"
+    return (
+        "WITH "
+        + QC_T_CTE
+        + """,
+    cut AS (
+      SELECT CAST(FLOOR(0.8 * (MAX(doc_id) + 1)) AS BIGINT) AS c
+      FROM documents
+    ),"""
+        + QC_PC_CTE
+        + ","
+        + _qc_f_ctes("a", day1)
+        + ","
+        + gd_a
+        + ","
+        + _qc_f_ctes("b")
+        + f""",
+    zf AS (SELECT fx.id, SUM(w.v * fx.v) AS z
+           FROM fxb fx JOIN {final_a} w USING (j) GROUP BY fx.id),
+    scored AS (SELECT f.id, f.y, zf.z >= 0 AS flagged
+               FROM fb f JOIN zf ON zf.id = f.id
+               WHERE (f.id % {QC_TWIN_OFFSET}) % 3 != 1)
+    SELECT d.lang,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN s.flagged THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged,
+           CAST(SUM(s.y) AS BIGINT) AS n_corrupt,
+           CAST(SUM(CASE WHEN s.y = 1 AND s.flagged THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_caught,
+           CAST(SUM(CASE WHEN s.y = 0 AND s.flagged THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_pos,
+           (SELECT v FROM {final_a} WHERE j = 0) AS w_bias,
+           (SELECT v FROM {final_a} WHERE j = 1) AS w_ntok,
+           (SELECT v FROM {final_a} WHERE j = 2) AS w_ttr,
+           (SELECT v FROM {final_a} WHERE j = 3) AS w_awl
+    FROM scored s JOIN documents d ON d.doc_id = s.id % {QC_TWIN_OFFSET}
+    GROUP BY d.lang
+    """
+    )
+
+
+@register("l80_classifier_takedown", _l80_oracle())
+def l80_classifier_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TAKEDOWN over the MODEL REGISTRY deployment (r11 verdict task 5)
+    — the right-to-be-forgotten semantics a deployed quality model
+    needs, the j17/l38 discipline over the r10 _qc_incr_store:
+
+      frozen   : the day-1 weight registry is read back UNTOUCHED —
+                 removed docs' gradient contributions remain baked in
+                 (the standard retrain-free policy: aggregate model
+                 parameters are not per-user data; the REPORT rows
+                 are). The weight columns in the output replay the
+                 registry verbatim, so a sneaky retrain breaks the
+                 hash;
+      takedown : the removal feed (base doc_id % 3 == 1 — chosen to
+                 INTERSECT the twin-planting slice doc_id % 7 == 2, so
+                 the twin-drop path genuinely exercises) drops every
+                 derived SCORE row of a removed doc — the doc's own
+                 row AND its planted twin's — before any rollup;
+      report   : per-language confusion over the SURVIVORS only. The
+                 oracle recomputes training + scoring from scratch
+                 minus the removed set, so 'no removed doc contributes
+                 to any reported count' is hash-checked, not asserted.
+
+    Scale shape: scoring is one literal-weight map pass; the takedown
+    filter is a map-side modular predicate (a real feed would
+    broadcast-anti-join the request list); rollup is one bounded agg.
+    Ref anchor: registry l38/j17 (takedown discipline), _qc_incr_store
+    (the frozen registry), l64/l70 (the deployment this edits);
+    SURVEY §2 L quality family."""
+    from datafusion_cyberpolka_eda_spark.operators import ml as ML
+
+    docs = load_table(spark, sf_dir, "documents")
+    _qc_domain_check(spark, sf_dir)
+    _cutoff, store_path = _qc_incr_store(spark, sf_dir)
+    wa = [
+        int(r["v"])
+        for r in sorted(
+            spark.read.parquet(store_path).collect(), key=lambda r: r["j"]
+        )
+    ]
+    feats = _qc_train_feats(docs)
+    scored = ML.logreg_score_q(feats, wa).filter(
+        (F.col("id") % QC_TWIN_OFFSET) % 3 != 1
+    )
+    out = (
+        scored.join(
+            docs.select("doc_id", "lang"),
+            scored["id"] % QC_TWIN_OFFSET == F.col("doc_id"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("flagged").cast("int")).cast("bigint").alias("n_flagged"),
+            F.sum("y").cast("bigint").alias("n_corrupt"),
+            F.sum(((F.col("y") == 1) & F.col("flagged")).cast("int"))
+            .cast("bigint")
+            .alias("n_caught"),
+            F.sum(((F.col("y") == 0) & F.col("flagged")).cast("int"))
+            .cast("bigint")
+            .alias("n_false_pos"),
+        )
+    )
+    return out.select(
+        "*",
+        F.lit(int(wa[0])).cast("bigint").alias("w_bias"),
+        F.lit(int(wa[1])).cast("bigint").alias("w_ntok"),
+        F.lit(int(wa[2])).cast("bigint").alias("w_ttr"),
+        F.lit(int(wa[3])).cast("bigint").alias("w_awl"),
+    )
+
+
+def _l81_oracle() -> str:
+    """l73's frozen-scorer replay extended with the takedown tail: the
+    pre-takedown top-10 is computed first so survivors entering the
+    post-takedown head carry a MEASURED resurrected flag (the l76
+    resurrection rule applied to a selection head)."""
+    from datafusion_cyberpolka_eda_spark.functions.hashing import (
+        md5_hash64_sql,
+    )
+
+    h = md5_hash64_sql("w[i] || ' ' || w[i+1]")
+    return f"""
+    WITH t AS (
+      SELECT doc_id, source, lang, string_split(text, ' ') AS w
+      FROM documents
+    ),
+    cut AS (
+      SELECT CAST(FLOOR(0.8 * (MAX(doc_id) + 1)) AS BIGINT) AS c
+      FROM documents
+    ),
+    g AS MATERIALIZED (
+      SELECT doc_id, {h} % {DSIR_BUCKETS} AS bkt
+      FROM t, LATERAL (
+        SELECT unnest(generate_series(1, len(w) - 1)) AS i) s
+    ),
+    st AS (
+      SELECT bkt, COUNT(*) AS cr,
+             SUM(CASE WHEN doc_id % 11 = 3 THEN 1 ELSE 0 END) AS ct
+      FROM g WHERE doc_id < (SELECT c FROM cut) GROUP BY bkt
+    ),
+    sc AS (
+      SELECT bkt,
+             CAST(FLOOR(CAST((ct + 1) * {DSIR_SCALE} AS DOUBLE)
+                        / (cr + 1)) AS BIGINT) AS s
+      FROM st
+    ),
+    d AS (
+      SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             SUM(COALESCE(sc.s, 0)) AS tot
+      FROM g LEFT JOIN sc USING (bkt)
+      WHERE g.doc_id >= (SELECT c FROM cut)
+      GROUP BY g.doc_id
+    ),
+    wts AS MATERIALIZED (
+      SELECT doc_id, n_bigrams,
+             CAST(FLOOR(CAST(tot AS DOUBLE) / n_bigrams) AS BIGINT)
+               AS dsir_weight
+      FROM d
+    ),
+    pre AS (SELECT doc_id FROM wts
+            ORDER BY dsir_weight DESC, doc_id LIMIT 10),
+    surv AS (SELECT * FROM wts WHERE doc_id % 7 != 3)
+    SELECT t.doc_id, t.source, t.lang, s.n_bigrams, s.dsir_weight,
+           s.doc_id NOT IN (SELECT doc_id FROM pre) AS resurrected
+    FROM surv s JOIN t ON t.doc_id = s.doc_id
+    ORDER BY s.dsir_weight DESC, s.doc_id LIMIT 10
+    """
+
+
+@register("l81_dsir_takedown", _l81_oracle())
+def l81_dsir_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TAKEDOWN over the DSIR SELECTION store (r11 verdict task 5) —
+    the j17/l38 discipline over the r10 _dsir_store, completing the
+    selection family's CRUD story (batch l72, incremental l73,
+    streaming j22, delete this):
+
+      frozen   : the day-1 bucket-score table is read back UNTOUCHED —
+                 removed docs' bigram counts stay in the frozen
+                 estimator (retrain-free), exactly as the l80 weight
+                 registry keeps its gradients;
+      takedown : the removal feed (day-2 doc_id % 7 == 3) drops the
+                 removed docs' SCORE rows; survivor scores are pure
+                 functions of doc + frozen table, so nothing else
+                 moves;
+      report   : the post-takedown top-10 selection head. Each row
+                 carries a MEASURED ``resurrected`` flag — TRUE for
+                 docs that entered the head only because a removed doc
+                 vacated a slot (the l76 resurrection rule applied to
+                 a selection head), so the rank-shift semantics are
+                 part of the hash surface.
+
+    The oracle replays the frozen-store build, day-2 scoring, the
+    pre-takedown head, the removal, and the final ranking — 'no
+    removed doc contributes' is hash-checked end to end.
+
+    Scale shape: one bigram explode over the increment + broadcast
+    frozen table (the l73 plan); the pre/post heads are TakeOrdered
+    reductions; the removal filter is map-side (broadcast-anti-join a
+    real feed). Ref anchor: _dsir_store, l73, l76/l38/j17; SURVEY §2 L
+    quality/selection family."""
+    docs = load_table(spark, sf_dir, "documents")
+    cutoff, store_path = _dsir_store(spark, sf_dir)
+    sc = spark.read.parquet(store_path)
+    all2 = _dsir_score_batch(
+        docs.filter(F.col("doc_id") >= cutoff), sc
+    ).localCheckpoint(eager=True)  # feeds the pre-head AND the survivors
+    pre = (
+        all2.orderBy(F.desc("dsir_weight"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", F.lit(1).alias("_pre"))
+    )
+    return (
+        all2.filter(F.col("doc_id") % 7 != 3)
+        .join(F.broadcast(pre), "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            "n_bigrams",
+            "dsir_weight",
+            F.col("_pre").isNull().alias("resurrected"),
+        )
+        .orderBy(F.desc("dsir_weight"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
 # ---- re-export facade (r10 split): every name that moved to a
 # family module stays importable from registry.llm so external
 # importers (registry/events.py, streaming, tests, tools) are

@@ -2016,3 +2016,57 @@ class TestDomainMixture:
         if lo["tokens"] < hi["tokens"]:
             assert lo["sampled_share"] >= lo["raw_share"]
             assert hi["sampled_share"] <= hi["raw_share"]
+
+
+class TestModelSelectionTakedown:
+    """l80/l81: right-to-be-forgotten over the r10 model + selection
+    stores — frozen estimators, removed docs' derived rows dropped."""
+
+    def test_classifier_takedown_drops_docs_and_twins_keeps_weights(
+        self, spark, sf_dir
+    ):
+        from datafusion_cyberpolka_eda_spark.registry.llm import (
+            QC_TWIN_OFFSET,
+            _qc_incr_store,
+            l80_classifier_takedown,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        n_docs = docs.count()
+        n_surv_base = docs.filter(F.col("doc_id") % 3 != 1).count()
+        n_surv_twin = docs.filter(
+            (F.col("doc_id") % 7 == 2) & (F.col("doc_id") % 3 != 1)
+        ).count()
+        n_twin = docs.filter(F.col("doc_id") % 7 == 2).count()
+        assert n_twin > n_surv_twin, "feed must intersect the twin slice"
+        rows = l80_classifier_takedown(spark, sf_dir).collect()
+        # every surviving base doc + surviving twin contributes exactly once
+        assert sum(r["n_rows"] for r in rows) == n_surv_base + n_surv_twin
+        assert sum(r["n_corrupt"] for r in rows) == n_surv_twin
+        assert sum(r["n_rows"] for r in rows) < n_docs + n_twin
+        # the weight registry is FROZEN: output weights == stored weights
+        _c, path = _qc_incr_store(spark, sf_dir)
+        stored = {
+            r["j"]: r["v"] for r in spark.read.parquet(path).collect()
+        }
+        for r in rows:
+            assert (r["w_bias"], r["w_ntok"], r["w_ttr"], r["w_awl"]) == (
+                stored[0], stored[1], stored[2], stored[3],
+            )
+
+    def test_dsir_takedown_head_and_resurrection(self, spark, sf_dir):
+        from datafusion_cyberpolka_eda_spark.registry.llm import (
+            l73_incremental_dsir,
+            l81_dsir_takedown,
+        )
+
+        post = l81_dsir_takedown(spark, sf_dir).collect()
+        assert len(post) == 10
+        assert all(r["doc_id"] % 7 != 3 for r in post), "removed doc in head"
+        pre_ids = {
+            r["doc_id"] for r in l73_incremental_dsir(spark, sf_dir).collect()
+        }
+        for r in post:
+            # resurrected == entered the head only because a removed doc
+            # vacated a slot == absent from the pre-takedown head
+            assert r["resurrected"] == (r["doc_id"] not in pre_ids)

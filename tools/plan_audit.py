@@ -376,6 +376,15 @@ def main() -> int:
     # the k-row weight/budget tables broadcast; ranking windows partition
     # by cluster — never all-pairs, never a global sort
     check("l79_domain_mixture", absent=["CartesianProduct"])
+    # store takedowns: literal-weight scoring / broadcast frozen-table
+    # join + map-side removal predicates + bounded heads — never
+    # all-pairs, never a global sort
+    check("l80_classifier_takedown", absent=["CartesianProduct"])
+    check(
+        "l81_dsir_takedown",
+        contains=["TakeOrderedAndProject"],
+        absent=["CartesianProduct", "SortMergeJoin"],
+    )
 
     # incremental covariance: the increment scan must carry the pushed
     # vec_id >= cutoff predicate (day-1 vectors never re-read as vectors)
