@@ -104,7 +104,15 @@ CUSTOM = {
 }
 
 
-def build_scaled(spark, src_dir: str, out_dir: str, factor: int) -> None:
+def build_scaled(
+    spark, src_dir: str, out_dir: str, factor: int,
+    offset: int = 10_000_000,
+) -> None:
+    """``offset`` is the per-replica id stride. The 10M default keeps
+    replica key-spaces visually distinct; the r10-family growth harness
+    (sf_amortization --growth) passes a DENSE offset instead so scaled
+    ids stay below the 2^23 planted-twin domain guards of the
+    quality/SemDeDup entries."""
     docs = spark.read.parquet(os.path.join(src_dir, "documents.parquet"))
     embs = spark.read.parquet(os.path.join(src_dir, "embeddings.parquet"))
     dim = len(embs.select("embedding").head()["embedding"])
@@ -112,7 +120,7 @@ def build_scaled(spark, src_dir: str, out_dir: str, factor: int) -> None:
     doc_parts = []
     emb_parts = []
     for k in range(factor):
-        off = k * 10_000_000
+        off = k * offset
         if k == 0:
             doc_parts.append(docs)
             emb_parts.append(embs)

@@ -193,13 +193,152 @@ def measure(spark, sf_dir: str, label: str, reps: int) -> dict:
     return {"floor": floor, "rows": rows}
 
 
+# r10/r11 quality + selection + SemDeDup/k-NN + streaming families
+# (r10 verdict task 2): measured SPARK-side growth at 1x/5x/16x, the
+# sub-quadratic evidence SCALE.md carried only as reasoned shapes.
+# Frozen-quantizer twins (l65/l68) are INCLUDED deliberately — their
+# measured super-linear growth vs the adaptive paths (l65b/l68c) is the
+# point of the comparison, not a bug.
+GROWTH_QUERIES = [
+    "l64_quality_classifier",
+    "l65_semdedup",
+    "l65b_semdedup_adaptive",
+    "l66_incremental_image_neardup",
+    "l67_incremental_audio_neardup",
+    "l68_knn_join",
+    "l68c_knn_join_adaptive",
+    "l69_incremental_semdedup",
+    "l70_model_filter_pipeline",
+    "l71_incremental_classifier_update",
+    "l72_dsir_selection",
+    "l73_incremental_dsir",
+    "l74_dup_span_scrub",
+    "l75_classifier_pr_curve",
+    "l76_semdedup_takedown",
+    "l77_incremental_dup_span_scrub",
+    "l78_crossmodal_dedup",
+    "l79_domain_mixture",
+    "l80_classifier_takedown",
+    "l81_dsir_takedown",
+    "j20_stream_asset_ingest_dedup",
+    "j21_stream_model_filter",
+    "j22_stream_dsir_selection",
+]
+# dense replica stride: scaled doc/vec ids must stay below the 2^23
+# planted-twin offsets or the family domain guards (correctly) raise
+GROWTH_OFFSET = 10_000
+
+
+def growth_main(args) -> None:
+    """Spark-side growth table for the r10/r11 families: scaled
+    documents+embeddings (dense id stride), one DISCARDED warm rep per
+    query per scale (store/memo builds are session machinery — the
+    incremental entries' steady state is the day-2 path), median of
+    ``reps`` warm reps. No DuckDB side: growth vs data scale is the
+    claim under test; the from-scratch-oracle blow-up is already
+    measured in the 5x ratio table."""
+    from datafusion_cyberpolka_eda_spark import get_spark
+    from datafusion_cyberpolka_eda_spark.registry import queries
+    from tools.scale_smoke import build_scaled as build_docs_embs
+
+    spark = get_spark(app_name="sf_growth")
+    qs = queries()
+    factors = [int(x) for x in args.factors.split(",")]
+    names = (
+        [n for n in GROWTH_QUERIES if n in set(args.queries.split(","))]
+        if args.queries
+        else GROWTH_QUERIES
+    )
+
+    # bench-style warm-up (JVM, python workers)
+    qs["d2_wide_agg_pricing"](spark, SRC).collect()
+    spark.range(1000).repartition(32).mapInPandas(
+        lambda it: it, schema="id long"
+    ).collect()
+
+    results: dict[int, dict[str, float]] = {}
+    dirs: dict[int, str] = {}
+    try:
+        for factor in factors:
+            if factor == 1:
+                dirs[factor] = SRC
+            else:
+                d = tempfile.mkdtemp(prefix=f"growth_{factor}x_")
+                dirs[factor] = d
+                print(f"building {factor}x in {d} ...", file=sys.stderr)
+                build_docs_embs(spark, SRC, d, factor, offset=GROWTH_OFFSET)
+        for factor in factors:
+            results[factor] = {}
+            for name in names:
+                rts = []
+                cold = None
+                for r in range(args.reps + 1):
+                    t0 = time.perf_counter()
+                    qs[name](spark, dirs[factor]).collect()
+                    el = time.perf_counter() - t0
+                    spark.catalog.clearCache()
+                    if r == 0:
+                        # rep 0 carries store/memo/codegen builds. For the
+                        # memoized-substrate entries (the SemDeDup family)
+                        # the SUBSTRATE is the quantizer-scaling cost under
+                        # test, so cold is REPORTED alongside warm rather
+                        # than discarded.
+                        cold = el
+                    else:
+                        rts.append(el)
+                results[factor][name] = (cold, statistics.median(rts))
+                print(
+                    f"  [{factor}x] {name}: cold {cold:.2f}s warm "
+                    f"{results[factor][name][1]:.2f}s",
+                    file=sys.stderr,
+                )
+    finally:
+        for f, d in dirs.items():
+            if d != SRC:
+                shutil.rmtree(d, ignore_errors=True)
+
+    base = factors[0]
+    hi = factors[-1]
+    print(f"\n## r10/r11 family growth (documents+embeddings scaled, "
+          f"reps={args.reps})\n")
+    print("| query | " + " | ".join(f"{f}x cold / warm s" for f in factors)
+          + f" | cold growth {hi}x/{base}x | warm growth |")
+    print("|---|" + "---|" * (len(factors) + 2))
+    for name in names:
+        cells = " | ".join(
+            f"{results[f][name][0]:.2f} / {results[f][name][1]:.2f}"
+            for f in factors
+        )
+        gc_ = results[hi][name][0] / max(results[base][name][0], 1e-9)
+        gw = results[hi][name][1] / max(results[base][name][1], 1e-9)
+        print(f"| {name} | {cells} | {gc_:.1f}x | {gw:.1f}x |")
+    k = hi // base
+    print(f"\nreference: data {k}x -> linear {k}x, n^1.5 "
+          f"{int(k ** 1.5)}x, quadratic {k * k}x. Cold carries "
+          f"store/memo/substrate builds (for the memoized SemDeDup "
+          f"family that IS the quantizer cost under test); warm is the "
+          f"steady-state median. Local scheduling floors (~0.3-0.5 "
+          f"s/job) inflate the small cells, so sub-{k}x growth means "
+          f"floor-dominated.")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=5)
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--data-dir", default=None,
                     help="reuse an existing scaled dir (skip the build)")
+    ap.add_argument("--growth", action="store_true",
+                    help="r10/r11-family Spark-side growth table "
+                         "(no oracles; --factors applies)")
+    ap.add_argument("--factors", default="1,5,16",
+                    help="growth mode: comma-separated scale factors")
+    ap.add_argument("--queries", default=None,
+                    help="growth mode: comma-separated subset")
     args = ap.parse_args()
+    if args.growth:
+        growth_main(args)
+        return
 
     from datafusion_cyberpolka_eda_spark import get_spark
 
