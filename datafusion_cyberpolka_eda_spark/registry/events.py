@@ -657,3 +657,61 @@ def j22_stream_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_dsir_scoring(
         spark, docs.filter(F.col("doc_id") >= cutoff), score_doc, scratch
     )
+
+
+def _j23_oracle() -> str:
+    # the accumulated streamed state must reproduce the one-shot
+    # incremental SemDeDup — l69's frozen-quantizer replay, verbatim
+    from datafusion_cyberpolka_eda_spark.registry.llm_similarity import (
+        _l69_oracle,
+    )
+
+    return _l69_oracle()
+
+
+@register("j23_stream_semdedup", _j23_oracle())
+def j23_stream_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SemDeDup ingest (r11) — completes the semantic-dedup
+    surface matrix (batch l65 / adaptive l65b / incremental l69 /
+    takedown l76 / streaming this): the day-2 increment (natural
+    arrivals plus planted epsilon-twins of bases from both days, the
+    l69 construction) arrives as micro-batches; each epoch assigns
+    only its batch against the FROZEN day-1 Lloyd centroids, pair-scans
+    it against the day-1 store + previously-streamed rows + itself
+    within clusters, and appends assignment + prune-candidate rows
+    epoch-keyed. Keep decisions derive at read-back from the MONOTONE
+    accumulated prune set, so the answer is arrival-order-independent
+    and must hash-match l69's one-shot incremental result — l69's
+    from-scratch DuckDB replay is the oracle."""
+    from datafusion_cyberpolka_eda_spark.registry.llm_similarity import (
+        SEMDEDUP_TWIN_OFFSET,
+        _semdedup_store,
+    )
+    from datafusion_cyberpolka_eda_spark.sources.catalog import load_table
+    from datafusion_cyberpolka_eda_spark.streaming.documents import (
+        stream_semdedup,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cutoff, cent, day1_path = _semdedup_store(spark, sf_dir)
+    day1 = spark.read.parquet(day1_path)
+    day2q = emb.filter(F.col("vec_id") >= cutoff).select(
+        F.col("vec_id").alias("id"),
+        F.transform(
+            "embedding", lambda x: F.floor(x * F.lit(100000.0)).cast("long")
+        ).alias("q"),
+    )
+    bases = day1.select("id", "q").unionByName(day2q)
+    twins = bases.filter(F.col("id") % 9 == 4).select(
+        (F.col("id") + F.lit(SEMDEDUP_TWIN_OFFSET)).alias("id"),
+        F.transform(
+            "q",
+            lambda x, i: x
+            + ((F.col("id") * 31 + i.cast("long") * 17) % 7 - 3).cast("long"),
+        ).alias("q"),
+    )
+    newq = day2q.unionByName(twins)
+    scratch = _scratch_dir(spark, "j23", sf_dir)
+    return stream_semdedup(
+        spark, newq, cent, day1_path, scratch, SEMDEDUP_TWIN_OFFSET
+    )

@@ -382,6 +382,144 @@ def stream_dsir_scoring(
     ).limit(top_n)
 
 
+def stream_semdedup(
+    spark: SparkSession,
+    newq: DataFrame,
+    cent_q,
+    day1_path: str,
+    scratch_dir: str,
+    twin_offset: int,
+    tau: float = 0.999,
+    n_files: int = 3,
+) -> DataFrame:
+    """Streaming SemDeDup ingest — the continuous shape of the l69
+    incremental operator, completing the semantic-dedup surface matrix
+    (batch l65 / adaptive l65b / incremental l69 / takedown l76 /
+    streaming this): the day-2 increment ``newq`` (pre-quantized
+    (id, q) rows, planted twins included) arrives as micro-batches;
+    each epoch assigns ONLY its batch against the FROZEN day-1
+    centroids (``cent_q``), pair-scans the batch against day-1 store +
+    previously-streamed rows + itself within clusters (exact integer
+    cosine >= tau), and appends (a) its assignment rows and (b) the
+    LARGER id of every qualifying pair as a prune candidate — both
+    epoch-keyed, idempotent under replay.
+
+    Keep decisions are derived at read-back (assignments anti-join the
+    accumulated prune set) rather than per epoch: the pruned-pair set
+    is symmetric and MONOTONE (a pair is discovered in the epoch its
+    later-arriving side lands), so the final answer is independent of
+    epoch arrival order — a smaller-id vector arriving after a bigger
+    one still prunes it, exactly as the one-shot batch semantics
+    require. Day-1 rows can never be pruned (all day-1 ids precede
+    day-2 ids, and the candidate is always the pair's max id).
+
+    The accumulated result must equal l69's one-shot incremental
+    answer — l69's from-scratch frozen-quantizer DuckDB replay is the
+    oracle. Per-epoch cost: |batch| assign map passes + one
+    cluster-key equi-join of the batch against the store view."""
+    from datafusion_cyberpolka_eda_spark.operators import similarity as SIM
+
+    src_dir = os.path.join(scratch_dir, "vec_src")
+    asg_dir = os.path.join(scratch_dir, "assignments")
+    prn_dir = os.path.join(scratch_dir, "pruned")
+    for d in (src_dir, asg_dir, prn_dir):
+        shutil.rmtree(d, ignore_errors=True)
+
+    newq.repartitionByRange(n_files, "id").write.parquet(src_dir)
+    asg_schema = "id bigint, cluster bigint, q array<bigint>, n2 bigint"
+
+    def with_n2(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "n2",
+            F.aggregate(
+                F.transform("q", lambda x: x * x),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ),
+        )
+
+    day1 = with_n2(
+        spark.read.parquet(day1_path).select("id", "cluster", "q")
+    ).localCheckpoint(eager=True)
+
+    dot = F.aggregate(
+        F.zip_with("q_a", "q_b", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        eid = int(epoch_id)
+        batch = with_n2(
+            SIM.lloyd_assign_q(batch_df, cent_q).join(batch_df, "id")
+        ).localCheckpoint(eager=True)  # feeds the pair join + the append
+        earlier = _read_epochs(spark, asg_dir, asg_schema, below=eid)
+        others = day1.unionByName(earlier).unionByName(batch)
+        a = batch.select(
+            F.col("id").alias("id_a"), "cluster",
+            F.col("q").alias("q_a"), F.col("n2").alias("n2_a"),
+        )
+        b = others.select(
+            F.col("id").alias("id_b"), "cluster",
+            F.col("q").alias("q_b"), F.col("n2").alias("n2_b"),
+        )
+        pruned = (
+            a.join(b, "cluster")
+            .filter(F.col("id_a") != F.col("id_b"))
+            .withColumn("dot", dot)
+            .filter(
+                (F.col("dot") > 0)
+                & (
+                    F.col("dot").cast("double")
+                    >= F.lit(tau)
+                    * (
+                        F.sqrt(F.col("n2_a").cast("double"))
+                        * F.sqrt(F.col("n2_b").cast("double"))
+                    )
+                )
+            )
+            .select(F.greatest("id_a", "id_b").alias("id"))
+            .distinct()
+        )
+        pruned.write.mode("overwrite").parquet(_epoch_dir(prn_dir, eid))
+        batch.write.mode("overwrite").parquet(_epoch_dir(asg_dir, eid))
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = stream.writeStream.foreachBatch(_deliver(handle)).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    asg = _read_epochs(spark, asg_dir, asg_schema)
+    pruned_all = _read_epochs(spark, prn_dir, "id bigint").distinct()
+    members2 = asg.join(
+        pruned_all.withColumn("hit", F.lit(1)), "id", "left"
+    ).select(
+        F.col("id").alias("vec_id"),
+        "cluster",
+        F.col("hit").isNull().alias("is_kept"),
+    )
+    cs = members2.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_day2_members"),
+        F.sum((~F.col("is_kept")).cast("int"))
+        .cast("bigint")
+        .alias("n_day2_pruned"),
+    )
+    return members2.join(F.broadcast(cs), "cluster").select(
+        "vec_id",
+        "cluster",
+        (F.col("vec_id") >= twin_offset).alias("is_twin"),
+        "is_kept",
+        "n_day2_members",
+        "n_day2_pruned",
+    )
+
+
 def stream_takedown(
     spark: SparkSession,
     requests: DataFrame,

@@ -269,3 +269,46 @@ class TestAssetIngestReplay:
         )
         batch = L.l73_incremental_dsir(spark, sf_dir)
         assert _rows(streamed) == _rows(batch)
+
+    def test_semdedup_streaming_replay(
+        self, spark, sf_dir, tmp_path, replay_every_epoch
+    ):
+        """j23: every epoch delivered twice must still reproduce the
+        one-shot incremental SemDeDup over the frozen day-1 store."""
+        from datafusion_cyberpolka_eda_spark.registry.llm_similarity import (
+            SEMDEDUP_TWIN_OFFSET,
+            _semdedup_store,
+            l69_incremental_semdedup,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        cutoff, cent, day1_path = _semdedup_store(spark, sf_dir)
+        day1 = spark.read.parquet(day1_path)
+        day2q = emb.filter(F.col("vec_id") >= cutoff).select(
+            F.col("vec_id").alias("id"),
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x * F.lit(100000.0)).cast("long"),
+            ).alias("q"),
+        )
+        bases = day1.select("id", "q").unionByName(day2q)
+        twins = bases.filter(F.col("id") % 9 == 4).select(
+            (F.col("id") + F.lit(SEMDEDUP_TWIN_OFFSET)).alias("id"),
+            F.transform(
+                "q",
+                lambda x, i: x
+                + ((F.col("id") * 31 + i.cast("long") * 17) % 7 - 3).cast(
+                    "long"
+                ),
+            ).alias("q"),
+        )
+        streamed = SD.stream_semdedup(
+            spark,
+            day2q.unionByName(twins),
+            cent,
+            day1_path,
+            str(tmp_path / "scratch"),
+            SEMDEDUP_TWIN_OFFSET,
+        )
+        batch = l69_incremental_semdedup(spark, sf_dir)
+        assert _rows(streamed) == _rows(batch)
