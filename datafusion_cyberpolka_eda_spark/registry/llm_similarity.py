@@ -3047,6 +3047,215 @@ def l69_incremental_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- adaptive incremental SemDeDup (l69b, r11): the growth harness
+# measured l69's frozen k=8 store at 61.9x warm growth over 16x data
+# (the pinned-k pair scan is quadratic); this is the production store
+# shape with the sqrt-n quantizer ----
+
+# (session, sf_dir, data fingerprint) -> (cutoff, k1, centers, day1 path)
+_SEMDEDUP_ADAPT_STORE_CACHE: dict[str, tuple] = {}
+
+
+def _semdedup_adaptive_store(spark: SparkSession, sf_dir: str) -> tuple:
+    """Day-1 ADAPTIVE SemDeDup store, built once per (session, data):
+    sqrt-n cell count over day-1 (adaptive_n_centroids), sampled-Lloyd
+    centroids trained on day-1 only (the frozen-quantizer contract),
+    and the day-1 (id, cell, unit_arr) table persisted to parquet.
+    Returns (cutoff, n_clusters, centers, day1_path)."""
+    key = (
+        f"{spark.sparkContext.applicationId}:{sf_dir}:semdedup_adapt:"
+        f"{_table_fingerprint(sf_dir, 'embeddings')}"
+    )
+    if key in _SEMDEDUP_ADAPT_STORE_CACHE:
+        return _SEMDEDUP_ADAPT_STORE_CACHE[key]
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    max_id = emb.agg(F.max("vec_id")).collect()[0][0]
+    cutoff = int(0.8 * (max_id + 1))
+    unit1 = SIM.unit_vec_df(
+        emb.filter(F.col("vec_id") < cutoff), "vec_id", "embedding"
+    ).localCheckpoint(eager=True)
+    n1 = unit1.count()
+    k1 = SIM.adaptive_n_centroids(n1, cap=1024)
+    centers = SIM.train_centroids_on_sample(
+        unit1, k1, min(max(2048, 64 * k1), 1 << 18)
+    )
+    assign = (
+        SIM.assign_cells_arrow
+        if k1 > SIM._LITERAL_CELL_CAP
+        else SIM.assign_cells_literal
+    )
+    day1 = assign(unit1, centers, 1).join(unit1, "id")
+    out = tempfile.mkdtemp(prefix="semdedup_adapt_store_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    day1_path = os.path.join(out, "day1.parquet")
+    day1.write.mode("overwrite").parquet(day1_path)
+    _SEMDEDUP_ADAPT_STORE_CACHE[key] = (cutoff, k1, centers, day1_path)
+    return _SEMDEDUP_ADAPT_STORE_CACHE[key]
+
+
+_L69B_ORACLE = """
+    WITH m AS (
+      SELECT COUNT(*) AS n,
+             CAST(FLOOR(0.8 * (MAX(vec_id) + 1)) AS BIGINT) AS c
+      FROM embeddings
+    ),
+    parts AS (
+      SELECT SUM(CASE WHEN vec_id < (SELECT c FROM m) THEN 1 ELSE 0 END)
+               AS n1,
+             SUM(CASE WHEN vec_id >= (SELECT c FROM m) THEN 1 ELSE 0 END)
+               AS n2,
+             SUM(CASE WHEN vec_id % 9 = 4 THEN 1 ELSE 0 END) AS nt
+      FROM embeddings
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_day1,
+           CAST(n2 AS BIGINT) AS n_day2_naturals,
+           CAST(nt AS BIGINT) AS n_twins,
+           GREATEST(8, LEAST(1024,
+             CAST(ROUND(SQRT(CAST(n1 AS DOUBLE))) AS BIGINT)))
+             AS n_clusters_adaptive,
+           TRUE AS twin_recall_ge_095,
+           TRUE AS day1_never_pruned,
+           TRUE AS cand_ratio_le_02,
+           TRUE AS cand_balance_le_3
+    FROM parts
+"""
+
+
+@register("l69b_incremental_semdedup_adaptive", _L69B_ORACLE)
+def l69b_incremental_semdedup_adaptive(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ADAPTIVE incremental SemDeDup (r11) — the production store shape
+    for l69, closing the pinned-k flag this round's growth harness
+    MEASURED (l69's frozen k=8 store: 61.9x warm growth over 16x data —
+    the day-2-vs-store in-cluster pair scan is quadratic at fixed k;
+    SCALE.md r11 table): the day-1 store is built with the sqrt-n cell
+    rule (sampled-Lloyd centroids trained on day-1 only, FROZEN), the
+    day-2 increment (naturals + planted float epsilon-twins of bases
+    from both days — the l69 re-crawl construction) unit-normalizes and
+    assigns ONLY its own vectors against the frozen quantizer, and a
+    day-2 row is pruned iff a smaller-id same-cell neighbor (store or
+    increment) sits within the tau=0.999 ball.
+
+    The sampled quantizer is data-dependent, so — the l65b/l68c gate
+    recipe — DuckDB recomputes every replayable value (day-1/day-2/twin
+    counts and the sqrt-n rule over the DAY-1 count, hash-checking the
+    store's scaling law) while the semantics are measured columns:
+      twin_recall_ge_095 — every planted twin has a smaller-id base
+        with a near-identical vector, so same-cell assignment prunes it
+        (measured 1.0 at sf0.001-0.1);
+      day1_never_pruned  — prune candidates are increment rows only;
+        the measured min pruned id sits above the cutoff (day-1 content
+        survives a re-crawl, the l69 contract);
+      cand_ratio_le_02 / cand_balance_le_3 — evaluated candidate pairs
+        (sum over cells of store_occ x new_occ + new-new pairs) vs the
+        all-cross bound and the balanced ideal /k.
+
+    Scale shape: day-2 cost = |increment| normalize+assign map passes +
+    one cell-key equi-join against the store (read pre-bucketed by cell
+    at 100 TB) with ~n/k occupancy per cell under the sqrt-n rule —
+    the measured fix for the 61.9x row. Ref anchor: _semdedup_store
+    (frozen twin), operators/similarity.ivf_partition/semdedup."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    mx = emb.agg(F.max("vec_id")).first()[0]
+    if mx >= SEMDEDUP_TWIN_OFFSET:
+        raise ValueError(
+            f"max vec_id {mx} >= twin offset {SEMDEDUP_TWIN_OFFSET}: planted "
+            "twin ids would collide with corpus ids"
+        )
+    cutoff, k1, centers, day1_path = _semdedup_adaptive_store(spark, sf_dir)
+    day2 = emb.filter(F.col("vec_id") >= cutoff).select(
+        F.col("vec_id").alias("id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+    )
+    twins = emb.filter(F.col("vec_id") % 9 == 4).select(
+        (F.col("vec_id") + F.lit(SEMDEDUP_TWIN_OFFSET)).alias("id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x.cast("double")
+            + (
+                (F.col("vec_id") * 31 + i.cast("long") * 17) % 7 - 3
+            ).cast("double")
+            / F.lit(100000.0),
+        ).alias("vec"),
+    )
+    inc_unit = SIM.unit_vec_df(
+        day2.unionByName(twins), "id", "vec"
+    ).localCheckpoint(eager=True)
+    assign = (
+        SIM.assign_cells_arrow
+        if k1 > SIM._LITERAL_CELL_CAP
+        else SIM.assign_cells_literal
+    )
+    cells_new = assign(inc_unit, centers, 1).localCheckpoint(eager=True)
+    side_new = cells_new.join(inc_unit, "id").localCheckpoint(eager=True)
+    day1 = spark.read.parquet(day1_path)
+    side_all = day1.select("id", "cell", "unit_arr").unionByName(side_new)
+    a = side_all.select(
+        F.col("id").alias("id_a"), "cell", F.col("unit_arr").alias("arr_a")
+    )
+    b = side_new.select(
+        F.col("id").alias("id_b"), "cell", F.col("unit_arr").alias("arr_b")
+    )
+    pruned = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(SIM.dot_expr("arr_a", "arr_b") >= F.lit(0.999))
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds recall + the min-id check
+    )
+    cnt = emb.agg(
+        F.sum((F.col("vec_id") < cutoff).cast("int")).alias("n1"),
+        F.sum((F.col("vec_id") >= cutoff).cast("int")).alias("n2"),
+        F.sum((F.col("vec_id") % 9 == 4).cast("int")).alias("nt"),
+    ).first()
+    n1, n2, nt = int(cnt["n1"]), int(cnt["n2"]), int(cnt["nt"])
+    tw = pruned.filter(F.col("id") >= SEMDEDUP_TWIN_OFFSET).count()
+    min_pruned = pruned.agg(F.min("id")).first()[0]
+    occ1 = day1.groupBy("cell").agg(F.count(F.lit(1)).alias("c1"))
+    occ2 = cells_new.groupBy("cell").agg(F.count(F.lit(1)).alias("c2"))
+    cand = float(
+        occ1.join(occ2, "cell", "full_outer")
+        .select(
+            (
+                F.coalesce("c1", F.lit(0)) * F.coalesce("c2", F.lit(0))
+                + F.coalesce("c2", F.lit(0))
+                * (F.coalesce("c2", F.lit(0)) - 1)
+                / 2
+            ).alias("p")
+        )
+        .agg(F.sum("p"))
+        .first()[0]
+    )
+    n_new = n2 + nt
+    all_cross = n1 * n_new + n_new * (n_new - 1) / 2.0
+    ratio = cand / all_cross
+    balance = ratio * k1
+    return small_df(
+        spark,
+        [(
+            n1,
+            n2,
+            nt,
+            k1,
+            (nt == 0) or (tw / nt >= 0.95),
+            (min_pruned is None) or (min_pruned >= cutoff),
+            ratio <= 0.2,
+            balance <= 3.0,
+        )],
+        "n_day1 bigint, n_day2_naturals bigint, n_twins bigint, "
+        "n_clusters_adaptive bigint, twin_recall_ge_095 boolean, "
+        "day1_never_pruned boolean, cand_ratio_le_02 boolean, "
+        "cand_balance_le_3 boolean",
+    )
+
+
 # ---- SemDeDup takedown (l76): right-to-be-forgotten over the kept set ----
 
 

@@ -2070,3 +2070,32 @@ class TestModelSelectionTakedown:
             # resurrected == entered the head only because a removed doc
             # vacated a slot == absent from the pre-takedown head
             assert r["resurrected"] == (r["doc_id"] not in pre_ids)
+
+
+class TestAdaptiveIncrementalSemdedup:
+    """l69b: the adaptive-store fix for the 61.9x pinned-k growth row."""
+
+    def test_gate_booleans_and_store_adaptivity(self, spark, sf_dir, monkeypatch):
+        from datafusion_cyberpolka_eda_spark.registry import llm_similarity as LS
+
+        # fresh store per test run so the adaptive-rule call is observable
+        LS._SEMDEDUP_ADAPT_STORE_CACHE.clear()
+        calls = []
+        orig = SIM.adaptive_n_centroids
+        monkeypatch.setattr(
+            SIM,
+            "adaptive_n_centroids",
+            lambda n, **kw: calls.append(n) or orig(n, **kw),
+        )
+        rows = LS.l69b_incremental_semdedup_adaptive(spark, sf_dir).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert calls and calls[0] == r["n_day1"], (
+            "store build no longer consults adaptive_n_centroids on day-1"
+        )
+        assert r["n_twins"] > 0
+        assert r["twin_recall_ge_095"]
+        assert r["day1_never_pruned"]
+        assert r["cand_ratio_le_02"]
+        assert r["cand_balance_le_3"]
+        LS._SEMDEDUP_ADAPT_STORE_CACHE.clear()

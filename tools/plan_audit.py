@@ -380,6 +380,11 @@ def main() -> int:
     # join + map-side removal predicates + bounded heads — never
     # all-pairs, never a global sort
     check("l80_classifier_takedown", absent=["CartesianProduct"])
+    # adaptive incremental SemDeDup: frozen-quantizer assignment map
+    # passes + cell-key store equi-join — never all-pairs (gate returns
+    # VALUES rows; the candidate join is inside, audited via the
+    # operator check above and this entry's lineage)
+    check("l69b_incremental_semdedup_adaptive", absent=["CartesianProduct"])
     check(
         "l81_dsir_takedown",
         contains=["TakeOrderedAndProject"],

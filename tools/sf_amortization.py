@@ -208,6 +208,7 @@ GROWTH_QUERIES = [
     "l68_knn_join",
     "l68c_knn_join_adaptive",
     "l69_incremental_semdedup",
+    "l69b_incremental_semdedup_adaptive",
     "l70_model_filter_pipeline",
     "l71_incremental_classifier_update",
     "l72_dsir_selection",
