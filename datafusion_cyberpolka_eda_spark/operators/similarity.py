@@ -975,7 +975,11 @@ def ivf_partition(
     Returns (unit, cells, n_centroids): unit is (id, unit_arr), cells is
     (id, cell) with one row per probed cell. Exposed so gate entries can
     measure candidate volume from the SAME cell table the operator
-    joins on (pass the pair back via ``prebuilt=``)."""
+    joins on (pass the pair back via ``prebuilt=``) — but note the
+    semdedup() contract: its ``prebuilt=`` path requires ONE cell row
+    per id (n_probe=1); a multi-probe cells table must go to knn_join
+    (which dedups candidates) or be declared via semdedup's
+    ``prebuilt_n_probe``."""
     unit = unit_vec_df(df, id_col, vec_col)
     if n_centroids is None:
         n_centroids = adaptive_n_centroids(unit.count(), cap=1024)
@@ -1000,6 +1004,7 @@ def semdedup(
     n_clusters: int | None = None,
     n_train: int = 2048,
     prebuilt: tuple[DataFrame, DataFrame] | None = None,
+    prebuilt_n_probe: int = 1,
 ) -> DataFrame:
     """PRODUCTION SemDeDup (Abbas et al. 2023) with an ADAPTIVE quantizer
     — the scale path the frozen oracle twin l65 pins at k=8: cluster the
@@ -1026,11 +1031,22 @@ def semdedup(
     left-join survivors. No CartesianProduct anywhere.
 
     Returns (id, cluster, is_kept) — one row per input vector.
+
+    ``prebuilt`` contract: the cells table must carry ONE row per id —
+    an n_probe=1 ivf_partition output. A multi-probe table would fan
+    the pair scan out across cells AND duplicate output rows; callers
+    holding one must declare ``prebuilt_n_probe`` > 1, which collapses
+    each id to its min cell for the output label while keeping every
+    probed cell as a candidate generator (strictly more recall, same
+    min-id keep policy). The default path never multi-probes, so the
+    collapse job is paid only when declared.
     Ref anchor: registry l65 (frozen oracle twin), SCALE.md sqrt-n
     rule; operators/dedup.embedding_neardup_bucketed (the same
     discipline for threshold near-dup pairs)."""
     if prebuilt is not None:
         scored, cells = prebuilt
+        if prebuilt_n_probe < 1:
+            raise ValueError(f"prebuilt_n_probe must be >= 1, got {prebuilt_n_probe}")
     else:
         scored, cells, n_clusters = ivf_partition(
             df, id_col, vec_col, n_clusters, n_probe=1, n_train=n_train
@@ -1049,7 +1065,12 @@ def semdedup(
         .select(F.col("id_b").alias("id"))
         .distinct()
     )
-    return cells.join(
+    out_cells = (
+        cells
+        if prebuilt is None or prebuilt_n_probe == 1
+        else cells.groupBy("id").agg(F.min("cell").alias("cell"))
+    )
+    return out_cells.join(
         pruned.withColumn("_hit", F.lit(1)), "id", "left"
     ).select(
         "id",
@@ -1077,10 +1098,13 @@ def knn_join(
     vector is assigned to its top-``n_probe`` cells on BOTH sides, so
     candidate volume is ~n^2 * probe^2 / cells = probe^2 * n^1.5 at
     k ~ sqrt(n), where l68's frozen 16 cells give ~n^2/4 forever (the
-    judge flag this closes). Recall at the default probe=3 measured
-    0.97-1.00 vs exact top-5 on the bench corpora (gate l68c keeps it
-    measured); raise n_probe for higher recall at proportional
-    candidate cost — the standard IVF trade.
+    judge flag this closes). Recall at the default probe=3 is
+    CORPUS-DEPENDENT and intrinsically volatile — measured 0.55-0.88
+    vs exact top-5 across quantizer seeds on the unstructured bench
+    embeddings (SCALE.md r11 probe sweep); the oracle gate l68c is
+    therefore recall-tuned at n_probe=6, where the measured recall
+    clears its 0.95 bar. Raise n_probe for higher recall at
+    proportional candidate cost — the standard IVF trade.
 
     Plan shape: one quantizer train on a bounded sample, one
     assignment pass (literal dots / Arrow matmul past

@@ -19,20 +19,31 @@ from datafusion_cyberpolka_eda_spark.streaming.events import (
 )
 
 
+_SCRATCH_CLEANUP_REGISTERED: set[str] = set()
+
+
 def _scratch_dir(spark: SparkSession, name: str, sf_dir: str) -> str:
     """Per-(session, entry, scale-factor) streaming scratch root under
     the repo .scratch/: keyed by applicationId so two concurrent
     sessions on the same checkout and SF cannot rmtree each other's
-    streaming source/output dirs mid-run (r10 advice)."""
+    streaming source/output dirs mid-run (r10 advice). The session's
+    appId root is atexit-removed — same pattern as the tempfile store
+    dirs — so repeated sessions don't leak disk unboundedly under
+    .scratch (r11 advice)."""
+    import atexit
     import os
+    import shutil
 
     repo = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
+    app_id = spark.sparkContext.applicationId
+    root = os.path.join(repo, ".scratch", app_id)
+    if app_id not in _SCRATCH_CLEANUP_REGISTERED:
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        _SCRATCH_CLEANUP_REGISTERED.add(app_id)
     sf = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-    return os.path.join(
-        repo, ".scratch", spark.sparkContext.applicationId, f"{name}_{sf}"
-    )
+    return os.path.join(root, f"{name}_{sf}")
 
 
 @register(

@@ -117,6 +117,19 @@ def build_scaled(
     embs = spark.read.parquet(os.path.join(src_dir, "embeddings.parquet"))
     dim = len(embs.select("embedding").head()["embedding"])
 
+    # replica-overlap guard (r11 advice): with a dense offset (the growth
+    # harness passes 10k) a bigger source SF can have max ids >= offset,
+    # silently overlapping replica id ranges — duplicate doc_id/vec_id
+    # rows that corrupt every growth measurement. Fail loudly instead.
+    max_doc = docs.agg(F.max("doc_id")).head()[0]
+    max_vec = embs.agg(F.max("vec_id")).head()[0]
+    if factor > 1 and (max_doc >= offset or max_vec >= offset):
+        raise ValueError(
+            f"build_scaled: replica id ranges would overlap — max doc_id "
+            f"{max_doc} / max vec_id {max_vec} must be < offset {offset}; "
+            f"raise offset (source {src_dir} is too big for this stride)"
+        )
+
     doc_parts = []
     emb_parts = []
     for k in range(factor):

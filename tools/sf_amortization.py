@@ -245,6 +245,15 @@ def growth_main(args) -> None:
     spark = get_spark(app_name="sf_growth")
     qs = queries()
     factors = [int(x) for x in args.factors.split(",")]
+    # the dense stride exists to keep scaled ids below the 2^23 planted-
+    # twin offsets of the quality/SemDeDup family domain guards; a factor
+    # big enough to cross it would trade the guard error for silent id
+    # collisions — fail loudly up front (r11 advice)
+    if max(factors) * GROWTH_OFFSET >= 1 << 23:
+        raise ValueError(
+            f"growth factor {max(factors)} x stride {GROWTH_OFFSET} crosses "
+            f"the 2^23 twin-offset domain; lower the factor or the stride"
+        )
     names = (
         [n for n in GROWTH_QUERIES if n in set(args.queries.split(","))]
         if args.queries
