@@ -682,8 +682,16 @@ def _j23_oracle() -> str:
 
 @register("j23_stream_semdedup", _j23_oracle())
 def j23_stream_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming SemDeDup ingest (r11) — completes the semantic-dedup
-    surface matrix (batch l65 / adaptive l65b / incremental l69 /
+    """Streaming SemDeDup ingest — FROZEN-QUANTIZER ORACLE TWIN (r11;
+    since r12 the production streaming surface is j23b, which streams
+    against the adaptive sqrt-n store — this entry keeps the pinned k=8
+    integer-quantized store precisely because that store is exactly
+    DuckDB-replayable, so the streamed accumulation can be HASH-matched
+    against l69's one-shot incremental answer, the strongest
+    correctness signal the streaming surface has; its measured 16x
+    growth shape is the quadratic baseline in SCALE.md, not a
+    deployment recommendation). Completes the semantic-dedup surface
+    matrix (batch l65 / adaptive l65b / incremental l69 /
     takedown l76 / streaming this): the day-2 increment (natural
     arrivals plus planted epsilon-twins of bases from both days, the
     l69 construction) arrives as micro-batches; each epoch assigns
@@ -725,4 +733,85 @@ def j23_stream_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     scratch = _scratch_dir(spark, "j23", sf_dir)
     return stream_semdedup(
         spark, newq, cent, day1_path, scratch, SEMDEDUP_TWIN_OFFSET
+    )
+
+
+def _j23b_oracle() -> str:
+    from datafusion_cyberpolka_eda_spark.registry.llm_similarity import (
+        _l69b_gate_oracle,
+    )
+
+    return _l69b_gate_oracle(extra_cols=",\n           TRUE AS multi_epoch")
+
+
+@register("j23b_stream_semdedup_adaptive", _j23b_oracle())
+def j23b_stream_semdedup_adaptive(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PRODUCTION streaming SemDeDup — the adaptive-store wiring of the
+    streaming ingest surface (r12; the r11 verdict's top directive: j23
+    streamed against the pinned k=8 store whose warm growth the r11
+    harness measured at 61.9x over 16x data — the shape a continuous-
+    ingest deployment would have inherited all day). The day-2
+    increment (naturals + planted float epsilon-twins of bases from
+    both days — the l69b construction, bit-identical via the shared
+    builder) arrives as micro-batches; each epoch assigns ONLY its
+    batch against the FROZEN sqrt-n sampled-Lloyd quantizer from
+    _semdedup_adaptive_store (~2x measured warm growth at 16x), pair-
+    scans it within cells against the day-1 store + earlier epochs +
+    itself, and appends assignment + prune-candidate rows epoch-keyed
+    and idempotent. Keep decisions derive at read-back from the
+    MONOTONE accumulated prune set, so the answer is arrival-order-
+    independent and equals l69b's one-shot incremental answer (a
+    pytest asserts prune-set equality).
+
+    The sampled quantizer is data-dependent, so — the l69b gate recipe,
+    shared row builder — DuckDB recounts day/twin populations and
+    replays the sqrt-n rule while the semantics are measured columns
+    (twin recall, day-1 immunity, candidate ratio/balance), plus
+    multi_epoch: the stream must actually have micro-batched (>= 2
+    epochs), or this entry would silently measure a batch run.
+
+    Scale shape: per-epoch cost = |batch| assign map passes + one
+    cell-key equi-join against the store view with ~n/k occupancy under
+    the sqrt-n rule; the store grows by |epoch| rows and training never
+    re-runs until a drift trigger (l57) fires. Ref anchor:
+    streaming/documents.stream_semdedup_adaptive; registry l69b (the
+    one-shot contract), j23 (frozen oracle twin)."""
+    from datafusion_cyberpolka_eda_spark.registry.llm_similarity import (
+        SEMDEDUP_TWIN_OFFSET,
+        _adaptive_increment_unit,
+        _adaptive_semdedup_gate_row,
+        _semdedup_adaptive_store,
+    )
+    from datafusion_cyberpolka_eda_spark.streaming.documents import (
+        stream_semdedup_adaptive,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mx = emb.agg(F.max("vec_id")).first()[0]
+    if mx >= SEMDEDUP_TWIN_OFFSET:
+        raise ValueError(
+            f"max vec_id {mx} >= twin offset {SEMDEDUP_TWIN_OFFSET}: planted "
+            "twin ids would collide with corpus ids"
+        )
+    cutoff, k1, centers, day1_path = _semdedup_adaptive_store(spark, sf_dir)
+    inc_unit = _adaptive_increment_unit(emb, cutoff)
+    scratch = _scratch_dir(spark, "j23b", sf_dir)
+    cells_new, pruned, n_epochs = stream_semdedup_adaptive(
+        spark, inc_unit, centers, k1, day1_path, scratch
+    )
+    cells_new = cells_new.localCheckpoint(eager=True)
+    pruned = pruned.localCheckpoint(eager=True)
+    day1 = spark.read.parquet(day1_path)
+    return _adaptive_semdedup_gate_row(
+        spark,
+        emb,
+        cutoff,
+        k1,
+        day1,
+        cells_new,
+        pruned,
+        extra_vals=(n_epochs >= 2,),
+        extra_schema=", multi_epoch boolean",
     )

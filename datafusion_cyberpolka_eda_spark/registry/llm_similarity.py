@@ -3098,7 +3098,14 @@ def _semdedup_adaptive_store(spark: SparkSession, sf_dir: str) -> tuple:
     return _SEMDEDUP_ADAPT_STORE_CACHE[key]
 
 
-_L69B_ORACLE = """
+def _l69b_gate_oracle(extra_cols: str = "") -> str:
+    """The adaptive-incremental-SemDeDup gate oracle: DuckDB recounts
+    day-1/day-2/twin populations and replays the sqrt-n rule over the
+    DAY-1 count; the semantic columns are measured TRUE booleans (the
+    l65b/l68c recipe). ``extra_cols`` appends further pinned-TRUE gate
+    columns (the streaming sibling j23b adds its multi-epoch check) —
+    shared so the batch and streaming gates can't drift apart."""
+    return f"""
     WITH m AS (
       SELECT COUNT(*) AS n,
              CAST(FLOOR(0.8 * (MAX(vec_id) + 1)) AS BIGINT) AS c
@@ -3121,9 +3128,36 @@ _L69B_ORACLE = """
            TRUE AS twin_recall_ge_095,
            TRUE AS day1_never_pruned,
            TRUE AS cand_ratio_le_02,
-           TRUE AS cand_balance_le_3
+           TRUE AS cand_balance_le_3{extra_cols}
     FROM parts
 """
+
+
+_L69B_ORACLE = _l69b_gate_oracle()
+
+
+def _adaptive_increment_unit(emb: DataFrame, cutoff: int) -> DataFrame:
+    """The l69b/j23b day-2 increment, unit-normalized: natural arrivals
+    (vec_id >= cutoff) plus planted float epsilon-twins of %9==4 bases
+    from BOTH days (re-crawled duplicates of old and new content — the
+    l69 construction). Shared by the batch gate (l69b) and the
+    streaming gate (j23b) so their increments are bit-identical."""
+    day2 = emb.filter(F.col("vec_id") >= cutoff).select(
+        F.col("vec_id").alias("id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+    )
+    twins = emb.filter(F.col("vec_id") % 9 == 4).select(
+        (F.col("vec_id") + F.lit(SEMDEDUP_TWIN_OFFSET)).alias("id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x.cast("double")
+            + (
+                (F.col("vec_id") * 31 + i.cast("long") * 17) % 7 - 3
+            ).cast("double")
+            / F.lit(100000.0),
+        ).alias("vec"),
+    )
+    return SIM.unit_vec_df(day2.unionByName(twins), "id", "vec")
 
 
 @register("l69b_incremental_semdedup_adaptive", _L69B_ORACLE)
@@ -3169,24 +3203,9 @@ def l69b_incremental_semdedup_adaptive(
             "twin ids would collide with corpus ids"
         )
     cutoff, k1, centers, day1_path = _semdedup_adaptive_store(spark, sf_dir)
-    day2 = emb.filter(F.col("vec_id") >= cutoff).select(
-        F.col("vec_id").alias("id"),
-        F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+    inc_unit = _adaptive_increment_unit(emb, cutoff).localCheckpoint(
+        eager=True
     )
-    twins = emb.filter(F.col("vec_id") % 9 == 4).select(
-        (F.col("vec_id") + F.lit(SEMDEDUP_TWIN_OFFSET)).alias("id"),
-        F.transform(
-            "embedding",
-            lambda x, i: x.cast("double")
-            + (
-                (F.col("vec_id") * 31 + i.cast("long") * 17) % 7 - 3
-            ).cast("double")
-            / F.lit(100000.0),
-        ).alias("vec"),
-    )
-    inc_unit = SIM.unit_vec_df(
-        day2.unionByName(twins), "id", "vec"
-    ).localCheckpoint(eager=True)
     assign = (
         SIM.assign_cells_arrow
         if k1 > SIM._LITERAL_CELL_CAP
@@ -3210,6 +3229,29 @@ def l69b_incremental_semdedup_adaptive(
         .distinct()
         .localCheckpoint(eager=True)  # feeds recall + the min-id check
     )
+    return _adaptive_semdedup_gate_row(
+        spark, emb, cutoff, k1, day1, cells_new, pruned
+    )
+
+
+def _adaptive_semdedup_gate_row(
+    spark: SparkSession,
+    emb: DataFrame,
+    cutoff: int,
+    k1: int,
+    day1: DataFrame,
+    cells_new: DataFrame,
+    pruned: DataFrame,
+    extra_vals: tuple = (),
+    extra_schema: str = "",
+) -> DataFrame:
+    """Measured gate row shared by l69b (batch) and j23b (streaming):
+    day counts (DuckDB-recounted), the sqrt-n cluster count
+    (rule-replayed), twin recall, day-1 immunity (min pruned id above
+    the cutoff), and the candidate-volume ratio/balance computed from
+    the SAME (cell) occupancy tables the prune join keyed on. The two
+    surfaces must measure the gate identically or the streaming path
+    could pass a laxer bar than the batch path it claims to equal."""
     cnt = emb.agg(
         F.sum((F.col("vec_id") < cutoff).cast("int")).alias("n1"),
         F.sum((F.col("vec_id") >= cutoff).cast("int")).alias("n2"),
@@ -3248,11 +3290,11 @@ def l69b_incremental_semdedup_adaptive(
             (min_pruned is None) or (min_pruned >= cutoff),
             ratio <= 0.2,
             balance <= 3.0,
-        )],
+        ) + tuple(extra_vals)],
         "n_day1 bigint, n_day2_naturals bigint, n_twins bigint, "
         "n_clusters_adaptive bigint, twin_recall_ge_095 boolean, "
         "day1_never_pruned boolean, cand_ratio_le_02 boolean, "
-        "cand_balance_le_3 boolean",
+        "cand_balance_le_3 boolean" + extra_schema,
     )
 
 

@@ -520,6 +520,112 @@ def stream_semdedup(
     )
 
 
+def stream_semdedup_adaptive(
+    spark: SparkSession,
+    new_unit: DataFrame,
+    centers,
+    n_clusters: int,
+    day1_path: str,
+    scratch_dir: str,
+    tau: float = 0.999,
+    n_files: int = 3,
+) -> tuple[DataFrame, DataFrame, int]:
+    """Streaming SemDeDup ingest against the ADAPTIVE sqrt-n day-1 store
+    — the PRODUCTION streaming surface (r12; the r11 verdict's top
+    directive). stream_semdedup above streams against the frozen k=8
+    quantized store so the accumulated answer can hash-match l69's
+    exact DuckDB replay — that entry is the oracle twin and keeps its
+    registration; THIS path is the shape you run all day at 100 TB: the
+    same monotone prune-pair accumulation, but cells come from the
+    sqrt-n sampled-Lloyd quantizer (_semdedup_adaptive_store), whose
+    measured warm growth at 16x data is ~2x (vs 61.9x for the pinned
+    store — SCALE.md r11 growth table).
+
+    ``new_unit`` is the unit-normalized increment (id, unit_arr) —
+    naturals + planted twins, the l69b construction. Each micro-batch
+    epoch assigns ONLY its own rows against the FROZEN ``centers``
+    (literal dots <= _LITERAL_CELL_CAP cells, Arrow matmul past it),
+    pair-scans the batch against day-1 store + previously-streamed
+    epochs + itself within cells (exact JVM-side dot >= tau), and
+    appends (a) its assignment rows and (b) the LARGER id of every
+    qualifying pair as a prune candidate — both epoch-keyed, idempotent
+    under replay. The prune-pair set is symmetric and MONOTONE, so the
+    derived keep set is arrival-order-independent and equals the
+    one-shot l69b incremental answer (tests assert set equality).
+
+    Returns (cells, pruned, n_epochs): the accumulated (id, cell)
+    assignment table, the distinct pruned-id set, and the epoch count —
+    the gate entry measures twin recall / day-1 immunity / candidate
+    ratio from exactly these. Per-epoch cost: |batch| assign map passes
+    + one cell-key equi-join against the store view (read the store
+    pre-bucketed by cell at 100 TB)."""
+    import glob
+
+    from datafusion_cyberpolka_eda_spark.operators import similarity as SIM
+
+    src_dir = os.path.join(scratch_dir, "vec_src")
+    asg_dir = os.path.join(scratch_dir, "assignments")
+    prn_dir = os.path.join(scratch_dir, "pruned")
+    for d in (src_dir, asg_dir, prn_dir):
+        shutil.rmtree(d, ignore_errors=True)
+
+    new_unit.repartitionByRange(n_files, "id").write.parquet(src_dir)
+    asg_schema = "id bigint, cell int, unit_arr array<double>"
+
+    day1 = (
+        spark.read.parquet(day1_path)
+        .select("id", F.col("cell").cast("int").alias("cell"), "unit_arr")
+        .localCheckpoint(eager=True)
+    )
+    assign = (
+        SIM.assign_cells_arrow
+        if n_clusters > SIM._LITERAL_CELL_CAP
+        else SIM.assign_cells_literal
+    )
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        eid = int(epoch_id)
+        batch = (
+            assign(batch_df, centers, 1)
+            .join(batch_df, "id")
+            .select("id", F.col("cell").cast("int").alias("cell"), "unit_arr")
+            .localCheckpoint(eager=True)  # feeds the pair join + the append
+        )
+        earlier = _read_epochs(spark, asg_dir, asg_schema, below=eid)
+        others = day1.unionByName(earlier).unionByName(batch)
+        a = batch.select(
+            F.col("id").alias("id_a"), "cell", F.col("unit_arr").alias("arr_a")
+        )
+        b = others.select(
+            F.col("id").alias("id_b"), "cell", F.col("unit_arr").alias("arr_b")
+        )
+        pruned = (
+            a.join(b, "cell")
+            .filter(F.col("id_a") != F.col("id_b"))
+            .filter(SIM.dot_expr("arr_a", "arr_b") >= F.lit(tau))
+            .select(F.greatest("id_a", "id_b").alias("id"))
+            .distinct()
+        )
+        pruned.write.mode("overwrite").parquet(_epoch_dir(prn_dir, eid))
+        batch.write.mode("overwrite").parquet(_epoch_dir(asg_dir, eid))
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = stream.writeStream.foreachBatch(_deliver(handle)).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    cells = _read_epochs(spark, asg_dir, asg_schema).select("id", "cell")
+    pruned_all = _read_epochs(spark, prn_dir, "id bigint").distinct()
+    n_epochs = len(glob.glob(os.path.join(asg_dir, "epoch_*")))
+    return cells, pruned_all, n_epochs
+
+
 def stream_takedown(
     spark: SparkSession,
     requests: DataFrame,

@@ -312,3 +312,59 @@ class TestAssetIngestReplay:
         )
         batch = l69_incremental_semdedup(spark, sf_dir)
         assert _rows(streamed) == _rows(batch)
+
+    def test_semdedup_adaptive_streaming_replay(
+        self, spark, sf_dir, tmp_path, replay_every_epoch
+    ):
+        """j23b: the ADAPTIVE-store streaming path, every epoch
+        delivered twice, must still reproduce the one-shot l69b answer
+        — prune set AND assignment multiset — proving arrival-order
+        independence + replay idempotency on the production surface."""
+        from datafusion_cyberpolka_eda_spark.operators import (
+            similarity as SIM,
+        )
+        from datafusion_cyberpolka_eda_spark.registry.llm_similarity import (
+            _adaptive_increment_unit,
+            _semdedup_adaptive_store,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        cutoff, k1, centers, day1_path = _semdedup_adaptive_store(
+            spark, sf_dir
+        )
+        inc_unit = _adaptive_increment_unit(emb, cutoff).localCheckpoint(
+            eager=True
+        )
+        cells, pruned, n_epochs = SD.stream_semdedup_adaptive(
+            spark, inc_unit, centers, k1, day1_path,
+            str(tmp_path / "scratch"),
+        )
+        assert n_epochs >= 2  # the stream must actually micro-batch
+
+        # one-shot l69b semantics over the same frozen store + increment
+        assign = (
+            SIM.assign_cells_arrow
+            if k1 > SIM._LITERAL_CELL_CAP
+            else SIM.assign_cells_literal
+        )
+        cells_new = assign(inc_unit, centers, 1).localCheckpoint(eager=True)
+        side_new = cells_new.join(inc_unit, "id").localCheckpoint(eager=True)
+        day1 = spark.read.parquet(day1_path)
+        side_all = day1.select("id", "cell", "unit_arr").unionByName(side_new)
+        a = side_all.select(
+            F.col("id").alias("id_a"), "cell",
+            F.col("unit_arr").alias("arr_a"),
+        )
+        b = side_new.select(
+            F.col("id").alias("id_b"), "cell",
+            F.col("unit_arr").alias("arr_b"),
+        )
+        oneshot = (
+            a.join(b, "cell")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(SIM.dot_expr("arr_a", "arr_b") >= F.lit(0.999))
+            .select(F.col("id_b").alias("id"))
+            .distinct()
+        )
+        assert _rows(pruned) == _rows(oneshot)
+        assert _rows(cells) == _rows(cells_new.select("id", "cell"))
