@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from datafusion_cyberpolka_eda_spark.functions import text as T
 from datafusion_cyberpolka_eda_spark.operators import dedup as D
+from datafusion_cyberpolka_eda_spark.operators import relational as REL
 from datafusion_cyberpolka_eda_spark.operators import similarity as SIM
 from datafusion_cyberpolka_eda_spark.registry import _round_cols, register, small_df
 from datafusion_cyberpolka_eda_spark.sources.catalog import load_table, spread
@@ -1570,8 +1571,16 @@ def _l79_oracle(k: int = 8, iters: int = 3) -> str:
 
 @register("l79_domain_mixture", _l79_oracle(8, 3))
 def l79_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DOMAIN-DISCOVERY mixture composition (r11 verdict task 4) — the
-    unsupervised loop a source-label-free pipeline runs: l59's
+    """DOMAIN-DISCOVERY mixture composition — FROZEN-QUANTIZER ORACLE
+    TWIN since r12 (the r11 verdict flagged this entry's two pinned
+    shapes: k=8 literal auto-domains and a per-cluster rank window that
+    funnels n/8 rows through one task at scale; the production path is
+    l79b, which applies the sqrt-n rule and the two-phase bucket-
+    threshold ranked pick. THIS entry keeps k=8 with the integer-exact
+    Lloyd unroll precisely because that makes every output value —
+    selection checksums included — DuckDB-replayable end-to-end, the
+    hash-match signal the adaptive sibling's sampled quantizer cannot
+    give). The unsupervised loop a source-label-free pipeline runs: l59's
     integer-exact distributed Lloyd clusters the embedding corpus into
     AUTO-DOMAINS, each document inherits its vector's cluster, and the
     l53 temperature rule (tau = 0.5 square-root scaling) turns
@@ -1668,6 +1677,206 @@ def l79_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("sel_id_sum", F.lit(0)).cast("bigint").alias("sel_id_sum"),
     )
     return _round_cols(out, ["raw_share", "sampled_share", "epochs"])
+
+
+_L79B_ORACLE = """
+    WITH v AS (SELECT COUNT(*) AS nv FROM embeddings),
+    d AS (
+      SELECT COUNT(*) AS nd
+      FROM documents dd JOIN embeddings e ON e.vec_id = dd.doc_id
+    )
+    SELECT CAST(nd AS BIGINT) AS n_docs,
+           CAST(nv AS BIGINT) AS n_vecs,
+           GREATEST(8, LEAST(1024,
+             CAST(ROUND(SQRT(CAST(nv AS DOUBLE))) AS BIGINT)))
+             AS n_domains_adaptive,
+           TRUE AS budgets_filled,
+           TRUE AS temperature_flattens,
+           TRUE AS pick_windows_bounded
+    FROM v, d
+"""
+
+# order-preserving 4096-way prefix bucketing of the 60-bit md5 rank key:
+# the two-phase enacted pick shifts the key right by (60 - 12) bits
+_L79B_BUCKET_SHIFT = 48
+
+
+@register("l79b_domain_mixture_adaptive", _L79B_ORACLE)
+def l79b_domain_mixture_adaptive(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ADAPTIVE domain-discovery mixture — the production scale path for
+    l79 (r12; the r11 verdict's task 2 named both pinned shapes):
+
+    1. AUTO-DOMAINS at the sqrt-n rule: the corpus embeddings partition
+       through operators/similarity.ivf_partition (sampled-Lloyd
+       quantizer, adaptive_n_centroids cap 1024) instead of a k=8
+       literal — per-domain occupancy stays ~sqrt(n) where the frozen
+       twin's n/8 grows linearly.
+    2. ENACTED pick WITHOUT an unbounded rank window: l79 ranks every
+       cluster's docs through one row_number partition (n/8 rows per
+       task at scale — the exact pattern the r11 audit flagged). Here
+       the hash-ranked budget pick is the TWO-PHASE bucket-threshold
+       rewrite SCALE.md promised: the 60-bit md5 rank key's top 12 bits
+       form 4096 ORDER-PRESERVING buckets; per-(domain, bucket) counts
+       cumulate under a window whose partitions hold <= 4096 rows BY
+       CONSTRUCTION (one row per occupied bucket); buckets wholly under
+       the budget are taken in full, and ONLY the single boundary
+       bucket per domain ranks rows (expected occupancy n_domain/4096).
+       The result is bit-identical to the rank rule 'first n_budget
+       docs by (md5 key, doc_id)' — a pytest asserts set equality
+       against the direct window selection.
+
+    Temperature weights are the l53/l79 recipe verbatim (tau=0.5
+    sqrt-share, floor-quantized to 1e-9 integers before the exact-int
+    normalizer). The sampled quantizer is data-dependent, so — the
+    l65b gate recipe — DuckDB recounts the matched-doc/vector
+    populations and replays the sqrt-n rule, while the semantics are
+    measured columns:
+      budgets_filled       — every domain selected exactly
+                             least(n_budget, n_docs) docs;
+      temperature_flattens — max sampled share <= max raw share (the
+                             tau<1 rebalancing direction, measured);
+      pick_windows_bounded — the largest boundary-bucket rank window
+                             saw <= 4096 rows (the scale-shape claim
+                             itself, measured every run).
+
+    Scale shape: one quantizer train on a bounded sample, one
+    assignment map pass, one (domain, bucket) count agg, a <=4096-row
+    cumsum window per domain, one shuffle of the doc rows on
+    (domain, bucket), and a rank window over boundary buckets only.
+    No window partition exceeds max(4096, n/(k*4096)) rows at any n.
+    Ref anchor: registry l79 (frozen oracle twin), l53/l22 (the
+    temperature + key-stable sampler rules); SCALE.md bounded-window
+    table; operators/similarity.ivf_partition."""
+    from datafusion_cyberpolka_eda_spark.functions.hashing import md5_hash64
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    vecs = emb.select(
+        F.col("vec_id").alias("id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+    )
+    _unit, cells, k = SIM.ivf_partition(vecs, "id", "vec", None, n_probe=1)
+    docs = load_table(spark, sf_dir, "documents")
+    m = (
+        cells.select(
+            F.col("id").alias("doc_id"),
+            F.col("cell").cast("bigint").alias("cluster"),
+        )
+        .join(
+            docs.select(
+                "doc_id", T.token_count("text").cast("bigint").alias("nt")
+            ),
+            "doc_id",
+        )
+        .localCheckpoint(eager=True)  # feeds the agg AND the ranked pick
+    )
+    per = m.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("nt").alias("tokens"),
+    )
+    tot = per.agg(
+        F.sum("tokens").cast("bigint").alias("t"),
+        F.sum("n_docs").cast("bigint").alias("nd"),
+    )
+    w = per.crossJoin(F.broadcast(tot)).withColumn(
+        "wq",
+        F.floor(
+            F.sqrt(F.col("tokens").cast("double") / F.col("t")) * F.lit(1.0e9)
+        ).cast("bigint"),
+    )
+    ws = w.agg(F.sum("wq").alias("sw"))
+    bud = (
+        w.crossJoin(F.broadcast(ws))
+        .withColumn(
+            "n_budget",
+            F.floor(
+                F.col("wq").cast("double") / F.col("sw") * F.col("nd")
+            ).cast("bigint"),
+        )
+        .localCheckpoint(eager=True)  # k rows; feeds pick + both gates
+    )
+
+    # ---- two-phase enacted pick (the bounded-window rewrite) ----
+    keyed = m.withColumn("rkey", md5_hash64(F.col("doc_id").cast("string")))
+    sel = REL.bounded_budget_pick(
+        keyed,
+        "cluster",
+        "rkey",
+        "doc_id",
+        bud.select("cluster", "n_budget"),
+        n_bucket_bits=60 - _L79B_BUCKET_SHIFT,
+    ).select("cluster", "doc_id")
+
+    # ---- measured gates ----
+    fill = (
+        bud.select("cluster", "n_budget", "n_docs")
+        .join(
+            sel.groupBy("cluster").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_sel")
+            ),
+            "cluster",
+            "left",
+        )
+        .agg(
+            F.min(
+                (
+                    F.coalesce("n_sel", F.lit(0))
+                    == F.least("n_budget", "n_docs")
+                ).cast("int")
+            ).alias("ok")
+        )
+        .first()["ok"]
+    )
+    shares = (
+        w.crossJoin(F.broadcast(ws))
+        .agg(
+            F.max(F.col("tokens").cast("double") / F.col("t")).alias("mr"),
+            F.max(
+                F.col("wq").cast("double") / F.col("sw").cast("double")
+            ).alias("ms"),
+        )
+        .first()
+    )
+    # boundary-bucket occupancy (the pick_windows_bounded gate): replay
+    # the operator's phase-1 classification over the same bucket prefix
+    bcnt = keyed.withColumn(
+        "bucket", F.shiftright(F.col("rkey"), _L79B_BUCKET_SHIFT).cast("int")
+    ).groupBy("cluster", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    wcum = (
+        Window.partitionBy("cluster")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    max_boundary = (
+        bcnt.withColumn("cum", F.sum("c").over(wcum))
+        .withColumn("cum_before", F.col("cum") - F.col("c"))
+        .join(F.broadcast(bud.select("cluster", "n_budget")), "cluster")
+        .filter(
+            (F.col("cum_before") < F.col("n_budget"))
+            & (F.col("n_budget") < F.col("cum"))
+        )
+        .agg(F.max("c"))
+        .first()[0]
+    )
+    n_docs_m = m.count()
+    n_vecs = emb.count()
+    return small_df(
+        spark,
+        [(
+            n_docs_m,
+            n_vecs,
+            k,
+            fill == 1,
+            shares["ms"] <= shares["mr"] + 1e-12,
+            (max_boundary is None) or (max_boundary <= 4096),
+        )],
+        "n_docs bigint, n_vecs bigint, n_domains_adaptive bigint, "
+        "budgets_filled boolean, temperature_flattens boolean, "
+        "pick_windows_bounded boolean",
+    )
 
 
 # ---- semantic decontamination (l60, r8 verdict task 5) ----

@@ -312,6 +312,52 @@ class TestRelational:
         assert len(counts) == 10
         assert all(900 <= r["count"] <= 1100 for r in counts)
 
+    def test_bounded_budget_pick_equals_rank_rule(self, spark):
+        """The two-phase bucket-threshold pick (r12 — the l79b bounded-
+        window rewrite) must be BIT-IDENTICAL to the direct unbounded
+        rank rule 'first n_budget rows per key by (rkey, id)' across
+        budget edge cases: zero budget, budget >= group size, budgets
+        landing exactly on bucket boundaries."""
+        from datafusion_cyberpolka_eda_spark.functions.hashing import (
+            md5_hash64,
+        )
+
+        df = (
+            spark.range(0, 5000)
+            .select(
+                F.col("id"),
+                (F.col("id") % 7).alias("key"),
+                md5_hash64(F.col("id").cast("string")).alias("rkey"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # budgets exercise 0, tiny, mid, and over-full selections
+        budgets = spark.createDataFrame(
+            [(0, 0), (1, 1), (2, 17), (3, 250), (4, 715), (5, 9999), (6, 714)],
+            "key bigint, n_budget bigint",
+        )
+        got = relational.bounded_budget_pick(
+            df, "key", "rkey", "id", budgets
+        ).select("key", "id")
+        w = Window.partitionBy("key").orderBy("rkey", "id")
+        want = (
+            df.withColumn("rn", F.row_number().over(w))
+            .join(budgets, "key")
+            .filter(F.col("rn") <= F.col("n_budget"))
+            .select("key", "id")
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+        # per-key counts honor least(budget, group size)
+        sizes = {r["key"]: r["n"] for r in
+                 df.groupBy("key").agg(F.count("*").alias("n")).collect()}
+        picked = {r["key"]: r["n"] for r in
+                  got.groupBy("key").agg(F.count("*").alias("n")).collect()}
+        for krow in budgets.collect():
+            expect = min(krow["n_budget"], sizes[krow["key"]])
+            assert picked.get(krow["key"], 0) == expect
+
 
 class TestWhaleAndFisher:
     def test_whale_scan_guards(self, spark):
