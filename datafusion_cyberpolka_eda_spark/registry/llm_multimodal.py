@@ -663,15 +663,21 @@ def l63_audio_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---- cross-modal paired-document dedup (l78, r11 verdict task 3) ----
 
 
-def _l78_oracle() -> str:
+def _l78_edges_ctes() -> str:
+    """Shared closed-form replay of BOTH cross-modal edge generators:
+    the paired corpus (docs2 — base + gray + perturbed twins), the
+    portable banded-MinHash caption pairs (mh_pairs), the l58 aHash
+    image pairs (ipairs), and their tagged union (alledges). Composed
+    by l78 (full-corpus CC report), l78b (incremental >= 1-new pairs)
+    and l78c (day-1 takedown) so the three lifecycle entries replay ONE
+    edge definition."""
     from datafusion_cyberpolka_eda_spark.operators.dedup import (
         minhash_banded_portable_oracle_ctes,
     )
 
     mh = minhash_banded_portable_oracle_ctes(doc_rel="docs2")
     return (
-        """
-    WITH RECURSIVE docs2 AS MATERIALIZED (
+        """docs2 AS MATERIALIZED (
       SELECT doc_id, text, source FROM documents
       UNION ALL
       SELECT doc_id + 8388608, 'imgtwin', source FROM documents
@@ -697,7 +703,15 @@ def _l78_oracle() -> str:
              i.id_a IS NOT NULL AS is_image
       FROM mh_pairs t FULL OUTER JOIN ipairs i
         ON t.id_a = i.id_a AND t.id_b = i.id_b
-    ),
+    )"""
+    )
+
+
+def _l78_oracle() -> str:
+    return (
+        "\n    WITH RECURSIVE "
+        + _l78_edges_ctes()
+        + """,
     und AS (SELECT id_a AS a, id_b AS b FROM alledges
             UNION SELECT id_b, id_a FROM alledges),
     reach(id, r) AS (
@@ -738,6 +752,32 @@ def _l78_oracle() -> str:
             LEFT JOIN pe ON pe.source = nd.source
     """
     )
+
+
+def _paired_corpus(docs: DataFrame) -> DataFrame:
+    """The l78 paired-document corpus over ``docs``: every base doc plus
+    its planted twins — gray (doc_id % 5 == 0, +2^23: rotated image,
+    1-token caption) and perturbed (doc_id % 5 == 3, +2^24: perturbed
+    image, verbatim caption). Twin ids line up with the asset ids
+    make_ppm_neardup_assets emits, so one id = one (text, image) pair.
+    Shared by l78 (full corpus) and the l78b/l78c stores (day slices)."""
+    from datafusion_cyberpolka_eda_spark.operators.multimodal import (
+        GRAY_TWIN_OFFSET,
+        PERTURB_TWIN_OFFSET,
+    )
+
+    base = docs.select("doc_id", "text", "source")
+    gray = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + F.lit(GRAY_TWIN_OFFSET)).alias("doc_id"),
+        F.lit("imgtwin").alias("text"),
+        "source",
+    )
+    pert = docs.filter(F.col("doc_id") % 5 == 3).select(
+        (F.col("doc_id") + F.lit(PERTURB_TWIN_OFFSET)).alias("doc_id"),
+        "text",
+        "source",
+    )
+    return base.unionByName(gray).unionByName(pert)
 
 
 @register("l78_crossmodal_dedup", _l78_oracle())
@@ -791,20 +831,7 @@ def l78_crossmodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    base = docs.select("doc_id", "text", "source")
-    gray = docs.filter(F.col("doc_id") % 5 == 0).select(
-        (F.col("doc_id") + F.lit(GRAY_TWIN_OFFSET)).alias("doc_id"),
-        F.lit("imgtwin").alias("text"),
-        "source",
-    )
-    pert = docs.filter(F.col("doc_id") % 5 == 3).select(
-        (F.col("doc_id") + F.lit(PERTURB_TWIN_OFFSET)).alias("doc_id"),
-        "text",
-        "source",
-    )
-    corpus = (
-        base.unionByName(gray).unionByName(pert).localCheckpoint(eager=True)
-    )
+    corpus = _paired_corpus(docs).localCheckpoint(eager=True)
     tpairs = D.minhash_banded_pairs_portable(
         corpus, "doc_id", "text", n=3, num_hashes=32, bands=8,
         est_threshold=0.45,
@@ -1037,4 +1064,335 @@ def l67_incremental_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     return pairs.select(
         "id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming"), "kind"
+    )
+
+
+# ---- cross-modal incremental + takedown (l78b/l78c, r12 verdict
+# task 5): the l31/l66 persisted-store discipline and the l38 takedown
+# discipline composed across BOTH modalities of the l78 paired corpus —
+# completing the modality x lifecycle matrix (batch l78 / incremental
+# l78b / takedown l78c). ----
+
+# (session, sf_dir, data fingerprint) -> (cutoff, persisted sig path)
+_XM_TEXT_STORE_CACHE: dict[str, tuple[int, str]] = {}
+# (session, sf_dir, data fingerprint) -> persisted day-1 label path
+_XM_CC_CACHE: dict[str, str] = {}
+
+
+def _xm_text_store(spark: SparkSession, sf_dir: str) -> tuple[int, str]:
+    """Day-1 PAIRED-CORPUS caption signature store, built once per
+    (session, data): minhash_signatures_portable rows (l78's n=3 /
+    32 hashes / 8 bands recipe) for every paired doc whose BASE id sits
+    below the 80% cutoff — base captions AND their gray/perturbed twin
+    captions, since a day-1 re-crawl twin is day-1 content. Persisted
+    to parquet like the l31 store; the image half of the combined store
+    is _mm_fp_store('image'), shared with l66 (same cutoff formula, so
+    the two halves slice the same day)."""
+    key = (
+        f"{spark.sparkContext.applicationId}:{sf_dir}:xmtext:"
+        f"{_docs_fingerprint(sf_dir)}"
+    )
+    if key in _XM_TEXT_STORE_CACHE:
+        return _XM_TEXT_STORE_CACHE[key]
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    cutoff = int(0.8 * (max_id + 1))
+    day1 = _paired_corpus(docs.filter(F.col("doc_id") < cutoff))
+    sigs = D.minhash_signatures_portable(
+        day1, "doc_id", "text", n=3, num_hashes=32, bands=8
+    )
+    out = tempfile.mkdtemp(prefix="xm_text_store_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    path = os.path.join(out, "store.parquet")
+    sigs.write.mode("overwrite").parquet(path)
+    _XM_TEXT_STORE_CACHE[key] = (cutoff, path)
+    return _XM_TEXT_STORE_CACHE[key]
+
+
+def _xm_union_edges(tpairs: DataFrame, ipairs: DataFrame) -> DataFrame:
+    """Tagged union of the two modality edge sets on (id_a, id_b) —
+    the l78 alledges shape: a pair is an edge if its TEXTS or its
+    IMAGES are near-dups."""
+    return (
+        tpairs.select("id_a", "id_b", F.lit(True).alias("is_text"))
+        .join(
+            ipairs.select("id_a", "id_b", F.lit(True).alias("is_image")),
+            ["id_a", "id_b"],
+            "full_outer",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.coalesce("is_text", F.lit(False)).alias("is_text"),
+            F.coalesce("is_image", F.lit(False)).alias("is_image"),
+        )
+    )
+
+
+def _xm_cc_store(spark: SparkSession, sf_dir: str) -> str:
+    """Day-1 cross-modal component-label store: union edges from the
+    persisted caption-signature and image-fingerprint stores (no text
+    re-shingled, no pixel re-decoded), resolved once with the iterative
+    HashMin loop and persisted — the l33 label-store pattern over the
+    l78 edge union."""
+    key = (
+        f"{spark.sparkContext.applicationId}:{sf_dir}:xmcc:"
+        f"{_docs_fingerprint(sf_dir)}"
+    )
+    if key in _XM_CC_CACHE:
+        return _XM_CC_CACHE[key]
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from datafusion_cyberpolka_eda_spark.operators.multimodal import (
+        N_AHASH_BITS,
+    )
+
+    _cutoff, sig_path = _xm_text_store(spark, sf_dir)
+    _icutoff, fp_path = _mm_fp_store(spark, sf_dir, "image")
+    tpairs = D.banded_pairs_from_signatures(
+        spark.read.parquet(sig_path), num_hashes=32, est_threshold=0.45
+    ).select("id_a", "id_b")
+    ipairs = D.fingerprint_near_pairs(
+        spark.read.parquet(fp_path), max_hamming=3, n_bits=N_AHASH_BITS
+    ).select("id_a", "id_b")
+    edges = tpairs.unionByName(ipairs).distinct()
+    labels = D.connected_components(edges, "id_a", "id_b")
+    out = tempfile.mkdtemp(prefix="xm_cc_store_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    path = os.path.join(out, "labels.parquet")
+    labels.write.mode("overwrite").parquet(path)
+    _XM_CC_CACHE[key] = path
+    return _XM_CC_CACHE[key]
+
+
+def _l78b_oracle() -> str:
+    return (
+        "\n    WITH "
+        + _l78_edges_ctes()
+        + """,
+    cut AS (
+      SELECT CAST(FLOOR(0.8 * (MAX(doc_id) + 1)) AS BIGINT) AS c
+      FROM documents
+    )
+    SELECT id_a, id_b, is_text, is_image,
+           CASE WHEN id_a % 8388608 >= (SELECT c FROM cut)
+                 AND id_b % 8388608 >= (SELECT c FROM cut)
+                THEN 'new_new' ELSE 'new_old' END AS kind
+    FROM alledges
+    WHERE id_a % 8388608 >= (SELECT c FROM cut)
+       OR id_b % 8388608 >= (SELECT c FROM cut)
+    """
+    )
+
+
+@register("l78b_crossmodal_incremental", _l78b_oracle())
+def l78b_crossmodal_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INCREMENTAL cross-modal paired-document dedup — the daily
+    re-crawl shape of l78 (r12 verdict task 5): day-1 paired docs (base
+    id below the 80% cutoff, twins included) live only in the two
+    persisted stores — caption MinHash signatures (_xm_text_store) and
+    image aHash fingerprints (_mm_fp_store, shared with l66). The
+    day-2 increment shingles and decodes ONLY its own payloads (the
+    doc_id >= cutoff predicate is pushed into the documents scan; a
+    plan test pins the no-day-1-rescan shape), band-joins each modality
+    increment-vs-store+increment, and unions the edges with
+    text/image tags — every near-dup PAIR edge involving >= 1 new
+    paired doc, kind-tagged new_new/new_old by BASE id (twin offsets
+    are 0 mod 2^23, so a day-1 re-crawl twin counts as day-1 content).
+
+    Because signatures and fingerprints are pure per-item functions,
+    the result equals l78's full-corpus tagged edge union restricted to
+    >= 1-new pairs — exactly what the oracle computes (both closed-form
+    edge replays + cutoff classification), so the incremental path is
+    value-hash-checked against the from-scratch semantics, completeness
+    included.
+
+    Scale shape: both stores grow by |increment| rows/day; no old text
+    is re-shingled and no old pixel re-decoded; shuffle volume tracks
+    increment band rows + colliding store rows (persist both stores
+    bucketed by band key at 100 TB). Ref anchor: registry l78 (batch
+    twin), l31/l66 (the single-modality store discipline);
+    SURVEY §2 L dedup + multimodal families."""
+    from datafusion_cyberpolka_eda_spark.operators.multimodal import (
+        N_AHASH_BITS,
+        ahash63_fingerprints,
+        make_ppm_neardup_assets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    cutoff, sig_path = _xm_text_store(spark, sf_dir)
+    icutoff, fp_path = _mm_fp_store(spark, sf_dir, "image")
+    if icutoff != cutoff:
+        raise ValueError(
+            f"store cutoffs diverged: text {cutoff} vs image {icutoff}"
+        )
+    new_docs = docs.filter(F.col("doc_id") >= cutoff)
+    new_corpus = _paired_corpus(new_docs).localCheckpoint(eager=True)
+    new_sigs = D.minhash_signatures_portable(
+        new_corpus, "doc_id", "text", n=3, num_hashes=32, bands=8
+    ).localCheckpoint(eager=True)
+    tpairs = D.incremental_minhash_pairs(
+        new_sigs, spark.read.parquet(sig_path),
+        num_hashes=32, est_threshold=0.45,
+    ).select("id_a", "id_b")
+    new_fps = ahash63_fingerprints(
+        make_ppm_neardup_assets(new_docs)
+    ).localCheckpoint(eager=True)
+    ipairs = D.incremental_fingerprint_pairs(
+        new_fps, spark.read.parquet(fp_path),
+        max_hamming=3, n_bits=N_AHASH_BITS,
+    ).select("id_a", "id_b")
+    base_mod = F.lit(8388608)  # 2^23: both twin offsets are 0 mod this
+    return _xm_union_edges(tpairs, ipairs).withColumn(
+        "kind",
+        F.when(
+            (F.col("id_a") % base_mod >= cutoff)
+            & (F.col("id_b") % base_mod >= cutoff),
+            F.lit("new_new"),
+        ).otherwise(F.lit("new_old")),
+    )
+
+
+def _l78c_oracle() -> str:
+    return (
+        "\n    WITH RECURSIVE "
+        + _l78_edges_ctes()
+        + """,
+    cut AS (
+      SELECT CAST(FLOOR(0.8 * (MAX(doc_id) + 1)) AS BIGINT) AS c
+      FROM documents
+    ),
+    opairs AS MATERIALIZED (
+      SELECT id_a, id_b FROM alledges
+      WHERE id_a % 8388608 < (SELECT c FROM cut)
+        AND id_b % 8388608 < (SELECT c FROM cut)
+    ),
+    oedges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM opairs
+               UNION SELECT id_b, id_a FROM opairs),
+    oreach(id, r) AS (
+      SELECT a, a FROM oedges
+      UNION
+      SELECT e.b, o.r FROM oreach o JOIN oedges e ON e.a = o.id
+    ),
+    olab AS MATERIALIZED (SELECT id, MIN(r) AS comp FROM oreach GROUP BY id),
+    removed AS MATERIALIZED (
+      SELECT id FROM olab WHERE (id % 8388608) % 7 = 3
+    ),
+    aff AS (SELECT DISTINCT comp FROM olab WHERE (id % 8388608) % 7 = 3),
+    members AS MATERIALIZED (
+      SELECT o.id, o.comp FROM olab o JOIN aff a ON a.comp = o.comp),
+    remaining AS MATERIALIZED (
+      SELECT m.id, m.comp FROM members m
+      WHERE m.id NOT IN (SELECT id FROM removed)
+    ),
+    rpairs AS (
+      SELECT p.id_a, p.id_b FROM opairs p
+      JOIN remaining ra ON ra.id = p.id_a
+      JOIN remaining rb ON rb.id = p.id_b
+    ),
+    redges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM rpairs
+               UNION SELECT id_b, id_a FROM rpairs),
+    rreach(id, r) AS (
+      SELECT a, a FROM redges
+      UNION
+      SELECT e.b, x.r FROM rreach x JOIN redges e ON e.a = x.id
+    ),
+    rlab AS MATERIALIZED (SELECT id, MIN(r) AS comp FROM rreach GROUP BY id),
+    surv AS MATERIALIZED (
+      SELECT m.id, m.comp AS old_comp, COALESCE(r.comp, m.id) AS new_comp
+      FROM remaining m LEFT JOIN rlab r ON r.id = m.id
+    ),
+    sizes AS (SELECT new_comp, COUNT(*) AS n FROM surv GROUP BY new_comp)
+    SELECT s.id AS pair_id, s.old_comp AS old_component,
+           s.new_comp AS new_component,
+           CASE WHEN s.new_comp <> s.old_comp THEN 'relabeled'
+                ELSE 'unchanged' END AS status,
+           z.n AS new_cluster_size
+    FROM surv s JOIN sizes z ON z.new_comp = s.new_comp
+    UNION ALL
+    SELECT m.id, m.comp, NULL, 'removed', NULL
+    FROM members m JOIN removed r ON r.id = m.id
+    """
+    )
+
+
+@register("l78c_crossmodal_takedown", _l78c_oracle())
+def l78c_crossmodal_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TAKEDOWN over the cross-modal paired-document store — the DELETE
+    half of the l78 lifecycle (r12 verdict task 5; l78b is the INSERT
+    half): a takedown request for a SOURCE page removes the paired doc
+    AND every twin derived from it (base id % 7 == 3 over the clustered
+    day-1 members — twin rows follow their base via the mod-2^23 rule,
+    the 'remove the page and all derived assets' semantics). Every
+    cross-modal cluster that contained a removed pair is re-derived
+    over its remaining members via dedup.takedown_components, with the
+    edge rebuild slicing BOTH persisted stores — caption signatures
+    (banded_pairs_from_signatures) UNION image fingerprints
+    (fingerprint_near_pairs) — so no old caption is re-shingled and no
+    old pixel re-decoded. Deletion can split clusters through EITHER
+    modality (removing the only text bridge leaves image-only
+    components, and vice versa); survivors carry relabeled/unchanged
+    statuses and removed pairs emit tombstones.
+
+    The oracle replays from scratch: both closed-form edge generators,
+    day-1 restricted CC, drop the removed set, re-run CC over the
+    remaining members of affected components — the incremental path
+    must reproduce from-scratch delete semantics exactly, statuses and
+    sizes included.
+
+    Scale shape: cost tracks |request| + |affected components|, never
+    |corpus| — the l38 discipline over the union edge set. Ref anchor:
+    registry l38 (single-modality takedown), l78/l78b;
+    dedup.takedown_components."""
+    from datafusion_cyberpolka_eda_spark.operators.multimodal import (
+        N_AHASH_BITS,
+    )
+
+    _cutoff, sig_path = _xm_text_store(spark, sf_dir)
+    _icutoff, fp_path = _mm_fp_store(spark, sf_dir, "image")
+    labels_path = _xm_cc_store(spark, sf_dir)
+    sig_store = spark.read.parquet(sig_path)
+    fp_store = spark.read.parquet(fp_path)
+    labels = spark.read.parquet(labels_path)
+    removed = labels.filter(
+        (F.col("id") % F.lit(8388608)) % 7 == 3
+    ).select("id")
+
+    def edges_fn(remaining: DataFrame) -> DataFrame:
+        rs = remaining.select("id")
+        tsub = sig_store.join(F.broadcast(rs), "id", "semi")
+        tp = D.banded_pairs_from_signatures(
+            tsub, num_hashes=32, est_threshold=0.45
+        ).select("id_a", "id_b")
+        fsub = fp_store.join(F.broadcast(rs), "id", "semi")
+        ip = D.fingerprint_near_pairs(
+            fsub, max_hamming=3, n_bits=N_AHASH_BITS
+        ).select("id_a", "id_b")
+        return tp.unionByName(ip).distinct()
+
+    delta = D.takedown_components(labels, removed, edges_fn)
+    sizes = (
+        delta.filter(F.col("comp").isNotNull())
+        .groupBy("comp")
+        .agg(F.count(F.lit(1)).alias("new_cluster_size"))
+    )
+    return delta.join(F.broadcast(sizes), "comp", "left").select(
+        F.col("id").alias("pair_id"),
+        F.col("old_comp").alias("old_component"),
+        F.col("comp").alias("new_component"),
+        F.when(F.col("comp").isNull(), F.lit("removed"))
+        .when(F.col("comp") != F.col("old_comp"), F.lit("relabeled"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+        "new_cluster_size",
     )
