@@ -28,6 +28,127 @@ def plan_of(df) -> str:
     return buf.getvalue()
 
 
+# ---- bounded-cardinality rank-window manifest (r12 verdict task 3) ----
+#
+# Every row_number()/ntile()/dense_rank() window in the package must be
+# REVIEWED: its partition key either grows with the data (per-key row
+# share bounded), is a pre-aggregated/bounded input, or is a bounded-
+# cardinality key with the TakeOrdered rewrite documented (the generic
+# rewrite is operators/relational.bounded_budget_pick — implemented and
+# tested since r12; SCALE.md 'Bounded-cardinality rank windows' lists
+# every bounded site with its bound). A new rank window that is not in
+# this manifest FAILS the audit — the l79 pattern (its k=8 window was
+# the third unguarded instance) cannot ship unreviewed a fourth time.
+# Keys are (path relative to the package, enclosing function).
+RANK_WINDOW_MANIFEST = {
+    # -- keys that grow with the data: per-partition share is bounded --
+    ("operators/cdc.py", "cdc_compact"):
+        "grows: partitions by primary key (latest-version pick)",
+    ("operators/dedup.py", "exact_dedup"):
+        "grows: partitions by content-hash key (survivor pick)",
+    ("operators/relational.py", "grouped_topk"):
+        "generic operator: callers declare their key here",
+    ("operators/relational.py", "bounded_budget_pick"):
+        "bounded BY CONSTRUCTION: cumsum window <= 2^bucket_bits rows; "
+        "rank window = single boundary bucket (~n_key/2^bucket_bits) — "
+        "this IS the rewrite bounded sites migrate to",
+    ("operators/similarity.py", "cosine_topk"):
+        "grows: per-query top-k (partition by query id)",
+    ("operators/similarity.py", "ann_ivf_topk_multi"):
+        "grows: per-query top-k",
+    ("operators/similarity.py", "ann_ivf_pq_topk_multi"):
+        "grows: per-query top-k",
+    ("operators/similarity.py", "ann_lsh_fixed_topk_multi"):
+        "grows: per-query top-k",
+    ("operators/similarity.py", "_ivf_probe_with_centers"):
+        "grows: per-query top-k",
+    ("operators/similarity.py", "knn_join"):
+        "grows: per-query top-k over cell-join candidates",
+    ("registry/llm.py", "l13_tfidf_topk"):
+        "grows: top-3 terms per doc (partition by doc_id)",
+    ("registry/llm.py", "l29_neardup_canonical_pick"):
+        "grows: partition by component id",
+    ("registry/llm.py", "l44_training_export_pipeline"):
+        "grows: partition by normalized text (exact-dedup pick)",
+    ("registry/llm_incremental.py", "_pick_survivors"):
+        "grows: partition by component id",
+    ("registry/llm_similarity.py", "l68_knn_join"):
+        "grows: per-query top-k (frozen oracle twin of knn_join)",
+    ("registry/llm_similarity.py", "_knn_exact_ranked"):
+        "bounded input: exact truth over the 8-query gate sample",
+    # -- windows over pre-aggregated / structurally bounded inputs --
+    ("registry/core.py", "d13_group_mode"):
+        "bounded input: counts table (|status x priority| rows)",
+    ("registry/llm.py", "l55_template_prefix"):
+        "bounded input: (source, prefix) counts table, not corpus rows",
+    ("registry/stats.py", "e25_bh_fdr"):
+        "bounded input: one p-value row per screened feature",
+    # -- bounded-cardinality keys: bound + rewrite documented (SCALE.md
+    # 'Bounded-cardinality rank windows'); migrate to
+    # bounded_budget_pick when the per-key share matters --
+    ("operators/relational.py", "ntile_bucket"):
+        "bounded documented: global-order demo op; quantile_buckets is "
+        "the stated scale path in its docstring",
+    ("registry/analytic.py", "g8_analytic_pack"):
+        "bounded documented: 5 segments over the customer dim",
+    ("registry/stats.py", "e28_gini_concentration"):
+        "bounded documented: 5 segments over the customer dim",
+    ("registry/llm.py", "l47_source_cap_rebalance"):
+        "bounded documented: ~16 sources, cap=15 pick -> "
+        "bounded_budget_pick with a constant budget",
+    ("registry/llm.py", "l49_epoch_shuffle"):
+        "bounded documented: (epoch, shard) key — shard count is the "
+        "scale knob (raise shards with corpus size)",
+    ("registry/llm.py", "l50_quality_calibrated_keep"):
+        "bounded documented: per-lang rank threshold",
+    ("registry/llm.py", "l54_curriculum_bins"):
+        "bounded documented: per-lang ntile(4)",
+    ("registry/llm.py", "l56_stratified_holdout"):
+        "bounded documented: (source, lang) strata (~64)",
+    ("registry/llm_similarity.py", "l79_domain_mixture"):
+        "frozen oracle twin: k=8 window kept for exact DuckDB replay; "
+        "production path is l79b via bounded_budget_pick",
+}
+
+
+def audit_rank_windows(repo_root: str, failures: list[str]) -> None:
+    """Source-level sweep: find every row_number/ntile/dense_rank
+    window in the package and require a manifest entry. Also flags
+    stale manifest rows so the manifest cannot rot."""
+    import ast
+    import glob
+    import re
+
+    pkg = os.path.join(repo_root, "datafusion_cyberpolka_eda_spark")
+    rx = re.compile(
+        r"(row_number\(\)|ntile\([^)]*\)|dense_rank\(\))\s*\.over\("
+    )
+    found: set[tuple[str, str]] = set()
+    for path in glob.glob(os.path.join(pkg, "**", "*.py"), recursive=True):
+        rel = os.path.relpath(path, pkg)
+        src = open(path).read()
+        spans = [
+            (n.lineno, n.end_lineno, n.name)
+            for n in ast.walk(ast.parse(src))
+            if isinstance(n, ast.FunctionDef)
+        ]
+        for i, line in enumerate(src.splitlines(), 1):
+            if rx.search(line):
+                enc = [nm for (s, e, nm) in spans if s <= i <= e]
+                found.add((rel, enc[-1] if enc else "<module>"))
+    for site in sorted(found - set(RANK_WINDOW_MANIFEST)):
+        failures.append(
+            f"rank window not in audit manifest: {site} — declare its "
+            "partition-key scaling class in tools/plan_audit.py "
+            "RANK_WINDOW_MANIFEST (or rewrite via "
+            "relational.bounded_budget_pick)"
+        )
+    for site in sorted(set(RANK_WINDOW_MANIFEST) - found):
+        failures.append(f"stale rank-window manifest entry: {site}")
+    print(f"[{'OK' if not failures else '??'}] rank-window manifest "
+          f"({len(found)} sites reviewed)")
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     from datafusion_cyberpolka_eda_spark import get_spark
@@ -390,6 +511,50 @@ def main() -> int:
         contains=["TakeOrderedAndProject"],
         absent=["CartesianProduct", "SortMergeJoin"],
     )
+
+    # --- r12 entries ---
+    # source-level rank-window review: every row_number/ntile window in
+    # the package must carry a manifest justification (new ones fail)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    audit_rank_windows(repo_root, failures)
+    # cross-modal incremental: both modality edge joins banded — never
+    # all-pairs at any stage
+    check("l78b_crossmodal_incremental", absent=["CartesianProduct"])
+    # cross-modal takedown: store-sliced edge rebuild + broadcast
+    # request joins — never all-pairs (the no-documents-rescan contract
+    # is pinned in tests/test_crossmodal_lifecycle.py)
+    check("l78c_crossmodal_takedown", absent=["CartesianProduct"])
+    # the bounded budget pick (l79b's enacted selection): every window
+    # spec must be partitioned — an unpartitioned rank window here would
+    # resurrect the exact shape the rewrite exists to kill
+    from datafusion_cyberpolka_eda_spark.operators import relational as _REL
+    from datafusion_cyberpolka_eda_spark.functions.hashing import (
+        md5_hash64 as _md5h,
+    )
+    from pyspark.sql import functions as _BF
+
+    _bp_df = spark.range(0, 10_000).select(
+        _BF.col("id"),
+        (_BF.col("id") % 13).alias("key"),
+        _md5h(_BF.col("id").cast("string")).alias("rkey"),
+    )
+    _bp_budgets = spark.createDataFrame(
+        [(int(i), 50) for i in range(13)], "key bigint, n_budget bigint"
+    )
+    _p = plan_of(
+        _REL.bounded_budget_pick(_bp_df, "key", "rkey", "id", _bp_budgets)
+    )
+    _bp_fails = []
+    for line in _p.splitlines():
+        if "windowspecdefinition" in line and "key#" not in line:
+            _bp_fails.append(
+                f"bounded_budget_pick: unpartitioned window: {line.strip()}"
+            )
+    if "CartesianProduct" in _p:
+        _bp_fails.append("bounded_budget_pick: CartesianProduct in plan")
+    failures.extend(_bp_fails)
+    print(f"[{'OK' if not _bp_fails else '??'}] bounded_budget_pick windows "
+          "partitioned")
 
     # incremental covariance: the increment scan must carry the pushed
     # vec_id >= cutoff predicate (day-1 vectors never re-read as vectors)
