@@ -10,6 +10,19 @@ BASELINE.md documents ~25% single-run JVM noise, which the median
 suppresses; per-run raw timings and the summed max-min spread land in
 BENCH_DETAIL.json. A JVM warm-up query runs first and is not counted.
 
+Reps are INTERLEAVED full passes over the whole registry (r12; the r11
+verdict's bench-hygiene task): pass 0 executes every query once,
+discarded (per-plan codegen + store/memo builds), then each timed rep
+is one complete pass — so slow session drift (block/codegen/metaspace
+accumulation over ~950 executions in one JVM) lands on every query's
+rep r equally instead of compounding against late-registry queries, and
+each query's median is taken across well-separated points in session
+time. Pass boundaries force a full JVM old-gen sweep. run_spread_sec
+(summed per-query max-min) carries an explicit spread_ok gate
+(< 50 s): a failed gate prints a WARNING and marks the artifact —
+BASELINE.md's box-contention note says rerun before reading anything
+into per-query deltas.
+
 Two caveats discovered in round 1 drive the output shape:
 
 - The driver records only the LAST ~2000 characters of stdout; a JSON line
@@ -164,35 +177,40 @@ def main() -> None:
     # oracle is likewise skipped so the ratio compares the same work.
     skip_timing = {"pipeline_summary", "pipeline_artifacts"}
 
-    for qi, (name, fn) in enumerate(qs.items()):
-        if name in skip_timing:
-            continue
-        rts = []
-        # rep 0 is a DISCARDED warm-up execution: the first run of each
-        # query compiles its whole-stage codegen (0.3-7 s for the
-        # literal-heavy plans — measured: l9 rep1 7.3 s vs 0.7 s warm),
-        # which is per-plan compile cost, not steady-state query cost.
-        # Medians and spread are over genuinely warm executions only.
-        for r in range(reps + 1):
+    timed = [(n, f) for n, f in qs.items() if n not in skip_timing]
+    runs = {n: [] for n, _ in timed}
+    # pass r=0 is a DISCARDED warm-up pass: the first run of each query
+    # compiles its whole-stage codegen (0.3-7 s for the literal-heavy
+    # plans — measured: l9 rep1 7.3 s vs 0.7 s warm) and builds the
+    # session-scoped stores/memos — per-plan/per-session machinery, not
+    # steady-state query cost. Medians and spread are over genuinely
+    # warm executions only, INTERLEAVED as full registry passes (see
+    # module docstring).
+    for r in range(reps + 1):
+        for qi, (name, fn) in enumerate(timed):
             t0 = time.perf_counter()
             fn(spark, sf_dir).collect()
             elapsed = round(time.perf_counter() - t0, 4)
-            # drop caches/broadcasts between runs: 100+ queries in one JVM
-            # otherwise accumulate blocks and GC pauses pollute later timings
+            # drop caches/broadcasts between runs: 230+ queries in one
+            # JVM otherwise accumulate blocks and GC pauses pollute
+            # later timings
             spark.catalog.clearCache()
             if r > 0:
-                rts.append(elapsed)
-        # localCheckpoint blocks and broadcasts are freed by ContextCleaner
-        # only after the Python-side refs die — collect them promptly, and
-        # periodically force a JVM old-gen sweep, or ~350 executions in one
-        # JVM accumulate enough block/codegen pressure to skew the tail
-        # (observed: identical code totals drifting 93 -> 136 s per run)
+                runs[name].append(elapsed)
+            # localCheckpoint blocks and broadcasts are freed by
+            # ContextCleaner only after the Python-side refs die —
+            # collect them promptly, or ~950 executions in one JVM
+            # accumulate enough block/codegen pressure to skew the tail
+            # (observed: identical code totals drifting 93 -> 136 s)
+            if qi % 20 == 19:
+                gc.collect()
+        # pass boundary: full sweep so drift resets between reps rather
+        # than compounding into the next pass's early queries
         gc.collect()
-        if qi % 20 == 19:
-            spark.sparkContext._jvm.System.gc()
-        runs[name] = rts
-        # true median (statistics.median averages the middle pair for even
-        # rep counts; sorted()[n//2] would report the slower middle run)
+        spark.sparkContext._jvm.System.gc()
+    for name, rts in runs.items():
+        # true median (statistics.median averages the middle pair for
+        # even rep counts; sorted()[n//2] would report the slower run)
         timings[name] = round(statistics.median(rts), 4)
 
     # Production-core timings (r5 verdict task 1): since r5 the l3b/l4b/
@@ -348,6 +366,13 @@ def main() -> None:
     spread = round(
         sum(max(r) - min(r) for r in runs.values()), 4
     )  # summed per-query max-min across the N runs
+    spread_ok = spread < 50.0
+    if not spread_ok:
+        print(
+            f"WARNING: run_spread_sec {spread} >= 50 — rerun on a quiet "
+            "box before reading per-query deltas (BASELINE.md noise note)",
+            file=sys.stderr,
+        )
 
     detail = {
         "metric": "total_query_wall_seconds",
@@ -358,6 +383,7 @@ def main() -> None:
         "n_queries": len(timings),
         "reps": reps,
         "run_spread_sec": spread,
+        "spread_ok": spread_ok,
         "oracle_total_sec": oracle_total,
         "ratio_net": ratio_net,
         "ratio_net_recomputing": ratio_net_recomputing,
@@ -391,6 +417,7 @@ def main() -> None:
         "n_queries": len(timings),
         "reps": reps,
         "run_spread_sec": round(spread, 2),
+        "spread_ok": spread_ok,
         "oracle_total_sec": oracle_total,
         "ratio_net": ratio_net,
         "ratio_net_recomputing": ratio_net_recomputing,

@@ -218,12 +218,26 @@ GROWTH_QUERIES = [
     "l76_semdedup_takedown",
     "l77_incremental_dup_span_scrub",
     "l78_crossmodal_dedup",
+    "l78b_crossmodal_incremental",
+    "l78c_crossmodal_takedown",
     "l79_domain_mixture",
+    "l79b_domain_mixture_adaptive",
     "l80_classifier_takedown",
     "l81_dsir_takedown",
+    # the full streaming ingest matrix (r12 verdict task 6): epoch count
+    # held fixed (n_files=3), data scaled — measures per-epoch work
+    # growth. j23 (pinned store) vs j23b (adaptive store) is the
+    # streaming twin of the l69-vs-l69b comparison.
+    "j15_stream_incremental_dedup",
+    "j16_stream_quality_routing",
+    "j17_stream_takedown",
+    "j18_stream_chunking",
+    "j19_stream_psi_drift",
     "j20_stream_asset_ingest_dedup",
     "j21_stream_model_filter",
     "j22_stream_dsir_selection",
+    "j23_stream_semdedup",
+    "j23b_stream_semdedup_adaptive",
 ]
 # dense replica stride: scaled doc/vec ids must stay below the 2^23
 # planted-twin offsets or the family domain guards (correctly) raise
