@@ -11,17 +11,21 @@ suppresses; per-run raw timings and the summed max-min spread land in
 BENCH_DETAIL.json. A JVM warm-up query runs first and is not counted.
 
 Reps are INTERLEAVED full passes over the whole registry (r12; the r11
-verdict's bench-hygiene task): pass 0 executes every query once,
-discarded (per-plan codegen + store/memo builds), then each timed rep
-is one complete pass — so slow session drift (block/codegen/metaspace
-accumulation over ~950 executions in one JVM) lands on every query's
-rep r equally instead of compounding against late-registry queries, and
-each query's median is taken across well-separated points in session
-time. Pass boundaries force a full JVM old-gen sweep. run_spread_sec
-(summed per-query max-min) carries an explicit spread_ok gate
-(< 50 s): a failed gate prints a WARNING and marks the artifact —
-BASELINE.md's box-contention note says rerun before reading anything
-into per-query deltas.
+verdict's bench-hygiene task): TWO discarded passes run first — pass 0
+(per-plan codegen + store/memo builds) and pass 1 (settle: Spark's
+generated-class cache holds ~100 entries, so a 238-query registry
+fully evicts it every pass and the first timed pass would otherwise
+re-pay scattered compile cost; measured: first-timed-pass total 450 s
+vs 373/375 s for the next two on identical code) — then each timed rep
+is one complete pass, so slow session drift (block/codegen/metaspace
+accumulation over ~1200 executions in one JVM) lands on every query's
+rep r equally instead of compounding against late-registry queries,
+and each query's median is taken across well-separated points in
+session time. Pass boundaries force a full JVM old-gen sweep.
+run_spread_sec (summed per-query max-min across timed passes) carries
+an explicit spread_ok gate (< 50 s): a failed gate prints a WARNING
+and marks the artifact — BASELINE.md's box-contention note says rerun
+before reading anything into per-query deltas.
 
 Two caveats discovered in round 1 drive the output shape:
 
@@ -179,14 +183,17 @@ def main() -> None:
 
     timed = [(n, f) for n, f in qs.items() if n not in skip_timing]
     runs = {n: [] for n, _ in timed}
-    # pass r=0 is a DISCARDED warm-up pass: the first run of each query
-    # compiles its whole-stage codegen (0.3-7 s for the literal-heavy
-    # plans — measured: l9 rep1 7.3 s vs 0.7 s warm) and builds the
-    # session-scoped stores/memos — per-plan/per-session machinery, not
-    # steady-state query cost. Medians and spread are over genuinely
-    # warm executions only, INTERLEAVED as full registry passes (see
-    # module docstring).
-    for r in range(reps + 1):
+    # passes r=0 and r=1 are DISCARDED: r=0 compiles each plan's
+    # whole-stage codegen (0.3-7 s for the literal-heavy plans —
+    # measured: l9 rep1 7.3 s vs 0.7 s warm) and builds the
+    # session-scoped stores/memos; r=1 settles the generated-class
+    # cache (~100 entries — a full registry pass evicts it, so the
+    # first post-warm-up pass re-pays scattered compiles; see module
+    # docstring for the measured 450-vs-373 s pass totals). Medians and
+    # spread are over genuinely warm executions only, INTERLEAVED as
+    # full registry passes.
+    n_discard = 2
+    for r in range(reps + n_discard):
         for qi, (name, fn) in enumerate(timed):
             t0 = time.perf_counter()
             fn(spark, sf_dir).collect()
@@ -195,7 +202,7 @@ def main() -> None:
             # JVM otherwise accumulate blocks and GC pauses pollute
             # later timings
             spark.catalog.clearCache()
-            if r > 0:
+            if r >= n_discard:
                 runs[name].append(elapsed)
             # localCheckpoint blocks and broadcasts are freed by
             # ContextCleaner only after the Python-side refs die —
@@ -391,6 +398,12 @@ def main() -> None:
         "core_ops": core_ops,
         "queries": timings,
         "queries_runs": runs,
+        # per-pass totals across the timed passes: agreeing totals mean
+        # the session was stable end-to-end (the r12 hygiene signal);
+        # a hot first entry here means the settle pass didn't suffice
+        "pass_totals": [
+            round(sum(v[i] for v in runs.values()), 2) for i in range(reps)
+        ],
         "queries_net": {
             k: round(max(v - floor, 0.0), 4) for k, v in timings.items()
         },
