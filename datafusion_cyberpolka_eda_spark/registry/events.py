@@ -815,3 +815,68 @@ def j23b_stream_semdedup_adaptive(
         extra_vals=(n_epochs >= 2,),
         extra_schema=", multi_epoch boolean",
     )
+
+def _j24_oracle() -> str:
+    # the accumulated streamed edge set must reproduce the batch
+    # incremental answer — l78b's dual closed-form replay, verbatim
+    from datafusion_cyberpolka_eda_spark.registry.llm_multimodal import (
+        _l78b_oracle,
+    )
+
+    return _l78b_oracle()
+
+
+@register("j24_stream_crossmodal_dedup", _j24_oracle())
+def j24_stream_crossmodal_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming CROSS-MODAL paired-document dedup — the continuous
+    shape of l78b, completing the cross-modal family's lifecycle matrix
+    (batch l78 / incremental l78b / takedown l78c / streaming this; the
+    LAION-ingest topology): the day-2 paired increment arrives as 3
+    forced micro-batches; each epoch derives its batch's paired corpus
+    (base docs + gray/perturbed twins), shingles captions and
+    decodes+hashes images strictly inside the epoch, band-joins EACH
+    modality against its persisted day-1 store plus previously-streamed
+    rows, and commits the tagged text-OR-image edge union plus both
+    store appends epoch-keyed (idempotent under foreachBatch replay).
+
+    Signatures and fingerprints are pure per-item functions and both
+    stores grow by the same documents each epoch, so a pair's text and
+    image edges land in the SAME epoch (its later side's arrival) and
+    every pair is emitted exactly once — the accumulated edge set must
+    equal l78b's one-shot incremental answer, and l78b's dual
+    closed-form replay (MinHash signatures/bands + pixels/fingerprints
+    + cutoff kinds) is the oracle, verbatim.
+
+    Scale shape: per-epoch cost is the batch's shingle+decode map
+    passes plus two banded equi-joins pruned to colliding buckets;
+    both stores and the edge sink commit through the manifest log
+    (one listing per store view, not O(epochs)). Ref anchor:
+    streaming/documents.stream_crossmodal_dedup; registry llm_multimodal
+    l78/l78b/l78c."""
+    from datafusion_cyberpolka_eda_spark.registry.llm_multimodal import (
+        _mm_fp_store,
+        _xm_text_store,
+    )
+    from datafusion_cyberpolka_eda_spark.sources.catalog import load_table
+    from datafusion_cyberpolka_eda_spark.streaming.documents import (
+        stream_crossmodal_dedup,
+    )
+
+    cutoff, sig_path = _xm_text_store(spark, sf_dir)
+    icutoff, fp_path = _mm_fp_store(spark, sf_dir, "image")
+    if icutoff != cutoff:
+        raise ValueError(
+            f"store cutoffs diverged: text {cutoff} vs image {icutoff}"
+        )
+    docs = load_table(spark, sf_dir, "documents")
+    scratch = _scratch_dir(spark, "j24", sf_dir)
+    return stream_crossmodal_dedup(
+        spark,
+        docs.filter(F.col("doc_id") >= cutoff),
+        sig_path,
+        fp_path,
+        scratch,
+        cutoff,
+    )

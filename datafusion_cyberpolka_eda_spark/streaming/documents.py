@@ -1060,3 +1060,125 @@ def stream_incremental_fingerprint_dedup(
         .otherwise(F.lit("new_old"))
         .alias("kind"),
     )
+
+
+def stream_crossmodal_dedup(
+    spark: SparkSession,
+    increment: DataFrame,
+    sig_store_path: str,
+    fp_store_path: str,
+    scratch_dir: str,
+    cutoff: int,
+    *,
+    n_files: int = 3,
+) -> DataFrame:
+    """Continuous-ingest CROSS-MODAL paired-document dedup — the
+    streaming surface of the l78 family, completing its lifecycle
+    matrix (batch l78 / incremental l78b / takedown l78c / streaming
+    this): the day-2 paired-document increment is fanned into
+    ``n_files`` files and streamed with maxFilesPerTrigger=1; each
+    epoch derives the paired corpus of ONLY its micro-batch (base docs
+    + gray/perturbed twins), shingles the captions and decodes+hashes
+    the images strictly inside the epoch, band-joins EACH modality
+    against its persisted day-1 store PLUS every previously-streamed
+    epoch's appended rows, and commits three epoch-keyed artifacts:
+    the tagged text-OR-image edge union, the caption signatures, and
+    the image fingerprints (both stores grow by exactly the epoch's
+    rows).
+
+    Per-epoch tagged unions compose exactly: signatures and
+    fingerprints are pure per-item functions and BOTH stores grow by
+    the same document set each epoch, so an unordered pair's text edge
+    and image edge are discovered in the SAME epoch — the one where
+    the pair's later-arriving side lands — and each pair is emitted
+    exactly once. The accumulated edge set therefore equals the batch
+    incremental answer (l78b) and thus l78's full-corpus tagged edge
+    union restricted to >= 1-new pairs; l78b's dual closed-form replay
+    is the oracle. ``kind`` re-derives against the SNAPSHOT cutoff by
+    BASE id (twin offsets are 0 mod 2^23), matching l78b.
+
+    At 100 TB this is the LAION-ingest topology: one queue of (caption,
+    image) pairs, per-epoch bounded sink transactions (edges + two
+    store appends through the manifest log), both stores bucketed by
+    their band keys so each epoch's joins prune to colliding buckets,
+    and no old caption re-shingled / old pixel re-decoded. Ref anchor:
+    registry llm_multimodal l78/l78b (_paired_corpus, _xm_union_edges);
+    stream_incremental_dedup / stream_incremental_fingerprint_dedup
+    (the two single-modality parents)."""
+    from datafusion_cyberpolka_eda_spark.operators.multimodal import (
+        N_AHASH_BITS,
+        ahash63_fingerprints,
+        make_ppm_neardup_assets,
+    )
+    from datafusion_cyberpolka_eda_spark.registry.llm_multimodal import (
+        _paired_corpus,
+        _xm_union_edges,
+    )
+
+    src_dir = os.path.join(scratch_dir, "pair_src")
+    tsig_dir = os.path.join(scratch_dir, "appended_sigs")
+    fp_dir = os.path.join(scratch_dir, "appended_fps")
+    edges_dir = os.path.join(scratch_dir, "edges")
+    for d in (src_dir, tsig_dir, fp_dir, edges_dir):
+        shutil.rmtree(d, ignore_errors=True)
+
+    increment.select("doc_id", "text", "source").repartitionByRange(
+        n_files, "doc_id"
+    ).write.parquet(src_dir)
+    sig_store = spark.read.parquet(sig_store_path)
+    fp_store = spark.read.parquet(fp_store_path)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        eid = int(epoch_id)
+        corpus = _paired_corpus(batch_df).localCheckpoint(eager=True)
+        sigs = D.minhash_signatures_portable(
+            corpus, "doc_id", "text", n=3, num_hashes=32, bands=8
+        ).localCheckpoint(eager=True)
+        tview = sig_store.unionByName(
+            _read_epochs(spark, tsig_dir, sig_store.schema, below=eid)
+        )
+        tpairs = D.incremental_minhash_pairs(
+            sigs, tview, num_hashes=32, est_threshold=0.45
+        ).select("id_a", "id_b")
+        fps = ahash63_fingerprints(
+            make_ppm_neardup_assets(batch_df)
+        ).localCheckpoint(eager=True)
+        fview = fp_store.unionByName(
+            _read_epochs(spark, fp_dir, fp_store.schema, below=eid)
+        )
+        ipairs = D.incremental_fingerprint_pairs(
+            fps, fview, max_hamming=3, n_bits=N_AHASH_BITS
+        ).select("id_a", "id_b")
+        _commit_epoch(_xm_union_edges(tpairs, ipairs), edges_dir, eid)
+        _commit_epoch(sigs, tsig_dir, eid)
+        _commit_epoch(fps, fp_dir, eid)
+
+    q = stream.writeStream.foreachBatch(_deliver(handle)).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    base_mod = F.lit(8388608)  # 2^23: both twin offsets are 0 mod this
+    both_new = (F.col("id_a") % base_mod >= cutoff) & (
+        F.col("id_b") % base_mod >= cutoff
+    )
+    return _read_epochs(
+        spark,
+        edges_dir,
+        "id_a bigint, id_b bigint, is_text boolean, is_image boolean",
+    ).select(
+        "id_a",
+        "id_b",
+        "is_text",
+        "is_image",
+        F.when(both_new, F.lit("new_new"))
+        .otherwise(F.lit("new_old"))
+        .alias("kind"),
+    )

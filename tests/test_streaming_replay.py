@@ -368,3 +368,34 @@ class TestAssetIngestReplay:
         )
         assert _rows(pruned) == _rows(oneshot)
         assert _rows(cells) == _rows(cells_new.select("id", "cell"))
+
+    def test_crossmodal_dedup_replay(
+        self, spark, sf_dir, tmp_path, replay_every_epoch
+    ):
+        """j24: the streaming cross-modal path, every epoch delivered
+        twice, must still reproduce l78b's one-shot incremental tagged
+        edge union — both modalities' stores append exactly once per
+        epoch and each pair is emitted exactly once."""
+        from datafusion_cyberpolka_eda_spark.registry.llm_multimodal import (
+            _mm_fp_store,
+            _xm_text_store,
+            l78b_crossmodal_incremental,
+        )
+
+        cutoff, sig_path = _xm_text_store(spark, sf_dir)
+        icutoff, fp_path = _mm_fp_store(spark, sf_dir, "image")
+        assert icutoff == cutoff
+        docs = load_table(spark, sf_dir, "documents")
+        streamed = SD.stream_crossmodal_dedup(
+            spark,
+            docs.filter(F.col("doc_id") >= cutoff),
+            sig_path,
+            fp_path,
+            str(tmp_path / "scratch"),
+            cutoff,
+        )
+        want = l78b_crossmodal_incremental(spark, sf_dir)
+        assert _rows(streamed) == _rows(want)
+        assert streamed.count() == streamed.select(
+            "id_a", "id_b"
+        ).distinct().count()
