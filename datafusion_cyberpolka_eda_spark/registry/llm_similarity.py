@@ -1879,6 +1879,649 @@ def l79b_domain_mixture_adaptive(
     )
 
 
+# ---- incremental + takedown domain mixture (l79c/l79d, r12): the
+# persisted-store discipline applied to the l79 mixture composition —
+# completing the mixture family's lifecycle matrix (batch l79/l79b /
+# incremental l79c / takedown l79d). Day-1 trains the FROZEN domain
+# quantizer and persists per-(cluster, bucket) aggregates + the keyed
+# day-1 rows; day-2 merges aggregate DELTAS only and re-ranks ONLY the
+# boundary buckets — no day-1 row outside a boundary bucket is ever
+# re-read, no centroid ever retrained. ----
+
+# (session, sf_dir, data fingerprints) -> (cutoff, cent, rows, aggs)
+_MIXTURE_STORE_CACHE: dict[str, tuple] = {}
+
+
+def _mixture_store(spark: SparkSession, sf_dir: str) -> tuple:
+    """Build ONCE per (session, data) the persisted day-1 domain-mixture
+    store: frozen k=8 Lloyd centroids trained on DAY-1 embeddings only
+    (the l69 frozen-quantizer contract — increments assign against
+    day-1's domains, never re-derive their own), plus two parquet
+    tables:
+
+      rows — the keyed day-1 membership (cluster, bucket, doc_id, rkey,
+        nt), range-partitioned and sorted by (cluster, bucket) so a
+        boundary-bucket read prunes to the requested buckets' row
+        groups (a plan test pins the pushed filter);
+      aggs — per-(cluster, bucket) partials (n, tokens, id_sum): the
+        mergeable substrate the incremental/takedown entries combine
+        with their own deltas WITHOUT touching day-1 rows.
+
+    bucket is the order-preserving top-12-bit prefix of the 60-bit md5
+    rank key (the l79b/bounded_budget_pick recipe), so per-bucket
+    aggregates cumulate into exact selection thresholds. Returns
+    (cutoff, centroids_q, rows_path, aggs_path)."""
+    from datafusion_cyberpolka_eda_spark.functions.hashing import md5_hash64
+    from datafusion_cyberpolka_eda_spark.registry.llm_base import (
+        _docs_fingerprint,
+    )
+
+    key = (
+        f"{spark.sparkContext.applicationId}:{sf_dir}:mixture:"
+        f"{_table_fingerprint(sf_dir, 'embeddings')}:"
+        f"{_docs_fingerprint(sf_dir)}"
+    )
+    if key in _MIXTURE_STORE_CACHE:
+        return _MIXTURE_STORE_CACHE[key]
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    max_id = emb.agg(F.max("vec_id")).collect()[0][0]
+    cutoff = int(0.8 * (max_id + 1))
+    q1 = (
+        emb.filter(F.col("vec_id") < cutoff)
+        .select(
+            F.col("vec_id").alias("id"),
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x * F.lit(100000.0)).cast("long"),
+            ).alias("q"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cent = SIM.lloyd_kmeans_q(q1, k=8, iters=3)
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = (
+        SIM.lloyd_assign_q(q1, cent)
+        .select(F.col("id").alias("doc_id"), F.col("cluster").cast("bigint").alias("cluster"))
+        .join(
+            docs.select(
+                "doc_id", T.token_count("text").cast("bigint").alias("nt")
+            ),
+            "doc_id",
+        )
+        .withColumn("rkey", md5_hash64(F.col("doc_id").cast("string")))
+        .withColumn(
+            "bucket",
+            F.shiftright(F.col("rkey"), _L79B_BUCKET_SHIFT).cast("int"),
+        )
+    )
+    out = tempfile.mkdtemp(prefix="mixture_store_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    rows_path = os.path.join(out, "rows.parquet")
+    aggs_path = os.path.join(out, "aggs.parquet")
+    keyed.repartitionByRange("cluster", "bucket").sortWithinPartitions(
+        "cluster", "bucket"
+    ).write.mode("overwrite").parquet(rows_path)
+    keyed.groupBy("cluster", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("nt").cast("bigint").alias("tokens"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"),
+    ).write.mode("overwrite").parquet(aggs_path)
+    _MIXTURE_STORE_CACHE[key] = (cutoff, cent, rows_path, aggs_path)
+    return _MIXTURE_STORE_CACHE[key]
+
+
+def _mixture_budgets(merged: DataFrame) -> DataFrame:
+    """The l79 temperature arithmetic (tau=0.5 sqrt-share, 1e-9 integer
+    floor-quantized weights, floor budget) applied to merged
+    per-(cluster, bucket) aggregates. Returns the k-row budget table
+    (cluster, n_docs, tokens, t, wq, sw, nd, n_budget) — every
+    downstream consumer broadcasts it."""
+    per = merged.groupBy("cluster").agg(
+        F.sum("n").cast("bigint").alias("n_docs"),
+        F.sum("tokens").cast("bigint").alias("tokens"),
+    )
+    tot = per.agg(
+        F.sum("tokens").cast("bigint").alias("t"),
+        F.sum("n_docs").cast("bigint").alias("nd"),
+    )
+    w = per.crossJoin(F.broadcast(tot)).withColumn(
+        "wq",
+        F.floor(
+            F.sqrt(F.col("tokens").cast("double") / F.col("t")) * F.lit(1.0e9)
+        ).cast("bigint"),
+    )
+    ws = w.agg(F.sum("wq").alias("sw"))
+    return w.crossJoin(F.broadcast(ws)).withColumn(
+        "n_budget",
+        F.floor(
+            F.col("wq").cast("double") / F.col("sw") * F.col("nd")
+        ).cast("bigint"),
+    )
+
+
+def _enacted_mixture_totals(
+    spark: SparkSession,
+    merged: DataFrame,
+    bud: DataFrame,
+    rows_path: str,
+    inc_keyed: DataFrame | None,
+    excluded: DataFrame | None,
+) -> DataFrame:
+    """Per-cluster ENACTED selection totals (n_selected, sel_id_sum)
+    from merged per-(cluster, bucket) aggregates WITHOUT ranking the
+    corpus: phase 1 cumulates the merged bucket counts (<= 4096 rows
+    per cluster window BY CONSTRUCTION — one row per occupied bucket);
+    buckets wholly under the budget contribute their STORED (n, id_sum)
+    partials, so their day-1 rows are never read; only the single
+    boundary bucket per cluster materializes rows — day-1 rows read
+    back from the store with a pushed (cluster, bucket) filter, plus
+    the increment's rows for that bucket — and ranks them by
+    (rkey, doc_id). Bit-identical to the direct rank rule over the
+    merged corpus (the bounded_budget_pick argument; the oracle replays
+    the naive window). ``excluded`` (takedown) anti-joins removed ids
+    out of the boundary read; their aggregate contribution was already
+    subtracted from ``merged``."""
+    wcum = (
+        Window.partitionBy("cluster")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cls = (
+        merged.withColumn("cum", F.sum("n").over(wcum))
+        .withColumn("cum_before", F.col("cum") - F.col("n"))
+        .join(F.broadcast(bud.select("cluster", "n_budget")), "cluster")
+        .localCheckpoint(eager=True)  # feeds full totals + boundary set
+    )
+    full = cls.filter(F.col("cum") <= F.col("n_budget")).groupBy(
+        "cluster"
+    ).agg(
+        F.sum("n").cast("bigint").alias("fn"),
+        F.sum("id_sum").cast("bigint").alias("fsum"),
+    )
+    boundary = cls.filter(
+        (F.col("cum_before") < F.col("n_budget"))
+        & (F.col("n_budget") < F.col("cum"))
+    ).select(
+        "cluster",
+        "bucket",
+        (F.col("n_budget") - F.col("cum_before")).alias("need"),
+    )
+    brows = boundary.collect()  # <= 1 bucket per cluster, k clusters
+    if brows:
+        cond = None
+        for r in brows:
+            c = (F.col("cluster") == F.lit(int(r["cluster"]))) & (
+                F.col("bucket") == F.lit(int(r["bucket"]))
+            )
+            cond = c if cond is None else (cond | c)
+        cols = ["cluster", "bucket", "doc_id", "rkey"]
+        d1 = spark.read.parquet(rows_path).filter(cond).select(*cols)
+        if excluded is not None:
+            d1 = d1.join(F.broadcast(excluded), "doc_id", "left_anti")
+        cand = (
+            d1
+            if inc_keyed is None
+            else d1.unionByName(inc_keyed.filter(cond).select(*cols))
+        )
+        # boundary-bucket rank: partition occupancy ~n_cluster/4096
+        # (RANK_WINDOW_MANIFEST: bounded boundary-bucket class)
+        wpart = Window.partitionBy("cluster", "bucket").orderBy(
+            "rkey", "doc_id"
+        )
+        bsel = (
+            cand.join(F.broadcast(boundary), ["cluster", "bucket"])
+            .withColumn("rk", F.row_number().over(wpart))
+            .filter(F.col("rk") <= F.col("need"))
+            .groupBy("cluster")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("bn"),
+                F.sum("doc_id").cast("bigint").alias("bsum"),
+            )
+        )
+    else:
+        bsel = small_df(spark, [], "cluster bigint, bn bigint, bsum bigint")
+    return (
+        bud.select("cluster")
+        .join(full, "cluster", "left")
+        .join(bsel, "cluster", "left")
+        .select(
+            "cluster",
+            (
+                F.coalesce("fn", F.lit(0)) + F.coalesce("bn", F.lit(0))
+            ).cast("bigint").alias("n_selected"),
+            (
+                F.coalesce("fsum", F.lit(0)) + F.coalesce("bsum", F.lit(0))
+            ).cast("bigint").alias("sel_id_sum"),
+        )
+    )
+
+
+def _mixture_report_cols(bud: DataFrame, sel: DataFrame) -> DataFrame:
+    """The l79 report shape from a budget table + selection totals."""
+    out = bud.join(sel, "cluster", "left").select(
+        F.col("cluster").cast("bigint").alias("cluster"),
+        "n_docs",
+        F.col("tokens").cast("bigint").alias("tokens"),
+        (F.col("tokens").cast("double") / F.col("t")).alias("raw_share"),
+        (F.col("wq").cast("double") / F.col("sw")).alias("sampled_share"),
+        (
+            (F.col("wq").cast("double") / F.col("sw"))
+            * F.col("t")
+            / F.col("tokens")
+        ).alias("epochs"),
+        "n_budget",
+        F.coalesce("n_selected", F.lit(0)).cast("bigint").alias("n_selected"),
+        F.coalesce("sel_id_sum", F.lit(0)).cast("bigint").alias("sel_id_sum"),
+    )
+    return _round_cols(out, ["raw_share", "sampled_share", "epochs"])
+
+
+def _day1_lloyd_ctes(k: int = 8, iters: int = 3) -> str:
+    """Frozen DAY-1 Lloyd chain for the mixture-store oracles: eb (all
+    vectors long-form quantized), cut (embeddings 80% cutoff), e (the
+    day-1 training subset), seeds, c0..c{iters} — the _l69_oracle
+    opening verbatim (same store contract: train on day-1 only, freeze
+    forever). Caller appends its own assignment + report CTEs."""
+    ctes = [
+        f"""
+    eb AS MATERIALIZED (
+      SELECT vec_id, i - 1 AS i,
+             CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 100000.0) AS BIGINT)
+               AS q
+      FROM embeddings,
+           LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) s
+    ),
+    cut AS (
+      SELECT CAST(FLOOR(0.8 * (MAX(vec_id) + 1)) AS BIGINT) AS c
+      FROM embeddings
+    ),
+    e AS MATERIALIZED (
+      SELECT vec_id, i, q FROM eb WHERE vec_id < (SELECT c FROM cut)
+    ),
+    seeds AS (
+      SELECT vec_id, rk - 1 AS j FROM (
+        SELECT vec_id, ROW_NUMBER() OVER (ORDER BY
+          ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+          vec_id) AS rk
+        FROM (SELECT DISTINCT vec_id FROM e) ids) t WHERE rk <= {k}
+    ),
+    c0 AS MATERIALIZED (SELECT s.j, e.i, e.q AS c FROM seeds s JOIN e USING (vec_id))"""
+    ]
+    for t in range(1, iters + 1):
+        prev = f"c{t - 1}"
+        ctes.append(f"""
+    a{t} AS MATERIALIZED (
+      SELECT vec_id, j FROM (
+        SELECT d.vec_id, d.j,
+               ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY d.d, d.j)
+                 AS rk
+        FROM (SELECT e.vec_id, c.j, SUM((e.q - c.c) * (e.q - c.c)) AS d
+              FROM e JOIN {prev} c USING (i) GROUP BY e.vec_id, c.j) d) t
+      WHERE rk = 1
+    ),
+    c{t} AS MATERIALIZED (
+      SELECT b.j, b.i, COALESCE(u.c, b.c) AS c
+      FROM {prev} b LEFT JOIN (
+        SELECT a.j, e.i,
+               CAST(FLOOR(CAST(SUM(e.q) AS DOUBLE) / COUNT(*)) AS BIGINT)
+                 AS c
+        FROM a{t} a JOIN e ON e.vec_id = a.vec_id GROUP BY a.j, e.i) u
+      ON u.j = b.j AND u.i = b.i
+    )""")
+    return ",".join(ctes)
+
+
+def _mixture_report_sql() -> str:
+    """The l79 mixture arithmetic + naive rank rule over a CTE ``m``
+    (cluster, doc_id, nt) — shared tail of the l79c/l79d oracles."""
+    return """
+    per0 AS (SELECT cluster, COUNT(*) AS n_docs, SUM(nt) AS tokens
+             FROM m GROUP BY cluster),
+    tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS t,
+                   CAST(SUM(n_docs) AS BIGINT) AS nd FROM per0),
+    w AS (
+      SELECT cluster, n_docs, tokens,
+             CAST(FLOOR(SQRT(CAST(tokens AS DOUBLE) / t) * 1.0e9) AS BIGINT)
+               AS wq
+      FROM per0, tot
+    ),
+    ws AS (SELECT SUM(wq) AS sw FROM w),
+    bud AS (
+      SELECT cluster, n_docs, tokens, wq,
+             CAST(FLOOR(CAST(wq AS DOUBLE) / sw * nd) AS BIGINT) AS n_budget
+      FROM w, ws, tot
+    ),
+    r AS (
+      SELECT cluster, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+               doc_id) AS rk
+      FROM m
+    ),
+    sel AS (
+      SELECT r.cluster, COUNT(*) AS n_selected, SUM(r.doc_id) AS sel_id_sum
+      FROM r JOIN bud b ON b.cluster = r.cluster AND r.rk <= b.n_budget
+      GROUP BY r.cluster
+    )"""
+
+
+def _l79c_oracle(k: int = 8, iters: int = 3) -> str:
+    return (
+        "WITH "
+        + _day1_lloyd_ctes(k, iters)
+        + f""",
+    fin AS MATERIALIZED (
+      SELECT vec_id, j FROM (
+        SELECT d.vec_id, d.j,
+               ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY d.d, d.j)
+                 AS rk
+        FROM (SELECT a.vec_id, c.j, SUM((a.q - c.c) * (a.q - c.c)) AS d
+              FROM eb a JOIN c{iters} c USING (i) GROUP BY a.vec_id, c.j) d) t
+      WHERE rk = 1
+    ),
+    d AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+      FROM documents
+    ),
+    m AS MATERIALIZED (
+      SELECT f.j AS cluster, d.doc_id, d.nt
+      FROM fin f JOIN d ON d.doc_id = f.vec_id
+    ),
+    newc AS (
+      SELECT cluster, COUNT(*) AS n_new_docs, SUM(nt) AS new_tokens
+      FROM m WHERE doc_id >= (SELECT c FROM cut) GROUP BY cluster
+    ),"""
+        + _mixture_report_sql()
+        + """
+    SELECT CAST(b.cluster AS BIGINT) AS cluster,
+           CAST(b.n_docs AS BIGINT) AS n_docs,
+           CAST(b.tokens AS BIGINT) AS tokens,
+           ROUND(CAST(b.tokens AS DOUBLE) / t, 6) AS raw_share,
+           ROUND(CAST(b.wq AS DOUBLE) / sw, 6) AS sampled_share,
+           ROUND((CAST(b.wq AS DOUBLE) / sw) * t / b.tokens, 6) AS epochs,
+           b.n_budget,
+           CAST(COALESCE(s.n_selected, 0) AS BIGINT) AS n_selected,
+           CAST(COALESCE(s.sel_id_sum, 0) AS BIGINT) AS sel_id_sum,
+           CAST(COALESCE(nc.n_new_docs, 0) AS BIGINT) AS n_new_docs,
+           CAST(COALESCE(nc.new_tokens, 0) AS BIGINT) AS new_tokens
+    FROM bud b LEFT JOIN sel s ON s.cluster = b.cluster
+               LEFT JOIN newc nc ON nc.cluster = b.cluster, ws, tot
+    """
+    )
+
+
+@register("l79c_domain_mixture_incremental", _l79c_oracle(8, 3))
+def l79c_domain_mixture_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INCREMENTAL domain mixture — the daily re-balance shape of l79,
+    completing the mixture family's lifecycle matrix (batch l79/l79b /
+    incremental this / takedown l79d): day-1 trained the FROZEN domain
+    quantizer and persisted per-(cluster, bucket) aggregates plus the
+    keyed day-1 membership (_mixture_store). The day-2 increment
+    assigns ONLY its own vectors against the frozen centroids (one map
+    pass), computes its own (cluster, bucket) deltas, and the merged
+    mixture — shares, budgets, and the ENACTED hash-ranked selection —
+    is re-derived from MERGED AGGREGATES: full-selected buckets
+    contribute their stored (n, id_sum) partials without reading a
+    single day-1 row; only the <= 1 boundary bucket per cluster
+    materializes rows (day-1 side read back with a pushed
+    (cluster, bucket) filter — a plan test pins it — union the
+    increment's rows), ranked by the same (md5 key, doc_id) rule.
+
+    The selection thresholds move when the increment lands (budgets are
+    global), yet the re-ranked set is computed without re-ranking the
+    corpus — bit-identical to the naive rank rule over the merged
+    corpus (the bounded_budget_pick argument), which is exactly what
+    the oracle replays: frozen day-1 Lloyd unroll, all-vector
+    assignment, merged arithmetic, naive window. Every output value is
+    hash-checked, the n_new_docs/new_tokens increment attribution
+    included.
+
+    Scale shape: day-2 cost = |increment| assign/key map passes + a
+    k x 4096-row aggregate merge + <= k boundary-bucket reads (each
+    ~n_cluster/4096 rows). No day-1 re-scan, no retrain, no unbounded
+    window. Ref anchor: registry l79 (frozen batch twin), l79b (the
+    bounded pick), l69/l69b (the frozen-store contract);
+    operators/relational.bounded_budget_pick."""
+    from datafusion_cyberpolka_eda_spark.functions.hashing import md5_hash64
+
+    cutoff, cent, rows_path, aggs_path = _mixture_store(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    q2 = emb.filter(F.col("vec_id") >= cutoff).select(
+        F.col("vec_id").alias("id"),
+        F.transform(
+            "embedding", lambda x: F.floor(x * F.lit(100000.0)).cast("long")
+        ).alias("q"),
+    )
+    inc_keyed = (
+        SIM.lloyd_assign_q(q2, cent)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("cluster").cast("bigint").alias("cluster"),
+        )
+        .join(
+            docs.filter(F.col("doc_id") >= cutoff).select(
+                "doc_id", T.token_count("text").cast("bigint").alias("nt")
+            ),
+            "doc_id",
+        )
+        .withColumn("rkey", md5_hash64(F.col("doc_id").cast("string")))
+        .withColumn(
+            "bucket",
+            F.shiftright(F.col("rkey"), _L79B_BUCKET_SHIFT).cast("int"),
+        )
+        .localCheckpoint(eager=True)  # feeds deltas + boundary pick
+    )
+    inc_aggs = inc_keyed.groupBy("cluster", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("nt").cast("bigint").alias("tokens"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"),
+    )
+    merged = (
+        spark.read.parquet(aggs_path)
+        .unionByName(inc_aggs)
+        .groupBy("cluster", "bucket")
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("tokens").cast("bigint").alias("tokens"),
+            F.sum("id_sum").cast("bigint").alias("id_sum"),
+        )
+        .localCheckpoint(eager=True)  # feeds budgets + cumsum + totals
+    )
+    bud = _mixture_budgets(merged).localCheckpoint(eager=True)
+    sel = _enacted_mixture_totals(
+        spark, merged, bud, rows_path, inc_keyed, None
+    )
+    newc = inc_keyed.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_new_docs"),
+        F.sum("nt").cast("bigint").alias("new_tokens"),
+    )
+    return _mixture_report_cols(bud, sel).join(newc, "cluster", "left").select(
+        "cluster",
+        "n_docs",
+        "tokens",
+        "raw_share",
+        "sampled_share",
+        "epochs",
+        "n_budget",
+        "n_selected",
+        "sel_id_sum",
+        F.coalesce("n_new_docs", F.lit(0)).cast("bigint").alias("n_new_docs"),
+        F.coalesce("new_tokens", F.lit(0)).cast("bigint").alias("new_tokens"),
+    )
+
+
+def _l79d_oracle(k: int = 8, iters: int = 3) -> str:
+    return (
+        "WITH "
+        + _day1_lloyd_ctes(k, iters)
+        + f""",
+    rmids AS MATERIALIZED (
+      SELECT DISTINCT vec_id FROM eb
+      WHERE vec_id < (SELECT c FROM cut) AND vec_id % 7 = 3
+    ),
+    fin AS MATERIALIZED (
+      SELECT vec_id, j FROM (
+        SELECT d.vec_id, d.j,
+               ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY d.d, d.j)
+                 AS rk
+        FROM (SELECT a.vec_id, c.j, SUM((a.q - c.c) * (a.q - c.c)) AS d
+              FROM e a JOIN c{iters} c USING (i) GROUP BY a.vec_id, c.j) d) t
+      WHERE rk = 1
+    ),
+    d AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+      FROM documents
+    ),
+    mall AS MATERIALIZED (
+      SELECT f.j AS cluster, d.doc_id, d.nt,
+             r.vec_id IS NOT NULL AS is_removed
+      FROM fin f JOIN d ON d.doc_id = f.vec_id
+      LEFT JOIN rmids r ON r.vec_id = f.vec_id
+    ),
+    m AS MATERIALIZED (
+      SELECT cluster, doc_id, nt FROM mall WHERE NOT is_removed
+    ),
+    rmc AS (
+      SELECT cluster, COUNT(*) AS n_removed, SUM(nt) AS removed_tokens
+      FROM mall WHERE is_removed GROUP BY cluster
+    ),"""
+        + _mixture_report_sql()
+        + """
+    SELECT CAST(b.cluster AS BIGINT) AS cluster,
+           CAST(b.n_docs AS BIGINT) AS n_docs,
+           CAST(b.tokens AS BIGINT) AS tokens,
+           ROUND(CAST(b.tokens AS DOUBLE) / t, 6) AS raw_share,
+           ROUND(CAST(b.wq AS DOUBLE) / sw, 6) AS sampled_share,
+           ROUND((CAST(b.wq AS DOUBLE) / sw) * t / b.tokens, 6) AS epochs,
+           b.n_budget,
+           CAST(COALESCE(s.n_selected, 0) AS BIGINT) AS n_selected,
+           CAST(COALESCE(s.sel_id_sum, 0) AS BIGINT) AS sel_id_sum,
+           CAST(COALESCE(rc.n_removed, 0) AS BIGINT) AS n_removed,
+           CAST(COALESCE(rc.removed_tokens, 0) AS BIGINT) AS removed_tokens
+    FROM bud b LEFT JOIN sel s ON s.cluster = b.cluster
+               LEFT JOIN rmc rc ON rc.cluster = b.cluster, ws, tot
+    """
+    )
+
+
+@register("l79d_domain_mixture_takedown", _l79d_oracle(8, 3))
+def l79d_domain_mixture_takedown(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TAKEDOWN over the domain-mixture store — the DELETE half of the
+    mixture lifecycle (l79c is the INSERT half): a removal request
+    (day-1 docs with doc_id % 7 == 3, the repo's takedown rule) must
+    drop out of the mixture WITHOUT retraining the domain quantizer or
+    re-scanning the surviving corpus. Each removed doc's domain is
+    re-derived by assigning ITS vector against the frozen centroids
+    (O(|request|) map — the store's rows are never point-looked-up),
+    its (cluster, bucket) aggregate contribution is SUBTRACTED from the
+    stored partials, and the post-takedown mixture — shares, budgets,
+    and the enacted selection — re-derives from the adjusted
+    aggregates. Removal shifts every selection threshold (budgets are
+    global), and vacated slots RESURRECT hash-ranked docs into the
+    selection (the l76/l81 resurrection semantics, here as exact
+    selection totals); only boundary buckets materialize rows, with
+    removed ids anti-joined out of the day-1 read.
+
+    The oracle replays from scratch: frozen day-1 Lloyd, day-1
+    assignment, drop the removed set, re-derive budgets + the naive
+    rank rule over the REMAINING corpus — the store path must
+    reproduce from-scratch delete semantics exactly, per-cluster
+    n_removed/removed_tokens attribution included.
+
+    Scale shape: cost tracks |request| + k x 4096 aggregate rows +
+    <= k boundary-bucket reads — never |corpus|. The l38 takedown
+    discipline applied to a SELECTION store (where deletion moves
+    global thresholds), not a graph store. Ref anchor: registry l79c
+    (store + shared machinery), l80/l81 (takedown-without-retrain),
+    l76 (resurrection)."""
+    from datafusion_cyberpolka_eda_spark.functions.hashing import md5_hash64
+
+    cutoff, cent, rows_path, aggs_path = _mixture_store(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    qr = emb.filter(
+        (F.col("vec_id") < cutoff) & (F.col("vec_id") % 7 == 3)
+    ).select(
+        F.col("vec_id").alias("id"),
+        F.transform(
+            "embedding", lambda x: F.floor(x * F.lit(100000.0)).cast("long")
+        ).alias("q"),
+    )
+    rm_keyed = (
+        SIM.lloyd_assign_q(qr, cent)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("cluster").cast("bigint").alias("cluster"),
+        )
+        .join(
+            docs.filter(
+                (F.col("doc_id") < cutoff) & (F.col("doc_id") % 7 == 3)
+            ).select(
+                "doc_id", T.token_count("text").cast("bigint").alias("nt")
+            ),
+            "doc_id",
+        )
+        .withColumn("rkey", md5_hash64(F.col("doc_id").cast("string")))
+        .withColumn(
+            "bucket",
+            F.shiftright(F.col("rkey"), _L79B_BUCKET_SHIFT).cast("int"),
+        )
+        .localCheckpoint(eager=True)  # feeds deltas + rollup + anti-join
+    )
+    neg = rm_keyed.groupBy("cluster", "bucket").agg(
+        (-F.count(F.lit(1))).cast("bigint").alias("n"),
+        (-F.sum("nt")).cast("bigint").alias("tokens"),
+        (-F.sum("doc_id")).cast("bigint").alias("id_sum"),
+    )
+    merged = (
+        spark.read.parquet(aggs_path)
+        .unionByName(neg)
+        .groupBy("cluster", "bucket")
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("tokens").cast("bigint").alias("tokens"),
+            F.sum("id_sum").cast("bigint").alias("id_sum"),
+        )
+        .filter(F.col("n") > 0)
+        .localCheckpoint(eager=True)  # feeds budgets + cumsum + totals
+    )
+    bud = _mixture_budgets(merged).localCheckpoint(eager=True)
+    sel = _enacted_mixture_totals(
+        spark, merged, bud, rows_path, None, rm_keyed.select("doc_id")
+    )
+    rmc = rm_keyed.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_removed"),
+        F.sum("nt").cast("bigint").alias("removed_tokens"),
+    )
+    return _mixture_report_cols(bud, sel).join(rmc, "cluster", "left").select(
+        "cluster",
+        "n_docs",
+        "tokens",
+        "raw_share",
+        "sampled_share",
+        "epochs",
+        "n_budget",
+        "n_selected",
+        "sel_id_sum",
+        F.coalesce("n_removed", F.lit(0)).cast("bigint").alias("n_removed"),
+        F.coalesce("removed_tokens", F.lit(0))
+        .cast("bigint")
+        .alias("removed_tokens"),
+    )
+
+
 # ---- semantic decontamination (l60, r8 verdict task 5) ----
 
 _L60_ORACLE = """

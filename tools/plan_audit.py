@@ -76,6 +76,11 @@ RANK_WINDOW_MANIFEST = {
         "grows: per-query top-k (frozen oracle twin of knn_join)",
     ("registry/llm_similarity.py", "_knn_exact_ranked"):
         "bounded input: exact truth over the 8-query gate sample",
+    ("registry/llm_similarity.py", "_enacted_mixture_totals"):
+        "bounded BY CONSTRUCTION: the bounded_budget_pick boundary rank "
+        "applied store-side (l79c/l79d) — partitions by (cluster, "
+        "boundary bucket), <= 1 bucket per cluster, ~n_cluster/4096 rows; "
+        "full buckets never materialize rows (stored aggregates)",
     # -- windows over pre-aggregated / structurally bounded inputs --
     ("registry/core.py", "d13_group_mode"):
         "bounded input: counts table (|status x priority| rows)",
@@ -576,6 +581,31 @@ def main() -> int:
         f"[{'OK' if not local_fails else '??'}] "
         "l51_incremental_covariance pushed increment scan"
     )
+
+    # incremental + takedown domain mixture (l79c/l79d): the re-balance
+    # runs on MERGED AGGREGATES; the only day-1 membership rows the plan
+    # may touch are the boundary buckets, read back from the store with
+    # a pushed (cluster, bucket) disjunction — if the plan scans the
+    # store's rows.parquet at all, that scan must carry pushed filters
+    for _nm in (
+        "l79c_domain_mixture_incremental",
+        "l79d_domain_mixture_takedown",
+    ):
+        p = plan_of(qs[_nm](spark, sf_dir))
+        lf = []
+        if "CartesianProduct" in p:
+            lf.append(f"{_nm}: CartesianProduct in plan")
+        if "rows.parquet" in p and not _re.search(
+            r"EqualTo\(cluster,", p
+        ):
+            lf.append(
+                f"{_nm}: boundary rows scan lacks the pushed "
+                "(cluster, bucket) filter"
+            )
+        failures.extend(lf)
+        print(
+            f"[{'OK' if not lf else '??'}] {_nm} boundary-bucket pushed read"
+        )
 
     # AQE skew-join split (executed, not just planned: AQE finalizes at
     # runtime): a deliberately skewed SMJ must come back with skew=true

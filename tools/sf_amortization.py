@@ -222,6 +222,8 @@ GROWTH_QUERIES = [
     "l78c_crossmodal_takedown",
     "l79_domain_mixture",
     "l79b_domain_mixture_adaptive",
+    "l79c_domain_mixture_incremental",
+    "l79d_domain_mixture_takedown",
     "l80_classifier_takedown",
     "l81_dsir_takedown",
     # the full streaming ingest matrix (r12 verdict task 6): epoch count
