@@ -880,3 +880,60 @@ def j24_stream_crossmodal_dedup(
         scratch,
         cutoff,
     )
+
+def _j25_oracle() -> str:
+    # the streamed re-balance must reproduce the one-shot incremental
+    # mixture — l79c's exact replay oracle, verbatim
+    from datafusion_cyberpolka_eda_spark.registry.llm_similarity import (
+        _l79c_oracle,
+    )
+
+    return _l79c_oracle(8, 3)
+
+
+@register("j25_stream_domain_mixture", _j25_oracle())
+def j25_stream_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DOMAIN-MIXTURE re-balance — the continuous shape of
+    l79c, completing the mixture family's lifecycle matrix (batch
+    l79/l79b / incremental l79c / takedown l79d / streaming this): the
+    day-2 increment arrives as 3 forced micro-batches; each epoch
+    assigns ONLY its batch against the frozen day-1 centroids and
+    commits its keyed rows plus per-(cluster, bucket) aggregate deltas
+    epoch-keyed through the manifest log (idempotent under replay).
+    The read-back re-balance — merged aggregates, l79 temperature
+    budgets, boundary-bucket-only enacted selection — is the l79c
+    machinery verbatim; exact integer aggregate merges commute, so the
+    streamed answer is arrival-order-independent and must equal l79c's
+    one-shot result. l79c's exact oracle (frozen day-1 Lloyd unroll +
+    merged arithmetic + naive rank window) replays it end-to-end.
+
+    Scale shape: per-epoch cost = |batch| assign/key map passes + a
+    bounded aggregate-delta commit; the re-balance report is
+    O(k*4096 + k*boundary) at any corpus size and could run per-epoch
+    (the mixture dashboard a continuously-ingesting pipeline watches).
+    Ref anchor: streaming/documents.stream_domain_mixture; registry
+    llm_similarity l79c."""
+    from datafusion_cyberpolka_eda_spark.functions import text as T
+    from datafusion_cyberpolka_eda_spark.registry.llm_similarity import (
+        _mixture_store,
+    )
+    from datafusion_cyberpolka_eda_spark.sources.catalog import load_table
+    from datafusion_cyberpolka_eda_spark.streaming.documents import (
+        stream_domain_mixture,
+    )
+
+    cutoff, cent, rows_path, aggs_path = _mixture_store(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    inc = emb.filter(F.col("vec_id") >= cutoff).select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    ).join(
+        docs.filter(F.col("doc_id") >= cutoff).select(
+            "doc_id", T.token_count("text").cast("bigint").alias("nt")
+        ),
+        "doc_id",
+    )
+    scratch = _scratch_dir(spark, "j25", sf_dir)
+    return stream_domain_mixture(
+        spark, inc, cent, rows_path, aggs_path, scratch
+    )

@@ -1182,3 +1182,151 @@ def stream_crossmodal_dedup(
         .otherwise(F.lit("new_old"))
         .alias("kind"),
     )
+
+
+def stream_domain_mixture(
+    spark: SparkSession,
+    increment: DataFrame,
+    cent,
+    rows_path: str,
+    aggs_path: str,
+    scratch_dir: str,
+    *,
+    n_files: int = 3,
+) -> DataFrame:
+    """Continuous-ingest DOMAIN-MIXTURE re-balance — the streaming
+    surface of the l79 family, completing its lifecycle matrix (batch
+    l79/l79b / incremental l79c / takedown l79d / streaming this): the
+    day-2 increment (doc_id, nt, embedding) is fanned into ``n_files``
+    files and streamed with maxFilesPerTrigger=1; each epoch quantizes
+    and assigns ONLY its micro-batch against the FROZEN day-1 centroids
+    (one map pass — epochs never interact, per-doc assignment is a pure
+    function), keys the rows with the 60-bit md5 rank key + 12-bit
+    bucket prefix, and commits TWO epoch-keyed artifacts through the
+    manifest log: the keyed rows (boundary-pick substrate) and their
+    per-(cluster, bucket) aggregate deltas.
+
+    The read-back is the l79c re-balance verbatim: merged aggregates =
+    day-1 store partials + the accumulated epoch deltas (exact integer
+    merges — order/epoch-independent), budgets from the l79 temperature
+    arithmetic, and the enacted selection from merged aggregates with
+    only boundary buckets materializing rows (day-1 side read with a
+    pushed (cluster, bucket) filter; increment side from the streamed
+    keyed rows). The answer is therefore arrival-order-independent and
+    equals l79c's one-shot incremental result — l79c's exact oracle
+    (frozen day-1 Lloyd unroll + naive window) replays it, verbatim.
+
+    At 100 TB this is the mixture-dashboard topology: every arriving
+    shard updates k x 4096 aggregate cells and appends its keyed rows;
+    the re-balance report costs O(k*4096 + k*boundary) at ANY corpus
+    size and can run per-epoch, not just at read-back. Ref anchor:
+    registry llm_similarity l79c (_mixture_store,
+    _enacted_mixture_totals, _mixture_budgets)."""
+    from datafusion_cyberpolka_eda_spark.functions.hashing import md5_hash64
+    from datafusion_cyberpolka_eda_spark.operators import similarity as SIM
+    from datafusion_cyberpolka_eda_spark.registry.llm_similarity import (
+        _L79B_BUCKET_SHIFT,
+        _enacted_mixture_totals,
+        _mixture_budgets,
+        _mixture_report_cols,
+    )
+
+    src_dir = os.path.join(scratch_dir, "mix_src")
+    keyed_dir = os.path.join(scratch_dir, "keyed")
+    delta_dir = os.path.join(scratch_dir, "agg_deltas")
+    for d in (src_dir, keyed_dir, delta_dir):
+        shutil.rmtree(d, ignore_errors=True)
+
+    increment.select("doc_id", "nt", "embedding").repartitionByRange(
+        n_files, "doc_id"
+    ).write.parquet(src_dir)
+    keyed_schema = (
+        "doc_id bigint, cluster bigint, nt bigint, rkey bigint, bucket int"
+    )
+    delta_schema = (
+        "cluster bigint, bucket int, n bigint, tokens bigint, id_sum bigint"
+    )
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        eid = int(epoch_id)
+        q = batch_df.select(
+            F.col("doc_id").alias("id"),
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x * F.lit(100000.0)).cast("long"),
+            ).alias("q"),
+        )
+        keyed = (
+            SIM.lloyd_assign_q(q, cent)
+            .select(
+                F.col("id").alias("doc_id"),
+                F.col("cluster").cast("bigint").alias("cluster"),
+            )
+            .join(batch_df.select("doc_id", "nt"), "doc_id")
+            .withColumn("rkey", md5_hash64(F.col("doc_id").cast("string")))
+            .withColumn(
+                "bucket",
+                F.shiftright(F.col("rkey"), _L79B_BUCKET_SHIFT).cast("int"),
+            )
+            .select("doc_id", "cluster", "nt", "rkey", "bucket")
+            .localCheckpoint(eager=True)  # feeds both commits
+        )
+        _commit_epoch(keyed, keyed_dir, eid)
+        _commit_epoch(
+            keyed.groupBy("cluster", "bucket").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum("nt").cast("bigint").alias("tokens"),
+                F.sum("doc_id").cast("bigint").alias("id_sum"),
+            ),
+            delta_dir,
+            eid,
+        )
+
+    q = stream.writeStream.foreachBatch(_deliver(handle)).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    inc_keyed = _read_epochs(spark, keyed_dir, keyed_schema).localCheckpoint(
+        eager=True
+    )
+    deltas = _read_epochs(spark, delta_dir, delta_schema)
+    merged = (
+        spark.read.parquet(aggs_path)
+        .unionByName(deltas)
+        .groupBy("cluster", "bucket")
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("tokens").cast("bigint").alias("tokens"),
+            F.sum("id_sum").cast("bigint").alias("id_sum"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    bud = _mixture_budgets(merged).localCheckpoint(eager=True)
+    sel = _enacted_mixture_totals(
+        spark, merged, bud, rows_path, inc_keyed, None
+    )
+    newc = inc_keyed.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_new_docs"),
+        F.sum("nt").cast("bigint").alias("new_tokens"),
+    )
+    return _mixture_report_cols(bud, sel).join(newc, "cluster", "left").select(
+        "cluster",
+        "n_docs",
+        "tokens",
+        "raw_share",
+        "sampled_share",
+        "epochs",
+        "n_budget",
+        "n_selected",
+        "sel_id_sum",
+        F.coalesce("n_new_docs", F.lit(0)).cast("bigint").alias("n_new_docs"),
+        F.coalesce("new_tokens", F.lit(0)).cast("bigint").alias("new_tokens"),
+    )

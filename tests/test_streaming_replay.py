@@ -399,3 +399,34 @@ class TestAssetIngestReplay:
         assert streamed.count() == streamed.select(
             "id_a", "id_b"
         ).distinct().count()
+
+    def test_domain_mixture_replay(
+        self, spark, sf_dir, tmp_path, replay_every_epoch
+    ):
+        """j25: the streaming mixture re-balance, every epoch delivered
+        twice, must still reproduce l79c's one-shot incremental report
+        — aggregate deltas commit exactly once per epoch (a doubled
+        delta would corrupt every share/budget/selection downstream)."""
+        from datafusion_cyberpolka_eda_spark.functions import text as T
+        from datafusion_cyberpolka_eda_spark.registry.llm_similarity import (
+            _mixture_store,
+            l79c_domain_mixture_incremental,
+        )
+
+        cutoff, cent, rows_path, aggs_path = _mixture_store(spark, sf_dir)
+        emb = load_table(spark, sf_dir, "embeddings")
+        docs = load_table(spark, sf_dir, "documents")
+        inc = emb.filter(F.col("vec_id") >= cutoff).select(
+            F.col("vec_id").alias("doc_id"), "embedding"
+        ).join(
+            docs.filter(F.col("doc_id") >= cutoff).select(
+                "doc_id", T.token_count("text").cast("bigint").alias("nt")
+            ),
+            "doc_id",
+        )
+        streamed = SD.stream_domain_mixture(
+            spark, inc, cent, rows_path, aggs_path,
+            str(tmp_path / "scratch"),
+        )
+        want = l79c_domain_mixture_incremental(spark, sf_dir)
+        assert _rows(streamed) == _rows(want)

@@ -241,6 +241,7 @@ GROWTH_QUERIES = [
     "j23_stream_semdedup",
     "j23b_stream_semdedup_adaptive",
     "j24_stream_crossmodal_dedup",
+    "j25_stream_domain_mixture",
 ]
 # dense replica stride: scaled doc/vec ids must stay below the 2^23
 # planted-twin offsets or the family domain guards (correctly) raise
