@@ -92,8 +92,10 @@ def bpe_train(
     the encoded corpus, never the merge table) — the merge-table-only
     caller saves one fold+checkpoint job per train."""
     toks = docs.select(*carry_cols, tokens_col(text_col).alias("toks"))
-    # one cut up front: the source text column is dropped from lineage
-    toks = toks.localCheckpoint(eager=True)
+    # one cut up front: the source text column is dropped from lineage.
+    # LAZY: the first round's pair-count TakeOrdered materializes it
+    # (computes every partition), so no dedicated checkpoint job runs.
+    toks = toks.localCheckpoint(eager=False)
     merges: list[tuple[int, str, str, int]] = []
     for step in range(1, k + 1):
         top = (
@@ -110,12 +112,14 @@ def bpe_train(
             break  # last apply only matters for the encoded corpus
         # apply: the fold rewrites arrays map-side; cut lineage every
         # SECOND round (and before returning the encoded corpus) — a
-        # two-fold-deep plan stays flat at half the checkpoint-job cost
+        # two-fold-deep plan stays flat. Lazy cut: the next round's
+        # TakeOrdered (or the caller's first action on the encoded
+        # corpus) materializes it — no dedicated checkpoint job.
         toks = toks.select(
             *carry_cols, greedy_merge_expr("toks", a, b).alias("toks")
         )
         if step % 2 == 0 or step == k:
-            toks = toks.localCheckpoint(eager=True)
+            toks = toks.localCheckpoint(eager=False)
     return merges, toks
 
 

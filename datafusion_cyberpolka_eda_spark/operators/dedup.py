@@ -852,9 +852,14 @@ def connected_components(
         def _cut(df: DataFrame) -> DataFrame:
             return df.checkpoint(eager=True)
     else:
-
+        # LAZY local checkpoint: lineage is truncated immediately
+        # (LogicalRDD plan), but materialization rides on the round's
+        # convergence aggregate instead of a dedicated eager job — one
+        # scheduled job per round instead of two (guide §1.2/§2.4: the
+        # fixed per-job floor is pure superstep overhead; the aggregate
+        # computes every partition, so the cached cut is complete).
         def _cut(df: DataFrame) -> DataFrame:
-            return df.localCheckpoint(eager=True)
+            return df.localCheckpoint(eager=False)
 
     try:
         sym = edges.select(F.col(src).alias("id"), F.col(dst).alias("nbr")).union(
@@ -1137,8 +1142,10 @@ def takedown_components(
     removed = removed_ids.select(F.col(removed_ids.columns[0]).alias("id")).distinct()
     affected = old_labels.join(F.broadcast(removed), "id").select("comp").distinct()
     members = old_labels.join(F.broadcast(affected), "comp")
+    # lazy cut: materialized by the first CC job over the rebuilt edges,
+    # then reused by the survivors join — saves the dedicated eager job
     remaining = members.join(F.broadcast(removed), "id", "left_anti").localCheckpoint(
-        eager=True
+        eager=False
     )
     edges = edges_fn(remaining)
     relabeled = connected_components(

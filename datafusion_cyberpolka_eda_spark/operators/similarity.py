@@ -446,9 +446,11 @@ def _ivf_probe_with_centers(unit, centers, query_ids, k, n_probe):
 
     if len(centers) > _LITERAL_CELL_CAP:
         unit_ck = unit.localCheckpoint(eager=True)
+        # lazy: the qrows collect below materializes every partition —
+        # no dedicated checkpoint job (sequential consumer chain)
         assigned = unit_ck.join(
             assign_cells_arrow(unit_ck, centers, 1), "id"
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     else:
         def dot_lit(vec):
             arr = F.array(*[F.lit(float(x)) for x in vec])
@@ -462,7 +464,7 @@ def _ivf_probe_with_centers(unit, centers, query_ids, k, n_probe):
         # first-max tiebreak: array_position returns the first occurrence
         assigned = unit.withColumn(
             "cell", (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)  # materialized by the qrows collect
 
     qrows = assigned.filter(F.col("id").isin(list(query_ids))).collect()
     probe_rows = []
@@ -735,7 +737,10 @@ def ivf_pq_index(
     PER VECTOR COMPONENT (the shingle_sets trap — measured 14 s vs <1 s
     on the sf0.1 embeddings). The checkpoint barrier pins it to one
     evaluation per row."""
-    assigned = _assign_cells_literal(unit, centers).localCheckpoint(eager=True)
+    # lazy cut (still a CollapseProject barrier — the plan is LogicalRDD
+    # either way): the scales aggregate is always the first consumer and
+    # computes every partition, so no dedicated checkpoint job runs
+    assigned = _assign_cells_literal(unit, centers).localCheckpoint(eager=False)
     cent_lits = F.array(
         *[F.array(*[F.lit(float(x)) for x in c]) for c in centers]
     )
@@ -802,6 +807,8 @@ def ann_ivf_pq_topk_multi(
         n_train = min(max(n_train, 64 * n_centroids), 1 << 18)
         centers = train_centroids_on_sample(unit, n_centroids, n_train)
         index, _scales_df = ivf_pq_index(unit, centers)
+        # cut: qrows + the candidate join both consume the index
+        index = index.localCheckpoint(eager=False)
     # per-cell scales (n_centroids rows) ride along with the probe rows
     # so the dequant term needs no extra join
     scales = {
@@ -875,7 +882,7 @@ def ivf_pq_add(
         *[F.array(*[F.lit(float(x)) for x in c]) for c in centers]
     )
     assigned = _assign_cells_literal(new_unit, centers).localCheckpoint(
-        eager=True
+        eager=False  # lazy barrier: caller's first action materializes it
     ).withColumn(
         "residual",
         F.zip_with(
@@ -986,7 +993,12 @@ def ivf_partition(
     n_probe = min(n_probe, n_centroids)
     n_train = min(max(n_train, 64 * n_centroids), 1 << 18)
     centers = train_centroids_on_sample(unit, n_centroids, n_train)
-    scored = unit.localCheckpoint(eager=True)
+    # scored: lazy — the cells checkpoint job below consumes it
+    # sequentially and caches it for the caller's later joins; cells
+    # stays EAGER because semdedup/knn_join self-join it (two concurrent
+    # stages — an unmaterialized cut could compute the chain twice on a
+    # cluster, see the dedup.py band-join notes)
+    scored = unit.localCheckpoint(eager=False)
     assign = (
         assign_cells_arrow
         if n_centroids > _LITERAL_CELL_CAP
@@ -1227,7 +1239,9 @@ def lloyd_kmeans_distributed(
     TB the vector scan dominates and the pattern holds.
     Ref anchor: similarity.py train_centroids_on_sample (the bounded-
     sample trainer this complements), SURVEY §2 L ANN family."""
-    q = _lloyd_q_vectors(df, id_col, vec_col).localCheckpoint(eager=True)
+    # lazy: the seed TakeOrdered in lloyd_kmeans_q is the first consumer
+    # and computes every partition — no dedicated checkpoint job
+    q = _lloyd_q_vectors(df, id_col, vec_col).localCheckpoint(eager=False)
     cent = lloyd_kmeans_q(q, k=k, iters=iters)
     stats = (
         q.withColumn("dists", _lloyd_dists(cent))

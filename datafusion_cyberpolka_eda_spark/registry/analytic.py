@@ -321,7 +321,7 @@ def d20_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.hll_sketch_agg("k", F.lit(14)).alias("sk"),
             F.countDistinct("k").alias("exact"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)  # the collect below materializes it
     )
     by_src = {
         r["src"]: r
@@ -805,7 +805,7 @@ def d22_kll_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = (
         li.groupBy("l_returnflag")
         .agg(F.kll_sketch_agg_double("l_extendedprice", F.lit(800)).alias("sk"))
-        .localCheckpoint(eager=True)  # merge job re-aggs 3 sketch rows
+        .localCheckpoint(eager=False)  # merge job re-aggs 3 sketch rows
     )
     merged = per.agg(F.kll_merge_agg_double("sk").alias("m")).select(
         F.kll_sketch_get_n_double("m").alias("n"),
@@ -893,7 +893,7 @@ def d23_theta_sketch_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = (
         keys.groupBy("src")
         .agg(F.theta_sketch_agg("k").alias("sk"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     ests = per.agg(
         F.theta_sketch_estimate(F.theta_union_agg("sk")).alias("u"),

@@ -801,8 +801,8 @@ def j23b_stream_semdedup_adaptive(
     cells_new, pruned, n_epochs = stream_semdedup_adaptive(
         spark, inc_unit, centers, k1, day1_path, scratch
     )
-    cells_new = cells_new.localCheckpoint(eager=True)
-    pruned = pruned.localCheckpoint(eager=True)
+    cells_new = cells_new.localCheckpoint(eager=False)
+    pruned = pruned.localCheckpoint(eager=False)
     day1 = spark.read.parquet(day1_path)
     return _adaptive_semdedup_gate_row(
         spark,

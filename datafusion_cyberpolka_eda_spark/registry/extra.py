@@ -564,11 +564,11 @@ def p1_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.join(ow, "src")
         .select("src", "dst", (F.col("w") / F.col("ow")).alias("wn"))
         .repartition(1)
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)  # materialized by the first superstep's cut
     )
     nodes = nation.select(F.col("n_nationkey").alias("id")).coalesce(1)
     n = nodes.count()
-    ranks = nodes.select("id", F.lit(1.0 / n).alias("r")).localCheckpoint(eager=True)
+    ranks = nodes.select("id", F.lit(1.0 / n).alias("r")).localCheckpoint(eager=False)
     for it in range(10):
         # fold contributions in src order (array_sort on the struct sorts
         # by src first): float addition order is pinned, so ranks are
@@ -600,7 +600,10 @@ def p1_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         # checkpoint is a scheduled job (~0.3 s floor locally); a 3-deep
         # superstep lineage is still tiny while 10 jobs become 4
         if it % 3 == 2:
-            ranks = ranks.localCheckpoint(eager=True)
+            # lazy: the next cut (or the final collect) materializes the
+            # 3-superstep chain in one scheduled job instead of a
+            # dedicated checkpoint job per cut
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks.select(F.col("id").alias("nationkey"), F.round("r", 6).alias("pagerank"))
 
 

@@ -1089,7 +1089,7 @@ def l23_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # iterations — checkpoint the two expensive stages once so the band
     # self-join and the intersection join run once, not ~3x
     cand = minhash_banded_pairs_portable(docs, "doc_id", "text").localCheckpoint(
-        eager=True
+        eager=False  # the verify stage's eager cut materializes it
     )
     ver = verify_pairs_exact_jaccard(
         docs, cand, "doc_id", "text", n=3, threshold=0.6, hash_fn=md5_hash64
@@ -1852,10 +1852,13 @@ def dup_span_doc_coverage(docs: DataFrame, k: int = 8) -> DataFrame:
         "lang",
         F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
     ).filter(F.col("n_tokens") >= k)
+    # cut: g feeds the dup groupBy AND the semi-join; without it the
+    # shingle explode runs twice per query (no ReuseExchange — the
+    # subtrees differ below the exchanges), same fix as l74
     g = docs.select(
         "doc_id",
         F.posexplode(T.shingles("text", k)).alias("pos", "gram"),
-    )
+    ).localCheckpoint(eager=False)
     dup = (
         g.groupBy("gram")
         .agg(F.countDistinct("doc_id").alias("nd"))
@@ -2036,7 +2039,7 @@ def l44_training_export_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         T.token_count("text").cast("bigint").alias("n_tokens"),
         quality_sink_col().alias("sink"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     acc = scored.filter(F.col("sink") == "accept")
     ntext = F.trim(
         F.regexp_replace(
@@ -2051,7 +2054,7 @@ def l44_training_export_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w_ded))
         .filter(F.col("rn") == 1)
         .select("doc_id", "source", "n_tokens")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     budget = F.floor(
         F.when(F.col("source") == "src0", F.lit(0.35))
@@ -2068,11 +2071,15 @@ def l44_training_export_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cum", F.sum("n_tokens").over(w_mix))
         .filter(F.col("cum") <= F.col("budget"))
         .select("doc_id", "source", "n_tokens")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
+    # one lazy chain: the first summary aggregate materializes
+    # scored -> ded -> kept -> bins in a single scheduled job instead of
+    # four dedicated checkpoint jobs; later aggregates reuse the cached
+    # cuts (same dedupe-once guarantee, fewer barriers)
     bins = pack_greedy_by_shard(
         kept, "doc_id", "n_tokens", cap=256, n_shards=8
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     shard_tokens = bins.groupBy("shard").agg(F.sum("total_tokens").alias("st"))
 
     def scalar(stage: str, metric: str, agg_df: DataFrame) -> DataFrame:
@@ -3611,7 +3618,7 @@ def l72_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     sibling), l22/l47 (the samplers this feeds)."""
     docs = load_table(spark, sf_dir, "documents")
     # the explode feeds two passes (counts, then per-doc scoring)
-    bg = _dsir_bigram_buckets(docs).localCheckpoint(eager=True)
+    bg = _dsir_bigram_buckets(docs).localCheckpoint(eager=False)
     st = bg.groupBy("bkt").agg(
         F.count(F.lit(1)).alias("cr"),
         F.sum((F.col("doc_id") % 11 == 3).cast("long")).alias("ct"),
@@ -3906,9 +3913,13 @@ def l74_dup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tk")
     )
+    # the gram explode feeds BOTH the dup groupBy and the rem join; the
+    # two subtrees differ (partial-agg below one exchange), so
+    # ReuseExchange never fires and the corpus was shingled twice per
+    # run — the cut caches the exploded grams so they compute once
     g = docs.select(
         "doc_id", F.posexplode(T.shingles("text", k)).alias("gpos", "gram")
-    )
+    ).localCheckpoint(eager=False)
     dup = (
         g.groupBy("gram")
         .agg(
@@ -4109,7 +4120,7 @@ def l77_incremental_dup_span_scrub(
     )
     g2 = inc.select(
         "doc_id", F.posexplode(T.shingles("text", k)).alias("gpos", "gram")
-    ).localCheckpoint(eager=True)  # feeds stats merge AND occurrence scan
+    ).localCheckpoint(eager=False)  # feeds stats merge AND occurrence scan
     stats2 = g2.groupBy("gram").agg(
         F.countDistinct("doc_id").cast("bigint").alias("nd2"),
         F.min("doc_id").alias("m2"),

@@ -110,7 +110,7 @@ def l31_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_docs = docs.filter(F.col("doc_id") >= cutoff)
     new_sigs = D.minhash_signatures_portable(
         new_docs, "doc_id", "text", n=3, num_hashes=32, bands=8
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     pairs = D.incremental_minhash_pairs(
         new_sigs, store, num_hashes=32, est_threshold=0.45
     )
@@ -238,11 +238,11 @@ def l33_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_docs = docs.filter(F.col("doc_id") >= cutoff)
     new_sigs = D.minhash_signatures_portable(
         new_docs, "doc_id", "text", n=3, num_hashes=32, bands=8
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     new_pairs = (
         D.incremental_minhash_pairs(new_sigs, store, num_hashes=32, est_threshold=0.45)
         .select("id_a", "id_b")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     updated = D.incremental_components(old_labels, new_pairs, "id_a", "id_b")
     sizes = updated.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
@@ -427,11 +427,11 @@ def l34_incremental_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_docs = docs.filter(F.col("doc_id") >= cutoff)
     new_sigs = D.minhash_signatures_portable(
         new_docs, "doc_id", "text", n=3, num_hashes=32, bands=8
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     new_pairs = (
         D.incremental_minhash_pairs(new_sigs, store, num_hashes=32, est_threshold=0.45)
         .select("id_a", "id_b")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     updated = D.incremental_components(old_labels, new_pairs, "id_a", "id_b")
     toks = spark.read.parquet(stats_path).unionByName(
@@ -838,10 +838,10 @@ def l37_incremental_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     new_sigs = D.minhash_signatures_portable(
         inc, "doc_id", "text", n=3, num_hashes=32, bands=8
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     new_pairs_full = D.incremental_minhash_pairs(
         new_sigs, store, num_hashes=32, est_threshold=0.45
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     pairs = rows(
         "pairs",
         new_pairs_full.groupBy(F.col("kind").alias("metric")).agg(
@@ -852,7 +852,7 @@ def l37_incremental_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_pairs = new_pairs_full.select("id_a", "id_b")
     updated = D.incremental_components(
         old_labels, new_pairs, "id_a", "id_b"
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     member_status = updated.join(
         old_labels.select("id", F.col("comp").alias("old_comp")), "id", "left"
     ).select(
@@ -1479,7 +1479,7 @@ def l40_takedown_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("id_a", "id_b")
 
     delta = D.takedown_components(labels, removed, edges_fn).localCheckpoint(
-        eager=True
+        eager=False
     )
     surv = delta.filter(F.col("comp").isNotNull())
 
@@ -1539,7 +1539,7 @@ def l40_takedown_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     picks_j = picks.join(F.broadcast(parent), "comp").join(
         F.broadcast(old_surv), "old_comp", "left"
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     survivors = (
         scalar("survivors", "picks", picks_j.agg(F.count(F.lit(1)).alias("value")))
         .unionByName(
@@ -1562,7 +1562,7 @@ def l40_takedown_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     remtok = _takedown_ledger_rows(docs, removed, stats).localCheckpoint(
-        eager=True
+        eager=False
     )
     ledger = scalar(
         "ledger",

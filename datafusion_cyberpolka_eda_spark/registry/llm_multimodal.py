@@ -831,7 +831,7 @@ def l78_crossmodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    corpus = _paired_corpus(docs).localCheckpoint(eager=True)
+    corpus = _paired_corpus(docs).localCheckpoint(eager=False)  # sig build materializes it
     tpairs = D.minhash_banded_pairs_portable(
         corpus, "doc_id", "text", n=3, num_hashes=32, bands=8,
         est_threshold=0.45,
@@ -850,7 +850,7 @@ def l78_crossmodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("is_text", F.lit(False)).alias("is_text"),
             F.coalesce("is_image", F.lit(False)).alias("is_image"),
         )
-        .localCheckpoint(eager=True)  # feeds components AND the rollup
+        .localCheckpoint(eager=False)  # CC's first convergence job materializes it
     )
     comps = D.connected_components(
         edges.select("id_a", "id_b"), "id_a", "id_b"
@@ -1237,10 +1237,10 @@ def l78b_crossmodal_incremental(
             f"store cutoffs diverged: text {cutoff} vs image {icutoff}"
         )
     new_docs = docs.filter(F.col("doc_id") >= cutoff)
-    new_corpus = _paired_corpus(new_docs).localCheckpoint(eager=True)
+    new_corpus = _paired_corpus(new_docs).localCheckpoint(eager=False)
     new_sigs = D.minhash_signatures_portable(
         new_corpus, "doc_id", "text", n=3, num_hashes=32, bands=8
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     tpairs = D.incremental_minhash_pairs(
         new_sigs, spark.read.parquet(sig_path),
         num_hashes=32, est_threshold=0.45,

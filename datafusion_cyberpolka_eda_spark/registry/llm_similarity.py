@@ -379,6 +379,10 @@ def l8e_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     unit = SIM.unit_vec_df(emb, "vec_id", "embedding")
     centers = SIM.train_centroids_on_sample(unit, 16, 2048)
     index, scales = SIM.ivf_pq_index(unit, centers)
+    # cut: the index feeds the serving collects AND the payload
+    # measurement below — without it the assign+quantize join re-ran
+    # once per consumer (assigned is cached, but the scale join is not)
+    index = index.localCheckpoint(eager=False)
     ann = SIM.ann_ivf_pq_topk_multi(
         emb, "vec_id", "embedding", query_ids=qids, k=5,
         n_probe=8, prebuilt=(index, centers, scales),
@@ -499,7 +503,7 @@ def l8f_ann_ivf_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     inc = SIM.ivf_pq_add(
         SIM.unit_vec_df(day2, "vec_id", "embedding"), centers, scales
     )
-    union_index = index1.unionByName(inc).localCheckpoint(eager=True)
+    union_index = index1.unionByName(inc).localCheckpoint(eager=False)
     qids = [0, 1, 2, 3, 4]
     ann = SIM.ann_ivf_pq_topk_multi(
         emb, "vec_id", "embedding", query_ids=qids, k=5, n_probe=8,
@@ -568,7 +572,7 @@ def l8g_ann_ivf_pq_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_removed = removed.count()
 
     deleted = index1.join(F.broadcast(removed), "id", "left_anti").localCheckpoint(
-        eager=True
+        eager=False  # materialized by the serving path's first collect
     )
     rebuilt = SIM.ivf_pq_add(
         SIM.unit_vec_df(
@@ -648,7 +652,7 @@ def _semantic_store(spark: SparkSession, sf_dir: str) -> tuple:
     cutoff = int(0.8 * (max_id + 1))
     day1 = emb.filter(F.col("vec_id") < cutoff)
     unit = SIM.unit_vec_df(day1, "vec_id", "embedding").localCheckpoint(
-        eager=True
+        eager=False  # the seed TakeOrdered materializes it
     )
     cent_rows = sorted(
         unit.orderBy("id").limit(8).collect(), key=lambda r: r["id"]
@@ -734,11 +738,11 @@ def l41_incremental_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFra
         (F.col("vec_id") % 5 == 0) & (F.col("vec_id") >= cutoff)
     )
     new_units = SIM.unit_vec_df(new, "vec_id", "embedding").localCheckpoint(
-        eager=True
+        eager=False
     )
     new_cells = SIM.assign_cells_literal(
         new_units, centers, n_probe=4
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     all_cells = store_cells.unionByName(new_cells)
     cand = (
         new_cells.alias("a")
@@ -1235,6 +1239,7 @@ def l8h_ann_ivf_pq_rotated(spark: SparkSession, sf_dir: str) -> DataFrame:
         unit = SIM.unit_vec_df(src, "vec_id", "embedding")
         centers = SIM.train_centroids_on_sample(unit, 16, 2048)
         index, scales = SIM.ivf_pq_index(unit, centers)
+        index = index.localCheckpoint(eager=False)  # reused by 3 collects
         ann = SIM.ann_ivf_pq_topk_multi(
             src, "vec_id", "embedding", query_ids=qids, k=5,
             n_probe=8, prebuilt=(index, centers, scales),
@@ -1610,7 +1615,7 @@ def l79_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spread(load_table(spark, sf_dir, "embeddings"))
     q = SIM._lloyd_q_vectors(emb, "vec_id", "embedding").localCheckpoint(
-        eager=True
+        eager=False  # Lloyd's seed TakeOrdered materializes it
     )
     cent = SIM.lloyd_kmeans_q(q, k=8, iters=3)
     assigned = SIM.lloyd_assign_q(q, cent)
@@ -1623,7 +1628,7 @@ def l79_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "doc_id",
         )
-        .localCheckpoint(eager=True)  # feeds the agg AND the ranked pick
+        .localCheckpoint(eager=False)  # first consumer materializes; cache reused
     )
     per = m.groupBy("cluster").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
@@ -1769,7 +1774,7 @@ def l79b_domain_mixture_adaptive(
             ),
             "doc_id",
         )
-        .localCheckpoint(eager=True)  # feeds the agg AND the ranked pick
+        .localCheckpoint(eager=False)  # first consumer materializes; cache reused
     )
     per = m.groupBy("cluster").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
@@ -1794,7 +1799,7 @@ def l79b_domain_mixture_adaptive(
                 F.col("wq").cast("double") / F.col("sw") * F.col("nd")
             ).cast("bigint"),
         )
-        .localCheckpoint(eager=True)  # k rows; feeds pick + both gates
+        .localCheckpoint(eager=False)  # k rows; feeds pick + both gates
     )
 
     # ---- two-phase enacted pick (the bounded-window rewrite) ----
@@ -1940,7 +1945,7 @@ def _mixture_store(spark: SparkSession, sf_dir: str) -> tuple:
                 lambda x: F.floor(x * F.lit(100000.0)).cast("long"),
             ).alias("q"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)  # Lloyd's seed TakeOrdered materializes it
     )
     cent = SIM.lloyd_kmeans_q(q1, k=8, iters=3)
     docs = load_table(spark, sf_dir, "documents")
@@ -2035,7 +2040,7 @@ def _enacted_mixture_totals(
         merged.withColumn("cum", F.sum("n").over(wcum))
         .withColumn("cum_before", F.col("cum") - F.col("n"))
         .join(F.broadcast(bud.select("cluster", "n_budget")), "cluster")
-        .localCheckpoint(eager=True)  # feeds full totals + boundary set
+        .localCheckpoint(eager=False)  # feeds full totals + boundary set
     )
     full = cls.filter(F.col("cum") <= F.col("n_budget")).groupBy(
         "cluster"
@@ -2318,7 +2323,7 @@ def l79c_domain_mixture_incremental(
             "bucket",
             F.shiftright(F.col("rkey"), _L79B_BUCKET_SHIFT).cast("int"),
         )
-        .localCheckpoint(eager=True)  # feeds deltas + boundary pick
+        .localCheckpoint(eager=False)  # feeds deltas + boundary pick
     )
     inc_aggs = inc_keyed.groupBy("cluster", "bucket").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
@@ -2334,9 +2339,9 @@ def l79c_domain_mixture_incremental(
             F.sum("tokens").cast("bigint").alias("tokens"),
             F.sum("id_sum").cast("bigint").alias("id_sum"),
         )
-        .localCheckpoint(eager=True)  # feeds budgets + cumsum + totals
+        .localCheckpoint(eager=False)  # feeds budgets + cumsum + totals
     )
-    bud = _mixture_budgets(merged).localCheckpoint(eager=True)
+    bud = _mixture_budgets(merged).localCheckpoint(eager=False)
     sel = _enacted_mixture_totals(
         spark, merged, bud, rows_path, inc_keyed, None
     )
@@ -2478,7 +2483,7 @@ def l79d_domain_mixture_takedown(
             "bucket",
             F.shiftright(F.col("rkey"), _L79B_BUCKET_SHIFT).cast("int"),
         )
-        .localCheckpoint(eager=True)  # feeds deltas + rollup + anti-join
+        .localCheckpoint(eager=False)  # feeds deltas + rollup + anti-join
     )
     neg = rm_keyed.groupBy("cluster", "bucket").agg(
         (-F.count(F.lit(1))).cast("bigint").alias("n"),
@@ -2495,9 +2500,9 @@ def l79d_domain_mixture_takedown(
             F.sum("id_sum").cast("bigint").alias("id_sum"),
         )
         .filter(F.col("n") > 0)
-        .localCheckpoint(eager=True)  # feeds budgets + cumsum + totals
+        .localCheckpoint(eager=False)  # feeds budgets + cumsum + totals
     )
-    bud = _mixture_budgets(merged).localCheckpoint(eager=True)
+    bud = _mixture_budgets(merged).localCheckpoint(eager=False)
     sel = _enacted_mixture_totals(
         spark, merged, bud, rows_path, None, rm_keyed.select("doc_id")
     )
@@ -2655,7 +2660,7 @@ def l60_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(
             "embedding", lambda x: F.floor(x * F.lit(100000.0)).cast("long")
         ).alias("q"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     planted = q.filter(F.col("id") % 23 == 5).select(
         "id",
@@ -2671,10 +2676,10 @@ def l60_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean = q.filter(F.col("id") % 23 == 11).select(
         "id", F.reverse("q").alias("ev"), F.lit("clean").alias("ekind")
     )
-    evals = planted.unionByName(clean).localCheckpoint(eager=True)
+    evals = planted.unionByName(clean).localCheckpoint(eager=False)
 
     unit = SIM.unit_vec_df(emb, "vec_id", "embedding").localCheckpoint(
-        eager=True
+        eager=False  # the seed TakeOrdered materializes it
     )
     cent_rows = sorted(
         unit.orderBy("id").limit(8).collect(), key=lambda r: r["id"]
@@ -2691,7 +2696,7 @@ def l60_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         ).alias("nb"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     ev_unit = nb.select(
         "id",
         F.transform(
@@ -2824,9 +2829,9 @@ def _semdedup_members_near(
             + ((F.col("id") * 31 + i.cast("long") * 17) % 7 - 3).cast("long"),
         ).alias("q"),
     )
-    allq = base.unionByName(twins).localCheckpoint(eager=True)
+    allq = base.unionByName(twins).localCheckpoint(eager=False)
     cent = SIM.lloyd_kmeans_q(allq, k=8, iters=3)
-    assigned = SIM.lloyd_assign_q(allq, cent).localCheckpoint(eager=True)
+    assigned = SIM.lloyd_assign_q(allq, cent).localCheckpoint(eager=False)
 
     n2 = allq.select(
         "id",
@@ -2877,8 +2882,8 @@ def _semdedup_members_near(
         )
     )
     _SEMDEDUP_MN_CACHE[key] = (
-        members.localCheckpoint(eager=True),
-        near.localCheckpoint(eager=True),
+        members.localCheckpoint(eager=False),
+        near.localCheckpoint(eager=False),
     )
     return _SEMDEDUP_MN_CACHE[key]
 
@@ -3142,7 +3147,7 @@ def l65b_semdedup_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     members = SIM.semdedup(
         allv, "id", "vec", tau=0.999, prebuilt=(unit, cells)
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     tw = members.filter(F.col("id") >= SEMDEDUP_TWIN_OFFSET).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum((~F.col("is_kept")).cast("int")).alias("pruned"),
@@ -3270,7 +3275,7 @@ def l68_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity.py assign_cells_literal; registry l8b-l8d, l41."""
     emb = spread(load_table(spark, sf_dir, "embeddings"))
     unit = SIM.unit_vec_df(emb, "vec_id", "embedding").localCheckpoint(
-        eager=True
+        eager=False  # the seed TakeOrdered materializes it
     )
     cent_rows = sorted(
         unit.orderBy("id").limit(16).collect(), key=lambda r: r["id"]
@@ -3300,7 +3305,7 @@ def l68_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long"),
             lambda acc, v: acc + v,
         ).alias("n2"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     dot = F.aggregate(
         F.zip_with("q_a", "q_b", lambda x, y: x * y),
         F.lit(0).cast("long"),
@@ -3409,7 +3414,7 @@ def _knn_exact_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long"),
             lambda acc, v: acc + v,
         ).alias("n2"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     queries = n2.filter(F.col("id") < 8).select(
         F.col("id").alias("qid"), F.col("q").alias("q_a"),
         F.col("n2").alias("n2_a"),
@@ -3588,7 +3593,7 @@ def l68c_knn_join_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     got: dict[int, set] = {}
     for r in ann.filter(F.col("query_id") < 8).collect():
         got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
-    exact = _knn_exact_ranked(spark, sf_dir).localCheckpoint(eager=True)
+    exact = _knn_exact_ranked(spark, sf_dir).localCheckpoint(eager=False)
     ex: dict[int, set] = {}
     top1_sum = 0
     for r in exact.collect():
@@ -3657,7 +3662,7 @@ def _semdedup_store(spark: SparkSession, sf_dir: str) -> tuple:
                 lambda x: F.floor(x * F.lit(100000.0)).cast("long"),
             ).alias("q"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)  # Lloyd's seed TakeOrdered materializes it
     )
     cent = SIM.lloyd_kmeans_q(q1, k=8, iters=3)
     day1 = SIM.lloyd_assign_q(q1, cent).join(q1, "id")
@@ -3829,7 +3834,7 @@ def l69_incremental_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             + ((F.col("id") * 31 + i.cast("long") * 17) % 7 - 3).cast("long"),
         ).alias("q"),
     )
-    newq = day2q.unionByName(twins).localCheckpoint(eager=True)
+    newq = day2q.unionByName(twins).localCheckpoint(eager=False)
     assigned2 = SIM.lloyd_assign_q(newq, cent)
 
     def with_n2(df: DataFrame) -> DataFrame:
@@ -3842,7 +3847,7 @@ def l69_incremental_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
 
-    side_new = with_n2(assigned2.join(newq, "id")).localCheckpoint(eager=True)
+    side_new = with_n2(assigned2.join(newq, "id")).localCheckpoint(eager=False)
     side_all = with_n2(day1.select("id", "cluster", "q")).unionByName(side_new)
     a = side_all.select(
         F.col("id").alias("id_a"), "cluster",
@@ -3930,7 +3935,7 @@ def _semdedup_adaptive_store(spark: SparkSession, sf_dir: str) -> tuple:
     cutoff = int(0.8 * (max_id + 1))
     unit1 = SIM.unit_vec_df(
         emb.filter(F.col("vec_id") < cutoff), "vec_id", "embedding"
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)  # the count materializes it
     n1 = unit1.count()
     k1 = SIM.adaptive_n_centroids(n1, cap=1024)
     centers = SIM.train_centroids_on_sample(
@@ -4056,15 +4061,15 @@ def l69b_incremental_semdedup_adaptive(
         )
     cutoff, k1, centers, day1_path = _semdedup_adaptive_store(spark, sf_dir)
     inc_unit = _adaptive_increment_unit(emb, cutoff).localCheckpoint(
-        eager=True
+        eager=False
     )
     assign = (
         SIM.assign_cells_arrow
         if k1 > SIM._LITERAL_CELL_CAP
         else SIM.assign_cells_literal
     )
-    cells_new = assign(inc_unit, centers, 1).localCheckpoint(eager=True)
-    side_new = cells_new.join(inc_unit, "id").localCheckpoint(eager=True)
+    cells_new = assign(inc_unit, centers, 1).localCheckpoint(eager=False)
+    side_new = cells_new.join(inc_unit, "id").localCheckpoint(eager=False)
     day1 = spark.read.parquet(day1_path)
     side_all = day1.select("id", "cell", "unit_arr").unionByName(side_new)
     a = side_all.select(
@@ -4079,7 +4084,7 @@ def l69b_incremental_semdedup_adaptive(
         .filter(SIM.dot_expr("arr_a", "arr_b") >= F.lit(0.999))
         .select(F.col("id_b").alias("id"))
         .distinct()
-        .localCheckpoint(eager=True)  # feeds recall + the min-id check
+        .localCheckpoint(eager=False)  # feeds recall + the min-id check
     )
     return _adaptive_semdedup_gate_row(
         spark, emb, cutoff, k1, day1, cells_new, pruned

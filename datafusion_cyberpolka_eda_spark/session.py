@@ -49,6 +49,16 @@ def get_spark(
         # reclaim shuffle/broadcast state promptly in long many-query
         # sessions (default 30min lets dead blocks pile up locally)
         .config("spark.cleaner.periodicGC.interval", "45s")
+        # whole-stage-codegen class cache (static conf, default 100):
+        # a 240-entry registry generates several codegen units per query,
+        # so one full pass evicts the default cache completely and EVERY
+        # warm pass re-pays janino compilation for every literal-heavy
+        # plan (bench.py's settle-pass note measured 450 s vs 373 s pass
+        # totals from exactly this). Sized to hold the whole registry's
+        # generated classes; the same eviction math applies to any
+        # long-running many-query session on a cluster (per-JVM cache,
+        # driver and executors alike), so this is not a local-only tune.
+        .config("spark.sql.codegen.cache.maxEntries", "4096")
     )
     if extra_conf:
         for k, v in extra_conf.items():

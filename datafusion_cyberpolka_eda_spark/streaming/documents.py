@@ -203,7 +203,7 @@ def stream_incremental_dedup(
         sigs = D.minhash_signatures_portable(
             batch_df, "doc_id", "text", n=n, num_hashes=num_hashes,
             bands=bands,
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)  # materialized by the pairs commit
         # the store view is pinned to epochs STRICTLY below this one: a
         # replayed epoch recomputes the same pairs against the same
         # store (its own earlier partial output is excluded) and the
@@ -299,7 +299,7 @@ def stream_quality_routing(
             "lang",
             F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
             quality_sink_col().alias("sink"),
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)  # first sink write materializes it
         # epoch-keyed overwrite per sink: a replayed epoch re-routes the
         # same batch into the same directories idempotently
         for s, d in sink_dirs.items():
@@ -509,7 +509,7 @@ def stream_semdedup(
 
     day1 = with_n2(
         spark.read.parquet(day1_path).select("id", "cluster", "q")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)  # epoch 0's pair join materializes it
 
     dot = F.aggregate(
         F.zip_with("q_a", "q_b", lambda x, y: x * y),
@@ -521,7 +521,7 @@ def stream_semdedup(
         eid = int(epoch_id)
         batch = with_n2(
             SIM.lloyd_assign_q(batch_df, cent_q).join(batch_df, "id")
-        ).localCheckpoint(eager=True)  # feeds the pair join + the append
+        ).localCheckpoint(eager=False)  # pair-join commit materializes it; append reuses
         earlier = _read_epochs(spark, asg_dir, asg_schema, below=eid)
         others = day1.unionByName(earlier).unionByName(batch)
         a = batch.select(
@@ -644,7 +644,7 @@ def stream_semdedup_adaptive(
     day1 = (
         spark.read.parquet(day1_path)
         .select("id", F.col("cell").cast("int").alias("cell"), "unit_arr")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)  # epoch 0's pair join materializes it
     )
     assign = (
         SIM.assign_cells_arrow
@@ -658,7 +658,7 @@ def stream_semdedup_adaptive(
             assign(batch_df, centers, 1)
             .join(batch_df, "id")
             .select("id", F.col("cell").cast("int").alias("cell"), "unit_arr")
-            .localCheckpoint(eager=True)  # feeds the pair join + the append
+            .localCheckpoint(eager=False)  # pair-join commit materializes it; append reuses
         )
         earlier = _read_epochs(spark, asg_dir, asg_schema, below=eid)
         others = day1.unionByName(earlier).unionByName(batch)
@@ -760,7 +760,7 @@ def stream_takedown(
         cur = spark.read.parquet(os.path.join(stores_dir, f"v{eid}"))
         removed = batch_df.select("id")
         delta = D.takedown_components(cur, removed, edges_fn).localCheckpoint(
-            eager=True
+            eager=False  # the next-version store write materializes it
         )
         survivors = delta.filter(F.col("comp").isNotNull()).select("id", "comp")
         untouched = cur.join(delta.select("id"), "id", "left_anti")
@@ -926,7 +926,7 @@ def stream_psi_drift(
         psi_feature_buckets(docs.filter(F.col("doc_id") < cutoff))
         .groupBy("feature", "bucket")
         .agg(F.count(F.lit(1)).alias("day1_n"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)  # the final PSI fold materializes it
     )
     inc = docs.filter(F.col("doc_id") >= cutoff).select(
         "doc_id", "lang", "source", "n_chars", "text"
@@ -1032,7 +1032,7 @@ def stream_incremental_fingerprint_dedup(
         eid = int(epoch_id)
         fps = ahash63_fingerprints(
             make_ppm_neardup_assets(batch_df)
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)  # materialized by the pairs commit
         store = base_store.unionByName(
             _read_epochs(spark, appended_dir, base_store.schema, below=eid)
         )
@@ -1136,10 +1136,10 @@ def stream_crossmodal_dedup(
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         eid = int(epoch_id)
-        corpus = _paired_corpus(batch_df).localCheckpoint(eager=True)
+        corpus = _paired_corpus(batch_df).localCheckpoint(eager=False)
         sigs = D.minhash_signatures_portable(
             corpus, "doc_id", "text", n=3, num_hashes=32, bands=8
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)  # edges commit materializes it; append reuses
         tview = sig_store.unionByName(
             _read_epochs(spark, tsig_dir, sig_store.schema, below=eid)
         )
@@ -1148,7 +1148,7 @@ def stream_crossmodal_dedup(
         ).select("id_a", "id_b")
         fps = ahash63_fingerprints(
             make_ppm_neardup_assets(batch_df)
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)  # edges commit materializes it; append reuses
         fview = fp_store.unionByName(
             _read_epochs(spark, fp_dir, fp_store.schema, below=eid)
         )
@@ -1275,7 +1275,7 @@ def stream_domain_mixture(
                 F.shiftright(F.col("rkey"), _L79B_BUCKET_SHIFT).cast("int"),
             )
             .select("doc_id", "cluster", "nt", "rkey", "bucket")
-            .localCheckpoint(eager=True)  # feeds both commits
+            .localCheckpoint(eager=False)  # first commit materializes it
         )
         _commit_epoch(keyed, keyed_dir, eid)
         _commit_epoch(
@@ -1295,7 +1295,7 @@ def stream_domain_mixture(
         q.stop()
 
     inc_keyed = _read_epochs(spark, keyed_dir, keyed_schema).localCheckpoint(
-        eager=True
+        eager=False
     )
     deltas = _read_epochs(spark, delta_dir, delta_schema)
     merged = (
@@ -1307,9 +1307,9 @@ def stream_domain_mixture(
             F.sum("tokens").cast("bigint").alias("tokens"),
             F.sum("id_sum").cast("bigint").alias("id_sum"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    bud = _mixture_budgets(merged).localCheckpoint(eager=True)
+    bud = _mixture_budgets(merged).localCheckpoint(eager=False)
     sel = _enacted_mixture_totals(
         spark, merged, bud, rows_path, inc_keyed, None
     )
