@@ -475,10 +475,21 @@ def wrapper() -> int:
     fwd_flags: list[bool] = []  # which lines the live filter forwarded
 
     # executor/task errors only — anchored so JVM shutdown noise
-    # (log4j2 "ERROR StatusLogger ..." lines) stays dropped (r9 advice)
+    # (log4j2 "ERROR StatusLogger ..." lines) stays dropped (r9 advice).
+    # Also dropped (r12): "ERROR DAGScheduler: Failed to update
+    # accumulator N (Unknown class)" — a benign metrics-only race
+    # between task completion and the ContextCleaner releasing a
+    # finished query's SQL-metric accumulators (results are unaffected;
+    # the full-registry bitwise sweeps stay green). Lazy localCheckpoint
+    # cuts (this round's job-count optimization) surface it often
+    # enough that forwarding it would bury the driver-captured stdout
+    # tail under hundreds of identical lines.
     import re as _re
 
     err_re = _re.compile(r"(?:^|\s)ERROR\s+(?!StatusLogger\b)\S")
+    acc_noise_re = _re.compile(
+        r"ERROR DAGScheduler: Failed to update accumulator"
+    )
 
     def pump_err():
         in_tb = False
@@ -498,7 +509,7 @@ def wrapper() -> int:
                 print(s, file=sys.stderr, flush=True)
                 if s and not s.startswith((" ", "\t")):
                     in_tb = False
-            elif err_re.search(s):
+            elif err_re.search(s) and not acc_noise_re.search(s):
                 print(s, file=sys.stderr, flush=True)
             else:
                 fwd = False
