@@ -42,6 +42,15 @@ def main() -> int:
 
     print("entry rows:", len(e.entry(spark).collect()))
     con = duckdb.connect()
+    # explicit budget + spill dir (the bench.py oracle-phase settings):
+    # the heavy recursive-CTE replays (l23/l37 at sf0.1 peak tens of
+    # GiB) share the box with this process's live Spark JVM — without a
+    # budget DuckDB assumes 80% of RAM is its own and malloc fails with
+    # "bad allocation" instead of spilling
+    import tempfile
+
+    con.sql("SET memory_limit='48GB'")
+    con.sql(f"SET temp_directory='{tempfile.mkdtemp(prefix='dryrun_duck_')}'")
     for t in (
         "region nation customer supplier part orders lineitem "
         "events documents embeddings"
