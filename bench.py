@@ -12,11 +12,15 @@ BENCH_DETAIL.json. A JVM warm-up query runs first and is not counted.
 
 Reps are INTERLEAVED full passes over the whole registry (r12; the r11
 verdict's bench-hygiene task): TWO discarded passes run first — pass 0
-(per-plan codegen + store/memo builds) and pass 1 (settle: Spark's
-generated-class cache holds ~100 entries, so a 238-query registry
-fully evicts it every pass and the first timed pass would otherwise
-re-pay scattered compile cost; measured: first-timed-pass total 450 s
-vs 373/375 s for the next two on identical code) — then each timed rep
+(per-plan codegen + store/memo builds) and pass 1 (settle; historical:
+Spark's generated-class cache defaults to 100 entries, so a 238-query
+registry fully evicted it every pass and the first timed pass re-paid
+scattered compile cost, measured 450 s vs 373/375 s on identical code.
+session.py now raises spark.sql.codegen.cache.maxEntries to 4096 —
+the r12 optimization round — after which the timed passes agree
+within ~0.6% (334.4/334.6/336.3 s); the settle pass is kept for
+methodology continuity and still absorbs first-use JVM class loading
+that warm-up misses) — then each timed rep
 is one complete pass, so slow session drift (block/codegen/metaspace
 accumulation over ~1200 executions in one JVM) lands on every query's
 rep r equally instead of compounding against late-registry queries,
