@@ -83,6 +83,12 @@ def main() -> None:
     from datafusion_cyberpolka_eda_spark.registry import queries
 
     spark = get_spark(app_name="bench")
+    # effective parallelism, recorded in the output line so the
+    # $SPARK_GRAFT_CPUS contract is verifiable from the artifact alone
+    # (r12 verdict: every 8-vs-32-core ratio is ~1 at this SF because
+    # the work is job-floor-bound, which looked like the env var being
+    # ignored; it is honored — session.py builds local[$SPARK_GRAFT_CPUS])
+    eff_cpus = spark.sparkContext.defaultParallelism
 
     qs = queries()
     # warm-up: JVM/codegen/parquet-footer caches
@@ -389,6 +395,7 @@ def main() -> None:
         "metric": "total_query_wall_seconds",
         "value": total,
         "unit": "sec",
+        "cpus": eff_cpus,
         "floor_sec": round(floor, 4),
         "net_value": net,
         "n_queries": len(timings),
@@ -429,6 +436,7 @@ def main() -> None:
         "metric": "total_query_wall_seconds",
         "value": total,
         "unit": "sec",
+        "cpus": eff_cpus,
         "floor_sec": round(floor, 3),
         "net_value": net,
         "n_queries": len(timings),
@@ -491,8 +499,12 @@ def wrapper() -> int:
     import re as _re
 
     err_re = _re.compile(r"(?:^|\s)ERROR\s+(?!StatusLogger\b)\S")
+    # anchored to the specific benign form — "(Unknown class)" is the
+    # cleaner-released SQL-metric accumulator; a genuinely different
+    # accumulator failure (named class) still forwards (r12 advice)
     acc_noise_re = _re.compile(
         r"ERROR DAGScheduler: Failed to update accumulator"
+        r" \d+ \(Unknown class\)"
     )
 
     def pump_err():

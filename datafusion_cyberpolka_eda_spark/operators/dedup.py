@@ -825,6 +825,21 @@ def connected_components(
     aggregate (sum of labels, strictly decreasing until fixpoint —
     integer-exact, no tolerance).
 
+    Round plan shape (r13 fusion, guide §2.4): one round is THREE
+    shuffles — (1) the candidate pass, a single union+groupBy that
+    carries each node's OLD label through as max(own) so no later
+    labels-join is needed; (2) the pointer-doubling self-join's probe
+    side, keyed by candidate value (the build/jump side rides the
+    groupBy's own exchange, which AQE reuses across both join
+    branches); (3) the rendezvous as a window min over the old label
+    (same value as the old groupBy+join rendezvous, one exchange
+    instead of two and no duplicated subtree). The per-round function
+    is unchanged from the unfused form — new = min(double(cand),
+    group-min over old label of double(cand)) — so the trajectory,
+    round count, and fixpoint are identical (verified bitwise on ring
+    / ascending+descending path / random / self-loop / null-id
+    graphs).
+
     Lineage is cut per round. With ``checkpoint_dir`` unset the cut is
     localCheckpoint (executor-local blocks — fine single-node / tests).
     On a cluster PASS ``checkpoint_dir`` (an HDFS/object-store path): the
@@ -868,14 +883,35 @@ def connected_components(
         sym = _cut(sym)
         labels = sym.groupBy("id").agg(F.least(F.min("nbr"), F.col("id")).alias("comp"))
         labels = _cut(labels)
+        comp_type = labels.schema["comp"].dataType
         prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
         for _ in range(max_iter):
-            # neighbor labels -> candidate = min(own label, neighbor labels)
+            # candidate pass: cand = min(own label, neighbor labels),
+            # with the OLD label carried through the same aggregate as
+            # max(own) — own is non-null on exactly the one labels row
+            # per id (sym covers every endpoint as both id and nbr), so
+            # max(own) IS the old label and no labels-join is needed
+            # downstream. One shuffle where the unfused form paid the
+            # union shuffle PLUS a labels⋈d join later (guide §2.4).
+            # The isNotNull on the grouping key pushes the same
+            # isnotnull filter into BOTH consumers' subtrees below (the
+            # doubling join's key filter would otherwise push it into
+            # only one branch, splitting the exchange two ways); rows
+            # it drops are exactly the null-id rows the unfused form
+            # dropped at its labels⋈d inner join.
             msgs = sym.join(labels, "id").select(
-                F.col("nbr").alias("id"), F.col("comp")
+                F.col("nbr").alias("id"),
+                F.lit(None).cast(comp_type).alias("own"),
+                F.col("comp").alias("c"),
             )
             cand = (
-                labels.union(msgs).groupBy("id").agg(F.min("comp").alias("cand"))
+                labels.select(
+                    "id", F.col("comp").alias("own"), F.col("comp").alias("c")
+                )
+                .union(msgs)
+                .groupBy("id")
+                .agg(F.max("own").alias("comp"), F.min("c").alias("cand"))
+                .where(F.col("id").isNotNull())
             )
             # two accelerators on top of plain HashMin, each covering
             # the other's worst case (both are needed — measured on
@@ -890,23 +926,40 @@ def connected_components(
             #   acceleration never fires.
             #   component rendezvous — the best candidate seen by ANY
             #   member of a label group reaches EVERY member through
-            #   the shared OLD label in one groupBy+join hop: beats
+            #   the shared OLD label in one window hop: beats
             #   scattered-id paths where pointer chains stay shallow.
             # Together: O(log n) rounds on every shape tried (<= 9 on
             # 431-node adversarial paths). The fixpoint is identical
             # (min member id per component), only the trajectory
             # changes; labels always remain member ids.
+            #
+            # jump carries comp (as _jc) in the SAME column order as
+            # cand so the partial aggregate below the exchange
+            # canonicalizes identically on both branches of the
+            # self-join and AQE materializes the candidate shuffle
+            # ONCE (a mismatched projection order reorders the agg
+            # functions and defeats exchange reuse — measured). The
+            # coalesce is value-identical to plain comp (comp is never
+            # null: every id has its labels row) but keeps _jc alive
+            # through column pruning for the same reuse reason.
             jump = cand.select(
-                F.col("id").alias("cand"), F.col("cand").alias("cand2")
+                F.col("id").alias("cand"),
+                F.col("comp").alias("_jc"),
+                F.col("cand").alias("cand2"),
             )
             d = cand.join(jump, "cand").select(
-                "id", F.least("cand", "cand2").alias("cand")
+                "id",
+                F.coalesce("comp", "_jc").alias("comp"),
+                F.least("cand", "cand2").alias("cand"),
             )
-            j = labels.join(d, "id")
-            m = j.groupBy("comp").agg(F.min("cand").alias("cmin"))
+            # rendezvous as a window min over the old label: same
+            # group-min value as the former groupBy+join pair, but one
+            # exchange and no second pass over the candidate subtree
+            w = Window.partitionBy("comp")
             new_labels = _cut(
-                j.join(m, "comp").select(
-                    "id", F.least("cand", "cmin").alias("comp")
+                d.select(
+                    "id",
+                    F.least("cand", F.min("cand").over(w)).alias("comp"),
                 )
             )
             new_sum = new_labels.agg(F.sum("comp")).collect()[0][0]

@@ -19,6 +19,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from datafusion_cyberpolka_eda_spark.functions.litexpr import sql_long_array
 from datafusion_cyberpolka_eda_spark.functions.sampling import hash_sample
 from datafusion_cyberpolka_eda_spark.operators.relational import union_stack
 
@@ -222,7 +223,9 @@ def logreg_train_supersteps(
         z = F.aggregate(
             F.zip_with(
                 "x",
-                F.array(*[F.lit(int(c)).cast("long") for c in w]),
+                # one parsed literal array (litexpr): dim fewer py4j
+                # round-trips per superstep plan build, same values
+                F.expr(sql_long_array(w)),
                 lambda xv, wv: xv * wv,
             ),
             F.lit(0).cast("long"),
@@ -259,7 +262,7 @@ def logreg_score_q(feats: DataFrame, w: list[int]) -> DataFrame:
     z = F.aggregate(
         F.zip_with(
             "x",
-            F.array(*[F.lit(int(c)).cast("long") for c in w]),
+            F.expr(sql_long_array(w)),
             lambda xv, wv: xv * wv,
         ),
         F.lit(0).cast("long"),

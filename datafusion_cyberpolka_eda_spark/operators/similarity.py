@@ -186,12 +186,9 @@ def ann_ivf_topk(
         for i in np.argsort(((centers - qvec) ** 2).sum(axis=1))[:n_probe]
     ]
 
-    qlit = F.array(*[F.lit(float(x)) for x in qvec])
-    score = F.aggregate(
-        F.zip_with(F.col("unit_arr"), qlit, lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    from datafusion_cyberpolka_eda_spark.functions.litexpr import dot_literal
+
+    score = dot_literal("unit_arr", [float(x) for x in qvec])
     out = (
         assigned.filter(F.col("cell").isin(probe_cells) & (F.col("id") != query_id))
         .withColumn("cosine", score)
@@ -350,18 +347,16 @@ def assign_cells_literal(
     the Arrow path's stable argsort, so either path emits the same
     (id, cell) multiset. Callers that self-join or reuse the result
     should localCheckpoint it — the masking loop re-derives all
-    ``len(centers)`` dots per reference otherwise."""
+    ``len(centers)`` dots per reference otherwise.
+
+    The dot array is rendered as ONE parsed SQL expression
+    (functions.litexpr.dots_literal): same zip_with left-fold
+    arithmetic, but k*dim fewer py4j round-trips per plan build."""
+    from datafusion_cyberpolka_eda_spark.functions.litexpr import dots_literal
+
     p = min(n_probe, len(centers))
 
-    def dot_lit(vec) -> Column:
-        arr = F.array(*[F.lit(float(x)) for x in vec])
-        return F.aggregate(
-            F.zip_with(F.col(vec_col), arr, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    out = unit.withColumn("_cdots", F.array(*[dot_lit(c) for c in centers]))
+    out = unit.withColumn("_cdots", dots_literal(vec_col, centers))
 
     def mask_at(cell_col: str) -> Column:
         return F.transform(
@@ -452,15 +447,11 @@ def _ivf_probe_with_centers(unit, centers, query_ids, k, n_probe):
             assign_cells_arrow(unit_ck, centers, 1), "id"
         ).localCheckpoint(eager=False)
     else:
-        def dot_lit(vec):
-            arr = F.array(*[F.lit(float(x)) for x in vec])
-            return F.aggregate(
-                F.zip_with(F.col("unit_arr"), arr, lambda a, b: a * b),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
+        from datafusion_cyberpolka_eda_spark.functions.litexpr import (
+            dots_literal,
+        )
 
-        dots = F.array(*[dot_lit(c) for c in centers])
+        dots = dots_literal("unit_arr", centers)
         # first-max tiebreak: array_position returns the first occurrence
         assigned = unit.withColumn(
             "cell", (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
@@ -620,21 +611,23 @@ def ann_lsh_fixed_topk_multi(
         unit.orderBy("id").limit(n_planes).collect(), key=lambda r: r["id"]
     )
 
-    def dot_lit(vec):
-        arr = F.array(*[F.lit(float(x)) for x in vec])
-        return F.aggregate(
-            F.zip_with(F.col("unit_arr"), arr, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
     # Sign test on the ROUNDED dot: float summation order differs between
     # engines (Spark left-fold vs SQL SUM), so a plane dot within ~1e-12 of
     # zero could flip a band key engine-dependently. 9 dp rounding (HALF_UP
     # in Spark = half-away-from-zero in DuckDB) makes the bit deterministic;
-    # the l8d oracle applies the same ROUND(d, 9).
-    bits = F.array(
-        *[(F.round(dot_lit(r["unit_arr"]), 9) >= 0).cast("int") for r in plane_rows]
+    # the l8d oracle applies the same ROUND(d, 9). One parsed expression
+    # (litexpr) instead of n_planes*dim F.lit round-trips per plan build.
+    from datafusion_cyberpolka_eda_spark.functions.litexpr import (
+        sql_double_matrix,
+    )
+
+    planes_sql = sql_double_matrix(
+        [[float(x) for x in r["unit_arr"]] for r in plane_rows]
+    )
+    bits = F.expr(
+        f"transform({planes_sql}, _pl -> cast(round("
+        f"aggregate(zip_with(unit_arr, _pl, (_a, _b) -> _a * _b), 0D, "
+        f"(_acc, _v) -> _acc + _v), 9) >= 0 as int))"
     )
     band_keys = F.array(
         *[
@@ -693,16 +686,9 @@ def _assign_cells_literal(unit: DataFrame, centers) -> DataFrame:
     the result before referencing `cell` inside any per-element lambda —
     CollapseProject re-inlines and re-evaluates it per component
     otherwise."""
+    from datafusion_cyberpolka_eda_spark.functions.litexpr import dots_literal
 
-    def dot_lit(vec) -> Column:
-        arr = F.array(*[F.lit(float(x)) for x in vec])
-        return F.aggregate(
-            F.zip_with(F.col("unit_arr"), arr, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    dots = F.array(*[dot_lit(c) for c in centers])
+    dots = dots_literal("unit_arr", centers)
     return unit.withColumn(
         "cell", (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
     )
@@ -741,9 +727,11 @@ def ivf_pq_index(
     # either way): the scales aggregate is always the first consumer and
     # computes every partition, so no dedicated checkpoint job runs
     assigned = _assign_cells_literal(unit, centers).localCheckpoint(eager=False)
-    cent_lits = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in centers]
+    from datafusion_cyberpolka_eda_spark.functions.litexpr import (
+        double_matrix_lit,
     )
+
+    cent_lits = double_matrix_lit(centers)
     assigned = assigned.withColumn(
         "residual",
         F.zip_with(
@@ -878,9 +866,11 @@ def ivf_pq_add(
     unit_arr); union with the existing index to serve. Cell assignment
     is materialized before the residual lambda references it (the
     ivf_pq_index CollapseProject barrier — see its docstring)."""
-    cent_lits = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in centers]
+    from datafusion_cyberpolka_eda_spark.functions.litexpr import (
+        double_matrix_lit,
     )
+
+    cent_lits = double_matrix_lit(centers)
     assigned = _assign_cells_literal(new_unit, centers).localCheckpoint(
         eager=False  # lazy barrier: caller's first action materializes it
     ).withColumn(
@@ -1182,21 +1172,17 @@ def _lloyd_q_vectors(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
 def _lloyd_dists(cent_q) -> Column:
     """array<long> of squared integer distances from column `q` to each
     centroid (a list of int lists) — broadcast in the closure as
-    literals, the l10 literal-expression pattern: no join, no shuffle."""
-    return F.array(
-        *[
-            F.aggregate(
-                F.zip_with(
-                    "q",
-                    F.array(*[F.lit(int(c)).cast("long") for c in cq]),
-                    lambda x, c: (x - c) * (x - c),
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + v,
-            )
-            for cq in cent_q
-        ]
+    literals, the l10 literal-expression pattern: no join, no shuffle.
+    Rendered as ONE parsed SQL expression (functions.litexpr): the old
+    per-element F.lit form cost k*dim py4j round-trips of driver time
+    per plan build (~2 s at 8x64), re-paid every superstep and every
+    bench rep; the arithmetic and fold order are unchanged, so the
+    integer results are identical."""
+    from datafusion_cyberpolka_eda_spark.functions.litexpr import (
+        sqdists_literal_q,
     )
+
+    return sqdists_literal_q("q", cent_q)
 
 
 def lloyd_kmeans_distributed(

@@ -3226,10 +3226,14 @@ def _qc_keep_expr(w: list[int]) -> F.Column:
     map-side expression, no join, no shuffle. Shared by the batch filter
     (l70) and the streaming ingest filter (j21), so both surfaces score
     with byte-identical arithmetic."""
+    from datafusion_cyberpolka_eda_spark.functions.litexpr import (
+        sql_long_array,
+    )
+
     z = F.aggregate(
         F.zip_with(
             _qc_x(F.col("text")),
-            F.array(*[F.lit(int(c)).cast("long") for c in w]),
+            F.expr(sql_long_array(w)),
             lambda xv, wv: xv * wv,
         ),
         F.lit(0).cast("long"),
@@ -4241,10 +4245,14 @@ def l75_classifier_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     _qc_domain_check(spark, sf_dir)
     w = _qc_weights(spark, sf_dir)
     feats = _qc_train_feats(docs)
+    from datafusion_cyberpolka_eda_spark.functions.litexpr import (
+        sql_long_array,
+    )
+
     z = F.aggregate(
         F.zip_with(
             "x",
-            F.array(*[F.lit(int(c)).cast("long") for c in w]),
+            F.expr(sql_long_array(w)),
             lambda xv, wv: xv * wv,
         ),
         F.lit(0).cast("long"),

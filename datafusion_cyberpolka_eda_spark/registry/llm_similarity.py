@@ -3847,7 +3847,10 @@ def l69_incremental_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
 
-    side_new = with_n2(assigned2.join(newq, "id")).localCheckpoint(eager=False)
+    # EAGER: side_new feeds BOTH sides of the pair self-join below in one
+    # action — left lazy, the assign pass could compute twice in
+    # concurrent stages on a cluster (same call as the adaptive twin)
+    side_new = with_n2(assigned2.join(newq, "id")).localCheckpoint(eager=True)
     side_all = with_n2(day1.select("id", "cluster", "q")).unionByName(side_new)
     a = side_all.select(
         F.col("id").alias("id_a"), "cluster",
@@ -4069,7 +4072,13 @@ def l69b_incremental_semdedup_adaptive(
         else SIM.assign_cells_literal
     )
     cells_new = assign(inc_unit, centers, 1).localCheckpoint(eager=False)
-    side_new = cells_new.join(inc_unit, "id").localCheckpoint(eager=False)
+    # EAGER: side_new feeds BOTH sides of the pair self-join below in one
+    # action — left lazy, the assign pass could compute twice in
+    # concurrent stages on a cluster (r12 kept ivf_partition's cells
+    # eager for exactly this case; r12 ADVICE flagged this site as the
+    # inconsistent one). The dedicated job also materializes the lazy
+    # cells_new/inc_unit cuts, which the gate row then reuses.
+    side_new = cells_new.join(inc_unit, "id").localCheckpoint(eager=True)
     day1 = spark.read.parquet(day1_path)
     side_all = day1.select("id", "cell", "unit_arr").unionByName(side_new)
     a = side_all.select(

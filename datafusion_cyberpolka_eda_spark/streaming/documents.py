@@ -203,7 +203,7 @@ def stream_incremental_dedup(
         sigs = D.minhash_signatures_portable(
             batch_df, "doc_id", "text", n=n, num_hashes=num_hashes,
             bands=bands,
-        ).localCheckpoint(eager=False)  # materialized by the pairs commit
+        ).localCheckpoint(eager=False)
         # the store view is pinned to epochs STRICTLY below this one: a
         # replayed epoch recomputes the same pairs against the same
         # store (its own earlier partial output is excluded) and the
@@ -214,8 +214,15 @@ def stream_incremental_dedup(
         pairs = D.incremental_minhash_pairs(
             sigs, store, num_hashes=num_hashes, est_threshold=est_threshold
         )
-        _commit_epoch(pairs, pairs_dir, eid)
+        # append commits FIRST: it is the sigs cut's only single-consumer
+        # action, so one map pass shingles the batch and caches the cut;
+        # the pairs commit then reads the cached blocks on BOTH sides of
+        # its new-new self-join instead of computing the lazy cut 2x in
+        # concurrent stages (guide §2.6 — commit order within an epoch
+        # is free: each commit is independently idempotent, the store
+        # view is pinned below eid, and a replay reruns the whole epoch)
         _commit_epoch(sigs, appended_dir, eid)
+        _commit_epoch(pairs, pairs_dir, eid)
 
     q = stream.writeStream.foreachBatch(_deliver(handle)).start()
     try:
@@ -521,7 +528,7 @@ def stream_semdedup(
         eid = int(epoch_id)
         batch = with_n2(
             SIM.lloyd_assign_q(batch_df, cent_q).join(batch_df, "id")
-        ).localCheckpoint(eager=False)  # pair-join commit materializes it; append reuses
+        ).localCheckpoint(eager=False)  # materialized once by the append commit
         earlier = _read_epochs(spark, asg_dir, asg_schema, below=eid)
         others = day1.unionByName(earlier).unionByName(batch)
         a = batch.select(
@@ -550,8 +557,13 @@ def stream_semdedup(
             .select(F.greatest("id_a", "id_b").alias("id"))
             .distinct()
         )
-        _commit_epoch(pruned, prn_dir, eid)
+        # append first: the batch cut's single-consumer action assigns
+        # the epoch once and caches it; the pair-join commit then reads
+        # the cached cut on BOTH union legs of its self-scan instead of
+        # re-assigning in concurrent stages (commit order within an
+        # epoch is free — idempotent commits, store view pinned < eid)
         _commit_epoch(batch, asg_dir, eid)
+        _commit_epoch(pruned, prn_dir, eid)
 
     stream = (
         spark.readStream.schema(spark.read.parquet(src_dir).schema)
@@ -658,7 +670,7 @@ def stream_semdedup_adaptive(
             assign(batch_df, centers, 1)
             .join(batch_df, "id")
             .select("id", F.col("cell").cast("int").alias("cell"), "unit_arr")
-            .localCheckpoint(eager=False)  # pair-join commit materializes it; append reuses
+            .localCheckpoint(eager=False)  # materialized once by the append commit
         )
         earlier = _read_epochs(spark, asg_dir, asg_schema, below=eid)
         others = day1.unionByName(earlier).unionByName(batch)
@@ -675,8 +687,10 @@ def stream_semdedup_adaptive(
             .select(F.greatest("id_a", "id_b").alias("id"))
             .distinct()
         )
-        _commit_epoch(pruned, prn_dir, eid)
+        # append first — same single-consumer-materializes-the-cut
+        # ordering as stream_semdedup above (assign once per epoch)
         _commit_epoch(batch, asg_dir, eid)
+        _commit_epoch(pruned, prn_dir, eid)
 
     stream = (
         spark.readStream.schema(spark.read.parquet(src_dir).schema)
@@ -760,16 +774,22 @@ def stream_takedown(
         cur = spark.read.parquet(os.path.join(stores_dir, f"v{eid}"))
         removed = batch_df.select("id")
         delta = D.takedown_components(cur, removed, edges_fn).localCheckpoint(
-            eager=False  # the next-version store write materializes it
+            eager=False
         )
         survivors = delta.filter(F.col("comp").isNotNull()).select("id", "comp")
         untouched = cur.join(delta.select("id"), "id", "left_anti")
         nxt = os.path.join(stores_dir, f"v{eid + 1}")
-        untouched.unionByName(survivors).write.mode("overwrite").parquet(nxt)
-        cur_path[0] = nxt
+        # tombstones first: their commit is the delta cut's only
+        # single-consumer action, so the cut caches once and the store
+        # write below reads it on BOTH its branches (survivors leg +
+        # left_anti leg) instead of computing it twice concurrently
+        # (commit order within an epoch is free — both writes are
+        # idempotent overwrites derived from the immutable v{eid})
         _commit_epoch(
             delta.filter(F.col("comp").isNull()).select("id"), tomb_dir, eid
         )
+        untouched.unionByName(survivors).write.mode("overwrite").parquet(nxt)
+        cur_path[0] = nxt
 
     stream = (
         spark.readStream.schema(spark.read.parquet(src_dir).schema)
@@ -1032,15 +1052,21 @@ def stream_incremental_fingerprint_dedup(
         eid = int(epoch_id)
         fps = ahash63_fingerprints(
             make_ppm_neardup_assets(batch_df)
-        ).localCheckpoint(eager=False)  # materialized by the pairs commit
+        ).localCheckpoint(eager=False)
         store = base_store.unionByName(
             _read_epochs(spark, appended_dir, base_store.schema, below=eid)
         )
         pairs = D.incremental_fingerprint_pairs(
             fps, store, max_hamming=max_hamming, n_bits=n_bits
         )
-        _commit_epoch(pairs.select("id_a", "id_b", "hamming"), pairs_dir, eid)
+        # append first: the single-consumer store append decodes+hashes
+        # the epoch's payloads exactly once and caches the cut; the
+        # pairs commit then reads the cached fingerprints on both sides
+        # of its new-new self-join (decode exactly once — the same
+        # concurrent-stage argument that keeps the batch-side decode
+        # cuts eager; commit order within an epoch is free)
         _commit_epoch(fps, appended_dir, eid)
+        _commit_epoch(pairs.select("id_a", "id_b", "hamming"), pairs_dir, eid)
 
     q = stream.writeStream.foreachBatch(_deliver(handle)).start()
     try:
@@ -1139,7 +1165,7 @@ def stream_crossmodal_dedup(
         corpus = _paired_corpus(batch_df).localCheckpoint(eager=False)
         sigs = D.minhash_signatures_portable(
             corpus, "doc_id", "text", n=3, num_hashes=32, bands=8
-        ).localCheckpoint(eager=False)  # edges commit materializes it; append reuses
+        ).localCheckpoint(eager=False)
         tview = sig_store.unionByName(
             _read_epochs(spark, tsig_dir, sig_store.schema, below=eid)
         )
@@ -1148,16 +1174,24 @@ def stream_crossmodal_dedup(
         ).select("id_a", "id_b")
         fps = ahash63_fingerprints(
             make_ppm_neardup_assets(batch_df)
-        ).localCheckpoint(eager=False)  # edges commit materializes it; append reuses
+        ).localCheckpoint(eager=False)
         fview = fp_store.unionByName(
             _read_epochs(spark, fp_dir, fp_store.schema, below=eid)
         )
         ipairs = D.incremental_fingerprint_pairs(
             fps, fview, max_hamming=3, n_bits=N_AHASH_BITS
         ).select("id_a", "id_b")
-        _commit_epoch(_xm_union_edges(tpairs, ipairs), edges_dir, eid)
+        # store appends FIRST: each is its cut's only single-consumer
+        # action, so the epoch shingles its captions once (sigs commit,
+        # which also materializes the corpus cut) and decodes its
+        # pixels once (fps commit); the edges commit then reads both
+        # cached cuts on both sides of its two new-new self-joins
+        # instead of recomputing them in concurrent stages (commit
+        # order within an epoch is free — idempotent epoch-keyed
+        # commits, store views pinned < eid, replay reruns all three)
         _commit_epoch(sigs, tsig_dir, eid)
         _commit_epoch(fps, fp_dir, eid)
+        _commit_epoch(_xm_union_edges(tpairs, ipairs), edges_dir, eid)
 
     q = stream.writeStream.foreachBatch(_deliver(handle)).start()
     try:
