@@ -125,6 +125,39 @@ def simhash(col: str | Column, hash_fn=None, n_bits: int | None = None) -> Colum
         hash_fn = F.xxhash64
     if n_bits is None:
         n_bits = N_SIMHASH_BITS
+    # Fast path: the whole fingerprint as ONE parsed SQL expression.
+    # The unrolled per-bit when-array below costs ~400 py4j round-trips
+    # of driver time per plan build (~0.7 s, re-paid every build — r13
+    # litexpr finding); the parsed form replaces the unrolled whens with
+    # transform over sequence(0, n_bits-1) using shift-by-column (not
+    # exposed in the Python API, fine in SQL). Bit arithmetic, token
+    # hashing, fold order and the pow-based bit values are unchanged —
+    # fingerprints are bitwise-identical (tests/test_litexpr.py pins
+    # old-vs-new equality for both hash families on real text).
+    from datafusion_cyberpolka_eda_spark.functions.hashing import md5_hash64
+
+    if isinstance(col, str) and (hash_fn is F.xxhash64 or hash_fn is md5_hash64):
+        hsql = (
+            "xxhash64(_w)"
+            if hash_fn is F.xxhash64
+            else "CAST(conv(substring(md5(_w), 1, 15), 16, 10) AS BIGINT)"
+        )
+        return F.expr(
+            f"aggregate("
+            f"  zip_with("
+            f"    aggregate("
+            f"      transform(split(`{col}`, ' '), _w -> {hsql}),"
+            f"      array_repeat(0, {n_bits}),"
+            f"      (_acc, _h) -> zip_with(_acc,"
+            f"        transform(sequence(0, {n_bits - 1}),"
+            f"          _i -> IF((shiftright(_h, _i) & 1) = 1, 1, -1)),"
+            f"        (_a, _b) -> _a + _b)),"
+            f"    sequence(0, {n_bits - 1}),"
+            f"    (_cnt, _i) -> IF(_cnt > 0,"
+            f"      CAST(power(2.0D, CAST(_i AS DOUBLE)) AS BIGINT),"
+            f"      CAST(0 AS BIGINT))),"
+            f"  CAST(0 AS BIGINT), (_acc, _x) -> _acc + _x)"
+        )
     t = tokens(col)
     zero = F.array_repeat(F.lit(0), n_bits)
     # hash each token ONCE into a lambda variable; referencing `h` inside

@@ -348,15 +348,22 @@ def minhash_banded_pairs(
     src = hashed if hashed is not None else hashed_shingles(df, id_col, text_col, n)
     sh = src.select(F.col(id_col).alias("id"), F.col("sh").alias("h"))
     # num_hashes independent permutations: re-hash the shingle hash with
-    # the permutation index; min over the doc's shingles per permutation
+    # the permutation index; min over the doc's shingles per permutation.
+    # Each agg column is ONE parsed expression (the F.min(F.xxhash64(...))
+    # form cost ~5 py4j round-trips per hash per plan build — r13 litexpr
+    # finding); the int literal i parses to the same IntegerType that
+    # F.lit(i) produced, so xxhash64 sees identical input types/values.
     sig = sh.groupBy("id").agg(
         *[
-            F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"s{i}")
+            F.expr(f"min(xxhash64(h, {i}))").alias(f"s{i}")
             for i in range(num_hashes)
         ]
     )
     sig = sig.select(
-        "id", F.array(*[f"s{i}" for i in range(num_hashes)]).alias("sig")
+        "id",
+        F.expr(
+            "array(" + ",".join(f"s{i}" for i in range(num_hashes)) + ")"
+        ).alias("sig"),
     ).localCheckpoint(eager=True)
 
     rows_per_band = num_hashes // bands
@@ -427,27 +434,31 @@ def minhash_signatures_portable(
         F.col(id_col).alias("id"),
         F.pmod(md5_hash64("shingle"), F.lit(MERSENNE31).cast("long")).alias("h"),
     )
+    # one parsed expression per agg column / per output array (the
+    # unrolled perm_hash Column form cost ~6 py4j round-trips per hash
+    # per plan build — r13 litexpr finding); {a}L * h + {b} reproduces
+    # F.lit(a).cast('long') * h + F.lit(b) exactly (int b promotes to
+    # long), % is the same non-negative remainder over P
     sig = sh.groupBy("id").agg(
         *[
-            F.min(perm_hash(F.col("h"), a, b)).alias(f"s{i}")
+            F.expr(f"min(({a}L * h + {b}) % {MERSENNE31}L)").alias(f"s{i}")
             for i, (a, b) in enumerate(consts)
         ]
     )
     rows_per_band = num_hashes // bands
-    band_keys = [
-        F.concat_ws(
-            ",",
-            *[
-                F.col(f"s{i}").cast("string")
-                for i in range(b * rows_per_band, (b + 1) * rows_per_band)
-            ],
-        )
+    band_keys_sql = "array(" + ",".join(
+        "concat_ws(','," + ",".join(
+            f"CAST(s{i} AS STRING)"
+            for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+        ) + ")"
         for b in range(bands)
-    ]
+    ) + ")"
     return sig.select(
         "id",
-        F.array(*[f"s{i}" for i in range(num_hashes)]).alias("sig"),
-        F.array(*band_keys).alias("band_keys"),
+        F.expr(
+            "array(" + ",".join(f"s{i}" for i in range(num_hashes)) + ")"
+        ).alias("sig"),
+        F.expr(band_keys_sql).alias("band_keys"),
     )
 
 

@@ -564,7 +564,13 @@ def p1_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.join(ow, "src")
         .select("src", "dst", (F.col("w") / F.col("ow")).alias("wn"))
         .repartition(1)
-        .localCheckpoint(eager=False)  # materialized by the first superstep's cut
+        # lazy: materialized at the final collect (partitions cached
+        # during that job). Note stacked lazy cuts in one action only
+        # FINALIZE the topmost marked RDD under the default
+        # spark.checkpoint.checkpointAllMarkedAncestors=false — ancestors
+        # stay persisted-but-unfinalized, which is harmless for
+        # correctness but means no dedicated job runs here (r12 advice).
+        .localCheckpoint(eager=False)
     )
     nodes = nation.select(F.col("n_nationkey").alias("id")).coalesce(1)
     n = nodes.count()

@@ -2073,10 +2073,15 @@ def l44_training_export_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "n_tokens")
         .localCheckpoint(eager=False)
     )
-    # one lazy chain: the first summary aggregate materializes
-    # scored -> ded -> kept -> bins in a single scheduled job instead of
-    # four dedicated checkpoint jobs; later aggregates reuse the cached
-    # cuts (same dedupe-once guarantee, fewer barriers)
+    # one lazy chain: the first summary aggregate runs the whole
+    # scored -> ded -> kept -> bins computation in a single scheduled
+    # job instead of four dedicated checkpoint jobs. With the default
+    # spark.checkpoint.checkpointAllMarkedAncestors=false, only the
+    # topmost marked cut (bins) is FINALIZED by that job — the ancestor
+    # cuts stay persisted-but-unfinalized, their partitions cached
+    # during the job (r12 advice wording fix); later aggregates reuse
+    # the cached cuts either way (same dedupe-once guarantee, fewer
+    # barriers)
     bins = pack_greedy_by_shard(
         kept, "doc_id", "n_tokens", cap=256, n_shards=8
     ).localCheckpoint(eager=False)

@@ -46,11 +46,20 @@ def main() -> int:
     # the heavy recursive-CTE replays (l23/l37 at sf0.1 peak tens of
     # GiB) share the box with this process's live Spark JVM — without a
     # budget DuckDB assumes 80% of RAM is its own and malloc fails with
-    # "bad allocation" instead of spilling
+    # "bad allocation" instead of spilling. Budget derives from the
+    # box's RAM (capped at 48 GB) so a smaller machine spills instead of
+    # over-committing, and the spill dir is cleaned up at exit
+    # (r12 advice).
+    import atexit
+    import shutil
     import tempfile
 
-    con.sql("SET memory_limit='48GB'")
-    con.sql(f"SET temp_directory='{tempfile.mkdtemp(prefix='dryrun_duck_')}'")
+    ram_gb = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES") // (1024**3)
+    budget_gb = max(4, min(48, ram_gb // 2))
+    con.sql(f"SET memory_limit='{budget_gb}GB'")
+    spill_dir = tempfile.mkdtemp(prefix="dryrun_duck_")
+    atexit.register(shutil.rmtree, spill_dir, ignore_errors=True)
+    con.sql(f"SET temp_directory='{spill_dir}'")
     for t in (
         "region nation customer supplier part orders lineitem "
         "events documents embeddings"
