@@ -11,8 +11,11 @@ suppresses; per-run raw timings and the summed max-min spread land in
 BENCH_DETAIL.json. A JVM warm-up query runs first and is not counted.
 
 Reps are INTERLEAVED full passes over the whole registry (r12; the r11
-verdict's bench-hygiene task): TWO discarded passes run first — pass 0
-(per-plan codegen + store/memo builds) and pass 1 (settle; historical:
+verdict's bench-hygiene task): THREE discarded passes run first — pass 0
+(per-plan codegen + store/memo builds), pass 2 (r13: background-JIT
+warm-in — with two discards the first timed pass measured +43 s,
+concentrated 2-4x spikes on four entries; see the n_discard comment),
+and pass 1 (settle; historical:
 Spark's generated-class cache defaults to 100 entries, so a 238-query
 registry fully evicted it every pass and the first timed pass re-paid
 scattered compile cost, measured 450 s vs 373/375 s on identical code.
@@ -193,16 +196,24 @@ def main() -> None:
 
     timed = [(n, f) for n, f in qs.items() if n not in skip_timing]
     runs = {n: [] for n, _ in timed}
-    # passes r=0 and r=1 are DISCARDED: r=0 compiles each plan's
+    # passes r=0..2 are DISCARDED: r=0 compiles each plan's
     # whole-stage codegen (0.3-7 s for the literal-heavy plans —
     # measured: l9 rep1 7.3 s vs 0.7 s warm) and builds the
     # session-scoped stores/memos; r=1 settles the generated-class
     # cache (~100 entries — a full registry pass evicts it, so the
     # first post-warm-up pass re-pays scattered compiles; see module
-    # docstring for the measured 450-vs-373 s pass totals). Medians and
-    # spread are over genuinely warm executions only, INTERLEAVED as
-    # full registry passes.
-    n_discard = 2
+    # docstring for the measured 450-vs-373 s pass totals); r=2 (new
+    # in r13) absorbs the JVM's background JIT warm-in over the full
+    # registry: with two discards the FIRST TIMED pass still ran
+    # +43 s hot (pass totals 295.9/277.0/276.9), concentrated in four
+    # entries spiking 2-4x their warm medians (j24 +10.0, l28c +8.1,
+    # j23b +6.9, k6 +3.9) — compilation noise, not plan behavior (a
+    # 16-entry probe subset showed no such first-pass heat; the full
+    # 240-entry pass generates thousands of classes and the C2 queue
+    # drains into the first timed pass). Medians and spread are over
+    # genuinely warm executions only, INTERLEAVED as full registry
+    # passes.
+    n_discard = 3
     for r in range(reps + n_discard):
         for qi, (name, fn) in enumerate(timed):
             t0 = time.perf_counter()
@@ -218,9 +229,17 @@ def main() -> None:
             # ContextCleaner only after the Python-side refs die —
             # collect them promptly, or ~950 executions in one JVM
             # accumulate enough block/codegen pressure to skew the tail
-            # (observed: identical code totals drifting 93 -> 136 s)
+            # (observed: identical code totals drifting 93 -> 136 s).
+            # The JVM-side System.gc() (r13) replaces the session's old
+            # 45s ContextCleaner periodic full GC: that timer landed
+            # INSIDE timed queries (measured: one 3.5 s full collection
+            # of a ~7 GB backlog inside a 15.7 s l79 run — the spread-
+            # gate spike mechanism); collecting every ~20 queries at a
+            # point deterministically BETWEEN measurements keeps the
+            # backlog small and the timer-free session quiet.
             if qi % 20 == 19:
                 gc.collect()
+                spark.sparkContext._jvm.System.gc()
         # pass boundary: full sweep so drift resets between reps rather
         # than compounding into the next pass's early queries
         gc.collect()

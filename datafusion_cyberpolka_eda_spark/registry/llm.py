@@ -173,7 +173,11 @@ def l4_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         T.simhash("text").alias("simhash"),
         T.doc_fingerprint("text").alias("rolling_fp"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)  # the totals collect below is fp's
+    # only consumer in the first action (one full-materialization agg),
+    # so it computes the cut once; the pair self-join then reads cached
+    # blocks on both sides — no dedicated checkpoint job needed (r13
+    # one-shot-eager audit, guide §1.2)
     totals = fp.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("simhash").alias("n_fp"),
@@ -613,7 +617,10 @@ def l3b_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = D.minhash_banded_pairs(
         docs, "doc_id", "text", n=3, num_hashes=64, bands=16,
         est_threshold=0.45, hashed=sh,
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)  # _gate_counts' collect consumes
+    # pairs exactly once (first action), materializing the cut; the
+    # verify join and max_err actions then read cached blocks (r13
+    # one-shot-eager audit — the band join still runs once)
     counts = _gate_counts(pairs, truth)
     n_true, true_missed = counts["j07"]
     n_dup, dup_missed = counts["dup"]
@@ -717,7 +724,9 @@ def l4b_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     portable-fold twin: l4c."""
     docs, _sh, truth = _dedup_gate_base(spark, sf_dir)
     pairs = D.simhash_near_pairs(docs, "doc_id", "text", max_hamming=6).localCheckpoint(
-        eager=True
+        eager=False  # _gate_counts' collect is pairs' only consumer —
+        # it materializes the cut in its own single pass, no dedicated
+        # checkpoint job (r13 one-shot-eager audit)
     )
     counts = _gate_counts(pairs, truth)
     n_true, true_missed = counts["j07"]

@@ -46,9 +46,19 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # reclaim shuffle/broadcast state promptly in long many-query
-        # sessions (default 30min lets dead blocks pile up locally)
-        .config("spark.cleaner.periodicGC.interval", "45s")
+        # reclaim shuffle/broadcast state in long many-query sessions
+        # (default 30min lets dead blocks pile up locally). 45s — the
+        # r8-r12 value — forced a FULL System.gc() every 45 seconds;
+        # r13 measured one such collection taking 3.5 s on a ~7 GB
+        # garbage backlog INSIDE a timed query (the spread-gate spike
+        # mechanism). 10min is the safety net; processes that need
+        # deterministic cleanup points (bench.py) call System.gc()
+        # between queries themselves, where no timer can land inside a
+        # measurement. Env-tunable for cluster profiles.
+        .config(
+            "spark.cleaner.periodicGC.interval",
+            os.environ.get("SPARK_GRAFT_PERIODIC_GC", "10min"),
+        )
         # whole-stage-codegen class cache (static conf, default 100):
         # a 240-entry registry generates several codegen units per query,
         # so one full pass evicts the default cache completely and EVERY

@@ -14,6 +14,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -1188,9 +1189,17 @@ def stream_crossmodal_dedup(
         # cached cuts on both sides of its two new-new self-joins
         # instead of recomputing them in concurrent stages (commit
         # order within an epoch is free — idempotent epoch-keyed
-        # commits, store views pinned < eid, replay reruns all three)
-        _commit_epoch(sigs, tsig_dir, eid)
-        _commit_epoch(fps, fp_dir, eid)
+        # commits, store views pinned < eid, replay reruns all three).
+        # The two appends touch DISJOINT cuts (captions vs pixels) and
+        # disjoint stores, so they run as two concurrent jobs from a
+        # small pool (guide §2.6 — the second job back-fills cores the
+        # first one's tail leaves idle); either failure raises out of
+        # the handler so the epoch still replays as one transaction
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fut_sigs = pool.submit(_commit_epoch, sigs, tsig_dir, eid)
+            fut_fps = pool.submit(_commit_epoch, fps, fp_dir, eid)
+            fut_sigs.result()
+            fut_fps.result()
         _commit_epoch(_xm_union_edges(tpairs, ipairs), edges_dir, eid)
 
     q = stream.writeStream.foreachBatch(_deliver(handle)).start()
