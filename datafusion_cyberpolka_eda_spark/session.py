@@ -59,6 +59,25 @@ def get_spark(
             "spark.cleaner.periodicGC.interval",
             os.environ.get("SPARK_GRAFT_PERIODIC_GC", "10min"),
         )
+        # JIT code cache (r13): the default -XX:ReservedCodeCacheSize
+        # (240 MB, segmented ~116 MB per nmethod heap on JDK 17) is too
+        # small for a JVM that JITs thousands of whole-stage-codegen
+        # classes — measured: HALF the registry fills the non-profiled
+        # segment to 89/116 MB, and a full-registry bench session
+        # overflows it mid-run, at which point the sweeper flushes hot
+        # nmethods and the code-heavy entries step +16-19% slower
+        # (pass totals 244.0 -> 268.5/272.8 concentrated in the
+        # registry's second half, flat on a half-registry probe that
+        # stays under the limit). Same math on any long-running
+        # many-query driver or executor JVM; 512 MB holds the whole
+        # registry's JIT output. Env-tunable for cluster profiles.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "SPARK_GRAFT_DRIVER_JAVA_OPTS",
+                "-XX:ReservedCodeCacheSize=512m",
+            ),
+        )
         # whole-stage-codegen class cache (static conf, default 100):
         # a 240-entry registry generates several codegen units per query,
         # so one full pass evicts the default cache completely and EVERY
